@@ -1,0 +1,218 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators from SURVEY.md §2 (rows A1–A6, A9, O4)
+  * re-expressed over the driver testdata tables so the DuckDB oracle
+  * can check them (reference semantics: `etl/transform.py:98-127,
+  * 190-225` — count/sum/RTP/hit-frequency/value-counts/volatility).
+  *
+  * Cross-engine determinism rules used throughout this package:
+  *   - money sums go through DECIMAL(18,2) (exact, order-independent),
+  *     then back to DOUBLE for a stable comparable value;
+  *   - `round` (HALF_UP, matches DuckDB's half-away-from-zero on the
+  *     shortest decimal representation) in oracle-facing queries;
+  *     `bround` (HALF_EVEN, matches Python) only in the pol-domain
+  *     golden path where the reference's rounding is load-bearing;
+  *   - every result ends in a total ORDER BY so row order is identical
+  *     regardless of how the driver hashes;
+  *   - variance terms are rounded then summed as DECIMAL so the
+  *     reference's round-then-sum order (SURVEY §2 A6) is exact.
+  *
+  * Scale notes: all aggregations here are single-shuffle hash
+  * aggregates with map-side partial aggregation; the only join (A3)
+  * broadcasts the dimension side. Nothing collects to the driver.
+  */
+object AggQueries {
+  import graft.Tables._
+
+  /** Exact decimal sum of a 2-decimal money column, surfaced as double. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — count/size per group (ref etl/transform.py:190)
+    "a1_count" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A2 — sum (ref etl/transform.py:220); decimal path for money
+    "a2_sum" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum($("l_quantity")).as("sum_qty"),
+          moneySum($("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")),
+
+    // A3 — RTP: round(sum/(n*bet)*100, 2) guarded by bet>0 ∧ n>0
+    // (ref etl/transform.py:218-221); part.p_retailprice plays `bet`,
+    // broadcast-joined like the game lookup (J1 shape).
+    "a3_rtp" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum($("l_quantity")).as("sum_win"), count(lit(1)).as("n"))
+      li.join(broadcast(part(s, d)), li("l_partkey") === col("p_partkey"), "left")
+        .select(
+          $("l_partkey"),
+          when($("p_retailprice") > 0 && $("n") > 0,
+            round($("sum_win") / ($("n") * $("p_retailprice")) * 100, 2))
+            .as("rtp"))
+        .orderBy("l_partkey")
+    }),
+
+    // A4 — hit frequency: round(count(win>0)/n*100, 2)
+    // (ref etl/transform.py:223-225); threshold models win>0.
+    "a4_hit_frequency" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(
+          sum(when($("l_quantity") > 25, 1L).otherwise(0L)) * lit(100.0) / count(lit(1)),
+          2).as("hit_freq"))
+        .orderBy("l_returnflag")),
+
+    // A5 — value_counts: group-by count sorted by value
+    // (ref etl/transform.py:113-116).
+    "a5_value_counts" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy($("l_quantity").as("winning"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("winning")),
+
+    // A6 — volatility at 90% CI, the reference's exact computation
+    // order (ref etl/transform.py:98-127): per distinct win w,
+    // var_w = round(freq*(w/bet - rtp/100)^2, 4), summed THEN
+    // vol = round(1.645*sqrt(sum), 2); rtp is the already-rounded
+    // value (trap #3 in SURVEY §7). The rounded var terms are summed
+    // as DECIMAL(18,4) so the sum is exact in any order — this is
+    // what makes the round-then-sum contract scale-safe (partial
+    // aggregation can combine in any order without drift).
+    "a6_volatility" -> ((s, d) => {
+      val bet = lit(5.0)
+      val li = lineitem(s, d)
+        .select(($("l_orderkey") % 50).as("pool"), $("l_quantity").as("win"))
+      val pool = li.groupBy("pool")
+        .agg(sum($("win")).as("sum_win"), count(lit(1)).as("n"))
+        .withColumn("rtp", round($("sum_win") / ($("n") * bet) * 100, 2))
+      val counts = li.groupBy("pool", "win").agg(count(lit(1)).as("cnt"))
+      counts.join(pool, "pool")
+        .withColumn("var_w",
+          round(($("cnt") / $("n")) * pow($("win") / bet - $("rtp") / 100, 2), 4)
+            .cast("decimal(18,4)"))
+        .groupBy("pool")
+        .agg(
+          first($("rtp")).as("rtp"),
+          round(lit(1.645) * sqrt(sum($("var_w")).cast("double")), 2).as("volatility"))
+        .orderBy("pool")
+    }),
+
+    // A9 — rich per-group stats (declared surface, ref README.md:66-103):
+    // count/sum/min/max/avg/median/stddev/distinct. stddev is computed
+    // from exact integer-valued sums (sum, sum of squares) so both
+    // engines do the identical scalar arithmetic.
+    "a9_rich_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy($("l_returnflag").as("type_code"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum($("l_quantity")).as("sum_v"),
+          min($("l_quantity")).as("min_v"),
+          max($("l_quantity")).as("max_v"),
+          round(sum($("l_quantity")) / count(lit(1)), 4).as("avg_v"),
+          median($("l_quantity")).as("median_v"),
+          round(sqrt(
+            (sum($("l_quantity") * $("l_quantity")) -
+              sum($("l_quantity")) * sum($("l_quantity")) / count(lit(1))) /
+              (count(lit(1)) - 1)), 4).as("stddev_v"),
+          countDistinct($("l_quantity")).as("n_distinct"))
+        .orderBy("type_code")),
+
+    // A9b — bucketed value histogram with percentages
+    // (ref README.md:94-99): floor(value/width) buckets.
+    "a9_histogram" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val total = li.count() // tiny scalar; bucket % needs the grand total
+      li.groupBy(floor($("l_extendedprice") / 10000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("pct", round($("cnt") * lit(100.0) / lit(total), 2))
+        .orderBy("bucket")
+    }),
+
+    // O4 — exact distinct count (ref README.md:75 `unique_types`).
+    "o4_distinct_count" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct($("l_partkey")).as("n_parts"),
+          countDistinct($("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag"))
+  )
+
+  private def $(name: String): Column = col(name)
+
+  val oracle: Map[String, String] = Map(
+    "a1_count" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a2_sum" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a3_rtp" ->
+      """SELECT l_partkey,
+        |  CASE WHEN p_retailprice > 0 AND n > 0
+        |       THEN round(CAST(sum_win / (n * p_retailprice) * 100 AS DOUBLE), 2) END AS rtp
+        |FROM (SELECT l_partkey, sum(l_quantity) AS sum_win, count(*) AS n
+        |      FROM lineitem GROUP BY 1) f
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_partkey""".stripMargin,
+    "a4_hit_frequency" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) * 100.0
+        |        / count(*) AS DOUBLE), 2) AS hit_freq
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a5_value_counts" ->
+      """SELECT l_quantity AS winning, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a6_volatility" ->
+      """WITH li AS (
+        |  SELECT l_orderkey % 50 AS pool, l_quantity AS win FROM lineitem
+        |), pool AS (
+        |  SELECT pool, sum(win) AS sum_win, count(*) AS n,
+        |         round(CAST(sum(win) / (count(*) * 5.0) * 100 AS DOUBLE), 2) AS rtp
+        |  FROM li GROUP BY pool
+        |), counts AS (
+        |  SELECT pool, win, count(*) AS cnt FROM li GROUP BY pool, win
+        |)
+        |SELECT c.pool, any_value(p.rtp) AS rtp,
+        |  round(1.645 * sqrt(CAST(sum(CAST(
+        |    round(CAST((c.cnt * 1.0 / p.n) * (c.win / 5.0 - p.rtp / 100) *
+        |          (c.win / 5.0 - p.rtp / 100) AS DOUBLE), 4)
+        |    AS DECIMAL(18,4))) AS DOUBLE)), 2) AS volatility
+        |FROM counts c JOIN pool p USING (pool)
+        |GROUP BY c.pool ORDER BY c.pool""".stripMargin,
+    "a9_rich_stats" ->
+      """SELECT l_returnflag AS type_code, count(*) AS n,
+        |  sum(l_quantity) AS sum_v, min(l_quantity) AS min_v,
+        |  max(l_quantity) AS max_v,
+        |  round(CAST(sum(l_quantity) / count(*) AS DOUBLE), 4) AS avg_v,
+        |  median(CAST(l_quantity AS DOUBLE)) AS median_v,
+        |  round(CAST(sqrt((sum(l_quantity * l_quantity) -
+        |        sum(l_quantity) * sum(l_quantity) / count(*)) /
+        |        (count(*) - 1)) AS DOUBLE), 4) AS stddev_v,
+        |  count(DISTINCT l_quantity) AS n_distinct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a9_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+        |  count(*) AS cnt,
+        |  round(CAST(count(*) * 100.0 / (SELECT count(*) FROM lineitem) AS DOUBLE), 2) AS pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o4_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
