@@ -1,0 +1,78 @@
+package graft.pol
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Game lookup dimension (S5) + the reference's three-stage key
+  * fallback (P5/J1, `etl/transform.py:199-215`):
+  *
+  *   stage 1: dim.Pool_id == pool_id               (exact)
+  *   stage 2: dim.Pool_id == lstrip0(pool_id)      (file id de-zeroed)
+  *   stage 3: zfill4(dim.Pool_id) == pool_id       (dim id zero-padded)
+  *
+  * Later stages apply only when every earlier stage found nothing, and
+  * `min_bet` is the Bet of the FIRST matching dim row in workbook
+  * order while `game_ids` collects all of them in order — so dim row
+  * order is part of the semantics and is preserved via an explicit
+  * `row_idx`.
+  *
+  * Spark-first: resolution happens per DISTINCT pool_id against the
+  * broadcast dimension (both sides tiny), producing a resolved lookup
+  * that facts broadcast-join on a plain equi-key. The fact side is
+  * touched exactly once and never widens — correct at any scale.
+  */
+object GameLookup {
+
+  /** Load the dimension from a CSV fixture (offline stand-in for the
+    * xlsx, SURVEY §1.2): columns Game, Game_id, Pool_id, Bet
+    * [, Max_win_factor]. `row_idx` pins workbook row order (single
+    * small file → single partition → file order).
+    */
+  def fromCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("header", "true").csv(path).coalesce(1)
+    val withMwf =
+      if (df.columns.contains("Max_win_factor")) df
+      else df.withColumn("Max_win_factor", lit(null).cast("string"))
+    withMwf.select(
+      col("Game").as("game"),
+      col("Game_id").cast("string").as("game_id"),
+      col("Pool_id").cast("string").as("pool_id_dim"),
+      col("Bet").cast("double").as("bet"),
+      col("Max_win_factor").cast("double").as("max_win_factor"),
+      monotonically_increasing_id().as("row_idx"))
+  }
+
+  /** `lstrip('0') or '0'` (trap #6 in SURVEY §7). */
+  def strip0(c: Column): Column = {
+    val s = regexp_replace(c, "^0+", "")
+    when(s === "", "0").otherwise(s)
+  }
+
+  /** Resolve each distinct pool_id of `poolIds` against the dimension
+    * with the staged fallback. Output columns: pool_id, min_bet,
+    * game_ids (workbook order), max_win_factor. Pool ids with no match
+    * are absent (callers left-join → the reference's null ladder).
+    */
+  def resolved(dim: DataFrame, poolIds: DataFrame): DataFrame = {
+    val d = dim.select(
+      col("pool_id_dim"), col("game_id"), col("bet"),
+      col("max_win_factor"), col("row_idx"))
+    val p = poolIds.select(col("pool_id"))
+      .where(col("pool_id").isNotNull).distinct()
+    val stage = when(col("pool_id_dim") === col("pool_id"), lit(1))
+      .when(col("pool_id_dim") === strip0(col("pool_id")), lit(2))
+      .when(lpad(col("pool_id_dim"), 4, "0") === col("pool_id"), lit(3))
+    val cand = p.join(broadcast(d), stage.isNotNull, "inner")
+      .withColumn("__stage", stage)
+    val best = cand.groupBy("pool_id").agg(min(col("__stage")).as("__best"))
+    cand.join(broadcast(best), Seq("pool_id"))
+      .where(col("__stage") === col("__best"))
+      .groupBy("pool_id")
+      .agg(
+        min_by(col("bet"), col("row_idx")).as("min_bet"),
+        transform(
+          array_sort(collect_list(struct(col("row_idx"), col("game_id")))),
+          x => x.getField("game_id")).as("game_ids"),
+        min_by(col("max_win_factor"), col("row_idx")).as("max_win_factor"))
+  }
+}

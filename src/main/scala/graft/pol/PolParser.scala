@@ -1,0 +1,83 @@
+package graft.pol
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pool-file source + permissive line parser.
+  *
+  * Reference semantics (see /root/reference):
+  *   - S1 recursive scan of `*.pol` (`etl/extract.py:27-52`)
+  *   - S3 multi-encoding read (`etl/extract.py:83-105`)
+  *   - S4 file-metadata projection (`etl/extract.py:108-131`)
+  *   - P1 permissive parse (`etl/transform.py:61-95`): whitespace split,
+  *     `int(parts[0])` else drop line, `+ int(parts[2])` when present and
+  *     parseable; second token is a free-text type code.
+  *
+  * Spark-first: `spark.read.text` keeps the scan declarative (file
+  * pruning, parallel splits); parsing is pure Catalyst expressions
+  * (`split`/`get`/`try_cast`) so the whole stage is codegen'd — no UDFs.
+  * ANSI-safe: `try_cast` instead of `cast`, `get()` instead of
+  * `element_at` (driver sessions run with Spark 4 ANSI defaults).
+  */
+object PolParser {
+
+  /** One row per text line of every `.pol` under `root`, with the file
+    * metadata the reference projects (S4) derived from the hidden
+    * `_metadata` struct. `base` strips the leading path so
+    * `relative_path`/`folder_path` match the reference's
+    * repo-root-relative contract (trap #8 in SURVEY §7).
+    */
+  def readRaw(spark: SparkSession, root: String, base: Option[String] = None): DataFrame = {
+    val raw = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.pol")
+      .text(root)
+      .select(
+        col("value"),
+        col("_metadata.file_path").as("abs_path"),
+        col("_metadata.file_name").as("file_name"),
+        col("_metadata.file_size").as("size_bytes"),
+        col("_metadata.file_modification_time").as("modified_ts"))
+    val baseDir = base.getOrElse(root)
+    // file_path comes back as a file: URI; strip scheme + base dir.
+    val rel = regexp_replace(
+      regexp_replace(col("abs_path"), "^file:/*", "/"),
+      "^" + java.util.regex.Pattern.quote(normalize(baseDir)) + "/", "")
+    raw
+      .withColumn("relative_path", rel)
+      .withColumn("folder_path",
+        when(col("relative_path").contains("/"),
+          regexp_replace(col("relative_path"), "/[^/]*$", ""))
+          .otherwise(lit("")))
+      .withColumn("parent_folder", substring_index(col("folder_path"), "/", -1))
+  }
+
+  private def normalize(p: String): String =
+    new java.io.File(p).getAbsolutePath.stripSuffix("/")
+
+  /** Python-int parse: ANSI try_cast accepts optional sign + digits and
+    * yields NULL on anything else, mirroring `int(s)` raising.
+    */
+  private def tryLong(c: Column): Column = c.try_cast("long")
+
+  /** P1: parsed fact rows. Lines whose first token is not an integer are
+    * dropped; a parseable third token is added to the value; the second
+    * token rides along as `type_code` (used by the declared A9 stats).
+    */
+  def parse(raw: DataFrame): DataFrame = {
+    val parts = split(trim(col("value")), "\\s+")
+    raw
+      .withColumn("__parts", parts)
+      .withColumn("__v0", tryLong(get(col("__parts"), lit(0))))
+      .filter(col("__v0").isNotNull)
+      .select(
+        (col("__v0") + coalesce(tryLong(get(col("__parts"), lit(2))), lit(0L))).as("game_win"),
+        get(col("__parts"), lit(1)).as("type_code"),
+        col("relative_path"), col("file_name"), col("folder_path"),
+        col("parent_folder"))
+  }
+
+  /** Convenience: scan + parse in one call. */
+  def read(spark: SparkSession, root: String, base: Option[String] = None): DataFrame =
+    parse(readRaw(spark, root, base))
+}
