@@ -21,11 +21,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.AggQueries.queries
+    relational.AggQueries.queries ++
+      relational.ParseQueries.queries ++
+      relational.JoinQueries.queries ++
+      relational.SortWindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    relational.AggQueries.oracle
+    relational.AggQueries.oracle ++
+      relational.ParseQueries.oracle ++
+      relational.JoinQueries.oracle ++
+      relational.SortWindowQueries.oracle
 }

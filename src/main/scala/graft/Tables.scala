@@ -24,7 +24,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects by default; read the raw nanos as LONG and convert
+    * to a microsecond TIMESTAMP (`ts`), keeping the exact nanos in
+    * `ts_ns`. Oracles must truncate to microseconds the same way
+    * (`make_timestamp(epoch_ns(ts) // 1000)` in DuckDB).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000)
+            .cast("long")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

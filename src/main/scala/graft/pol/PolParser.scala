@@ -60,19 +60,29 @@ object PolParser {
     */
   private def tryLong(c: Column): Column = c.try_cast("long")
 
+  /** The P1 line-parse as reusable expressions over a raw line column:
+    * (game_win — null when the first token isn't an integer, type_code).
+    * A parseable third token is added to the value; extra tokens ignored.
+    */
+  def parseLine(line: Column): (Column, Column) = {
+    val parts = split(trim(line), "\\s+")
+    val v0 = tryLong(get(parts, lit(0)))
+    val win = when(v0.isNotNull,
+      v0 + coalesce(tryLong(get(parts, lit(2))), lit(0L)))
+    (win, get(parts, lit(1)))
+  }
+
   /** P1: parsed fact rows. Lines whose first token is not an integer are
     * dropped; a parseable third token is added to the value; the second
     * token rides along as `type_code` (used by the declared A9 stats).
     */
   def parse(raw: DataFrame): DataFrame = {
-    val parts = split(trim(col("value")), "\\s+")
+    val (win, typeCode) = parseLine(col("value"))
     raw
-      .withColumn("__parts", parts)
-      .withColumn("__v0", tryLong(get(col("__parts"), lit(0))))
-      .filter(col("__v0").isNotNull)
-      .select(
-        (col("__v0") + coalesce(tryLong(get(col("__parts"), lit(2))), lit(0L))).as("game_win"),
-        get(col("__parts"), lit(1)).as("type_code"),
+      .withColumn("game_win", win)
+      .withColumn("type_code", typeCode)
+      .filter(col("game_win").isNotNull)
+      .select(col("game_win"), col("type_code"),
         col("relative_path"), col("file_name"), col("folder_path"),
         col("parent_folder"))
   }

@@ -1,0 +1,241 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join operators: the reference's J1 lookup join and J2 upsert
+  * anti-semantics (SURVEY §2), plus the generic relational surface the
+  * north-star asks for (semi/anti/outer/multi-key/range/as-of joins,
+  * grouping sets, set ops, JSON extraction) — all stock Spark, planned
+  * by Catalyst.
+  *
+  * Scale notes: dimension sides are `broadcast()` hinted where they are
+  * genuinely dimension-sized (part, nation, supplier); fact-fact joins
+  * are left to Catalyst (sort-merge + AQE). The as-of join is expressed
+  * as a running-max window, not a join, so it costs one shuffle by key
+  * instead of an O(n²) range probe; the range join is bounded per-user.
+  */
+object JoinQueries {
+  import graft.Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1 — lookup equi-join: per-pool fact rolled up, broadcast dim,
+    // first(bet)/collect(game_ids) analog (sorted for determinism).
+    "j1_lookup_join" -> ((s, d) => {
+      val fact = lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      fact.join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"), "left")
+        .select(col("l_partkey"), col("n"), col("sum_qty"),
+          col("p_retailprice").as("bet"), col("p_brand"))
+        .orderBy("l_partkey")
+    }),
+
+    // J2 — upsert anti-semantics: new keys overwrite, untouched existing
+    // keys survive (left-anti + union, the reference's read-modify-write
+    // as a set operation).
+    "j2_upsert" -> ((s, d) => {
+      val existing = orders(s, d).where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("old").as("src"))
+      val fresh = orders(s, d).where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("new").as("src"))
+      existing.join(fresh, Seq("o_orderkey"), "left_anti")
+        .unionByName(fresh)
+        .orderBy("o_orderkey")
+    }),
+
+    // R1 — left-semi join (EXISTS).
+    "r1_semi_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // R2 — left-anti join (NOT EXISTS).
+    "r2_anti_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // R3 — full outer join with one-sided rows on both sides.
+    "r3_full_outer_join" -> ((s, d) => {
+      val left = orders(s, d).where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val right = lineitem(s, d).where(col("l_orderkey") % 7 === 0)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+      left.join(right, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("l_orderkey")).as("orderkey"),
+          col("o_totalprice"), col("n_lines"))
+        .orderBy("orderkey")
+    }),
+
+    // R4 — multi-key equi-join.
+    "r4_multikey_join" -> ((s, d) => {
+      val a = lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+      val b = lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      a.join(b, Seq("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // R5 — rollup with subtotal rows.
+    "r5_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // R6 — cube with grouping-set id.
+    "r6_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .as("gid"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // R7 / R8 — set operations.
+    "r7_intersect" -> ((s, d) =>
+      lineitem(s, d).where(col("l_returnflag") === "R").select("l_partkey")
+        .intersect(
+          lineitem(s, d).where(col("l_returnflag") === "A").select("l_partkey"))
+        .orderBy("l_partkey")),
+    "r8_except" -> ((s, d) =>
+      lineitem(s, d)
+        .where(col("l_returnflag") === "R" && col("l_quantity") >= 48)
+        .select("l_partkey")
+        .except(lineitem(s, d)
+          .where(col("l_returnflag") === "A" && col("l_quantity") >= 48)
+          .select("l_partkey"))
+        .orderBy("l_partkey")),
+
+    // R9 — JSON extraction from the events props column.
+    "r9_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")),
+
+    // R10 — bounded range join: event pairs per user within 1 hour.
+    "r10_range_join" -> ((s, d) => {
+      val e1 = events(s, d).select(col("user_id"),
+        col("event_id").as("id1"), col("ts").as("ts1"))
+      val e2 = events(s, d).select(col("user_id").as("u2"),
+        col("event_id").as("id2"), col("ts").as("ts2"))
+      e1.join(e2,
+          col("user_id") === col("u2") && col("id1") < col("id2") &&
+            col("ts2") >= col("ts1") &&
+            col("ts2") < col("ts1") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // R11 — as-of join as a running-max window (one shuffle by user,
+    // no range probe): for each purchase, the most recent prior-or-same
+    // signup of the same user.
+    "r11_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("asof_signup",
+          max(when(col("event_type") === "signup", col("event_id"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("asof_signup"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j1_lookup_join" ->
+      """SELECT l_partkey, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  p_retailprice AS bet, p_brand
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_partkey, p_retailprice, p_brand
+        |ORDER BY l_partkey""".stripMargin,
+    "j2_upsert" ->
+      """SELECT o_orderkey, 'old' AS src FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'new' AS src FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "r1_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "r2_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "r3_full_outer_join" ->
+      """SELECT coalesce(o_orderkey, l_orderkey) AS orderkey,
+        |  o_totalprice, n_lines
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0) o
+        |FULL OUTER JOIN (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |                 WHERE l_orderkey % 7 = 0 GROUP BY 1) l
+        |  ON o_orderkey = l_orderkey
+        |ORDER BY orderkey""".stripMargin,
+    "r4_multikey_join" ->
+      """SELECT a.l_returnflag, a.l_linestatus, a.sum_qty, b.n
+        |FROM (SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1, 2) a
+        |JOIN (SELECT l_returnflag, l_linestatus, count(*) AS n
+        |      FROM lineitem GROUP BY 1, 2) b
+        |  USING (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "r5_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "r6_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "r7_intersect" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_partkey""".stripMargin,
+    "r8_except" ->
+      """SELECT l_partkey FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 48
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem
+        |WHERE l_returnflag = 'A' AND l_quantity >= 48
+        |ORDER BY l_partkey""".stripMargin,
+    "r9_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r10_range_join" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events)
+        |SELECT e1.user_id, count(*) AS n_pairs
+        |FROM e e1 JOIN e e2
+        |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+        | AND e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r11_asof_join" ->
+      """SELECT event_id, user_id, asof_signup FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    max(CASE WHEN event_type = 'signup' THEN event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,106 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sort / limit / set-op / window operators from SURVEY §2 (O1–O4, W1).
+  * The first/last-10 sampling (O2, declared in the reference's README
+  * output contract) is a window `row_number` over both directions —
+  * rank from each end, keep ranks ≤ 10.
+  */
+object SortWindowQueries {
+  import graft.Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1 — global sort with deterministic tiebreak + limit pushdown
+    // (TakeOrderedAndProject, no full sort at scale).
+    "o1_sort_limit" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+
+    // O2 — first-10/last-10 rows in (orderkey, linenumber) order.
+    // Expressed as two ordered limits (planned as TakeOrderedAndProject
+    // — no global window, no single-partition shuffle at scale) with an
+    // anti-join so overlapping rows keep the 'first' label, matching
+    // the window-rank formulation exactly.
+    "o2_first_last" -> ((s, d) => {
+      val base = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val first10 = base
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .limit(10)
+        .withColumn("which", lit("first"))
+      val last10 = base
+        .orderBy(col("l_orderkey").desc, col("l_linenumber").desc,
+          col("l_quantity").desc)
+        .limit(10)
+        .withColumn("which", lit("last"))
+      first10.unionByName(
+          last10.join(
+            first10.select("l_orderkey", "l_linenumber", "l_quantity"),
+            Seq("l_orderkey", "l_linenumber", "l_quantity"), "left_anti"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // O3 — union + dedupe by full row.
+    "o3_union_dedupe" -> ((s, d) =>
+      orders(s, d).where(col("o_orderkey") % 2 === 0).select("o_custkey")
+        .unionByName(
+          orders(s, d).where(col("o_orderkey") % 3 === 0).select("o_custkey"))
+        .dropDuplicates()
+        .orderBy("o_custkey")),
+
+    // W1 — ranking + frame-based running aggregate per partition.
+    "w1_window_rank" -> ((s, d) => {
+      val order = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      supplier(s, d)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+          row_number().over(order).as("rn"),
+          rank().over(Window.partitionBy("s_nationkey")
+            .orderBy(col("s_acctbal").desc)).as("rnk"),
+          sum(col("s_acctbal").cast("decimal(18,2)"))
+            .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_bal"))
+        .orderBy("s_nationkey", "rn")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "o1_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "o2_first_last" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN rn_first <= 10 THEN 'first' ELSE 'last' END AS which
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity)
+        |      AS rn_first,
+        |    row_number() OVER (ORDER BY l_orderkey DESC, l_linenumber DESC,
+        |                       l_quantity DESC) AS rn_last
+        |  FROM lineitem)
+        |WHERE rn_first <= 10 OR rn_last <= 10
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "o3_union_dedupe" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)
+        |ORDER BY o_custkey""".stripMargin,
+    "w1_window_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_bal
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_nationkey, rn""".stripMargin
+  )
+}
