@@ -24,7 +24,11 @@ object SparkEntry {
     relational.AggQueries.queries ++
       relational.ParseQueries.queries ++
       relational.JoinQueries.queries ++
-      relational.SortWindowQueries.queries
+      relational.SortWindowQueries.queries ++
+      llm.DedupQueries.queries ++
+      llm.SimilarityQueries.queries ++
+      llm.TextQueries.queries ++
+      llm.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -33,5 +37,9 @@ object SparkEntry {
     relational.AggQueries.oracle ++
       relational.ParseQueries.oracle ++
       relational.JoinQueries.oracle ++
-      relational.SortWindowQueries.oracle
+      relational.SortWindowQueries.oracle ++
+      llm.DedupQueries.oracle ++
+      llm.SimilarityQueries.oracle ++
+      llm.TextQueries.oracle ++
+      llm.MultimodalQueries.oracle
 }

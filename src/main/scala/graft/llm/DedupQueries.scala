@@ -1,0 +1,214 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline,
+  * over the `documents` table: exact (hash group-by), MinHash+LSH
+  * (shingle → minhash → band → bucket-join), n-gram Jaccard, SimHash.
+  * Embedding-cosine near-dup lives in [[SimilarityQueries]].
+  *
+  * All signatures use the cross-engine md5 hashing in [[Hashing]] so
+  * the DuckDB oracle reproduces them bit-for-bit. Shingles are 8-char
+  * substrings (probed on the testdata: unigram sets saturate — 31-word
+  * vocabulary — while 8-grams give jaccard ≤ 0.2 for unrelated docs
+  * and isolate the planted near-dup pair).
+  *
+  * Scale notes: minhash signatures are computed entirely inside one
+  * projection (array expressions, no explode, no shuffle); LSH banding
+  * shuffles only (doc, band, bucket) tuples — |docs|·4 rows — and the
+  * candidate-pair join is per-bucket, which is the whole point of LSH;
+  * exact dedup groups by a 128-bit digest, never by raw text, so
+  * shuffle rows stay small no matter how large documents get.
+  */
+object DedupQueries {
+  import graft.Tables.documents
+  import Hashing._
+
+  private val K = 16 // permutations
+  private val Bands = 4 // 4 bands x 4 rows
+  private val coeffs = minhashCoeffs(K)
+
+  /** Spark-side SQL expr for the distinct 8-char shingle hash array. */
+  private val shingleHashesExpr =
+    """array_distinct(transform(
+      |  sequence(0, greatest(length(text) - 8, 0)),
+      |  i -> CAST(conv(substr(md5(substring(text, i + 1, 8)), 1, 7), 16, 10) AS BIGINT)))"""
+      .stripMargin
+
+  /** DuckDB equivalent of [[shingleHashesExpr]]. */
+  private val sqlShingleHashes =
+    """list_distinct(list_transform(
+      |  range(greatest(len(text) - 7, 1)),
+      |  i -> CAST('0x' || substr(md5(substr(text, i + 1, 8)), 1, 7) AS BIGINT)))"""
+      .stripMargin
+
+  private val sigExpr = {
+    val mins = coeffs.map { case (a, b) =>
+      s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${MinhashP}L))"
+    }
+    s"array(${mins.mkString(", ")})"
+  }
+
+  private val sqlSig = {
+    val mins = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashP))"
+    }
+    s"[${mins.mkString(", ")}]"
+  }
+
+  /** Band bucket strings: md5 over the 4 sigs of each band. */
+  private val bucketsExpr = {
+    val bs = (0 until Bands).map { b =>
+      val parts = (0 until K / Bands).map(r => s"sig[${b * 4 + r}]")
+      s"md5(concat_ws('_', ${parts.mkString(", ")}))"
+    }
+    s"array(${bs.mkString(", ")})"
+  }
+
+  private val sqlBuckets = (0 until Bands).map { b =>
+    val parts = (0 until K / Bands).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)")
+    s"md5(${parts.map(p => s"$p").mkString(" || '_' || ")})"
+  }
+
+  private def sigs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("hs", expr(shingleHashesExpr))
+      .withColumn("sig", expr(sigExpr))
+      .select(col("doc_id"), col("sig"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D1 — exact dedup: survivors = min doc_id per content digest.
+    "d1_dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    // D2 — minhash signatures (k=16) computed in a single projection.
+    "d2_minhash_signatures" -> ((s, d) =>
+      sigs(s, d).orderBy("doc_id")),
+
+    // D3 — LSH candidate pairs: docs sharing any of 4 band buckets,
+    // with signature agreement as the similarity estimate.
+    "d3_minhash_lsh_pairs" -> ((s, d) => {
+      val banded = sigs(s, d)
+        .withColumn("bucket", explode(expr(bucketsExpr)))
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      pairs
+        .withColumn("agreement",
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / CAST($K AS DOUBLE)"))
+        .select("doc_a", "doc_b", "agreement")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // D4 — exact n-gram jaccard over blocked pairs (block = source):
+    // shingle-set overlap via a distinct-shingle self-join, never
+    // materializing pairwise sets.
+    "d4_ngram_jaccard" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(expr(shingleHashesExpr)).as("h"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = sh.as("a")
+        .join(sh.as("b"),
+          col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard",
+          round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // D5 — simhash (28-bit) over distinct word tokens: majority vote
+    // per bit position.
+    "d5_simhash" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          explode(expr(
+            "array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))"))
+            .as("tok"))
+        .withColumn("h", hash28(col("tok")))
+      toks
+        .select(col("doc_id"), col("h"),
+          explode(expr("sequence(0, 27)")).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0,
+          expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "d2_minhash_signatures" ->
+      s"""WITH hashed AS (SELECT doc_id, $sqlShingleHashes AS hs FROM documents)
+         |SELECT doc_id, $sqlSig AS sig FROM hashed ORDER BY doc_id""".stripMargin,
+    "d3_minhash_lsh_pairs" ->
+      s"""WITH hashed AS (SELECT doc_id, $sqlShingleHashes AS hs FROM documents),
+         |sigs AS (SELECT doc_id, $sqlSig AS sig FROM hashed),
+         |banded AS (
+         |  SELECT doc_id, sig, unnest([${sqlBuckets.mkString(", ")}]) AS bucket
+         |  FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  len(list_filter(list_transform(range($K),
+         |      i -> sig_a[i + 1] = sig_b[i + 1]), v -> v)) / CAST($K AS DOUBLE)
+         |    AS agreement
+         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "d4_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, unnest($sqlShingleHashes) AS h FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b
+         |    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+         |FROM shared
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(list_filter(
+         |      regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS tok
+         |  FROM documents),
+         |votes AS (
+         |  SELECT doc_id, i.range AS bit,
+         |    sum(CASE WHEN (${sqlHash28("tok")} >> i.range) & 1 = 1
+         |             THEN 1 ELSE -1 END) AS vote
+         |  FROM toks, range(28) i GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  sum(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+         |    AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

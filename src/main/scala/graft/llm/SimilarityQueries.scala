@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Cross-engine determinism: embeddings are cast float→double (exact)
+  * and dot products are LEFT-FOLD sums (`aggregate(zip_with(...))` in
+  * Spark, `list_inner_product` in DuckDB — probed to produce identical
+  * doubles, both sequential), so cosine scores match bit-for-bit.
+  * Centroids (IVF) are averaged through DECIMAL(25,10) sums so the
+  * reduction is order-independent — the same trick the volatility
+  * aggregate uses, and what keeps a 1000-executor partial-agg plan
+  * byte-identical to the single-threaded oracle.
+  *
+  * Scale notes: brute-force top-k is one pass + TakeOrdered (no global
+  * sort); the IVF variant prunes to the 2 nearest of 10 label
+  * centroids, cutting the scanned fraction to ~20% — the structure of
+  * a real IVF index (train k-means offline, store cluster id as a
+  * partition column, get partition pruning for free).
+  */
+object SimilarityQueries {
+  import graft.Tables.embeddings
+
+  private def vecd(c: Column): Column = c.cast("array<double>")
+
+  /** Left-fold dot product of two double arrays. */
+  private val dotExpr: String =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def dot(a: String, b: String): Column =
+    expr(dotExpr.format(a, b))
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      vecd(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot("e", "e")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D6 — embedding-cosine near-duplicate pairs, blocked by label.
+    "d6_embedding_neardup" -> ((s, d) => {
+      val t = base(s, d)
+      t.as("a").join(t.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          round(dot("a.e", "b.e") / (col("a.norm") * col("b.norm")), 6))
+        .where(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // N1 — brute-force cosine top-10 for a probe vector (vec_id 0):
+    // one scan + TakeOrderedAndProject, the exact baseline every ANN
+    // variant is measured against.
+    "n1_ann_bruteforce" -> ((s, d) => {
+      val t = base(s, d)
+      val q = t.where(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("norm").as("qnorm"))
+      t.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6))
+        .select(col("vec_id"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // N2 — IVF-style ANN: label-mean centroids (decimal-exact), probe
+    // the 2 nearest centroids, brute-force only inside them.
+    "n2_ann_ivf" -> ((s, d) => {
+      val t = base(s, d)
+      // centroids: per (label, dim) decimal-exact mean, re-assembled in
+      // dim order
+      val cent = t.select(col("label"), posexplode(col("e")))
+        .groupBy("label", "pos")
+        .agg((sum(col("col").cast("decimal(25,10)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("ce"))
+      val q = t.where(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("norm").as("qnorm"))
+      val nearest = cent.crossJoin(broadcast(q))
+        .withColumn("cdist", dot("ce", "qe"))
+        .orderBy(col("cdist").desc, col("label"))
+        .limit(2)
+        .select(col("label"))
+      t.join(broadcast(nearest), "label")
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6))
+        .select(col("vec_id"), col("label"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  private val sqlBase =
+    """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS norm
+      |FROM embeddings""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d6_embedding_neardup" ->
+      s"""WITH t AS ($sqlBase)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) AS cos
+         |FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "n1_ann_bruteforce" ->
+      s"""WITH t AS ($sqlBase),
+         |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
+         |FROM t, q WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "n2_ann_ivf" ->
+      s"""WITH t AS ($sqlBase),
+         |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0),
+         |dims AS (
+         |  SELECT label, i.range AS pos,
+         |    CAST(sum(CAST(e[i.range + 1] AS DECIMAL(25,10))) / count(*) AS DOUBLE) AS m
+         |  FROM t, range(64) i GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label, list_transform(
+         |    list_sort(list(struct_pack(pos := pos, m := m))), x -> x.m) AS ce
+         |  FROM dims GROUP BY label),
+         |nearest AS (
+         |  SELECT label FROM cent, q
+         |  ORDER BY list_inner_product(ce, qe) DESC, label LIMIT 2)
+         |SELECT vec_id, label,
+         |  round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
+         |FROM t JOIN nearest USING (label), q
+         |WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  )
+}

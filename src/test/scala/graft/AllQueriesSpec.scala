@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog-wide invariants for the driver contract. */
+class AllQueriesSpec extends AnyFunSuite {
+  import QueryHarness._
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("catalog covers the SURVEY §2 operator families") {
+    val keys = SparkEntry.queries.keySet
+    val required = Seq("s1", "p1", "p2", "p3", "p5", "p6", "p7", "p8", "p9",
+      "j1", "j2", "a1", "a2", "a3", "a4", "a5", "a6", "a8", "a9",
+      "o1", "o2", "o3", "o4", "w1",
+      "d1", "d2", "d3", "d4", "d5", "d6", "n1", "n2",
+      "x1", "x2", "x3", "x4", "m1", "m2")
+    val uncovered = required.filterNot(p => keys.exists(_.startsWith(p + "_")))
+    assert(uncovered.isEmpty, s"families with no query: $uncovered")
+  }
+
+  test("every query runs at sf0.001 (rows may be 0 only for pair-miners)") {
+    val mayBeEmpty = Set("d3_minhash_lsh_pairs", "d4_ngram_jaccard",
+      "d6_embedding_neardup", "r8_except")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0 || mayBeEmpty(name), s"$name empty at sf0.001")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
