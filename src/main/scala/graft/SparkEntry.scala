@@ -28,7 +28,8 @@ object SparkEntry {
       llm.DedupQueries.queries ++
       llm.SimilarityQueries.queries ++
       llm.TextQueries.queries ++
-      llm.MultimodalQueries.queries
+      llm.MultimodalQueries.queries ++
+      streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       llm.DedupQueries.oracle ++
       llm.SimilarityQueries.oracle ++
       llm.TextQueries.oracle ++
-      llm.MultimodalQueries.oracle
+      llm.MultimodalQueries.oracle ++
+      streaming.StreamingQueries.oracle
 }

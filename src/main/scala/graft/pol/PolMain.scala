@@ -1,6 +1,7 @@
 package graft.pol
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** CLI batch entry point — the analog of the reference's
   * `python etl/main.py --all` (`etl/main.py:154-165`): scan → parse →
@@ -25,7 +26,9 @@ object PolMain {
 
     val dim = GameLookup.fromCsv(spark, lookupCsv)
     val parsed = PolParser.read(spark, root)
-    val pools = PoolMetrics.perPool(parsed, dim)
+    // One row per file: persist so the sinks/summary don't re-run the
+    // full-corpus parse per action.
+    val pools = PoolMetrics.perPool(parsed, dim).persist()
     val docs = PoolMetrics.documents(pools)
 
     docs.select("pool_name", "pool_id", "pool_type", "min_bet", "rtp",
@@ -35,7 +38,20 @@ object PolMain {
     PoolSummary.aggregate(docs).show(truncate = false)
 
     args.lift(2).foreach { out =>
-      docs.write.mode("overwrite").json(s"$out/pool_documents")
+      val outDir = java.nio.file.Paths.get(out)
+      val rows = docs.orderBy(col("metadata.source_file")).collect().toSeq
+      val ts = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+        .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      val n = PoolJsonSink.upsert(rows, outDir.resolve("all_pools_data.json"))
+      val agg = PoolSummary.aggregate(docs, Some(ts)).collect()(0)
+      PoolJsonSink.writeSummary(
+        PoolJsonSink.summaryJson(ts, n, n, 0, Seq.empty,
+          Seq("Meta_data/all_pools_data.json"), agg),
+        outDir.resolve("_pipeline_summary.json"))
+      PoolJsonSink.writeIndex(rows, ts, outDir.resolve("_index.json"))
+      PoolJsonSink.writeCsv(docs, s"$out/summary_csv")
+      println(s"wrote $n documents + summary + index + csv under $out")
     }
     spark.stop()
   }

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming operators (SURVEY §2 T1 + the north-star streaming
+  * surface): a genuine Structured Streaming run over the events table
+  * (readStream → agg → memory sink, Trigger.AvailableNow, driven to
+  * completion inside the query function) plus event-time windowing and
+  * gap-based sessionization. The batch-SQL oracles hold because a
+  * finished AvailableNow stream over static input is semantically a
+  * batch query — which is exactly the guarantee worth testing.
+  */
+object StreamingQueries {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Run an AvailableNow streaming aggregation of the events parquet
+    * into a memory sink and return its final table.
+    */
+  private def runStream(
+      s: SparkSession, d: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts",
+        timestamp_micros((col("ts") / 1000).cast("long")))
+    val name = s"graft_stream_${sinkId.incrementAndGet()}"
+    val q = agg(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1 — streaming aggregation, exactly-once over the static input.
+    "t1_stream_agg" -> ((s, d) =>
+      runStream(s, d)(
+        _.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value")))
+        .orderBy("event_type")),
+
+    // T2 — event-time tumbling window with watermark.
+    "t2_stream_window" -> ((s, d) =>
+      runStream(s, d)(
+        _.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n")))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"))
+        .orderBy("win_start", "event_type")),
+
+    // T3 — gap-based sessionization (30-min inactivity): batch
+    // formulation via lag + running sum; the stateful streaming twin
+    // (flatMapGroupsWithState) is exercised in the test suite.
+    "t3_sessionize" -> ((s, d) => {
+      val e = graft.Tables.events(s, d)
+      val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val sess = e
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ns").isNull ||
+            col("ts_ns") - col("prev_ns") > lit(30L * 60L * 1000000000L), 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_stream_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t2_stream_window" ->
+      """SELECT make_timestamp(epoch_ns(ts) // 1000 // 21600000000
+        |    * 21600000000) AS win_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t3_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |              OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+        |                 > CAST(1800000000000 AS BIGINT)
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |t AS (
+        |  SELECT user_id, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
