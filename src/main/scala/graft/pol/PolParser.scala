@@ -90,4 +90,71 @@ object PolParser {
   /** Convenience: scan + parse in one call. */
   def read(spark: SparkSession, root: String, base: Option[String] = None): DataFrame =
     parse(readRaw(spark, root, base))
+
+  /** S3 — multi-encoding read with the reference's per-FILE fallback
+    * chain (`etl/extract.py:83-105`): utf-8 → utf-8-sig (BOM strip) →
+    * latin-1 → cp1252 → utf-8 with replacement. The plain text source
+    * applies ONE charset to every file, so this variant reads whole
+    * files as binary and decodes per file inside a mapPartitions —
+    * used only when a corpus is known to be encoding-dirty; the
+    * default path stays on the (faster, splittable) text source.
+    *
+    * Note binaryFile loads a whole file per row — fine for the
+    * reference's ≤3.4 MB pools; gigantic single files should be
+    * pre-normalized instead.
+    */
+  def readRawWithEncodingFallback(
+      spark: SparkSession, root: String, base: Option[String] = None): DataFrame = {
+    import java.nio.charset.{Charset, CharacterCodingException, StandardCharsets, CodingErrorAction}
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+
+    val baseDir = normalize(base.getOrElse(root))
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pol")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"), col("content"))
+    val outSchema = StructType(Seq(
+      StructField("value", StringType),
+      StructField("abs_path", StringType),
+      StructField("file_name", StringType)))
+
+    def decode(bytes: Array[Byte]): String = {
+      def strict(cs: Charset): Option[String] =
+        try {
+          val dec = cs.newDecoder()
+            .onMalformedInput(CodingErrorAction.REPORT)
+            .onUnmappableCharacter(CodingErrorAction.REPORT)
+          Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+        } catch { case _: CharacterCodingException => None }
+      strict(StandardCharsets.UTF_8)
+        .map(s => if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s)
+        .orElse(strict(StandardCharsets.ISO_8859_1))
+        .orElse(strict(Charset.forName("windows-1252")))
+        .getOrElse(new String(bytes, StandardCharsets.UTF_8)) // replace
+    }
+
+    val lines = files.mapPartitions { it =>
+      it.flatMap { r =>
+        val path = r.getAs[String]("path")
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        decode(r.getAs[Array[Byte]]("content"))
+          .split("\n", -1).iterator
+          .filter(_.nonEmpty)
+          .map(line => Row(line.stripSuffix("\r"), path, name))
+      }
+    }(Encoders.row(outSchema))
+
+    val rel = regexp_replace(
+      regexp_replace(col("abs_path"), "^file:/*", "/"),
+      "^" + java.util.regex.Pattern.quote(baseDir) + "/", "")
+    lines
+      .withColumn("relative_path", rel)
+      .withColumn("folder_path",
+        when(col("relative_path").contains("/"),
+          regexp_replace(col("relative_path"), "/[^/]*$", ""))
+          .otherwise(lit("")))
+      .withColumn("parent_folder", substring_index(col("folder_path"), "/", -1))
+  }
 }
