@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * `minhash_signature(array<bigint>)` — one-pass k=16 minhash with the
+  * library's shared permutation constants (see graft.llm.Hashing).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(GraftExtensions.minhashSignature)
+}
+
+object GraftExtensions {
+  private def builder: Seq[Expression] => Expression = {
+    val coeffs = llm.Hashing.minhashCoeffs(16)
+    exprs =>
+      functions.MinhashSignature(
+        exprs.head,
+        coeffs.map(_._1).toArray,
+        coeffs.map(_._2).toArray,
+        llm.Hashing.MinhashP)
+  }
+
+  val minhashSignature: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(
+      classOf[functions.MinhashSignature].getName, "minhash_signature"),
+    builder)
+
+  /** Register into an ALREADY-RUNNING session (the extensions class
+    * only applies to sessions built with `withExtensions` /
+    * `spark.sql.extensions`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", builder, "built-in")
+}

@@ -71,7 +71,21 @@ object DedupQueries {
     s"md5(${parts.map(p => s"$p").mkString(" || '_' || ")})"
   }
 
+  /** Signatures via the native one-pass [[graft.functions.MinhashSignature]]
+    * expression (identical values to [[sigExpr]], which the oracle and
+    * the equivalence spec pin down — the custom expression walks the
+    * shingle array once instead of k times).
+    */
   private def sigs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("hs", expr(shingleHashesExpr))
+      .withColumn("sig", graft.functions.MinhashSignature(col("hs"), K))
+      .select(col("doc_id"), col("sig"))
+
+  /** The composed-builtins signature pipeline (kept as the reference
+    * formulation and for the equivalence spec).
+    */
+  def sigsBuiltin(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("hs", expr(shingleHashesExpr))
       .withColumn("sig", expr(sigExpr))

@@ -128,6 +128,38 @@ object PoolMetrics {
       .withColumn("max_multiplier", maxMult)
   }
 
+  /** One-pass variant of [[perPool]] built on the custom
+    * [[graft.functions.VolatilityAgg]] aggregator: bet is broadcast-
+    * joined onto the raw rows, then a single shuffle of bounded
+    * histogram buffers produces every metric (same bit-exact rounding —
+    * see FunctionsSpec). Preferable when the cluster is shuffle-bound;
+    * the expression pipeline remains the default (fully codegen'd, no
+    * kryo buffers).
+    */
+  def perPoolOnePass(parsed: DataFrame, dim: DataFrame): DataFrame = {
+    val (poolId, poolType) = decodeFilename(col("file_name"))
+    val withId = parsed.withColumn("pool_id", poolId)
+    val lk = GameLookup.resolved(dim, withId.select(col("pool_id")))
+    val m = graft.functions.VolatilityAgg.metrics
+    withId
+      .join(broadcast(lk), Seq("pool_id"), "left")
+      .groupBy(col("relative_path"))
+      .agg(
+        m(col("game_win"), col("min_bet")).as("m"),
+        first(col("file_name")).as("file_name"),
+        first(col("pool_id")).as("pool_id"),
+        first(col("min_bet")).as("min_bet"),
+        first(col("folder_path")).as("folder_path"))
+      .select(col("relative_path"), col("file_name"), col("pool_id"),
+        col("min_bet"), col("folder_path"),
+        col("m.size").as("size"),
+        col("m.total_win").as("total_win"),
+        col("m.hits").as("hits"),
+        col("m.rtp").as("rtp"),
+        col("m.hit_frequency").as("hit_frequency"),
+        col("m.volatility").as("volatility"))
+  }
+
   /** Assemble the nested per-pool document (SURVEY §1.4 shape).
     * `processedAt` is injectable so golden tests can freeze the clock
     * (trap #7); pass None for wall-clock UTC seconds.
