@@ -1,0 +1,50 @@
+package graft.pol
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Library facade — the Spark analog of the reference's public API
+  * (`etl/__init__.py:7-17`), one entry per exported seam so callers
+  * can run any stage standalone and compose them as DataFrames:
+  *
+  * | reference                  | here                      |
+  * |----------------------------|---------------------------|
+  * | `extract_all_pol_files`    | [[extractAll]]            |
+  * | `get_changed_pol_files`    | [[processChanged]] (T1)   |
+  * | `transform_pol_data`       | [[transform]]             |
+  * | `save_to_metadata_folder`  | [[saveToMetadataFolder]]  |
+  * | `save_summary_report`      | [[saveSummaryReport]]     |
+  */
+object PolPipeline {
+
+  /** Scan + parse every `.pol` under `root` (S1/S3/S4 + P1). */
+  def extractAll(spark: SparkSession, root: String,
+      base: Option[String] = None): DataFrame =
+    PolParser.read(spark, root, base)
+
+  /** Full transform stage: metrics + classification + nested documents
+    * (P2–P8, J1, A1–A6).
+    */
+  def transform(parsed: DataFrame, dim: DataFrame,
+      processedAt: Option[String] = None): DataFrame =
+    PoolMetrics.documents(PoolMetrics.perPool(parsed, dim), processedAt)
+
+  /** Changed-files mode (S2/T1): process only files the checkpoint has
+    * not seen, upserting into the consolidated JSON. Returns the number
+    * of newly processed files.
+    */
+  def processChanged(spark: SparkSession, root: String, lookupCsv: String,
+      outputFile: Path, checkpointDir: String,
+      processedAt: Option[String] = None): Long =
+    graft.streaming.IncrementalPol.runOnce(
+      spark, root, lookupCsv, outputFile, checkpointDir, processedAt)
+
+  /** S6/J2: upsert collected documents into the consolidated JSON. */
+  def saveToMetadataFolder(docs: Seq[Row], outputFile: Path): Int =
+    PoolJsonSink.upsert(docs, outputFile)
+
+  /** S7: write the run summary. */
+  def saveSummaryReport(summary: PoolJsonSink.JObj, outputFile: Path): Unit =
+    PoolJsonSink.writeSummary(summary, outputFile)
+}
