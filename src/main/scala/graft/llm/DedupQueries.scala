@@ -127,12 +127,17 @@ object DedupQueries {
     // shingle-set overlap via a distinct-shingle self-join, never
     // materializing pairwise sets.
     "d4_ngram_jaccard" -> ((s, d) => {
-      val sh = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(expr(shingleHashesExpr)).as("h"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shared = sh.as("a")
-        .join(sh.as("b"),
+      val withHs = documents(s, d)
+        .select(col("doc_id"), col("source"), expr(shingleHashesExpr).as("hs"))
+      // per-doc set size straight from the array — no explode/shuffle
+      val sizes = withHs.select(col("doc_id"), size(col("hs")).as("n"))
+      val sh = withHs
+        .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+      // shuffle-hash hint: size estimation cannot see the explode
+      // blow-up and would broadcast the full shingle relation — a plan
+      // that cannot survive scale-up
+      val shared = sh.as("a").hint("shuffle_hash")
+        .join(sh.as("b").hint("shuffle_hash"),
           col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

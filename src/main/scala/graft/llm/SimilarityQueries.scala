@@ -68,6 +68,35 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // N3 — LSH-bucketed ANN: random-hyperplane (SimHash-for-vectors)
+    // bucketing. Hyperplanes are pseudo-random but engine-independent:
+    // component j of plane b is md5-derived from "b_j", mapped to
+    // ±[0,1). Probe = brute-force ONLY within the query's bucket
+    // (scale path: bucket becomes a partition column → partition
+    // pruning at 100 TB).
+    "n3_ann_lsh" -> ((s, d) => {
+      val t = base(s, d)
+      // 6 hyperplanes -> 64 buckets
+      val sigExprStr = (0 until 6).map { b =>
+        val dot = s"""aggregate(zip_with(e, transform(sequence(0, 63),
+            j -> CAST(conv(substr(md5(concat('$b', '_', j)), 1, 7), 16, 10) AS BIGINT)
+                 / 134217728.0D - 1.0D),
+          (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+        s"CASE WHEN ($dot) >= 0 THEN ${1 << b} ELSE 0 END"
+      }.mkString(" + ")
+      val bucketed = t.withColumn("bucket", expr(sigExprStr))
+      val q = bucketed.where(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("norm").as("qnorm"),
+          col("bucket").as("qbucket"))
+      bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+        .where(col("vec_id") =!= 0)
+        .withColumn("cos",
+          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6))
+        .select(col("vec_id"), col("bucket"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // N2 — IVF-style ANN: label-mean centroids (decimal-exact), probe
     // the 2 nearest centroids, brute-force only inside them.
     "n2_ann_ivf" -> ((s, d) => {
@@ -105,7 +134,23 @@ object SimilarityQueries {
       |                               CAST(embedding AS DOUBLE[]))) AS norm
       |FROM embeddings""".stripMargin
 
+  private val sqlBucket = (0 until 6).map { b =>
+    s"""(CASE WHEN list_inner_product(e, list_transform(range(64),
+       |  j -> CAST('0x' || substr(md5(concat('$b', '_', j)), 1, 7) AS BIGINT)
+       |       / 134217728.0 - 1.0)) >= 0 THEN ${1 << b} ELSE 0 END)"""
+      .stripMargin
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "n3_ann_lsh" ->
+      s"""WITH t AS ($sqlBase),
+         |b AS (SELECT vec_id, e, norm, $sqlBucket AS bucket FROM t),
+         |q AS (SELECT e AS qe, norm AS qnorm, bucket AS qbucket
+         |      FROM b WHERE vec_id = 0)
+         |SELECT vec_id, bucket,
+         |  round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
+         |FROM b, q WHERE bucket = qbucket AND vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "d6_embedding_neardup" ->
       s"""WITH t AS ($sqlBase)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

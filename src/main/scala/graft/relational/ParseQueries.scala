@@ -122,6 +122,20 @@ object ParseQueries {
         .select(col("p_partkey"), col("p_name"), col("p_type"))
         .orderBy("p_partkey")),
 
+    // S2 — changed-files semantics as a relation: of the incoming file
+    // set, process only those absent from the processed ledger
+    // (left-anti), the batch formulation of the streaming checkpoint
+    // (IncrementalPolSpec covers the real streaming variant).
+    "s2_changed_files" -> ((s, d) => {
+      val incoming = documents(s, d).select(col("doc_id"), col("source"))
+      val processed = documents(s, d)
+        .where(col("doc_id") % 3 === 0).select(col("doc_id"))
+      incoming.join(processed, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"))
+        .orderBy("source")
+    }),
+
     // A8 — error accounting for the permissive parse: per type code,
     // valid/invalid line counts (the reference's per-file try/except
     // success/fail tally).
@@ -213,6 +227,10 @@ object ParseQueries {
       """SELECT p_partkey, p_name, p_type FROM part
         |WHERE p_name LIKE '%widget' AND p_type LIKE '%O%'
         |ORDER BY p_partkey""".stripMargin,
+    "s2_changed_files" ->
+      """SELECT source, count(*) AS n_new FROM documents
+        |WHERE doc_id % 3 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     "a8_error_accounting" ->
       """SELECT l_returnflag, count(*) AS n_lines,
         |  sum(CASE WHEN l_partkey % 11 = 0 THEN 0 ELSE 1 END) AS n_valid,

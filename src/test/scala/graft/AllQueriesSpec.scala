@@ -24,7 +24,7 @@ class AllQueriesSpec extends AnyFunSuite {
 
   test("every query runs at sf0.001 (rows may be 0 only for pair-miners)") {
     val mayBeEmpty = Set("d3_minhash_lsh_pairs", "d4_ngram_jaccard",
-      "d6_embedding_neardup", "r8_except")
+      "d6_embedding_neardup", "r8_except", "n3_ann_lsh")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0 || mayBeEmpty(name), s"$name empty at sf0.001")

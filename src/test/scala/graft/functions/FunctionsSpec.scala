@@ -45,6 +45,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getAs[collection.Seq[Long]]("sig").toSeq == expect)
   }
 
+  test("one-pass VolatilityAgg equals two-pass on random pools") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val dim = graft.pol.GameLookup.fromCsv(
+      spark, "src/test/resources/lookup/game_lookup.csv")
+    val winGen = Gen.frequency(
+      (5, Gen.const(0L)), (3, Gen.choose(1L, 50L)), (1, Gen.choose(51L, 100000L)))
+    val winsGen = Gen.listOfN(500, winGen)
+    (0 until 3).foreach { i =>
+      val wins = winsGen(Gen.Parameters.default, Seed(1000L + i)).get
+      val parsed = wins.toDF("game_win")
+        .withColumn("type_code", lit("TB1"))
+        .withColumn("relative_path", lit("Pool_6371_1.pol"))
+        .withColumn("file_name", lit("Pool_6371_1.pol"))
+        .withColumn("folder_path", lit(""))
+        .withColumn("parent_folder", lit(""))
+        .repartition(7) // force multi-partition partial aggregation
+      val two = graft.pol.PoolMetrics.perPool(parsed, dim).collect().head
+      val one = graft.pol.PoolMetrics.perPoolOnePass(parsed, dim).collect().head
+      for (f <- Seq("rtp", "volatility", "hit_frequency"))
+        assert(one.getAs[Double](f) == two.getAs[Double](f), s"$f seed $i")
+    }
+  }
+
   test("one-pass VolatilityAgg matches the two-pass golden path on samples") {
     val dim = graft.pol.GameLookup.fromCsv(
       spark, "src/test/resources/lookup/game_lookup.csv")
