@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.AggQueries.queries ++
+      relational.AnalyticsQueries.queries ++
       relational.ParseQueries.queries ++
       relational.JoinQueries.queries ++
       relational.SortWindowQueries.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     relational.AggQueries.oracle ++
+      relational.AnalyticsQueries.oracle ++
       relational.ParseQueries.oracle ++
       relational.JoinQueries.oracle ++
       relational.SortWindowQueries.oracle ++

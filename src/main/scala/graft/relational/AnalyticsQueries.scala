@@ -1,0 +1,124 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Headline analytical queries (TPC-H-shaped) over the testdata star
+  * schema — the kind of multi-join/aggregate workload the engine's
+  * plans are ultimately judged on: pushdown-friendly filters, decimal-
+  * exact money math, broadcast dimension joins, TakeOrdered limits.
+  */
+object AnalyticsQueries {
+  import graft.Tables._
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // H1 — pricing summary report (Q1 shape): filter → wide hash agg
+    // with decimal-exact money sums, averages derived from exact sums.
+    "h1_pricing_summary" -> ((s, d) =>
+      lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)) - dec(col("l_discount")))
+            * (lit(BigDecimal(1)) + dec(col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // H2 — shipping priority (Q3 shape): selective dimension filter,
+    // two joins, revenue top-10 via TakeOrdered.
+    "h2_shipping_priority" -> ((s, d) => {
+      val cust = customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = orders(s, d)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = lineitem(s, d)
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // H3 — local-supplier volume (Q5 shape): snowflake joins with the
+    // dimension chain broadcast, region filter pruned at the scan.
+    "h3_local_supplier_volume" -> ((s, d) => {
+      val dimChain = supplier(s, d)
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(region(s, d).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ord = orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select("o_orderkey")
+      lineitem(s, d)
+        .join(broadcast(dimChain), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "h1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2))) *
+        |           (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(l_quantity) / count(*) AS DOUBLE), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "h2_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "h3_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey
+        |                AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |                AND o_orderdate < TIMESTAMP '1999-01-01')
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}
