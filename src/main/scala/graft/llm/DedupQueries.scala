@@ -155,24 +155,24 @@ object DedupQueries {
     }),
 
     // D5 — simhash (28-bit) over distinct word tokens: majority vote
-    // per bit position.
-    "d5_simhash" -> ((s, d) => {
-      val toks = documents(s, d)
-        .select(col("doc_id"),
-          explode(expr(
-            "array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))"))
-            .as("tok"))
-        .withColumn("h", hash28(col("tok")))
-      toks
-        .select(col("doc_id"), col("h"),
-          explode(expr("sequence(0, 27)")).as("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("vote") > 0,
-          expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L)).as("simhash"))
-        .orderBy("doc_id")
-    })
+    // per bit position, computed entirely inside one projection
+    // (nested array folds — the token hashes are materialized once per
+    // row and the 28 bit-votes fold over them; no explode, no shuffle,
+    // so the operator scales with document count, not documents×bits).
+    "d5_simhash" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("ths", expr(
+          """transform(array_distinct(filter(split(lower(text), '\\s+'),
+            |  x -> x <> '')),
+            |  t -> CAST(conv(substr(md5(t), 1, 7), 16, 10) AS BIGINT))"""
+            .stripMargin))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 27), 0L, (acc, bit) -> acc +
+            |  IF(aggregate(ths, 0L, (a, h) ->
+            |       a + IF((shiftright(h, bit) & 1) = 1, 1L, -1L)) > 0,
+            |     CAST(pow(2, bit) AS BIGINT), 0L))""".stripMargin)
+          .as("simhash"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,7 +1,7 @@
 package graft.pol
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -180,15 +180,11 @@ object PoolJsonSink {
         } else c match {
           case '"' => inStr = true
           case '{' | '[' => depth += 1
-          case '}' | ']' =>
-            if (depth == 0) done = true else { depth -= 1; if (depth == 0 && (text(i) == '}' || text(i) == ']')) () }
+          case '}' | ']' => if (depth == 0) done = true else depth -= 1
           case ',' => if (depth == 0) done = true
           case _ =>
         }
         if (!done) i += 1
-        if (!inStr && depth == 0 && !done) {
-          // scalar values end at ',' or '}' handled above
-        }
       }
       out.append((key, text.substring(start, i).reverse.dropWhile(_.isWhitespace).reverse))
       skipWs()
