@@ -57,6 +57,23 @@ object MultimodalQueries {
             .otherwise("video/mp4").as("media_type"))
         .orderBy("doc_id")),
 
+    // M3 — frame sampling + resize over the binary payload: every
+    // `stride` bytes take a `frameLen`-byte frame, right-pad short
+    // frames to the fixed size (the resize analog). Pure columnar
+    // array expressions — the batch shape a video pipeline needs
+    // (payload → bounded frame list → per-frame features).
+    "m3_frame_sample" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("frames", expr(
+          """transform(sequence(0, CAST(greatest(length(text) - 1, 0) / 64 AS INT)),
+            |  i -> rpad(substring(text, i * 64 + 1, 16), 16, '.'))"""
+            .stripMargin))
+        .select(col("doc_id"),
+          size(col("frames")).as("n_frames"),
+          md5(concat_ws("", col("frames"))).as("frames_digest"),
+          expr("frames[0]").as("first_frame"))
+        .orderBy("doc_id")),
+
     // M2 — partition-wise feature extraction through the stub decoder:
     // the mapPartitions batch shape of a media pipeline (real plumbing,
     // fake decode).
@@ -82,6 +99,17 @@ object MultimodalQueries {
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS media_type
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m3_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    [rpad(substr(text, i * 64 + 1, 16), 16, '.')
+        |     FOR i IN range(CAST(greatest(length(text) - 1, 0) // 64 AS BIGINT) + 1)]
+        |      AS frames
+        |  FROM documents)
+        |SELECT doc_id, len(frames) AS n_frames,
+        |  md5(list_reduce(frames, (a, b) -> a || b)) AS frames_digest,
+        |  frames[1] AS first_frame
+        |FROM f ORDER BY doc_id""".stripMargin,
     // ASCII text: bytes == chars, so the stubbed byte features are
     // recomputable from the text column.
     "m2_multimodal_features" ->

@@ -4,15 +4,24 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
 /** CLI batch entry point — the analog of the reference's
-  * `python etl/main.py --all` (`etl/main.py:154-165`): scan → parse →
+  * `python etl/main.py [--all]` (`etl/main.py:154-165`): scan → parse →
   * metrics → documents → summary, printed/written from one Spark job.
   *
-  * Usage: PolMain <pol-root> [lookup-csv] [out-dir]
+  * Usage: PolMain <pol-root> [lookup-csv] [out-dir] [--incremental <ckpt-dir>]
+  *
+  * With `--incremental` the run uses the reference's changed-files mode
+  * (entry point 2): only files the checkpoint has not seen are
+  * processed and upserted — a fresh checkpoint dir degrades to the
+  * full scan, exactly like the reference's empty-diff fallback.
   */
 object PolMain {
   def main(args: Array[String]): Unit = {
-    val root = args.headOption.getOrElse("/root/reference/samples/pools2")
-    val lookupCsv = args.lift(1)
+    val incIdx = args.indexOf("--incremental")
+    val ckpt = if (incIdx >= 0) Some(args(incIdx + 1)) else None
+    val pos = if (incIdx >= 0)
+      args.take(incIdx) ++ args.drop(incIdx + 2) else args
+    val root = pos.headOption.getOrElse("/root/reference/samples/pools2")
+    val lookupCsv = pos.lift(1)
       .getOrElse("src/test/resources/lookup/game_lookup.csv")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -23,6 +32,17 @@ object PolMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    ckpt match {
+      case Some(ckptDir) =>
+        val out = pos.lift(2).getOrElse("/tmp/graft_polmain")
+        val n = PolPipeline.processChanged(spark, root, lookupCsv,
+          java.nio.file.Paths.get(out).resolve("all_pools_data.json"), ckptDir)
+        println(s"incremental run: processed $n new file(s) into $out")
+        spark.stop()
+        return
+      case None =>
+    }
 
     val dim = GameLookup.fromCsv(spark, lookupCsv)
     val parsed = PolParser.read(spark, root)
@@ -37,7 +57,7 @@ object PolMain {
       .show(50, truncate = false)
     PoolSummary.aggregate(docs).show(truncate = false)
 
-    args.lift(2).foreach { out =>
+    pos.lift(2).foreach { out =>
       val outDir = java.nio.file.Paths.get(out)
       val rows = docs.orderBy(col("metadata.source_file")).collect().toSeq
       val ts = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
