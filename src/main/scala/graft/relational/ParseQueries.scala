@@ -122,6 +122,29 @@ object ParseQueries {
         .select(col("p_partkey"), col("p_name"), col("p_type"))
         .orderBy("p_partkey")),
 
+    // S5 — dimension load + staged resolution driven end-to-end from
+    // the driver: the lookup CSV fixture (absolute path — Verify may
+    // run from any cwd) resolved against zero-padded pool ids derived
+    // from nation keys. Rows-only check (the CSV is not a registered
+    // oracle table); GameLookupSpec pins the exact fallback semantics.
+    "s5_dimension_lookup" -> ((s, d) => {
+      val dim = graft.pol.GameLookup.fromCsv(
+        s, "/root/repo/src/test/resources/lookup/fallback_lookup.csv")
+      val pools = nation(s, d)
+        .select(lpad(col("n_nationkey").cast("string"), 4, "0").as("pool_id"))
+        .unionByName(s.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](
+            org.apache.spark.sql.Row("0300"), org.apache.spark.sql.Row("0301"),
+            org.apache.spark.sql.Row("0042")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pool_id",
+              org.apache.spark.sql.types.StringType)))))
+      graft.pol.GameLookup.resolved(dim, pools)
+        .select(col("pool_id"), col("min_bet"),
+          concat_ws(",", col("game_ids")).as("game_ids"))
+        .orderBy("pool_id")
+    }),
+
     // S2 — changed-files semantics as a relation: of the incoming file
     // set, process only those absent from the processed ledger
     // (left-anti), the batch formulation of the streaming checkpoint
