@@ -116,6 +116,37 @@ object JoinQueries {
           .select("l_partkey"))
         .orderBy("l_partkey")),
 
+    // R12 — explicit GROUPING SETS (rollup/cube's general form).
+    "r12_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+          |FROM graft_li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST,
+          |         l_linestatus ASC NULLS FIRST, sum_qty""".stripMargin)
+    }),
+
+    // R13 — pivot: linestatus columns per returnflag (decimal-exact).
+    "r13_pivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy("l_returnflag")),
+
+    // R14 — scalar subquery: orders above the global average price.
+    "r14_scalar_subquery" -> ((s, d) => {
+      val avgPrice = orders(s, d)
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_price"))
+      orders(s, d).crossJoin(broadcast(avgPrice))
+        .where(col("o_totalprice") > col("avg_price") * 1.5)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // R9 — JSON extraction from the events props column.
     "r9_json_extract" -> ((s, d) =>
       events(s, d)
@@ -217,6 +248,26 @@ object JoinQueries {
         |SELECT l_partkey FROM lineitem
         |WHERE l_returnflag = 'A' AND l_quantity >= 48
         |ORDER BY l_partkey""".stripMargin,
+    "r12_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST, sum_qty""".stripMargin,
+    "r13_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r14_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(*) * 1.5
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "r9_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
