@@ -101,8 +101,14 @@ object DedupQueries {
         .orderBy("doc_id")),
 
     // D2 — minhash signatures (k=16) computed in a single projection.
+    // Emitted as a '_'-joined string: the driver's comparator sorts
+    // result rows in pandas, where raw array cells are unhashable.
     "d2_minhash_signatures" -> ((s, d) =>
-      sigs(s, d).orderBy("doc_id")),
+      sigs(s, d)
+        .select(col("doc_id"),
+          expr("array_join(transform(sig, x -> CAST(x AS STRING)), '_')")
+            .as("sig"))
+        .orderBy("doc_id")),
 
     // D3 — LSH candidate pairs: docs sharing any of 4 band buckets,
     // with signature agreement as the similarity estimate.
@@ -181,7 +187,8 @@ object DedupQueries {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "d2_minhash_signatures" ->
       s"""WITH hashed AS (SELECT doc_id, $sqlShingleHashes AS hs FROM documents)
-         |SELECT doc_id, $sqlSig AS sig FROM hashed ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, array_to_string($sqlSig, '_') AS sig
+         |FROM hashed ORDER BY doc_id""".stripMargin,
     "d3_minhash_lsh_pairs" ->
       s"""WITH hashed AS (SELECT doc_id, $sqlShingleHashes AS hs FROM documents),
          |sigs AS (SELECT doc_id, $sqlSig AS sig FROM hashed),
@@ -226,7 +233,8 @@ object DedupQueries {
          |             THEN 1 ELSE -1 END) AS vote
          |  FROM toks, range(28) i GROUP BY 1, 2)
          |SELECT doc_id,
-         |  sum(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+         |  CAST(sum(CASE WHEN vote > 0
+         |           THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
          |    AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )

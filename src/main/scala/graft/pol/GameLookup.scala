@@ -59,9 +59,14 @@ object GameLookup {
       col("max_win_factor"), col("row_idx"))
     val p = poolIds.select(col("pool_id"))
       .where(col("pool_id").isNotNull).distinct()
+    // zfill4, not lpad: Python zfill never truncates, Spark lpad does —
+    // a dim id like '50001234' must not collapse to '5000' (stage 3
+    // only ever pads SHORTER ids).
+    val zfill4 = when(length(col("pool_id_dim")) < 4,
+      lpad(col("pool_id_dim"), 4, "0")).otherwise(col("pool_id_dim"))
     val stage = when(col("pool_id_dim") === col("pool_id"), lit(1))
       .when(col("pool_id_dim") === strip0(col("pool_id")), lit(2))
-      .when(lpad(col("pool_id_dim"), 4, "0") === col("pool_id"), lit(3))
+      .when(zfill4 === col("pool_id"), lit(3))
     val cand = p.join(broadcast(d), stage.isNotNull, "inner")
       .withColumn("__stage", stage)
     val best = cand.groupBy("pool_id").agg(min(col("__stage")).as("__best"))

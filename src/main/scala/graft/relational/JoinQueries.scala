@@ -270,7 +270,8 @@ object JoinQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "r9_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "r10_range_join" ->
       """WITH e AS (SELECT user_id, event_id,

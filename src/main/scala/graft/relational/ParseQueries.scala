@@ -70,8 +70,11 @@ object ParseQueries {
         .when(col("o_orderkey") % 5 === 3, (col("o_orderkey") % 1000).cast("string"))
       val base = orders(s, d).select(col("o_orderkey"), code.as("pool_type"))
       val (tag, isFlat, maxMult) = PoolMetrics.classify(col("pool_type"))
+      // tag is emitted ','-joined: the driver's comparator sorts rows in
+      // pandas, where raw array cells are unhashable.
       base.select(col("o_orderkey"), col("pool_type"),
-          tag.as("tag"), isFlat.as("is_flat"), maxMult.as("max_multiplier"))
+          concat_ws(",", tag).as("tag"), isFlat.as("is_flat"),
+          maxMult.as("max_multiplier"))
         .orderBy("o_orderkey")
     }),
 
@@ -186,7 +189,7 @@ object ParseQueries {
         |    CASE WHEN l_linenumber >= 4 THEN l_suppkey ELSE NULL END AS extra
         |  FROM lineitem)
         |SELECT type_code, count(*) AS n,
-        |       sum(v0 + coalesce(extra, 0)) AS sum_win
+        |       CAST(sum(v0 + coalesce(extra, 0)) AS BIGINT) AS sum_win
         |FROM lines WHERE v0 IS NOT NULL
         |GROUP BY type_code ORDER BY type_code""".stripMargin,
     "p2_filename_decode" ->
@@ -206,10 +209,10 @@ object ParseQueries {
         |    END AS pool_type
         |  FROM orders)
         |SELECT o_orderkey, pool_type,
-        |  CASE WHEN pool_type IS NULL THEN ['UNKNOWN']
-        |       WHEN pool_type = '395' THEN ['GAB', 'PFB']
-        |       WHEN len(pool_type) > 4 AND pool_type LIKE '5%' THEN ['PFB']
-        |       ELSE ['REG'] END AS tag,
+        |  CASE WHEN pool_type IS NULL THEN 'UNKNOWN'
+        |       WHEN pool_type = '395' THEN 'GAB,PFB'
+        |       WHEN len(pool_type) > 4 AND pool_type LIKE '5%' THEN 'PFB'
+        |       ELSE 'REG' END AS tag,
         |  CASE WHEN pool_type IS NOT NULL AND len(pool_type) > 4
         |            AND pool_type LIKE '4%' THEN 1 ELSE 0 END AS is_flat,
         |  CASE WHEN pool_type IS NOT NULL AND len(pool_type) > 4
@@ -250,14 +253,47 @@ object ParseQueries {
       """SELECT p_partkey, p_name, p_type FROM part
         |WHERE p_name LIKE '%widget' AND p_type LIKE '%O%'
         |ORDER BY p_partkey""".stripMargin,
+    // S5 — DuckDB reads the same CSV fixture by absolute path; the
+    // staged fallback (exact → strip0(file) → zfill4(dim)) is inlined.
+    "s5_dimension_lookup" ->
+      """WITH dim AS (
+        |  SELECT CAST(Game_id AS VARCHAR) AS game_id,
+        |    CAST(Pool_id AS VARCHAR) AS pool_id_dim,
+        |    CAST(Bet AS DOUBLE) AS bet,
+        |    row_number() OVER () - 1 AS row_idx
+        |  FROM read_csv('/root/repo/src/test/resources/lookup/fallback_lookup.csv',
+        |                header=true, all_varchar=true)),
+        |pools AS (
+        |  SELECT DISTINCT pool_id FROM (
+        |    SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS pool_id
+        |    FROM nation
+        |    UNION ALL SELECT unnest(['0300', '0301', '0042']))),
+        |cand AS (
+        |  SELECT p.pool_id, d.game_id, d.bet, d.row_idx,
+        |    CASE WHEN d.pool_id_dim = p.pool_id THEN 1
+        |         WHEN d.pool_id_dim = (CASE
+        |              WHEN regexp_replace(p.pool_id, '^0+', '') = '' THEN '0'
+        |              ELSE regexp_replace(p.pool_id, '^0+', '') END) THEN 2
+        |         WHEN (CASE WHEN len(d.pool_id_dim) < 4
+        |                    THEN lpad(d.pool_id_dim, 4, '0')
+        |                    ELSE d.pool_id_dim END) = p.pool_id THEN 3
+        |    END AS stage
+        |  FROM pools p JOIN dim d ON TRUE),
+        |staged AS (SELECT * FROM cand WHERE stage IS NOT NULL),
+        |best AS (SELECT pool_id, min(stage) AS best FROM staged GROUP BY 1)
+        |SELECT s.pool_id, arg_min(s.bet, s.row_idx) AS min_bet,
+        |  string_agg(s.game_id, ',' ORDER BY s.row_idx) AS game_ids
+        |FROM staged s JOIN best b
+        |  ON s.pool_id = b.pool_id AND s.stage = b.best
+        |GROUP BY s.pool_id ORDER BY s.pool_id""".stripMargin,
     "s2_changed_files" ->
       """SELECT source, count(*) AS n_new FROM documents
         |WHERE doc_id % 3 <> 0
         |GROUP BY source ORDER BY source""".stripMargin,
     "a8_error_accounting" ->
       """SELECT l_returnflag, count(*) AS n_lines,
-        |  sum(CASE WHEN l_partkey % 11 = 0 THEN 0 ELSE 1 END) AS n_valid,
-        |  sum(CASE WHEN l_partkey % 11 = 0 THEN 1 ELSE 0 END) AS n_errors
+        |  CAST(sum(CASE WHEN l_partkey % 11 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN l_partkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -107,9 +107,10 @@ object StreamingQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
         |t AS (
         |  SELECT user_id, event_id,
-        |    sum(new_session) OVER (PARTITION BY user_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
         |      ORDER BY ns, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM s)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event

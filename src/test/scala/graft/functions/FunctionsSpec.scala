@@ -10,10 +10,12 @@ class FunctionsSpec extends AnyFunSuite {
   test("MinhashSignature equals the composed-builtins pipeline (codegen path)") {
     val a = graft.llm.DedupQueries.sigsBuiltin(spark, sf0001)
       .orderBy("doc_id").collect()
-      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]](1).toSeq)
+      .map(r => r.getLong(0) ->
+        r.getAs[collection.Seq[Long]](1).mkString("_"))
+    // d2 emits the '_'-joined string form (driver-comparator friendly)
     val b = graft.llm.DedupQueries.queries("d2_minhash_signatures")(spark, sf0001)
       .collect()
-      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]](1).toSeq)
+      .map(r => r.getLong(0) -> r.getString(1))
     assert(a.toSeq == b.toSeq)
   }
 
