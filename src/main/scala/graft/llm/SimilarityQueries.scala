@@ -25,12 +25,18 @@ object SimilarityQueries {
 
   private def vecd(c: Column): Column = c.cast("array<double>")
 
-  /** Left-fold dot product of two double arrays. */
-  private val dotExpr: String =
-    "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-
+  /** Left-fold dot product — the native [[graft.functions.DotProduct]]
+    * expression, bit-identical to the builtin
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`
+    * formulation (DotProductSpec) but ~10× faster on all-pairs joins.
+    */
   private def dot(a: String, b: String): Column =
-    expr(dotExpr.format(a, b))
+    graft.functions.DotProduct(col(a), col(b))
+
+  /** The composed-builtins dot product (spec reference). */
+  def dotBuiltin(a: String, b: String): Column =
+    expr(("aggregate(zip_with(%s, %s, (x, y) -> x * y), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)").format(a, b))
 
   private def base(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("label"),
@@ -76,15 +82,17 @@ object SimilarityQueries {
     // pruning at 100 TB).
     "n3_ann_lsh" -> ((s, d) => {
       val t = base(s, d)
-      // 6 hyperplanes -> 64 buckets
-      val sigExprStr = (0 until 6).map { b =>
-        val dot = s"""aggregate(zip_with(e, transform(sequence(0, 63),
-            j -> CAST(conv(substr(md5(concat('$b', '_', j)), 1, 7), 16, 10) AS BIGINT)
-                 / 134217728.0D - 1.0D),
-          (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
-        s"CASE WHEN ($dot) >= 0 THEN ${1 << b} ELSE 0 END"
-      }.mkString(" + ")
-      val bucketed = t.withColumn("bucket", expr(sigExprStr))
+      // 6 md5-derived hyperplanes -> 64 buckets. The planes are
+      // CONSTANTS (functions of (b, j) only), so they are computed once
+      // driver-side with the exact same md5→7-hex→/2^27−1 arithmetic
+      // the oracle uses, and enter the plan as literals — the per-row
+      // work is 6 dot products, not 384 md5 calls.
+      val bucket = (0 until 6).map { b =>
+        when(graft.functions.DotProduct(
+          col("e"), typedlit(hyperplane(b).toSeq)) >= 0, lit(1 << b))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      val bucketed = t.withColumn("bucket", bucket)
       val q = bucketed.where(col("vec_id") === 0)
         .select(col("e").as("qe"), col("norm").as("qnorm"),
           col("bucket").as("qbucket"))
@@ -127,6 +135,17 @@ object SimilarityQueries {
         .limit(10)
     })
   )
+
+  /** Hyperplane b: component j = conv(substr(md5('b_j'),1,7),16,10)
+    * / 2^27 − 1, the identical arithmetic as the SQL formulation (the
+    * n3 oracle and SimilaritySpec pin the equality).
+    */
+  def hyperplane(b: Int): Array[Double] = (0 until 64).map { j =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${b}_$j".getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16) / 134217728.0 - 1.0
+  }.toArray
 
   private val sqlBase =
     """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,

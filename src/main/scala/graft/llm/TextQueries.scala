@@ -88,27 +88,22 @@ object TextQueries {
 
     // X4 — winnowing fingerprint: 8-char shingle hashes, min over each
     // 4-shingle window, distinct mins are the fingerprint set. Exposed
-    // as count/min/max/decimal-sum so the result is scalar per doc.
-    "x4_fingerprint" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val sh = documents(s, d)
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(0, greatest(length(text) - 8, 0)),
-            |  i -> CAST(conv(substr(md5(substring(text, i + 1, 8)), 1, 7), 16, 10) AS BIGINT))"""
-            .stripMargin)))
-        .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
-      val w = Window.partitionBy("doc_id").orderBy("i")
-        .rowsBetween(Window.currentRow, 3)
-      sh.withColumn("fp", min(col("h")).over(w))
-        .groupBy("doc_id")
-        .agg(
-          countDistinct(col("fp")).as("n_fp"),
-          min(col("fp")).as("min_fp"),
-          max(col("fp")).as("max_fp"),
-          sum_distinct(col("fp").cast("decimal(28,0)")).cast("long")
-            .as("sum_fp"))
-        .orderBy("doc_id")
-    })
+    // as count/min/max/sum so the result is scalar per doc. The native
+    // WinnowFingerprint expression keeps the whole computation inside
+    // one projection — map-only, vs the posexplode + window-function
+    // formulation that shuffles |docs|×|chars| rows (the oracle pins
+    // that formulation's values; WinnowFingerprintSpec proves equality).
+    // The long sum is exact: ≤len(text) values < 2^28 cannot overflow.
+    "x4_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.WinnowFingerprint(col("text")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"),
+          expr("aggregate(fps, 0L, (acc, x) -> acc + x)").as("sum_fp"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = {

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query timer: `TimeQ <sfDir> <reps> <query ...>` runs each named
+  * catalog query `reps` times and prints per-rep wall seconds — used to
+  * separate steady-state cost from first-run (codegen/JIT) cost while
+  * optimizing the bench hotspots.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { q =>
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$q: ${times.map(t => f"$t%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

@@ -19,6 +19,126 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("ShingleHashes equals the composed-builtins pipeline on documents") {
+    import graft.llm.DedupQueries
+    val builtinExpr =
+      """array_distinct(transform(
+        |  sequence(0, greatest(length(text) - 8, 0)),
+        |  i -> CAST(conv(substr(md5(substring(text, i + 1, 8)), 1, 7), 16, 10) AS BIGINT)))"""
+        .stripMargin
+    val docs = graft.Tables.documents(spark, sf0001)
+    val a = docs.selectExpr("doc_id", s"$builtinExpr AS hs")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]](1).toSeq)
+    val b = docs.select(col("doc_id"),
+        ShingleHashes(col("text")).as("hs"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]](1).toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ShingleHashes edge cases match the builtin pipeline") {
+    import spark.implicits._
+    // empty, shorter than width, exactly width, repeated shingles
+    // (distinct-order), multi-byte chars (substring is code-point based)
+    val texts = Seq("", "abc", "abcdefgh", "abcdefghabcdefghabcdefgh",
+      "héllo wörld ünïcode tëxt", "日本語のテキストです、これは長い",
+      "aaaaaaaaaaaaaaaaaaaa")
+    val df = texts.toDF("text")
+    val a = df.selectExpr(
+      """array_distinct(transform(
+        |  sequence(0, greatest(length(text) - 8, 0)),
+        |  i -> CAST(conv(substr(md5(substring(text, i + 1, 8)), 1, 7), 16, 10) AS BIGINT))) AS hs"""
+        .stripMargin).collect().map(_.getAs[collection.Seq[Long]](0).toSeq)
+    val b = df.select(ShingleHashes(col("text")).as("hs"))
+      .collect().map(_.getAs[collection.Seq[Long]](0).toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("shingle_hashes registered for SQL via GraftExtensions.register") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT shingle_hashes('abcdefghi') AS hs").collect()(0)
+    val expect = spark.sql(
+      """SELECT array_distinct(transform(
+        |  sequence(0, greatest(length('abcdefghi') - 8, 0)),
+        |  i -> CAST(conv(substr(md5(substring('abcdefghi', i + 1, 8)), 1, 7), 16, 10) AS BIGINT))) AS hs"""
+        .stripMargin).collect()(0)
+    assert(r.getAs[collection.Seq[Long]]("hs") == expect.getAs[collection.Seq[Long]]("hs"))
+  }
+
+  test("WinnowFingerprint equals the posexplode + window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sf0001)
+    val sh = docs
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, greatest(length(text) - 8, 0)),
+          |  i -> CAST(conv(substr(md5(substring(text, i + 1, 8)), 1, 7), 16, 10) AS BIGINT))"""
+          .stripMargin)))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, 3)
+    val a = sh.withColumn("fp", min(col("h")).over(w))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"), sum_distinct(col("fp")).as("sum_fp"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val b = docs
+      .select(col("doc_id"), WinnowFingerprint(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"),
+        expr("aggregate(fps, 0L, (acc, x) -> acc + x)").as("sum_fp"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("WinnowFingerprint edge cases: short text, ties, repeats") {
+    import spark.implicits._
+    // short (single shrunken window), all-equal hashes, long repeats
+    val texts = Seq("", "ab", "abcdefgh", "aaaaaaaaaaaaaaaa",
+      "abcdefghijklmnopqrstuvwxyz")
+    val got = texts.toDF("text")
+      .select(WinnowFingerprint(col("text")).as("fps"))
+      .collect().map(_.getAs[collection.Seq[Long]](0).toSeq)
+    // brute-force expectation from the builtin hash stream
+    val raw = texts.toDF("text").selectExpr(
+      """transform(sequence(0, greatest(length(text) - 8, 0)),
+        |  i -> CAST(conv(substr(md5(substring(text, i + 1, 8)), 1, 7), 16, 10) AS BIGINT)) AS h"""
+        .stripMargin).collect().map(_.getAs[collection.Seq[Long]](0).toSeq)
+    val expect = raw.map { h =>
+      h.indices.map(i => h.slice(i, math.min(i + 4, h.length)).min).distinct
+    }
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("DotProduct is bit-identical to the zip_with/aggregate left fold") {
+    val t = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .limit(200)
+    val joined = t.as("a").crossJoin(t.as("b")).limit(2000)
+    val cmp = joined.select(
+      DotProduct(col("a.e"), col("b.e")).as("fast"),
+      graft.llm.SimilarityQueries.dotBuiltin("a.e", "b.e").as("ref"))
+      .collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("driver-side hyperplane constants equal the md5 SQL formulation") {
+    val b = 3
+    val sql = (0 until 64).map { j =>
+      spark.sql(
+        s"""SELECT CAST(conv(substr(md5(concat('$b', '_', $j)), 1, 7), 16, 10)
+           |AS BIGINT) / 134217728.0D - 1.0D AS v""".stripMargin)
+        .collect()(0).getDouble(0)
+    }
+    val jvm = graft.llm.SimilarityQueries.hyperplane(b).toSeq
+    assert(sql == jvm)
+  }
+
   test("MinhashSignature interpreted eval equals codegen") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.catalyst.expressions.Literal
