@@ -46,9 +46,12 @@ object PolMain {
 
     val dim = GameLookup.fromCsv(spark, lookupCsv)
     val parsed = PolParser.read(spark, root)
+    // File inventory: 0-byte / all-unparseable files still get size-0
+    // documents and count in the summary (reference parity).
+    val inventory = PolParser.listFiles(spark, root)
     // One row per file: persist so the sinks/summary don't re-run the
     // full-corpus parse per action.
-    val pools = PoolMetrics.perPool(parsed, dim).persist()
+    val pools = PoolMetrics.perPool(parsed, dim, Some(inventory)).persist()
     val docs = PoolMetrics.documents(pools)
 
     docs.select("pool_name", "pool_id", "pool_type", "min_bet", "rtp",

@@ -38,13 +38,22 @@ object PolParser {
         col("_metadata.file_name").as("file_name"),
         col("_metadata.file_size").as("size_bytes"),
         col("_metadata.file_modification_time").as("modified_ts"))
-    val baseDir = base.getOrElse(root)
     // file_path comes back as a file: URI; strip scheme + base dir.
+    pathMeta(raw, normalize(base.getOrElse(root)))
+  }
+
+  private def normalize(p: String): String =
+    new java.io.File(p).getAbsolutePath.stripSuffix("/")
+
+  /** Relative-path + folder metadata columns from an absolute-path
+    * column `abs_path` (shared by the line readers, [[listFiles]] and
+    * the streaming incremental mode).
+    */
+  def pathMeta(df: DataFrame, baseDir: String): DataFrame = {
     val rel = regexp_replace(
       regexp_replace(col("abs_path"), "^file:/*", "/"),
-      "^" + java.util.regex.Pattern.quote(normalize(baseDir)) + "/", "")
-    raw
-      .withColumn("relative_path", rel)
+      "^" + java.util.regex.Pattern.quote(baseDir) + "/", "")
+    df.withColumn("relative_path", rel)
       .withColumn("folder_path",
         when(col("relative_path").contains("/"),
           regexp_replace(col("relative_path"), "/[^/]*$", ""))
@@ -52,8 +61,41 @@ object PolParser {
       .withColumn("parent_folder", substring_index(col("folder_path"), "/", -1))
   }
 
-  private def normalize(p: String): String =
-    new java.io.File(p).getAbsolutePath.stripSuffix("/")
+  /** S1 as a FILE-level relation: one row per discovered `.pol`. This
+    * is the inventory the reference's os.walk produces — including
+    * 0-byte files (which every FileFormat scan silently skips: a
+    * zero-length file yields no splits) and files whose lines all fail
+    * to parse. Feed it to [[PoolMetrics.perPool]] so such files still
+    * emit size-0 documents and count in the summary, like the
+    * reference.
+    *
+    * The recursive listing runs on the driver via the Hadoop FS API —
+    * the exact mechanism of Spark's own InMemoryFileIndex, so it works
+    * against HDFS/S3 and costs one listing RPC sweep, not a data scan.
+    */
+  def listFiles(spark: SparkSession, root: String,
+      base: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import scala.collection.mutable.ArrayBuffer
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new HPath(new java.io.File(root).getAbsolutePath)
+    val fs = rootPath.getFileSystem(hconf)
+    val acc = ArrayBuffer.empty[(String, Long, java.sql.Timestamp)]
+    val it = fs.listFiles(fs.getFileStatus(rootPath).getPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".pol"))
+        acc += ((st.getPath.toUri.getPath, st.getLen,
+          new java.sql.Timestamp(st.getModificationTime)))
+    }
+    import spark.implicits._
+    val files = acc.toSeq
+      .toDF("abs_path", "size_bytes", "modified_ts")
+    pathMeta(files, normalize(base.getOrElse(root)))
+      .withColumn("file_name", substring_index(col("relative_path"), "/", -1))
+      .select("relative_path", "file_name", "folder_path", "parent_folder",
+        "size_bytes", "modified_ts")
+  }
 
   /** Python-int parse: ANSI try_cast accepts optional sign + digits and
     * yields NULL on anything else, mirroring `int(s)` raising.
@@ -92,69 +134,74 @@ object PolParser {
     parse(readRaw(spark, root, base))
 
   /** S3 — multi-encoding read with the reference's per-FILE fallback
-    * chain (`etl/extract.py:83-105`): utf-8 → utf-8-sig (BOM strip) →
-    * latin-1 → cp1252 → utf-8 with replacement. The plain text source
-    * applies ONE charset to every file, so this variant reads whole
-    * files as binary and decodes per file inside a mapPartitions —
-    * used only when a corpus is known to be encoding-dirty; the
-    * default path stays on the (faster, splittable) text source.
+    * chain (`etl/extract.py:83-105`, see [[decodeBytes]]). The plain
+    * text source applies ONE charset to every file, so this variant
+    * reads whole files as binary and decodes per file inside a
+    * mapPartitions — used only when a corpus is known to be
+    * encoding-dirty; the default path stays on the (faster, splittable)
+    * text source.
     *
     * Note binaryFile loads a whole file per row — fine for the
     * reference's ≤3.4 MB pools; gigantic single files should be
     * pre-normalized instead.
     */
   def readRawWithEncodingFallback(
-      spark: SparkSession, root: String, base: Option[String] = None): DataFrame = {
-    import java.nio.charset.{Charset, CharacterCodingException, StandardCharsets, CodingErrorAction}
+      spark: SparkSession, root: String, base: Option[String] = None): DataFrame =
+    decodeLines(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pol")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content")),
+      normalize(base.getOrElse(root)))
+
+  /** Per-file decode → line rows, from a (path, content) relation
+    * (batch OR a streaming foreachBatch micro-batch).
+    */
+  def decodeLines(files: DataFrame, baseDir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
 
-    val baseDir = normalize(base.getOrElse(root))
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.pol")
-      .option("recursiveFileLookup", "true")
-      .load(root)
-      .select(col("path"), col("content"))
     val outSchema = StructType(Seq(
       StructField("value", StringType),
       StructField("abs_path", StringType),
       StructField("file_name", StringType)))
 
-    def decode(bytes: Array[Byte]): String = {
-      def strict(cs: Charset): Option[String] =
-        try {
-          val dec = cs.newDecoder()
-            .onMalformedInput(CodingErrorAction.REPORT)
-            .onUnmappableCharacter(CodingErrorAction.REPORT)
-          Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
-        } catch { case _: CharacterCodingException => None }
-      strict(StandardCharsets.UTF_8)
-        .map(s => if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s)
-        .orElse(strict(StandardCharsets.ISO_8859_1))
-        .orElse(strict(Charset.forName("windows-1252")))
-        .getOrElse(new String(bytes, StandardCharsets.UTF_8)) // replace
-    }
-
     val lines = files.mapPartitions { it =>
       it.flatMap { r =>
         val path = r.getAs[String]("path")
         val name = path.substring(path.lastIndexOf('/') + 1)
-        decode(r.getAs[Array[Byte]]("content"))
+        decodeBytes(r.getAs[Array[Byte]]("content"))
           .split("\n", -1).iterator
           .filter(_.nonEmpty)
           .map(line => Row(line.stripSuffix("\r"), path, name))
       }
     }(Encoders.row(outSchema))
 
-    val rel = regexp_replace(
-      regexp_replace(col("abs_path"), "^file:/*", "/"),
-      "^" + java.util.regex.Pattern.quote(baseDir) + "/", "")
-    lines
-      .withColumn("relative_path", rel)
-      .withColumn("folder_path",
-        when(col("relative_path").contains("/"),
-          regexp_replace(col("relative_path"), "/[^/]*$", ""))
-          .otherwise(lit("")))
-      .withColumn("parent_folder", substring_index(col("folder_path"), "/", -1))
+    pathMeta(lines, baseDir)
+  }
+
+  /** The reference's per-file decode chain: strict utf-8 \u2192 latin-1 \u2192
+    * cp1252 \u2192 utf-8 with replacement.
+    *
+    * The BOM is deliberately KEPT: in the reference's chain, strict
+    * utf-8 succeeds FIRST on BOM'd files (its utf-8-sig branch is
+    * unreachable), so \uFEFF stays on line 1, int() raises and that
+    * line is dropped \u2014 stripping here would parse one row more than
+    * the reference.
+    */
+  def decodeBytes(bytes: Array[Byte]): String = {
+    import java.nio.charset.{Charset, CharacterCodingException, StandardCharsets, CodingErrorAction}
+    def strict(cs: Charset): Option[String] =
+      try {
+        val dec = cs.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+      } catch { case _: CharacterCodingException => None }
+    strict(StandardCharsets.UTF_8)
+      .orElse(strict(StandardCharsets.ISO_8859_1))
+      .orElse(strict(Charset.forName("windows-1252")))
+      .getOrElse(new String(bytes, StandardCharsets.UTF_8)) // replace
   }
 }

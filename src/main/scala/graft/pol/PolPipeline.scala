@@ -23,12 +23,21 @@ object PolPipeline {
       base: Option[String] = None): DataFrame =
     PolParser.read(spark, root, base)
 
+  /** File inventory (S1 at file granularity): includes 0-byte and
+    * all-unparseable files, which the line-level parse cannot surface.
+    */
+  def listFiles(spark: SparkSession, root: String,
+      base: Option[String] = None): DataFrame =
+    PolParser.listFiles(spark, root, base)
+
   /** Full transform stage: metrics + classification + nested documents
-    * (P2–P8, J1, A1–A6).
+    * (P2–P8, J1, A1–A6). Pass the [[listFiles]] inventory so files with
+    * no parseable rows still emit size-0 documents (reference parity).
     */
   def transform(parsed: DataFrame, dim: DataFrame,
-      processedAt: Option[String] = None): DataFrame =
-    PoolMetrics.documents(PoolMetrics.perPool(parsed, dim), processedAt)
+      processedAt: Option[String] = None,
+      files: Option[DataFrame] = None): DataFrame =
+    PoolMetrics.documents(PoolMetrics.perPool(parsed, dim, files), processedAt)
 
   /** Changed-files mode (S2/T1): process only files the checkpoint has
     * not seen, upserting into the consolidated JSON. Returns the number

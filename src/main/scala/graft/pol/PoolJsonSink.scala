@@ -246,6 +246,11 @@ object PoolJsonSink {
     def mapOf(name: String): Seq[(String, J)] =
       aggregated.getAs[Map[String, Long]](name).toSeq.sortBy(_._1)
         .map { case (k, v) => k -> (JLong(v): J) }
+    // tags_distribution arrives as an ORDERED array<struct<tag,cnt>>
+    // (first-encounter order, like the reference's dict(Counter)).
+    def orderedOf(name: String): Seq[(String, J)] =
+      aggregated.getAs[collection.Seq[Row]](name)
+        .map(r => r.getString(0) -> (JLong(r.getLong(1)): J)).toSeq
     def stats(prefix: String): Option[(String, J)] = {
       if (aggregated.isNullAt(aggregated.fieldIndex(s"${prefix}_min"))) None
       else Some(s"${prefix}_stats" -> JObj(Seq(
@@ -266,7 +271,7 @@ object PoolJsonSink {
           JLong(aggregated.getAs[Long]("total_files_processed")),
         "total_records_across_all_files" ->
           JLong(aggregated.getAs[Long]("total_records_across_all_files")),
-        "tags_distribution" -> JObj(mapOf("tags_distribution")),
+        "tags_distribution" -> JObj(orderedOf("tags_distribution")),
         "files_by_folder" -> JObj(mapOf("files_by_folder")),
         "generated_at" -> JStr(aggregated.getAs[String]("generated_at"))) ++
         stats("rtp") ++ stats("volatility"))))

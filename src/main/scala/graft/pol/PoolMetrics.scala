@@ -65,10 +65,17 @@ object PoolMetrics {
     *
     * @param parsed output of [[PolParser.parse]]
     * @param dim    output of [[GameLookup.fromCsv]]
+    * @param files  optional file inventory ([[PolParser.listFiles]]):
+    *               when given, files with NO parsed rows (0-byte, or
+    *               every line unparseable) still emit a size-0 row with
+    *               null metrics — the reference builds a document for
+    *               every DISCOVERED file and counts it in the summary,
+    *               not just for files that parsed.
     * @return one row per file: identity, lookup fields, rtp/volatility/
     *         hit_frequency, classification, size
     */
-  def perPool(parsed: DataFrame, dim: DataFrame): DataFrame = {
+  def perPool(parsed: DataFrame, dim: DataFrame,
+      files: Option[DataFrame] = None): DataFrame = {
     // Stage 1 — the one wide shuffle: per-file win histogram, map-side
     // combined (hash agg on integral keys, fully codegen'd).
     val hist = parsed
@@ -80,7 +87,7 @@ object PoolMetrics {
         first(col("parent_folder"), ignoreNulls = true).as("parent_folder"))
 
     // Stage 2 — per-file scalars from the histogram (tiny).
-    val pool0 = hist.groupBy(col("relative_path"))
+    val parsedPools = hist.groupBy(col("relative_path"))
       .agg(
         sum(col("cnt")).as("size"),
         sum(col("game_win") * col("cnt")).as("total_win"),
@@ -88,6 +95,16 @@ object PoolMetrics {
         first(col("file_name")).as("file_name"),
         first(col("folder_path")).as("folder_path"),
         first(col("parent_folder")).as("parent_folder"))
+    // Inventory merge: every discovered file keeps a row; files absent
+    // from the parsed stream get size=0 (→ null rtp/hit/vol below).
+    val pool0 = files match {
+      case Some(f) =>
+        f.select("relative_path", "file_name", "folder_path", "parent_folder")
+          .join(parsedPools.drop("file_name", "folder_path", "parent_folder"),
+            Seq("relative_path"), "left")
+          .na.fill(0L, Seq("size", "total_win", "hits"))
+      case None => parsedPools
+    }
     val (poolId, poolType) = decodeFilename(col("file_name"))
     val pool1 = pool0
       .withColumn("pool_id", poolId)

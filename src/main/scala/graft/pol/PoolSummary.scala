@@ -23,11 +23,20 @@ object PoolSummary {
     val ts = generatedAt.map(lit)
       .getOrElse(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssxxx"))
 
+    // dict(Counter) in the reference preserves FIRST-ENCOUNTER order
+    // over documents (e.g. REG before GAB/PFB); encounter order here is
+    // defined over the consolidated-file order (source_file asc, then
+    // position within a doc's tag list) and carried as a min-struct
+    // through the aggregation — no global window, so it scales.
     val tagCounts = docs
-      .select(explode(col("tag")).as("tag"))
-      .groupBy(col("tag")).agg(count(lit(1)).as("cnt"))
-      .agg(map_from_entries(array_sort(collect_list(struct(col("tag"), col("cnt")))))
-        .as("tags_distribution"))
+      .select(col("metadata.source_file").as("sf"),
+        posexplode(col("tag")).as(Seq("pos", "tag")))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("sf"), col("pos"))).as("ord"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ord"), struct(col("tag"), col("cnt")).as("e")))),
+        x => x.getField("e")).as("tags_distribution"))
 
     val base = docs.agg(
       count(lit(1)).as("total_files_processed"),

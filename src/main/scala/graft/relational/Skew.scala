@@ -67,10 +67,19 @@ object Skew {
     case other => throw new IllegalArgumentException(other)
   }
 
+  /** Join types for which replicating the dim side is equivalence-
+    * preserving: every emitted row is driven by a fact row. Right/full
+    * outer would emit each UNMATCHED dim row `buckets` times.
+    */
+  private val saltableJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   /** Salted equi-join for a hot-keyed fact against a non-broadcastable
     * dimension: the fact side gets a uniform salt, the dim side is
     * replicated once per bucket, and the join key becomes (key, salt) —
-    * splitting each hot key across `buckets` tasks.
+    * splitting each hot key across `buckets` tasks. Fact-driven join
+    * types only (see [[saltableJoinTypes]]).
     */
   def saltedJoin(
       fact: DataFrame,
@@ -78,6 +87,9 @@ object Skew {
       key: String,
       buckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    require(saltableJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: '$joinType' would duplicate unmatched dim rows " +
+        s"$buckets times; use a plain join for right/full outer")
     val saltedFact = fact.withColumn("__salt", salt(buckets))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

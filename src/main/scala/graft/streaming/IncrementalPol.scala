@@ -32,14 +32,28 @@ object IncrementalPol {
       checkpointDir: String,
       processedAt: Option[String] = None): Long = {
     val dim = GameLookup.fromCsv(spark, lookupCsv)
+    // File-granular source (binaryFile): one row per new file, so the
+    // batch itself IS the file inventory — 0-byte and all-unparseable
+    // files still produce a size-0 document and are recorded, exactly
+    // like the reference's per-file loop; decoding reuses the
+    // reference's per-file encoding-fallback chain.
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
     val raw = spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.pol")
       .option("maxFilesPerTrigger", 64)
-      .text(root)
-      .select(col("value"),
-        col("_metadata.file_path").as("abs_path"),
-        col("_metadata.file_name").as("file_name"))
+      .load(root)
+      .select(col("path"), col("content"))
     val processed = spark.sparkContext.longAccumulator("pol_files_processed")
 
     val q = raw.writeStream
@@ -48,19 +62,15 @@ object IncrementalPol {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val base = new java.io.File(root).getAbsolutePath.stripSuffix("/")
-          val rel = regexp_replace(
-            regexp_replace(col("abs_path"), "^file:/*", "/"),
-            "^" + java.util.regex.Pattern.quote(base) + "/", "")
-          val withMeta = batch
-            .withColumn("relative_path", rel)
-            .withColumn("folder_path",
-              when(col("relative_path").contains("/"),
-                regexp_replace(col("relative_path"), "/[^/]*$", ""))
-                .otherwise(lit("")))
-            .withColumn("parent_folder",
-              substring_index(col("folder_path"), "/", -1))
-          val parsed = PolParser.parse(withMeta)
-          val pools = PoolMetrics.perPool(parsed, dim)
+          val parsed = PolParser.parse(
+            PolParser.decodeLines(batch.select("path", "content"), base))
+          val inventory = PolParser.pathMeta(
+              batch.select(col("path").as("abs_path")), base)
+            .withColumn("file_name",
+              substring_index(col("relative_path"), "/", -1))
+            .select("relative_path", "file_name", "folder_path",
+              "parent_folder")
+          val pools = PoolMetrics.perPool(parsed, dim, Some(inventory))
           val docs = PoolMetrics.documents(pools, processedAt).collect().toSeq
           PoolJsonSink.upsert(docs, outputFile)
           processed.add(docs.size.toLong)

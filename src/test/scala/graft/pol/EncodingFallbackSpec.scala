@@ -26,9 +26,10 @@ class EncodingFallbackSpec extends AnyFunSuite {
     val rows = parsed.select("game_win", "type_code", "file_name")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
-    assert(rows.map(_._1).toSeq == Seq(5L, 7L, 9L, 11L))
-    // BOM stripped: the first token of file 2 parses as 9
-    assert(rows.find(_._1 == 9L).get._3 == "Pool_0001_2.pol")
+    // Reference parity: strict utf-8 succeeds on the BOM'd file, the
+    // ﻿ stays on line 1, so '﻿9' fails int() and is DROPPED —
+    // the 9 must NOT appear.
+    assert(rows.map(_._1).toSeq == Seq(5L, 7L, 11L))
     // latin-1 type code decoded, not replaced
     assert(rows.find(_._1 == 11L).get._2 == "Té1")
   }

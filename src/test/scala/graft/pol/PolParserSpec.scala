@@ -32,6 +32,40 @@ class PolParserSpec extends AnyFunSuite {
     }
   }
 
+  test("empty / all-unparseable files emit size-0 documents") {
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets
+    val dir = Files.createTempDirectory("inv")
+    Files.write(dir.resolve("Pool_0300_395.pol"),
+      "5 TB1\n7 TB2\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("Pool_0301_1.pol"),
+      "garbage lines\nonly here\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("Pool_0302_1.pol"), Array.emptyByteArray)
+
+    val dim = GameLookup.fromCsv(spark, "src/test/resources/lookup/game_lookup.csv")
+    val parsed = PolParser.read(spark, dir.toString)
+    val inventory = PolParser.listFiles(spark, dir.toString)
+    assert(inventory.count() == 3) // 0-byte file IS discovered
+    val pools = PoolMetrics.perPool(parsed, dim, Some(inventory))
+      .select("file_name", "size", "rtp", "pool_id")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), r.getString(3))).sortBy(_._1)
+    assert(pools.map(_._1).toSeq ==
+      Seq("Pool_0300_395.pol", "Pool_0301_1.pol", "Pool_0302_1.pol"))
+    assert(pools(0)._2 == 2)
+    // dead files: size 0, null metrics, but decoded identity intact
+    assert(pools(1)._2 == 0 && pools(1)._3.isEmpty && pools(1)._4 == "0301")
+    assert(pools(2)._2 == 0 && pools(2)._3.isEmpty && pools(2)._4 == "0302")
+    // and they count in the summary like the reference's
+    // total_files_processed
+    val docs = PoolMetrics.documents(pools = PoolMetrics.perPool(
+      parsed, dim, Some(inventory)), processedAt = Some("2026-01-01T00:00:00+00:00"))
+    val agg = PoolSummary.aggregate(docs,
+      Some("2026-01-01T00:00:00+00:00")).collect()(0)
+    assert(agg.getAs[Long]("total_files_processed") == 3)
+    assert(agg.getAs[Long]("total_records_across_all_files") == 2)
+  }
+
   test("scan filter ignores non-.pol files") {
     val raw = PolParser.readRaw(spark, "src/test/resources/lookup")
       .count() // no .pol files there
