@@ -104,9 +104,23 @@ object PolParser {
 
   /** The P1 line-parse as reusable expressions over a raw line column:
     * (game_win — null when the first token isn't an integer, type_code).
-    * A parseable third token is added to the value; extra tokens ignored.
+    * A parseable third token is added to the value; extra tokens
+    * ignored. Backed by the native one-pass
+    * [[graft.functions.PolLineParse]] kernel (same `UTF8String.toLong`
+    * accept/reject semantics as the composed `split`/`try_cast` form —
+    * PolLineParseSpec pins the equality; codegen, no regex, stops at
+    * the third token).
     */
   def parseLine(line: Column): (Column, Column) = {
+    val p = graft.functions.PolLineParse(line)
+    (p.getField("game_win"), p.getField("type_code"))
+  }
+
+  /** The composed-builtins formulation (spec reference; the `trim`
+    * variant drops tab-led lines that Python keeps — the native kernel
+    * fixes that, see [[graft.functions.PolLineParse]]).
+    */
+  def parseLineBuiltin(line: Column): (Column, Column) = {
     val parts = split(trim(line), "\\s+")
     val v0 = tryLong(get(parts, lit(0)))
     val win = when(v0.isNotNull,

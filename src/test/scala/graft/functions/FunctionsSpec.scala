@@ -139,6 +139,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sql == jvm)
   }
 
+  import graft.pol.PolParser
+
+  test("PolLineParse equals the split/try_cast formulation on space-separated lines") {
+    import spark.implicits._
+    val lines = Seq("5 TB1", "7 TB1 3", "-4 TF1", "+9 T 2", "xx TB1",
+      "5.0 TB2", "12 34 56 78", "", "   ", "42", "1 zz xx", "0 T -7",
+      "007 T", "1_0 T", "9223372036854775807 T", "-9223372036854775808 T",
+      "99999999999999999999 T", "- T", "+ T", "5 T 2.5")
+    val df = lines.toDF("value")
+    val (w1, t1) = PolParser.parseLineBuiltin(col("value"))
+    val (w2, t2) = PolParser.parseLine(col("value"))
+    val a = df.select(w1.as("w"), t1.as("t")).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    val b = df.select(w2.as("w"), t2.as("t")).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("PolLineParse keeps tab-led lines like Python's line.split()") {
+    import spark.implicits._
+    val df = Seq("\t5 TB1", " \t 7\tTB2\t3", "\n").toDF("value")
+    val (w, t) = PolParser.parseLine(col("value"))
+    val got = df.select(w.as("w"), t.as("t")).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    // python: '\t5 TB1'.split() -> ['5','TB1']; ' \t 7\tTB2\t3' -> 7+3
+    assert(got.toSeq == Seq(
+      (Some(5L), Some("TB1")), (Some(10L), Some("TB2")), (None, None)))
+  }
+
   test("MinhashSignature interpreted eval equals codegen") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.catalyst.expressions.Literal
