@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.minhashSignature)
     e.injectFunction(GraftExtensions.shingleHashes)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -56,5 +57,8 @@ object GraftExtensions {
       "minhash_signature", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", shingleBuilder, "built-in")
+    if (!spark.experimental.extraStrategies.contains(plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.AsOfJoinStrategy
   }
 }

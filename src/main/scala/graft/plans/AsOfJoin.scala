@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class operator — the one operator family the
+  * reference-shaped workload needs that Spark's built-ins can't express
+  * as a single relational node (SURVEY §2 R11; pandas `merge_asof` is
+  * the reference semantics): for every left row, attach the LAST right
+  * row of the same key whose time is <= the left row's time, or nulls.
+  *
+  * Built exactly along the extension ladder the engine design calls
+  * for: a custom [[AsOfJoinPlan]] logical node, planned by
+  * [[AsOfJoinStrategy]] (registered through `SparkSessionExtensions`,
+  * see [[graft.GraftExtensions]]) into [[AsOfJoinExec]], a physical
+  * node that declares `ClusteredDistribution` on the key and a
+  * `(key, time)` sort for BOTH children — so EnsureRequirements plans
+  * ONE hash shuffle per side (none at all if the sides are already
+  * co-partitioned, e.g. bucketed tables), and the join itself is a
+  * single forward merge pass per partition with O(1) state: no range
+  * probe, no window re-scan, no per-key buffering. That is the plan
+  * shape that survives 100 TB — the composed running-max-window
+  * alternative (kept as the r11 catalog query) needs the same shuffle
+  * but buffers whole partitions in the window operator.
+  *
+  * Column pruning does not see through a custom node, so callers
+  * pre-project the two sides (the public [[AsOf.join]] API takes
+  * already-projected frames and rejects name collisions).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute)
+  extends BinaryNode {
+
+  /** Left columns as-is; every right column nullable (miss → nulls). */
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Co-cluster both sides on the key … */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  /** … and sort each partition by (key, time): the merge is one
+    * forward pass.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lkOrd = leftOut.indexWhere(_.exprId == leftKey.exprId)
+    val ltOrd = leftOut.indexWhere(_.exprId == leftTime.exprId)
+    val rkOrd = rightOut.indexWhere(_.exprId == rightKey.exprId)
+    val rtOrd = rightOut.indexWhere(_.exprId == rightTime.exprId)
+    require(lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0,
+      "as-of key/time attributes must come from the respective child")
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val nRight = rightOut.size
+    val outputSchema = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
+      val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
+      val lk = BoundReference(lkOrd, keyType, nullable = true)
+      val lt = BoundReference(ltOrd, timeType, nullable = true)
+      val rk = BoundReference(rkOrd, keyType, nullable = true)
+      val rt = BoundReference(rtOrd, timeType, nullable = true)
+      val project = UnsafeProjection.create(outputSchema, outputSchema)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+      val rBuf = rIter.buffered
+
+      var cur: InternalRow = null // last right row matching some key
+      var curKey: Any = null
+
+      def advanceRightFor(lKey: Any, lTime: Any): Unit = {
+        var continue = true
+        while (continue && rBuf.hasNext) {
+          val head = rBuf.head
+          val hKey = rk.eval(head)
+          if (hKey == null) rBuf.next() // null keys never match; skip
+          else {
+            val cmp = keyOrdering.compare(hKey, lKey)
+            if (cmp < 0) { rBuf.next(); cur = null; curKey = null }
+            else if (cmp == 0) {
+              val hTime = rt.eval(head)
+              if (hTime == null) rBuf.next() // sorts first, never matches
+              else if (timeOrdering.compare(hTime, lTime) <= 0) {
+                cur = rBuf.next().copy() // rows are reused by the iterator
+                curKey = hKey
+              } else continue = false
+            } else continue = false
+          }
+        }
+      }
+
+      lIter.map { lRow =>
+        val lKey = lk.eval(lRow)
+        val lTime = lt.eval(lRow)
+        if (lKey == null || lTime == null) {
+          project(joined(lRow, nullRight))
+        } else {
+          advanceRightFor(lKey, lTime)
+          val matched = cur != null && curKey != null &&
+            keyOrdering.compare(curKey, lKey) == 0
+          project(joined(lRow, if (matched) cur else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API. */
+object AsOf {
+
+  /** `left ASOF JOIN right ON key, time`: every left row picks the
+    * last right row with the same key and `rightTime <= leftTime`
+    * (nulls on miss — a left outer as-of, pandas `merge_asof`
+    * `direction='backward'`). Column names must not collide across the
+    * two sides — pre-project/alias the frames (this also keeps the scan
+    * pruned, since pruning does not cross a custom node).
+    */
+  def join(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty,
+      s"asof join output would have duplicate columns: ${dup.mkString(", ")}")
+    val lp = GraftColumnBridge.analyzed(left)
+    val rp = GraftColumnBridge.analyzed(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+    GraftColumnBridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime)))
+  }
+}

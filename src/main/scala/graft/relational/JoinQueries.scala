@@ -184,6 +184,26 @@ object JoinQueries {
         .where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("asof_signup"))
         .orderBy("event_id")
+    }),
+
+    // R15 — the same as-of semantics through the CUSTOM operator
+    // (graft.plans.AsOfJoin: logical node → planner strategy → merge
+    // exec; see AsOfJoinSpec for the plan-shape proof): purchases
+    // as-of-join signups per user on event order. Oracle-checked
+    // against the identical window formulation.
+    "r15_asof_custom" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      val purchases = events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+      val signups = events(s, d)
+        .where(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"),
+          col("event_id").as("asof_signup"))
+      graft.plans.AsOf.join(purchases, signups,
+          "user_id", "s_user_id", "event_id", "asof_signup")
+        .select(col("event_id"), col("user_id"), col("asof_signup"))
+        .orderBy("event_id")
     })
   )
 
@@ -282,6 +302,14 @@ object JoinQueries {
         | AND e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 1 HOUR
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "r11_asof_join" ->
+      """SELECT event_id, user_id, asof_signup FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    max(CASE WHEN event_type = 'signup' THEN event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "r15_asof_custom" ->
       """SELECT event_id, user_id, asof_signup FROM (
         |  SELECT event_id, user_id, event_type,
         |    max(CASE WHEN event_type = 'signup' THEN event_id END)
