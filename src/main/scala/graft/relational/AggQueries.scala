@@ -148,6 +148,23 @@ object AggQueries {
         .agg(
           countDistinct($("l_partkey")).as("n_parts"),
           countDistinct($("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // R16 — salted two-phase aggregation (Skew.saltedAggregate) driven
+    // through the oracle gate: 3 hot keys spread over 16 salt buckets,
+    // decimal sums so the extra combine stage is order-independent and
+    // the result equals the unsalted plan bit-for-bit.
+    "r16_salted_agg" -> ((s, d) =>
+      Skew.saltedAggregate(
+          lineitem(s, d),
+          Seq("l_returnflag"),
+          scala.collection.immutable.ListMap(
+            "sum_qty" -> (col("l_quantity").cast("decimal(18,2)"), "sum"),
+            "n" -> (col("l_quantity"), "count"),
+            "min_q" -> (col("l_quantity"), "min"),
+            "max_q" -> (col("l_quantity"), "max")))
+        .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
+          col("n"), col("min_q"), col("max_q"))
         .orderBy("l_returnflag"))
   )
 
@@ -213,6 +230,12 @@ object AggQueries {
     "o4_distinct_count" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r16_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(l_quantity) AS n, min(l_quantity) AS min_q,
+        |  max(l_quantity) AS max_q
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

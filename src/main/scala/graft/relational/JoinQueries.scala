@@ -186,6 +186,22 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // R17 — salted fact×dim join (Skew.saltedJoin) through the oracle
+    // gate: the dim is replicated ×8 with a salt key so a hot fact key
+    // spreads over 8 reducers; decimal sums keep the aggregate
+    // bit-equal to the unsalted plan.
+    "r17_salted_join" -> ((s, d) => {
+      val fact = lineitem(s, d).select(col("l_partkey"), col("l_quantity"))
+      val dim = part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Skew.saltedJoin(fact, dim, "l_partkey", buckets = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     // R15 — the same as-of semantics through the CUSTOM operator
     // (graft.plans.AsOfJoin: logical node → planner strategy → merge
     // exec; see AsOfJoinSpec for the plan-shape proof): purchases
@@ -309,6 +325,11 @@ object JoinQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "r17_salted_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "r15_asof_custom" ->
       """SELECT event_id, user_id, asof_signup FROM (
         |  SELECT event_id, user_id, event_type,
