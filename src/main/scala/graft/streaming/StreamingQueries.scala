@@ -33,13 +33,34 @@ object StreamingQueries {
       .withColumn("ts",
         timestamp_micros((col("ts") / 1000).cast("long")))
     val name = s"graft_stream_${sinkId.incrementAndGet()}"
-    val q = agg(stream).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful ops write one state file per shuffle partition per
+    // micro-batch: 8 partitions (vs the session's 32) cut that fixed
+    // I/O 4×, and a tmpfs checkpoint keeps it off disk — the state
+    // partition count is pinned per checkpoint at first run, so a
+    // fresh-checkpoint benchmark stream can choose it freely.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val shm = new java.io.File("/dev/shm")
+    val ckpt = if (shm.isDirectory && shm.canWrite)
+      Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt_"))
+    else None
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val w = agg(stream).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+      val q = ckpt.fold(w)(p => w.option("checkpointLocation", p.toString))
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ckpt.foreach { p =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
     s.table(name)
   }
 
