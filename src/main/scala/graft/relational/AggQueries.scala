@@ -150,6 +150,21 @@ object AggQueries {
           countDistinct($("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
 
+    // O5 — the exact-at-small / approximate-at-scale substitution,
+    // driver-gated: HLL++ distinct vs the exact count, surfaced as a
+    // within-5% boolean (HLL merge is order-independent, so the flag
+    // is deterministic under any partitioning; rsd 2%).
+    "o5_approx_within_tol" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct($("l_partkey")).as("n_exact"),
+          approx_count_distinct($("l_partkey"), 0.02).as("__approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("within_tol"))
+        .orderBy("l_returnflag")),
+
     // R16 — salted two-phase aggregation (Skew.saltedAggregate) driven
     // through the oracle gate: 3 hot keys spread over 16 salt buckets,
     // decimal sums so the extra combine stage is order-independent and
@@ -230,6 +245,10 @@ object AggQueries {
     "o4_distinct_count" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o5_approx_within_tol" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "r16_salted_agg" ->
       """SELECT l_returnflag,

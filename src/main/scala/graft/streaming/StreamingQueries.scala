@@ -84,6 +84,45 @@ object StreamingQueries {
           col("n"))
         .orderBy("win_start", "event_type")),
 
+    // T4 — stream-stream inner join with watermarks on both sides:
+    // purchases join signups of the same user within the preceding
+    // hour (event time). The range condition is what lets Spark expire
+    // join state — unbounded-state stream joins don't survive
+    // production. AvailableNow over static input == the batch join,
+    // which the oracle pins.
+    "t4_stream_stream_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def side(): DataFrame = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts",
+          timestamp_micros((col("ts") / 1000).cast("long")))
+      val purchases = side().where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val signups = side().where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val joined = purchases.join(signups,
+        col("user_id") === col("s_user_id") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("s_ts") <= col("p_ts"))
+      val name = s"graft_stream_${sinkId.incrementAndGet()}"
+      val q = joined
+        .select("purchase_id", "signup_id", "user_id")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("purchase_id", "signup_id")
+    }),
+
     // T3 — gap-based sessionization (30-min inactivity): batch
     // formulation via lag + running sum; the stateful streaming twin
     // (flatMapGroupsWithState) is exercised in the test suite.
@@ -117,6 +156,18 @@ object StreamingQueries {
         |    * 21600000000) AS win_start,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t4_stream_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+        |  p.user_id
+        |FROM e p JOIN e s
+        |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND p.user_id = s.user_id
+        | AND s.us >= p.us - 3600000000 AND s.us <= p.us
+        |ORDER BY purchase_id, signup_id""".stripMargin,
     "t3_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
