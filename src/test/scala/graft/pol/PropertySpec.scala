@@ -47,6 +47,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native kernels match builtins on random unicode text") {
+    import org.apache.spark.sql.functions.col
+    // mixed ASCII / 2-byte / 3-byte / 4-byte (surrogate-pair) chars and
+    // whitespace — exercises the code-point offset walk
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (2, Gen.oneOf(' ', '\t', '\n')),
+      (2, Gen.oneOf('é', 'ü', 'ß', '中', '語', ' ')),
+      (1, Gen.const(new String(Character.toChars(0x1F600)))))
+    val textGen = Gen.listOfN(30, charGen).map(_.mkString)
+    val texts = samples(Gen.listOfN(50, textGen), 4).flatten
+    val df = texts.toDF("text")
+    val builtinHs =
+      """array_distinct(transform(
+        |  sequence(0, greatest(length(text) - 8, 0)),
+        |  i -> CAST(conv(substr(md5(substring(text, i + 1, 8)), 1, 7), 16, 10) AS BIGINT)))"""
+        .stripMargin
+    val a = df.selectExpr(s"$builtinHs AS hs").collect()
+      .map(_.getAs[collection.Seq[Long]](0).toSeq)
+    val b = df.select(graft.functions.ShingleHashes(col("text")).as("hs"))
+      .collect().map(_.getAs[collection.Seq[Long]](0).toSeq)
+    assert(a.toSeq == b.toSeq)
+    // PolLineParse vs the python-split model
+    val (win, tc) = PolParser.parseLine(col("value"))
+    val got = texts.toDF("value").select(win.as("w"), tc.as("t")).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    val expected = texts.map { l =>
+      val parts = l.split("[ \\t\\n\\u000B\\f\\r]+").filter(_.nonEmpty)
+      val v0 = parts.headOption.flatMap(_.toLongOption)
+      (v0.map(_ + (if (parts.length >= 3)
+        parts(2).toLongOption.getOrElse(0L) else 0L)),
+        if (parts.length >= 2) Some(parts(1)) else None)
+    }
+    assert(got.map(g => (g._1, g._2)).toSeq ==
+      expected.map(e => (e._1.map(_.asInstanceOf[Any]),
+        e._2.map(_.asInstanceOf[Any]))).toSeq)
+  }
+
   test("classification: exactly one tag branch per pool_type") {
     val typeGen: Gen[String] = Gen.oneOf(
       Gen.const("395"),
