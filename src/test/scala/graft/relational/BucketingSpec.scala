@@ -60,4 +60,41 @@ class BucketingSpec extends AnyFunSuite {
       .orderBy("o_orderkey").collect().toSeq
     assert(joined.orderBy("o_orderkey").collect().toSeq == expect)
   }
+
+  test("custom as-of join is shuffle-free on bucketed sides") {
+    val s2 = spark.newSession()
+    graft.GraftExtensions.register(s2)
+    s2.conf.set("spark.sql.sources.bucketing.enabled", "true")
+
+    graft.Tables.events(s2, sf001)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "event_id")
+      .mode("overwrite").saveAsTable("purch_bucketed")
+    graft.Tables.events(s2, sf001)
+      .where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("asof_signup"))
+      .write.bucketBy(8, "s_user_id").sortBy("s_user_id", "asof_signup")
+      .mode("overwrite").saveAsTable("sign_bucketed")
+
+    val df = graft.plans.AsOf.join(
+      s2.table("purch_bucketed"), s2.table("sign_bucketed"),
+      "user_id", "s_user_id", "event_id", "asof_signup")
+    df.collect()
+    val shuffles = countShuffles(df.queryExecution.executedPlan)
+    // AsOfJoinExec declares ClusteredDistribution on the key: bucketed
+    // sides satisfy it, so EnsureRequirements inserts NO exchange —
+    // the co-partitioned zero-shuffle path claimed in SURVEY §2.1
+    assert(shuffles == 0, s"expected shuffle-free as-of join, got $shuffles:\n" +
+      df.queryExecution.executedPlan)
+
+    // and the values still match the window formulation
+    val viaWindow = graft.relational.JoinQueries
+      .queries("r11_asof_join")(s2, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    val got = df.select(col("event_id"), col("user_id"), col("asof_signup"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(got == viaWindow)
+  }
 }
