@@ -41,13 +41,26 @@ object PolPipeline {
 
   /** Changed-files mode (S2/T1): process only files the checkpoint has
     * not seen, upserting into the consolidated JSON. Returns the number
-    * of newly processed files.
+    * of newly processed files. NEW paths only — Spark's file source
+    * never re-emits a path, so use [[processChangedLedger]] when
+    * in-place modifications must be reprocessed.
     */
   def processChanged(spark: SparkSession, root: String, lookupCsv: String,
       outputFile: Path, checkpointDir: String,
       processedAt: Option[String] = None): Long =
     graft.streaming.IncrementalPol.runOnce(
       spark, root, lookupCsv, outputFile, checkpointDir, processedAt)
+
+  /** Changed-files mode with the reference's full git-diff semantics:
+    * NEW and MODIFIED files (size/mtime moved) are reprocessed and
+    * their documents replaced; detection is a metadata-only
+    * inventory-vs-ledger anti-join.
+    */
+  def processChangedLedger(spark: SparkSession, root: String,
+      lookupCsv: String, outputFile: Path, ledgerPath: String,
+      processedAt: Option[String] = None): Long =
+    graft.streaming.ChangedFiles.runOnce(
+      spark, root, lookupCsv, outputFile, ledgerPath, processedAt)
 
   /** S6/J2: upsert collected documents into the consolidated JSON. */
   def saveToMetadataFolder(docs: Seq[Row], outputFile: Path): Int =
