@@ -7,19 +7,25 @@ import org.apache.spark.sql.functions.col
   * `python etl/main.py [--all]` (`etl/main.py:154-165`): scan → parse →
   * metrics → documents → summary, printed/written from one Spark job.
   *
-  * Usage: PolMain <pol-root> [lookup-csv] [out-dir] [--incremental <ckpt-dir>]
+  * Usage: PolMain <pol-root> [lookup-csv] [out-dir]
+  *          [--incremental <ckpt-dir> | --ledger <ledger-path>]
   *
-  * With `--incremental` the run uses the reference's changed-files mode
+  * With `--incremental` the run uses the streaming changed-files mode
   * (entry point 2): only files the checkpoint has not seen are
   * processed and upserted — a fresh checkpoint dir degrades to the
   * full scan, exactly like the reference's empty-diff fallback.
+  * With `--ledger` the run uses the git-diff-faithful variant instead:
+  * new AND modified files are reprocessed (ChangedFiles).
   */
 object PolMain {
   def main(args: Array[String]): Unit = {
     val incIdx = args.indexOf("--incremental")
     val ckpt = if (incIdx >= 0) Some(args(incIdx + 1)) else None
-    val pos = if (incIdx >= 0)
-      args.take(incIdx) ++ args.drop(incIdx + 2) else args
+    val ledIdx = args.indexOf("--ledger")
+    val ledgerPath = if (ledIdx >= 0) Some(args(ledIdx + 1)) else None
+    val dropped = Seq(incIdx, ledIdx).filter(_ >= 0)
+      .flatMap(i => Seq(i, i + 1)).toSet
+    val pos = args.zipWithIndex.filterNot(z => dropped(z._2)).map(_._1)
     val root = pos.headOption.getOrElse("/root/reference/samples/pools2")
     val lookupCsv = pos.lift(1)
       .getOrElse("src/test/resources/lookup/game_lookup.csv")
@@ -39,6 +45,16 @@ object PolMain {
         val n = PolPipeline.processChanged(spark, root, lookupCsv,
           java.nio.file.Paths.get(out).resolve("all_pools_data.json"), ckptDir)
         println(s"incremental run: processed $n new file(s) into $out")
+        spark.stop()
+        return
+      case None =>
+    }
+    ledgerPath match {
+      case Some(ledger) =>
+        val out = pos.lift(2).getOrElse("/tmp/graft_polmain")
+        val n = PolPipeline.processChangedLedger(spark, root, lookupCsv,
+          java.nio.file.Paths.get(out).resolve("all_pools_data.json"), ledger)
+        println(s"ledger run: processed $n new/modified file(s) into $out")
         spark.stop()
         return
       case None =>
