@@ -39,8 +39,13 @@ case class AsOfJoinPlan(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute)
+    rightTime: Attribute,
+    direction: String = "backward",
+    tolerance: Option[Long] = None)
   extends BinaryNode {
+
+  require(direction == "backward" || direction == "forward",
+    s"asof direction must be backward|forward, got $direction")
 
   /** Left columns as-is; every right column nullable (miss → nulls). */
   override def output: Seq[Attribute] =
@@ -53,8 +58,9 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, dir, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -64,6 +70,8 @@ case class AsOfJoinExec(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
+    direction: String,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -101,6 +109,24 @@ case class AsOfJoinExec(
     val nRight = rightOut.size
     val outputSchema = output
 
+    val dirForward = direction == "forward"
+    val tol = tolerance
+
+    // tolerance needs a numeric time delta: integral-backed types only
+    if (tol.isDefined) {
+      import org.apache.spark.sql.types._
+      require(Seq(LongType, IntegerType, ShortType, ByteType,
+        TimestampType, TimestampNTZType, DateType).contains(timeType),
+        s"asof tolerance needs an integral-backed time column, got $timeType")
+    }
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalStateException(s"unexpected time $other")
+    }
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
       val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
@@ -113,10 +139,13 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(nRight)
       val rBuf = rIter.buffered
 
-      var cur: InternalRow = null // last right row matching some key
+      var cur: InternalRow = null // backward: last right row <= lTime
       var curKey: Any = null
+      var curTime: Any = null
 
-      def advanceRightFor(lKey: Any, lTime: Any): Unit = {
+      // backward: consume every right row with (key < lKey) or
+      // (key == lKey && time <= lTime), remembering the last same-key one
+      def advanceBackward(lKey: Any, lTime: Any): Unit = {
         var continue = true
         while (continue && rBuf.hasNext) {
           val head = rBuf.head
@@ -131,10 +160,43 @@ case class AsOfJoinExec(
               else if (timeOrdering.compare(hTime, lTime) <= 0) {
                 cur = rBuf.next().copy() // rows are reused by the iterator
                 curKey = hKey
+                curTime = hTime
               } else continue = false
             } else continue = false
           }
         }
+      }
+
+      // forward: discard right rows strictly before lTime (no later left
+      // row wants them — left times are nondecreasing per key); the
+      // candidate is the un-consumed head, shared by later left rows
+      def advanceForward(lKey: Any, lTime: Any): InternalRow = {
+        var continue = true
+        while (continue && rBuf.hasNext) {
+          val head = rBuf.head
+          val hKey = rk.eval(head)
+          if (hKey == null) rBuf.next()
+          else {
+            val cmp = keyOrdering.compare(hKey, lKey)
+            if (cmp < 0) rBuf.next()
+            else if (cmp == 0) {
+              val hTime = rt.eval(head)
+              if (hTime == null) rBuf.next()
+              else if (timeOrdering.compare(hTime, lTime) < 0) rBuf.next()
+              else continue = false
+            } else continue = false
+          }
+        }
+        if (rBuf.hasNext) {
+          val head = rBuf.head
+          val hKey = rk.eval(head)
+          if (hKey != null && keyOrdering.compare(hKey, lKey) == 0) {
+            val hTime = rt.eval(head)
+            if (hTime != null &&
+              tol.forall(t => asLong(hTime) - asLong(lTime) <= t)) head
+            else null
+          } else null
+        } else null
       }
 
       lIter.map { lRow =>
@@ -142,10 +204,14 @@ case class AsOfJoinExec(
         val lTime = lt.eval(lRow)
         if (lKey == null || lTime == null) {
           project(joined(lRow, nullRight))
+        } else if (dirForward) {
+          val m = advanceForward(lKey, lTime)
+          project(joined(lRow, if (m != null) m else nullRight))
         } else {
-          advanceRightFor(lKey, lTime)
+          advanceBackward(lKey, lTime)
           val matched = cur != null && curKey != null &&
-            keyOrdering.compare(curKey, lKey) == 0
+            keyOrdering.compare(curKey, lKey) == 0 &&
+            tol.forall(t => asLong(lTime) - asLong(curTime) <= t)
           project(joined(lRow, if (matched) cur else nullRight))
         }
       }
@@ -160,15 +226,21 @@ case class AsOfJoinExec(
 /** Public API. */
 object AsOf {
 
-  /** `left ASOF JOIN right ON key, time`: every left row picks the
-    * last right row with the same key and `rightTime <= leftTime`
-    * (nulls on miss — a left outer as-of, pandas `merge_asof`
-    * `direction='backward'`). Column names must not collide across the
-    * two sides — pre-project/alias the frames (this also keeps the scan
-    * pruned, since pruning does not cross a custom node).
+  /** `left ASOF JOIN right ON key, time` (left outer, pandas
+    * `merge_asof`): every left row picks the right row of the same key
+    * nearest in time — `direction="backward"` (default) takes the LAST
+    * right row with `rightTime <= leftTime`, `"forward"` the FIRST with
+    * `rightTime >= leftTime`; nulls on miss. `tolerance` bounds the
+    * time gap in the time column's native unit (micros for timestamps,
+    * days for dates — integral-backed types only). Column names must
+    * not collide across the two sides — pre-project/alias the frames
+    * (this also keeps the scan pruned, since pruning does not cross a
+    * custom node).
     */
   def join(left: DataFrame, right: DataFrame, leftKey: String,
-      rightKey: String, leftTime: String, rightTime: String): DataFrame = {
+      rightKey: String, leftTime: String, rightTime: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty,
@@ -181,6 +253,6 @@ object AsOf {
           s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
     GraftColumnBridge.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftTime), attr(rp, rightTime), direction, tolerance))
   }
 }

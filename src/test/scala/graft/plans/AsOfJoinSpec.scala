@@ -53,6 +53,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward direction and tolerance match the brute-force model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val leftRows = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(50).toLong))
+    val rightRows = (0 until 250).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val left = leftRows.toDF("lid", "k", "t")
+    val right = rightRows.toDF("rk", "rt", "payload")
+
+    // forward: FIRST right row with rt >= t (min rt)
+    val fwd = AsOf.join(left, right, "k", "rk", "t", "rt",
+        direction = "forward").select("lid", "payload").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    leftRows.foreach { case (lid, k, t) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 >= t)
+      if (cands.isEmpty) assert(fwd(lid).isEmpty, s"fwd lid $lid")
+      else {
+        val minRt = cands.map(_._2).min
+        val admissible = cands.filter(_._2 == minRt).map(_._3).toSet
+        assert(fwd(lid).exists(p => admissible(p.asInstanceOf[Long])),
+          s"fwd lid $lid")
+      }
+    }
+
+    // backward with tolerance 5: match only if t - rt <= 5
+    val tol = AsOf.join(left, right, "k", "rk", "t", "rt",
+        tolerance = Some(5L)).select("lid", "payload").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    leftRows.foreach { case (lid, k, t) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t && t - r._2 <= 5)
+      if (cands.isEmpty) assert(tol(lid).isEmpty, s"tol lid $lid")
+      else {
+        val maxRt = cands.map(_._2).max
+        val admissible = cands.filter(_._2 == maxRt).map(_._3).toSet
+        assert(tol(lid).exists(p => admissible(p.asInstanceOf[Long])),
+          s"tol lid $lid")
+      }
+    }
+  }
+
   test("null keys/times never match and never block the merge") {
     import spark.implicits._
     val left = Seq((1L, Option(5L), Option(10L)), (2L, None, Option(10L)),
