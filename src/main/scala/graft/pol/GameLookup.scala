@@ -64,14 +64,24 @@ object GameLookup {
     // only ever pads SHORTER ids).
     val zfill4 = when(length(col("pool_id_dim")) < 4,
       lpad(col("pool_id_dim"), 4, "0")).otherwise(col("pool_id_dim"))
-    val stage = when(col("pool_id_dim") === col("pool_id"), lit(1))
-      .when(col("pool_id_dim") === strip0(col("pool_id")), lit(2))
-      .when(zfill4 === col("pool_id"), lit(3))
-    val cand = p.join(broadcast(d), stage.isNotNull, "inner")
-      .withColumn("__stage", stage)
+    // Each stage is a plain EQUI-join on a derived key (hash/broadcast
+    // join, never a nested-loop over ids×dim — the disjunctive-
+    // condition formulation degrades to BroadcastNestedLoop, which
+    // stops scaling the moment either side grows).
+    def stageJoin(n: Int, probeKey: Column, dimKey: Column): DataFrame =
+      p.join(broadcast(d.withColumn("__k", dimKey)),
+          probeKey === col("__k"), "inner")
+        .withColumn("__stage", lit(n))
+        .drop("__k")
+    val cand = stageJoin(1, col("pool_id"), col("pool_id_dim"))
+      .unionByName(stageJoin(2, strip0(col("pool_id")), col("pool_id_dim")))
+      .unionByName(stageJoin(3, col("pool_id"), zfill4))
     val best = cand.groupBy("pool_id").agg(min(col("__stage")).as("__best"))
     cand.join(broadcast(best), Seq("pool_id"))
       .where(col("__stage") === col("__best"))
+      // a dim row can satisfy several stages of the same pool; the
+      // winning stage's rows are deduped by identity before collecting
+      .dropDuplicates("pool_id", "row_idx")
       .groupBy("pool_id")
       .agg(
         min_by(col("bet"), col("row_idx")).as("min_bet"),
