@@ -22,22 +22,16 @@ object StreamingQueries {
   /** Run an AvailableNow streaming aggregation of the events parquet
     * into a memory sink and return its final table.
     */
-  private def runStream(
-      s: SparkSession, d: String)(
-      agg: DataFrame => DataFrame): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")))
-    val name = s"graft_stream_${sinkId.incrementAndGet()}"
-    // Stateful ops write one state file per shuffle partition per
-    // micro-batch: 8 partitions (vs the session's 32) cut that fixed
-    // I/O 4×, and a tmpfs checkpoint keeps it off disk — the state
-    // partition count is pinned per checkpoint at first run, so a
-    // fresh-checkpoint benchmark stream can choose it freely.
+  /** Run a streaming writer to completion with the state-I/O tuning
+    * every fresh-checkpoint benchmark stream wants: 8 shuffle/state
+    * partitions (stateful ops write one state file per partition per
+    * micro-batch — 8 vs the session's 32 cuts that fixed I/O 4×; the
+    * count is pinned per checkpoint at first run, so a fresh stream
+    * can choose it freely) and a tmpfs checkpoint when available
+    * (cleaned up after).
+    */
+  private def runToCompletion(s: SparkSession)(
+      build: => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val shm = new java.io.File("/dev/shm")
     val ckpt = if (shm.isDirectory && shm.canWrite)
@@ -45,11 +39,7 @@ object StreamingQueries {
     else None
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val w = agg(stream).writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
+      val w = build
       val q = ckpt.fold(w)(p => w.option("checkpointLocation", p.toString))
         .start()
       q.awaitTermination()
@@ -61,6 +51,25 @@ object StreamingQueries {
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }
+  }
+
+  private def runStream(
+      s: SparkSession, d: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts",
+        timestamp_micros((col("ts") / 1000).cast("long")))
+    val name = s"graft_stream_${sinkId.incrementAndGet()}"
+    runToCompletion(s)(
+      agg(stream).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow()))
     s.table(name)
   }
 
@@ -111,15 +120,14 @@ object StreamingQueries {
           col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("s_ts") <= col("p_ts"))
       val name = s"graft_stream_${sinkId.incrementAndGet()}"
-      val q = joined
-        .select("purchase_id", "signup_id", "user_id")
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runToCompletion(s)(
+        joined
+          .select("purchase_id", "signup_id", "user_id")
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow()))
       s.table(name).orderBy("purchase_id", "signup_id")
     }),
 
