@@ -95,6 +95,12 @@ case class AsOfJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
@@ -111,6 +117,8 @@ case class AsOfJoinExec(
 
     val dirForward = direction == "forward"
     val tol = tolerance
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     // tolerance needs a numeric time delta: integral-backed types only
     if (tol.isDefined) {
@@ -200,18 +208,21 @@ case class AsOfJoinExec(
       }
 
       lIter.map { lRow =>
+        numOutputRows += 1
         val lKey = lk.eval(lRow)
         val lTime = lt.eval(lRow)
         if (lKey == null || lTime == null) {
           project(joined(lRow, nullRight))
         } else if (dirForward) {
           val m = advanceForward(lKey, lTime)
+          if (m != null) numMatched += 1
           project(joined(lRow, if (m != null) m else nullRight))
         } else {
           advanceBackward(lKey, lTime)
           val matched = cur != null && curKey != null &&
             keyOrdering.compare(curKey, lKey) == 0 &&
             tol.forall(t => asLong(lTime) - asLong(curTime) <= t)
+          if (matched) numMatched += 1
           project(joined(lRow, if (matched) cur else nullRight))
         }
       }
