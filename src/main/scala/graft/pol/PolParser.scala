@@ -69,29 +69,68 @@ object PolParser {
     * emit size-0 documents and count in the summary, like the
     * reference.
     *
-    * The recursive listing runs on the driver via the Hadoop FS API —
-    * the exact mechanism of Spark's own InMemoryFileIndex, so it works
-    * against HDFS/S3 and costs one listing RPC sweep, not a data scan.
+    * Listing strategy mirrors Spark's own InMemoryFileIndex: the
+    * driver walks the tree directly, but once it has seen
+    * `parallelThreshold` subdirectories it parallelizes the remaining
+    * per-directory walks across the cluster — a 33 M-file corpus is a
+    * distributed metadata sweep, not a single driver loop. Works
+    * against any Hadoop FS (HDFS/S3A/file).
     */
   def listFiles(spark: SparkSession, root: String,
-      base: Option[String] = None): DataFrame = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+      base: Option[String] = None,
+      parallelThreshold: Int = 64): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
     import scala.collection.mutable.ArrayBuffer
     val hconf = spark.sessionState.newHadoopConf()
     val rootPath = new HPath(new java.io.File(root).getAbsolutePath)
     val fs = rootPath.getFileSystem(hconf)
-    val acc = ArrayBuffer.empty[(String, Long, java.sql.Timestamp)]
-    val it = fs.listFiles(fs.getFileStatus(rootPath).getPath, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".pol"))
-        acc += ((st.getPath.toUri.getPath, st.getLen,
-          new java.sql.Timestamp(st.getModificationTime)))
+
+    // breadth-first from the root: collect files; stop expanding once
+    // the frontier is wide enough to hand to the cluster
+    val files = ArrayBuffer.empty[(String, Long, java.sql.Timestamp)]
+    var frontier = Seq(fs.getFileStatus(rootPath).getPath)
+    while (frontier.nonEmpty && frontier.size < parallelThreshold) {
+      val next = ArrayBuffer.empty[HPath]
+      frontier.foreach { dir =>
+        fs.listStatus(dir).foreach { st =>
+          if (st.isDirectory) next += st.getPath
+          else if (st.getPath.getName.endsWith(".pol"))
+            files += ((st.getPath.toUri.getPath, st.getLen,
+              new java.sql.Timestamp(st.getModificationTime)))
+        }
+      }
+      frontier = next.toSeq
     }
+
     import spark.implicits._
-    val files = acc.toSeq
-      .toDF("abs_path", "size_bytes", "modified_ts")
-    pathMeta(files, normalize(base.getOrElse(root)))
+    val driverListed = files.toSeq.toDF("abs_path", "size_bytes", "modified_ts")
+    val all = if (frontier.isEmpty) driverListed
+    else {
+      // distribute the remaining subtrees; executors re-open the FS
+      // from the (serializable) URI + default conf
+      val fsUri = fs.getUri.toString
+      val dirs = frontier.map(_.toUri.getPath)
+      val listed = spark.sparkContext
+        .parallelize(dirs, math.min(dirs.size, 256))
+        .flatMap { d =>
+          val efs = new HPath(d).getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          require(efs.getUri.toString == fsUri ||
+            fsUri.startsWith("file:"), s"fs mismatch: $fsUri vs ${efs.getUri}")
+          val out = ArrayBuffer.empty[(String, Long, java.sql.Timestamp)]
+          val it = efs.listFiles(new HPath(d), true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".pol"))
+              out += ((st.getPath.toUri.getPath, st.getLen,
+                new java.sql.Timestamp(st.getModificationTime)))
+          }
+          out
+        }
+      driverListed.unionByName(
+        spark.createDataFrame(listed).toDF("abs_path", "size_bytes", "modified_ts"))
+    }
+    pathMeta(all, normalize(base.getOrElse(root)))
       .withColumn("file_name", substring_index(col("relative_path"), "/", -1))
       .select("relative_path", "file_name", "folder_path", "parent_folder",
         "size_bytes", "modified_ts")

@@ -66,6 +66,18 @@ class PolParserSpec extends AnyFunSuite {
     assert(agg.getAs[Long]("total_records_across_all_files") == 2)
   }
 
+  test("parallel (distributed) listing equals the driver-side walk") {
+    val root = "/root/reference/samples/pools2"
+    val seqList = PolParser.listFiles(spark, root)
+      .select("relative_path", "size_bytes")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    // threshold 1: every subtree is handed to the cluster
+    val parList = PolParser.listFiles(spark, root, parallelThreshold = 1)
+      .select("relative_path", "size_bytes")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(seqList.nonEmpty && seqList == parList)
+  }
+
   test("scan filter ignores non-.pol files") {
     val raw = PolParser.readRaw(spark, "src/test/resources/lookup")
       .count() // no .pol files there
