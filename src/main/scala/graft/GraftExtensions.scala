@@ -16,8 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.minhashSignature)
-    e.injectFunction(GraftExtensions.shingleHashes)
+    GraftExtensions.functionEntries.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -48,15 +47,30 @@ object GraftExtensions {
       classOf[functions.ShingleHashes].getName, "shingle_hashes"),
     shingleBuilder)
 
+  private def entry(name: String, clazz: Class[_],
+      b: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), b)
+
+  /** Every graft native expression, SQL-callable. */
+  val functionEntries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    minhashSignature,
+    shingleHashes,
+    entry("winnow_fingerprint", classOf[functions.WinnowFingerprint],
+      exprs => functions.WinnowFingerprint(exprs.head, 8, 4)),
+    entry("dot_product", classOf[functions.DotProduct],
+      exprs => functions.DotProduct(exprs(0), exprs(1))),
+    entry("pol_line_parse", classOf[functions.PolLineParse],
+      exprs => functions.PolLineParse(exprs.head)))
+
   /** Register into an ALREADY-RUNNING session (the extensions class
     * only applies to sessions built with `withExtensions` /
     * `spark.sql.extensions`).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature", builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", shingleBuilder, "built-in")
+    functionEntries.foreach { case (id, _, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, b, "built-in")
+    }
     if (!spark.experimental.extraStrategies.contains(plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.AsOfJoinStrategy

@@ -55,6 +55,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("all native expressions are SQL-callable after register") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  size(winnow_fingerprint('abcdefghijklmnop')) AS nfp,
+        |  pol_line_parse('5 TB1 3').game_win AS win,
+        |  pol_line_parse('5 TB1 3').type_code AS tc""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) >= 1)
+    assert(r.getLong(2) == 8L)
+    assert(r.getString(3) == "TB1")
+  }
+
   test("shingle_hashes registered for SQL via GraftExtensions.register") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql("SELECT shingle_hashes('abcdefghi') AS hs").collect()(0)
