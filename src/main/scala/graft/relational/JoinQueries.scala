@@ -186,6 +186,25 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // R18 — FORWARD as-of through the custom operator: for each
+    // purchase, the next signup at-or-after it (event order), oracle =
+    // the min-over-following window formulation.
+    "r18_asof_forward" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      val purchases = events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+      val signups = events(s, d)
+        .where(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"),
+          col("event_id").as("next_signup"))
+      graft.plans.AsOf.join(purchases, signups,
+          "user_id", "s_user_id", "event_id", "next_signup",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("next_signup"))
+        .orderBy("event_id")
+    }),
+
     // R17 — salted fact×dim join (Skew.saltedJoin) through the oracle
     // gate: the dim is replicated ×8 with a salt key so a hot fact key
     // spreads over 8 reducers; decimal sums keep the aggregate
@@ -323,6 +342,15 @@ object JoinQueries {
         |    max(CASE WHEN event_type = 'signup' THEN event_id END)
         |      OVER (PARTITION BY user_id ORDER BY event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "r18_asof_forward" ->
+      """SELECT event_id, user_id, next_signup FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS next_signup
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "r17_salted_join" ->
