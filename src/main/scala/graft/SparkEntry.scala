@@ -27,6 +27,7 @@ object SparkEntry {
       relational.JoinQueries.queries ++
       relational.SortWindowQueries.queries ++
       llm.DedupQueries.queries ++
+      llm.CurationQueries.queries ++
       llm.SimilarityQueries.queries ++
       llm.TextQueries.queries ++
       llm.MultimodalQueries.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       relational.JoinQueries.oracle ++
       relational.SortWindowQueries.oracle ++
       llm.DedupQueries.oracle ++
+      llm.CurationQueries.oracle ++
       llm.SimilarityQueries.oracle ++
       llm.TextQueries.oracle ++
       llm.MultimodalQueries.oracle ++

@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a large-scale training-data pipeline:
+  * dedup-cluster resolution (connected components over LSH candidate
+  * pairs), deterministic train/val/test splitting, and per-source quota
+  * sampling. These are the steps between "found near-dup pairs" and
+  * "emitted a training corpus": pairs must become clusters with one
+  * canonical survivor, and the corpus must be split and rebalanced
+  * reproducibly — no RNG, so any re-run (or a re-run over 100 TB on a
+  * different cluster) lands byte-identical rows.
+  *
+  * Scale notes: connected components is iterative min-label
+  * propagation — each round is one self-join + groupBy(min) over the
+  * EDGE set (the LSH candidate pairs, which are tiny relative to the
+  * corpus by construction), converging in O(diameter) rounds; cluster
+  * diameter for near-dup graphs is small (dups of a doc are dups of
+  * each other, so clusters are near-cliques) and 2–4 rounds dominate
+  * in practice. Pathological chain-shaped graphs would want the
+  * large-star/small-star variant, which contracts in O(log n) rounds
+  * with the same per-round plan shape. The split
+  * and quota sample are embarrassingly parallel: a codegen'd md5 on
+  * each row, plus (for the quota) one shuffle by the partition column
+  * — exactly the operators a 1000-executor job wants.
+  */
+object CurationQueries {
+  import graft.Tables.documents
+
+  /** LSH candidate pairs at agreement >= 0.5 — reuses the d3 pipeline
+    * (shingle → minhash → band → bucket join) and keeps only pairs
+    * whose signatures agree on half the permutations.
+    */
+  private def dupPairs(s: SparkSession, d: String): DataFrame =
+    DedupQueries.queries("d3_minhash_lsh_pairs")(s, d)
+      .where(col("agreement") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** Min-label propagation to a fixpoint: every doc in the pair graph
+    * ends up labeled with the smallest doc_id reachable from it. The
+    * edge list stays fixed; only the |vertices|-row label table updates
+    * per round, and convergence is detected with one count per round.
+    */
+  private def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      // label(v) <- min(label(v), min over neighbors u of label(u))
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(fromNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("p"), "doc_id")
+        .where(col("n.cluster_id") =!= col("p.cluster_id"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1 — dedup clusters: connected components over the LSH pair
+    // graph; each doc in a cluster gets the cluster's min doc_id as
+    // its id, and the canonical survivor is the doc equal to it.
+    "c1_dedup_clusters" -> ((s, d) =>
+      connectedComponents(dupPairs(s, d))
+        .withColumn("is_canonical",
+          (col("doc_id") === col("cluster_id")).cast("int"))
+        .orderBy("doc_id")),
+
+    // C2 — deterministic train/val/test split: md5 of the doc_id keys
+    // an 80/10/10 split that is stable across runs, partitionings and
+    // engines (no RNG, no row order dependence).
+    "c2_hash_split" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("split")),
+
+    // C3 — per-source quota sample: k docs per source, chosen by md5
+    // rank — a deterministic stand-in for uniform sampling that
+    // rebalances a skewed source mix. One shuffle on source; the
+    // rank+filter prunes to k·|sources| rows immediately.
+    "c3_quota_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(concat_ws("_", col("doc_id"), col("text"))), col("doc_id"))
+      documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select("source", "rk", "doc_id")
+        .orderBy("source", "rk")
+    })
+  )
+
+  private val sqlPairs =
+    s"""${DedupQueries.oracle("d3_minhash_lsh_pairs")
+        .replace("ORDER BY doc_a, doc_b", "")}"""
+
+  val oracle: Map[String, String] = Map(
+    "c1_dedup_clusters" ->
+      s"""WITH pairs AS ($sqlPairs),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE agreement >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE agreement >= 0.5),
+         |reach AS (
+         |  WITH RECURSIVE r(doc_id, lbl) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc_id)
+         |  SELECT * FROM r)
+         |SELECT doc_id, min(lbl) AS cluster_id,
+         |  CAST(doc_id = min(lbl) AS INT) AS is_canonical
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c2_hash_split" ->
+      """WITH b AS (
+        |  SELECT *,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS first_doc
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c3_quota_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '_' || text), doc_id)
+        |      AS rk
+        |  FROM documents)
+        |SELECT source, rk, doc_id FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin
+  )
+}
