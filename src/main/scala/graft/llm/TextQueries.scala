@@ -86,6 +86,64 @@ object TextQueries {
             .as("chars_per_token"))
         .orderBy("doc_id")),
 
+    // X5 — repetition filters (Gopher-style): duplicate-token fraction,
+    // duplicate-bigram fraction (both computed inside one projection —
+    // array_distinct over the token array, no explode), and the
+    // dominant-token fraction via the scalable explode → count → max
+    // formulation (token counts partial-aggregate map-side, so the
+    // shuffle carries |docs|·|distinct tokens| small rows).
+    "x5_repetition" -> ((s, d) => {
+      val base = documents(s, d)
+        .withColumn("toks",
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        .withColumn("n_toks", size(col("toks")))
+      val inRow = base
+        .withColumn("dup_word_frac",
+          round(lit(1) - size(array_distinct(col("toks"))) / col("n_toks"), 4))
+        // sequence(0, n-2) with n<2 would generate a DESCENDING range in
+        // Spark (not an empty one) — guard short docs to null explicitly
+        .withColumn("bigrams", expr(
+          """IF(n_toks < 2, CAST(NULL AS ARRAY<STRING>),
+            |   transform(sequence(0, n_toks - 2),
+            |     i -> concat(toks[i], ' ', toks[i + 1])))""".stripMargin))
+        .withColumn("dup_bigram_frac",
+          round(lit(1) - size(array_distinct(col("bigrams"))) / size(col("bigrams")), 4))
+      val topTok = base
+        .select(col("doc_id"), col("n_toks"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "n_toks", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max(col("c")) / first(col("n_toks")), 4).as("top_tok_frac"))
+      inRow.join(topTok, "doc_id")
+        .select("doc_id", "n_toks", "dup_word_frac", "dup_bigram_frac",
+          "top_tok_frac")
+        .orderBy("doc_id")
+    }),
+
+    // X6 — PII redaction: the corpus is synthetic (no organic PII), so
+    // deterministic PII-shaped spans (email + phone) are injected per
+    // row and then scrubbed — which is exactly the transform a real
+    // pipeline runs, with hits guaranteed in every row so the oracle
+    // verifies count/replace behavior, not just zeros. Patterns stay in
+    // the RE2 ∩ java.util.regex common subset; DuckDB needs the 'g'
+    // flag to match Spark's replace-all.
+    "x6_pii_redact" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("aug",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit("[a-z0-9.]+@[a-z0-9.]+"))
+            .as("n_email"),
+          regexp_count(col("aug"), lit("[0-9]{3}-[0-9]{4}")).as("n_phone"),
+          length(regexp_replace(regexp_replace(col("aug"),
+            lit("[a-z0-9.]+@[a-z0-9.]+"), lit("[EMAIL]")),
+            lit("[0-9]{3}-[0-9]{4}"), lit("[PHONE]"))).as("clean_len"),
+          md5(regexp_replace(regexp_replace(col("aug"),
+            lit("[a-z0-9.]+@[a-z0-9.]+"), lit("[EMAIL]")),
+            lit("[0-9]{3}-[0-9]{4}"), lit("[PHONE]"))).as("clean_digest"))
+        .orderBy("doc_id")),
+
     // X4 — winnowing fingerprint: 8-char shingle hashes, min over each
     // 4-shingle window, distinct mins are the fingerprint set. Exposed
     // as count/min/max/sum so the result is scalar per doc. The native
@@ -155,6 +213,49 @@ object TextQueries {
           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 4)
           |    AS chars_per_token
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "x5_repetition" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, toks, len(toks) AS n_toks,
+          |    CASE WHEN len(toks) < 2 THEN NULL
+          |         ELSE [toks[i + 1] || ' ' || toks[i + 2]
+          |               FOR i IN range(len(toks) - 1)] END AS bigrams
+          |  FROM t),
+          |top AS (
+          |  SELECT doc_id, max(c) AS max_c FROM (
+          |    SELECT doc_id, tok, count(*) AS c
+          |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+          |    GROUP BY 1, 2)
+          |  GROUP BY 1)
+          |SELECT b.doc_id AS doc_id, n_toks,
+          |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_toks, 4)
+          |    AS dup_word_frac,
+          |  round(1 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 4)
+          |    AS dup_bigram_frac,
+          |  round(CAST(max_c AS DOUBLE) / n_toks, 4) AS top_tok_frac
+          |FROM b JOIN top ON b.doc_id = top.doc_id
+          |ORDER BY doc_id""".stripMargin,
+      "x6_pii_redact" ->
+        """WITH a AS (
+          |  SELECT doc_id,
+          |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |      || '@mail.example.com or 555-'
+          |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9.]+')) AS n_email,
+          |    len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS n_phone,
+          |    regexp_replace(regexp_replace(aug,
+          |      '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+          |      '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+          |  FROM a)
+          |SELECT doc_id, n_email, n_phone, length(clean) AS clean_len,
+          |  md5(clean) AS clean_digest
+          |FROM r ORDER BY doc_id""".stripMargin,
       "x4_fingerprint" ->
         """WITH sh0 AS (
           |  SELECT doc_id,
