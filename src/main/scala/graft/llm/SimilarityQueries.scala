@@ -105,6 +105,26 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // N4 — int8 embedding quantization (symmetric, per-vector scale =
+    // max|x|/127): the standard 4× memory/bandwidth reduction before an
+    // ANN index is built over a 100 TB embedding corpus. floor() (not
+    // round) keeps the quantized values engine-exact, and the all-zero
+    // vector guard avoids inf/overflow. Map-only — one codegen'd
+    // projection, no shuffle.
+    "n4_embedding_quantize" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"), vecd(col("embedding")).as("e"))
+        .withColumn("scale",
+          expr("array_max(transform(e, x -> abs(x))) / 127"))
+        .withColumn("q", expr(
+          "transform(e, x -> CAST(floor(IF(scale = 0, 0D, x / scale)) AS BIGINT))"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          array_min(col("q")).as("qmin"),
+          array_max(col("q")).as("qmax"),
+          expr("aggregate(q, 0L, (acc, v) -> acc + v)").as("qsum"))
+        .orderBy("vec_id")),
+
     // N2 — IVF-style ANN: label-mean centroids (decimal-exact), probe
     // the 2 nearest centroids, brute-force only inside them.
     "n2_ann_ivf" -> ((s, d) => {
@@ -184,6 +204,20 @@ object SimilarityQueries {
          |  round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
          |FROM t, q WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "n4_embedding_quantize" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+        |      FROM t),
+        |qq AS (SELECT vec_id, scale,
+        |        list_transform(e, x -> CAST(floor(
+        |          CASE WHEN scale = 0 THEN 0 ELSE x / scale END) AS BIGINT)) AS q
+        |       FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  list_min(q) AS qmin, list_max(q) AS qmax,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum
+        |FROM qq ORDER BY vec_id""".stripMargin,
     "n2_ann_ivf" ->
       s"""WITH t AS ($sqlBase),
          |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0),

@@ -131,6 +131,35 @@ object StreamingQueries {
       s.table(name).orderBy("purchase_id", "signup_id")
     }),
 
+    // T5 — streaming exact dedup: dropDuplicates keyed state over the
+    // event stream (first arrival per (user_id, event_type) survives),
+    // then a batch roll-up of the deduped result. WHICH physical row
+    // survives is arrival-order-dependent, so the query exposes only
+    // the key set — deterministic — and the oracle pins it as
+    // count(DISTINCT). At scale the keyed state store shards by key;
+    // bounded keyspaces (user × type) keep it flat, and unbounded ones
+    // call for dropDuplicatesWithinWatermark to age state out.
+    "t5_stream_dedup" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val name = s"graft_stream_${sinkId.incrementAndGet()}"
+      runToCompletion(s)(
+        stream.dropDuplicates("user_id", "event_type")
+          .select("user_id", "event_type")
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow()))
+      s.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // T3 — gap-based sessionization (30-min inactivity): batch
     // formulation via lag + running sum; the stateful streaming twin
     // (flatMapGroupsWithState) is exercised in the test suite.
@@ -176,6 +205,9 @@ object StreamingQueries {
         | AND p.user_id = s.user_id
         | AND s.us >= p.us - 3600000000 AND s.us <= p.us
         |ORDER BY purchase_id, signup_id""".stripMargin,
+    "t5_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "t3_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
