@@ -38,11 +38,18 @@ object CurationQueries {
       .select(col("doc_a"), col("doc_b"))
 
   /** Min-label propagation to a fixpoint: every doc in the pair graph
-    * ends up labeled with the smallest doc_id reachable from it. The
-    * edge list stays fixed; only the |vertices|-row label table updates
-    * per round, and convergence is detected with one count per round.
+    * ends up labeled with the smallest doc_id reachable from it.
+    *
+    * The edge list stays fixed; only the |vertices|-row label table
+    * updates per round. Labels are monotonically non-increasing, so the
+    * label SUM is a fixpoint witness — convergence detection is one
+    * tiny aggregate per round, no diff join. `localCheckpoint`
+    * materializes each round's labels AND truncates lineage (an
+    * iterative plan otherwise nests one join per round until planning
+    * dominates); on a production cluster with executor churn, a
+    * reliable `checkpoint` to the cluster FS is the durable variant.
     */
-  private def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -50,10 +57,13 @@ object CurationQueries {
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .cache()
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster_id"))).first().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < 50) {
       // label(v) <- min(label(v), min over neighbors u of label(u))
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -63,14 +73,11 @@ object CurationQueries {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
-      val changed = next.as("n")
-        .join(labels.as("p"), "doc_id")
-        .where(col("n.cluster_id") =!= col("p.cluster_id"))
-        .limit(1).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       rounds += 1
     }
     edges.unpersist()

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the curation operators where the DuckDB oracle can't reach:
+  * the LSH pair graph on the testdata is near-clique-shaped, so the
+  * oracle never forces multi-round label propagation — a chain graph
+  * does. Quantization invariants hold for every vector, not just the
+  * 500 oracle rows.
+  */
+class CurationSpec extends AnyFunSuite {
+  import graft.QueryHarness._
+
+  test("connected components converges on a chain (multi-round propagation)") {
+    import spark.implicits._
+    // 1-2-3-4-5 chain plus an isolated pair 10-11: min-label needs
+    // several rounds to walk the chain end to end.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = CurationQueries.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: labels flow against edge direction too") {
+    import spark.implicits._
+    // min id sits at the DST end of every edge — propagation must use
+    // both directions to find it.
+    val pairs = Seq((5L, 1L), (9L, 5L)).toDF("doc_a", "doc_b")
+    val got = CurationQueries.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("hash split partitions every doc exactly once") {
+    val rows = CurationQueries.queries("c2_hash_split")(spark, sf0001)
+      .collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val docs = graft.Tables.documents(spark, sf0001).count()
+    assert(total == docs)
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+  }
+
+  test("quota sample: exactly k rows per source, ranks 1..k") {
+    val rows = CurationQueries.queries("c3_quota_sample")(spark, sf0001)
+      .collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length == 5))
+    assert(bySource.values.forall(_.map(_.getInt(1)).sorted.toSeq == (1 to 5)))
+  }
+
+  test("int8 quantization invariants: |q| bounded, max|x| hits ±127") {
+    val rows = SimilarityQueries.queries("n4_embedding_quantize")(spark, sf0001)
+      .collect()
+    rows.foreach { r =>
+      val (qmin, qmax) = (r.getAs[Long]("qmin"), r.getAs[Long]("qmax"))
+      // floor(x/scale) ranges over [-128, 127] for |x| <= max|x|
+      assert(qmin >= -128 && qmax <= 127, s"vec ${r.getLong(0)}: [$qmin,$qmax]")
+      // the element that set the scale quantizes to (within a float
+      // division ulp of) full range
+      assert(qmax >= 126 || qmin <= -126, s"vec ${r.getLong(0)} never saturates")
+    }
+  }
+}
