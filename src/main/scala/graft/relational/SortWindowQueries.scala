@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
 object SortWindowQueries {
   import graft.Tables._
 
+  /** 16-bit Morton (z-order) interleave of the low 8 bits of `a` and
+    * `b` — bit-disjoint terms, so `+` is `|`. Plain arithmetic/bitwise
+    * SQL, valid verbatim in both Spark SQL and DuckDB.
+    */
+  private val zInterleave: String = (0 until 8)
+    .flatMap(i => Seq(
+      s"(((a >> $i) & 1) << ${2 * i})",
+      s"(((b >> $i) & 1) << ${2 * i + 1})"))
+    .mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1 — global sort with deterministic tiebreak + limit pushdown
     // (TakeOrderedAndProject, no full sort at scale).
@@ -66,7 +76,29 @@ object SortWindowQueries {
             .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double").as("running_bal"))
         .orderBy("s_nationkey", "rn")
-    })
+    }),
+
+    // O6 — z-order layout clustering: Morton-interleave the low 8 bits
+    // of (partkey, suppkey) and tile the z-range (tile = z >> 11, 32
+    // tiles). Per-tile min/max of BOTH keys shows each tile covering a
+    // narrow rectangle of the 2-D key space — the property that makes
+    // z-ordered file layout prunable on either dimension. tile is a
+    // pure function of z (no sampled range partitioner, no global
+    // sort), so the plan is one partial-aggregated hash agg, and the
+    // result is deterministic for the oracle. At scale, the same z
+    // expression feeds repartitionByRange(z) + sortWithinPartitions(z)
+    // on write, and these per-tile bounds are exactly the file-footer
+    // min/max stats a reader prunes with.
+    "o6_zorder_layout" -> ((s, d) =>
+      lineitem(s, d)
+        .select((col("l_partkey") % 256).cast("long").as("a"),
+          (col("l_suppkey") % 256).cast("long").as("b"))
+        .withColumn("z", expr(zInterleave))
+        .groupBy(expr("CAST(z >> 11 AS INT)").as("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+          min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+        .orderBy("tile"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -101,6 +133,16 @@ object SortWindowQueries {
         |    AS running_bal
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
-        |ORDER BY s_nationkey, rn""".stripMargin
+        |ORDER BY s_nationkey, rn""".stripMargin,
+    "o6_zorder_layout" ->
+      s"""WITH t AS (
+         |  SELECT CAST(l_partkey % 256 AS BIGINT) AS a,
+         |         CAST(l_suppkey % 256 AS BIGINT) AS b
+         |  FROM lineitem),
+         |z AS (SELECT a, b, $zInterleave AS z FROM t)
+         |SELECT CAST(z >> 11 AS INT) AS tile, count(*) AS n_rows,
+         |  min(a) AS a_min, max(a) AS a_max,
+         |  min(b) AS b_min, max(b) AS b_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
