@@ -50,9 +50,12 @@ object CurationQueries {
     * reliable `checkpoint` to the cluster FS is the durable variant.
     */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(
-        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both edge directions from ONE scan of the pair plan (a union of
+    // two projections would evaluate the upstream LSH pipeline twice)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
@@ -61,17 +64,35 @@ object CurationQueries {
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("cluster_id"))).first().getLong(0)
     var prevSum = labelSum(labels)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
+      val t0 = System.nanoTime()
       // label(v) <- min(label(v), min over neighbors u of label(u))
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(fromNeighbors, Seq("doc_id"), "left")
+      val propagated = labels.join(fromNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jumping: label(v) <- min(label(v), label(label(v))).
+      // Every label is itself a vertex id, so a self-join doubles the
+      // distance a label has traveled — neighbor propagation alone
+      // walks chains one hop per round (O(diameter) rounds, each a
+      // fixed-cost Spark job), with jumping it is O(log diameter).
+      // (A second jump per round was measured and does not cut rounds:
+      // spreading is neighbor-hop-bound, not pointer-depth-bound. The
+      // large-star/small-star edge-contraction algorithm is the next
+      // rung if adversarial graph shapes ever dominate.)
+      val next = propagated.as("x")
+        .join(propagated.select(col("doc_id").as("p_id"),
+            col("cluster_id").as("p_lbl")),
+          col("x.cluster_id") === col("p_id"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.cluster_id"), coalesce(col("p_lbl"), col("x.cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
       val s = labelSum(next)
@@ -79,7 +100,12 @@ object CurationQueries {
       converged = s == prevSum
       prevSum = s
       rounds += 1
+      if (debug) System.err.println(
+        f"[cc] round $rounds sum=$s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // an unconverged exit would silently mislabel clusters — refuse
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no fixpoint within $rounds rounds")
     edges.unpersist()
     labels
   }
