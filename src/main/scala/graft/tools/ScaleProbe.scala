@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale experiment harness: `ScaleProbe <nDocs> <workDir> [query ...]`.
+  *
+  * Deterministically generates an nDocs-row `documents.parquet` into
+  * workDir (same schema as the testdata table: doc_id, text, lang,
+  * source, n_chars; ~60-word zipf-ish texts with a planted near-dup
+  * per 50 docs) and times the named catalog queries over it (default:
+  * the dedup/curation family). Measures how the operators scale with
+  * corpus size — the local evidence behind SCALING.md's claims, at
+  * 10–100× the driver testdata sizes.
+  *
+  * Generation is hash-derived per doc_id (no RNG state), so any two
+  * runs — at any parallelism — produce the identical corpus.
+  */
+object ScaleProbe {
+  private val vocab: Array[String] = Array(
+    "table", "row", "data", "query", "join", "scan", "key", "value",
+    "agg", "slow", "fast", "small", "large", "batch", "window", "spark",
+    "order", "column", "part", "hash", "sort", "merge", "filter",
+    "shuffle", "cache", "spill", "codegen", "plan", "stage", "task",
+    "executor")
+
+  private def lcg(x0: Long): Long = x0 * 6364136223846793005L + 1442695040888963407L
+
+  /** Words for doc `base`: 60 draws from a skewed vocab distribution. */
+  private def words(base: Long): Array[String] = {
+    var st = lcg(base ^ 0x9e3779b97f4a7c15L)
+    Array.fill(60) {
+      st = lcg(st)
+      // square the uniform to skew toward low indices (zipf-ish)
+      val u = ((st >>> 11).toDouble / (1L << 53).toDouble)
+      vocab(((u * u) * vocab.length).toInt.min(vocab.length - 1))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args(0).toLong
+    val workDir = args(1)
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("d1_dedup_exact", "d2_minhash_signatures",
+        "d3_minhash_lsh_pairs", "d5_simhash", "c1_dedup_clusters",
+        "c2_hash_split", "c3_quota_sample", "x4_fingerprint",
+        "x5_repetition", "x6_pii_redact", "n4_embedding_quantize")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // --- corpus generation (distributed, deterministic per doc_id) ---
+    val docs = spark.range(nDocs).map { jid =>
+      val id: Long = jid
+      // a planted near-dup every 50 docs: doc 50k+1 = doc 50k with one
+      // word swapped, exercising minhash/LSH/cc at generation scale
+      val base = if (id % 50 == 1) id - 1 else id
+      val ws = words(base)
+      if (id % 50 == 1) ws(7) = vocab((id % vocab.length).toInt)
+      val text = ws.mkString(" ")
+      (id, text, "en", s"src${id % 20}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    // n4 needs embeddings: hash-derived 64-dim floats, nDocs/10 rows
+    spark.range(nDocs / 10).map { jid =>
+      val id: Long = jid
+      var st = lcg(id ^ 0x5deece66dL)
+      val e = Array.fill(64) {
+        st = lcg(st)
+        ((st >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
+      }
+      (id, e, (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+
+    // --- timings: warm once at sf0.001, then best-of-2 at scale ---
+    names.foreach { q =>
+      try graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
+    val results = names.map { q =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, workDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      println(f"$q%-26s $t%8.2f s")
+      q -> t
+    }
+    println(f"TOTAL ${results.map(_._2).sum}%.2f s over $nDocs docs")
+    spark.stop()
+  }
+}
