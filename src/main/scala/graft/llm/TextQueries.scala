@@ -144,6 +144,21 @@ object TextQueries {
             lit("[0-9]{3}-[0-9]{4}"), lit("[PHONE]"))).as("clean_digest"))
         .orderBy("doc_id")),
 
+    // X7 — corpus-level heavy hitters: top-20 tokens with deterministic
+    // tiebreak. Two-level hash aggregate (map-side partials bounded by
+    // each partition's distinct vocabulary, not its token count) +
+    // TakeOrdered for the top-k — no global sort. For unbounded
+    // vocabularies at 100 TB the same shape runs under a count-min /
+    // frequent-items sketch; the exact form is the oracle-checkable
+    // baseline.
+    "x7_heavy_hitters" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)),
+
     // X4 — winnowing fingerprint: 8-char shingle hashes, min over each
     // 4-shingle window, distinct mins are the fingerprint set. Exposed
     // as count/min/max/sum so the result is scalar per doc. The native
@@ -256,6 +271,12 @@ object TextQueries {
           |SELECT doc_id, n_email, n_phone, length(clean) AS clean_len,
           |  md5(clean) AS clean_digest
           |FROM r ORDER BY doc_id""".stripMargin,
+      "x7_heavy_hitters" ->
+        """SELECT tok, count(*) AS n FROM (
+          |  SELECT unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+          |  FROM documents)
+          |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
       "x4_fingerprint" ->
         """WITH sh0 AS (
           |  SELECT doc_id,

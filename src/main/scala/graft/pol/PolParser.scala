@@ -182,6 +182,31 @@ object PolParser {
         col("parent_folder"))
   }
 
+  /** A8 variant — parse with free-rider error accounting: `observe()`
+    * attaches accumulator-backed metrics (lines seen / parsed /
+    * dropped) to the SAME pass that parses, so the reference's
+    * success/fail counters (`etl/main.py:112-118`) arrive with the
+    * action instead of costing a second scan — the difference between
+    * one and two reads of a 100 TB corpus. Metrics surface through
+    * `QueryExecutionListener.observedMetrics` under `metricName`.
+    */
+  def parseObserved(raw: DataFrame,
+      metricName: String = "graft_parse"): DataFrame = {
+    val (win, typeCode) = parseLine(col("value"))
+    raw
+      .withColumn("game_win", win)
+      .withColumn("type_code", typeCode)
+      .observe(metricName,
+        count(lit(1)).as("lines_seen"),
+        count(col("game_win")).as("lines_parsed"),
+        sum(when(col("game_win").isNull, 1L).otherwise(0L))
+          .as("lines_dropped"))
+      .filter(col("game_win").isNotNull)
+      .select(col("game_win"), col("type_code"),
+        col("relative_path"), col("file_name"), col("folder_path"),
+        col("parent_folder"))
+  }
+
   /** Convenience: scan + parse in one call. */
   def read(spark: SparkSession, root: String, base: Option[String] = None): DataFrame =
     parse(readRaw(spark, root, base))
