@@ -61,7 +61,23 @@ object PolMain {
     }
 
     val dim = GameLookup.fromCsv(spark, lookupCsv)
-    val parsed = PolParser.read(spark, root)
+    // parse with ride-along error accounting (A8): drop counts surface
+    // from the same scan via observe(), printed when actions complete
+    val parsed = PolParser.parseObserved(PolParser.readRaw(spark, root))
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit =
+          qe.observedMetrics.get("graft_parse").foreach { m =>
+            println(s"[parse] lines seen=${m.getAs[Long]("lines_seen")} " +
+              s"parsed=${m.getAs[Long]("lines_parsed")} " +
+              s"dropped=${m.getAs[Long]("lines_dropped")}")
+          }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
     // File inventory: 0-byte / all-unparseable files still get size-0
     // documents and count in the summary (reference parity).
     val inventory = PolParser.listFiles(spark, root)
