@@ -76,7 +76,23 @@ object AnalyticsQueries {
           (lit(BigDecimal(1)) - dec(col("l_discount"))))
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
-    })
+    }),
+
+    // H4 — order-priority check (TPC-H Q4 shape, adapted to this
+    // schema's dates): orders with at least one lineitem shipped more
+    // than 60 days after the order date, counted per priority. The
+    // EXISTS becomes a left-semi join with a cross-table residual —
+    // the fact side never duplicates, and the semi join short-circuits
+    // per order.
+    "h4_order_priority" -> ((s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -119,6 +135,14 @@ object AnalyticsQueries {
         |              WHERE o_orderkey = l_orderkey
         |                AND o_orderdate >= TIMESTAMP '1996-01-01'
         |                AND o_orderdate < TIMESTAMP '1999-01-01')
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "h4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
