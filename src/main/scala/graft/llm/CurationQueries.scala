@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
 object CurationQueries {
   import graft.Tables.documents
 
-  /** LSH candidate pairs at agreement >= 0.5 — reuses the d3 pipeline
-    * (shingle → minhash → band → bucket join) and keeps only pairs
-    * whose signatures agree on half the permutations.
+  /** LSH candidate pairs at agreement >= 0.5 — the hot-bucket-capped
+    * d7 pipeline (shingle → minhash → band → capped bucket join; the
+    * cap is what keeps pair mining alive on boilerplate-heavy corpora,
+    * see d7), keeping only pairs whose signatures agree on half the
+    * permutations.
     */
   private def dupPairs(s: SparkSession, d: String): DataFrame =
-    DedupQueries.queries("d3_minhash_lsh_pairs")(s, d)
+    DedupQueries.queries("d7_lsh_bucket_cap")(s, d)
       .where(col("agreement") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
 
@@ -154,7 +156,7 @@ object CurationQueries {
   )
 
   private val sqlPairs =
-    s"""${DedupQueries.oracle("d3_minhash_lsh_pairs")
+    s"""${DedupQueries.oracle("d7_lsh_bucket_cap")
         .replace("ORDER BY doc_a, doc_b", "")}"""
 
   val oracle: Map[String, String] = Map(
