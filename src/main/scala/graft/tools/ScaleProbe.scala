@@ -41,8 +41,12 @@ object ScaleProbe {
     val nDocs = args(0).toLong
     val workDir = args(1)
     val names = if (args.length > 2) args.drop(2).toSeq
+      // d3 (uncapped LSH) is deliberately absent: it is quadratic in
+      // bucket width and this corpus is collision-heavy (317 s at 1M
+      // docs — the measurement that motivated d7). Name it explicitly
+      // to reproduce that number.
       else Seq("d1_dedup_exact", "d2_minhash_signatures",
-        "d3_minhash_lsh_pairs", "d5_simhash", "c1_dedup_clusters",
+        "d7_lsh_bucket_cap", "d5_simhash", "c1_dedup_clusters",
         "c2_hash_split", "c3_quota_sample", "x4_fingerprint",
         "x5_repetition", "x6_pii_redact", "n4_embedding_quantize")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
