@@ -33,6 +33,40 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
   }
 
+  test("connected components matches union-find on seeded random graphs") {
+    import spark.implicits._
+    var state = 7L
+    def next(mod: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (Math.floorMod(state >>> 11, mod.toLong)).toInt
+    }
+    (1 to 8).foreach { trial =>
+      val n = 6 + next(20)
+      val edges = (0 until n).map(_ => (next(n).toLong, next(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // min doc_id per component, matching the min-label semantics
+        val byRoot = verts.groupBy(find)
+        val want = verts.map(v => v -> byRoot(find(v)).min).toMap
+        val got = CurationQueries.connectedComponents(
+            edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial: graph $edges")
+      }
+    }
+  }
+
   test("hash split partitions every doc exactly once") {
     val rows = CurationQueries.queries("c2_hash_split")(spark, sf0001)
       .collect()
