@@ -163,6 +163,29 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // D8 — candidate verification: exact shingle jaccard computed ONLY
+    // for the capped-LSH candidate pairs (d7) — the production dedup
+    // chain's verify stage (cheap approximate mining prunes the pair
+    // space, exact verification decides). Work is O(|candidates| ·
+    // shingles) instead of d4's O(all co-blocked pairs); the shingle
+    // arrays join in by doc_id and the intersection folds inside one
+    // projection per pair, no explode.
+    "d8_jaccard_verify" -> ((s, d) => {
+      val cands = queries("d7_lsh_bucket_cap")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val hs = documents(s, d)
+        .select(col("doc_id"), graft.functions.ShingleHashes(col("text")).as("hs"))
+      cands
+        .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .withColumn("shared",
+          expr("size(array_intersect(hs_a, hs_b))"))
+        .withColumn("jaccard", round(
+          col("shared") / (size(col("hs_a")) + size(col("hs_b")) - col("shared")), 4))
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // D4 — exact n-gram jaccard over blocked pairs (block = source):
     // shingle-set overlap via a distinct-shingle self-join, never
     // materializing pairwise sets.
@@ -259,6 +282,27 @@ object DedupQueries {
          |      i -> sig_a[i + 1] = sig_b[i + 1]), v -> v)) / CAST($K AS DOUBLE)
          |    AS agreement
          |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "d8_jaccard_verify" ->
+      s"""WITH hashed AS (SELECT doc_id, $sqlShingleHashes AS hs FROM documents),
+         |sigs AS (SELECT doc_id, $sqlSig AS sig FROM hashed),
+         |banded AS (
+         |  SELECT doc_id, sig, unnest([${sqlBuckets.mkString(", ")}]) AS bucket
+         |  FROM sigs),
+         |narrow AS (
+         |  SELECT bucket FROM banded GROUP BY bucket HAVING count(*) <= $BucketCap),
+         |capped AS (SELECT banded.* FROM banded JOIN narrow USING (bucket)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+         |        (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 4)
+         |    AS jaccard
+         |FROM cand
+         |JOIN hashed ha ON ha.doc_id = doc_a
+         |JOIN hashed hb ON hb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, source, unnest($sqlShingleHashes) AS h FROM documents),
