@@ -139,6 +139,32 @@ object CurationQueries {
           min(col("doc_id")).as("first_doc"))
         .orderBy("split")),
 
+    // C4 — the end-to-end corpus filter: drop near-dup non-survivors
+    // (c1 clusters over capped-LSH candidates), gate on quality score
+    // (x2 >= 0.5 in ppm), keep the train split (c2 buckets), and emit
+    // per-source corpus stats — the one-plan composition of the whole
+    // curation chain a training-data job runs before tokenization.
+    // The dedup drop is a left-anti join against the (tiny) cluster
+    // non-canonical set; quality and split are map-side expressions.
+    "c4_corpus_filter" -> ((s, d) => {
+      val dupDrop = queries("c1_dedup_clusters")(s, d)
+        .where(col("is_canonical") === 0)
+        .select("doc_id")
+      val scored = TextQueries.queries("x2_quality_score")(s, d)
+        .select("doc_id", "score_ppm")
+      documents(s, d)
+        .join(dupDrop, Seq("doc_id"), "left_anti")
+        .join(scored, "doc_id")
+        .where(col("score_ppm") >= 500000)
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100"))
+        .where(col("bucket") < 80)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy("source")
+    }),
+
     // C3 — per-source quota sample: k docs per source, chosen by md5
     // rank — a deterministic stand-in for uniform sampling that
     // rebalances a skewed source mix. One shuffle on source; the
@@ -175,6 +201,31 @@ object CurationQueries {
          |SELECT doc_id, min(lbl) AS cluster_id,
          |  CAST(doc_id = min(lbl) AS INT) AS is_canonical
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c4_corpus_filter" ->
+      s"""WITH pairs AS ($sqlPairs),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE agreement >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE agreement >= 0.5),
+         |reach AS (
+         |  WITH RECURSIVE r(doc_id, lbl) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc_id)
+         |  SELECT * FROM r),
+         |drop_docs AS (
+         |  SELECT doc_id FROM reach GROUP BY doc_id
+         |  HAVING doc_id <> min(lbl)),
+         |x AS (${TextQueries.oracle("x2_quality_score")
+            .replace("ORDER BY doc_id", "")})
+         |SELECT d.source AS source, count(*) AS n_docs,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+         |FROM documents d JOIN x ON x.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_docs)
+         |  AND x.score_ppm >= 500000
+         |  AND CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)
+         |      AS BIGINT) % 100 < 80
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c2_hash_split" ->
       """WITH b AS (
         |  SELECT *,
