@@ -93,6 +93,23 @@ object AnalyticsQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority"))
+  ,
+
+    // H5 — forecast revenue change (TPC-H Q6 shape): tight range
+    // predicates + a single global aggregate. Every predicate reaches
+    // the parquet scan as a pushed filter (verified via explain:
+    // PushedFilters on shipdate/discount/quantity), so at 100 TB this
+    // is a stats-pruned scan, not a full read.
+    "h5_revenue_change" -> ((s, d) =>
+      lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .select(col("revenue"), col("n_rows")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,6 +160,16 @@ object AnalyticsQueries {
         |  SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey
         |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "h5_revenue_change" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin
   )
 }
