@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   * corpus by construction), converging in O(diameter) rounds; cluster
   * diameter for near-dup graphs is small (dups of a doc are dups of
   * each other, so clusters are near-cliques) and 2–4 rounds dominate
-  * in practice. Pathological chain-shaped graphs would want the
-  * large-star/small-star variant, which contracts in O(log n) rounds
-  * with the same per-round plan shape. The split
+  * in practice. For adversarial chain/path-shaped graphs the
+  * large-star/small-star contraction variant
+  * ([[connectedComponentsStar]], exposed as c5) converges in O(log n)
+  * rounds with the same join+agg per-round plan shape. The split
   * and quota sample are embarrassingly parallel: a codegen'd md5 on
-  * each row, plus (for the quota) one shuffle by the partition column
-  * — exactly the operators a 1000-executor job wants.
+  * each row, plus (for the quota) one bounded top-k aggregation keyed
+  * by the partition column — exactly the operators a 1000-executor
+  * job wants.
   */
 object CurationQueries {
   import graft.Tables.documents
@@ -39,6 +41,37 @@ object CurationQueries {
       .where(col("agreement") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
 
+  /** Rolling localCheckpoint: each `roll` eagerly checkpoints the
+    * frame and frees the storage blocks of the PREVIOUS checkpoint
+    * taken through this ring — without it an iterative loop leaks
+    * O(rounds·|V|) of block-manager storage, because Spark offers no
+    * public unpersist for localCheckpoint blocks. Block ownership is
+    * tracked by diffing `sc.getPersistentRDDs` around the checkpoint
+    * call (single-threaded driver loop; concurrent persists from other
+    * sessions' threads would mis-attribute, so keep iterative drivers
+    * on one thread — which Spark's own iterative examples assume too).
+    */
+  private final class CkptRing(sc: org.apache.spark.SparkContext) {
+    private var owned: Set[Int] = Set.empty
+    def roll(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      val added = sc.getPersistentRDDs.keySet.toSet -- before
+      owned.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      owned = added
+      out
+    }
+  }
+
+  /** Null-safe label-sum fixpoint witness: labels are monotonically
+    * non-increasing, so an unchanged sum means converged. On an empty
+    * frame sum() is NULL — read through the boxed type (an empty pair
+    * graph must yield an empty result, not an NPE).
+    */
+  private def labelSum(df: DataFrame): Long =
+    Option(df.agg(sum(col("cluster_id"))).first()
+      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
+
   /** Min-label propagation to a fixpoint: every doc in the pair graph
     * ends up labeled with the smallest doc_id reachable from it.
     *
@@ -51,7 +84,12 @@ object CurationQueries {
     * dominates); on a production cluster with executor churn, a
     * reliable `checkpoint` to the cluster FS is the durable variant.
     */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame): (DataFrame, Int) = {
+    val sc = pairs.sparkSession.sparkContext
     // both edge directions from ONE scan of the pair plan (a union of
     // two projections would evaluate the upstream LSH pipeline twice)
     val edges = pairs.select(explode(array(
@@ -59,57 +97,153 @@ object CurationQueries {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("cluster_id"))).first().getLong(0)
-    var prevSum = labelSum(labels)
-    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    try {
+      // empty pair graph (e.g. every LSH bucket over the cap, or no
+      // agreement survivors): converged-empty, same as the oracle
+      if (edges.isEmpty)
+        return (edges.select(col("src").as("doc_id"),
+          col("dst").as("cluster_id")).limit(0), 0)
+      val ring = new CkptRing(sc)
+      var labels = ring.roll(edges.select(col("src").as("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", col("doc_id")))
+      var prevSum = labelSum(labels)
+      val debug = sys.env.contains("GRAFT_CC_DEBUG")
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val t0 = System.nanoTime()
+        // label(v) <- min(label(v), min over neighbors u of label(u))
+        val fromNeighbors = edges
+          .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val propagated = labels.join(fromNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"))
+        // pointer jumping: label(v) <- min(label(v), label(label(v))).
+        // Every label is itself a vertex id, so a self-join doubles the
+        // distance a label has traveled — neighbor propagation alone
+        // walks chains one hop per round (O(diameter) rounds, each a
+        // fixed-cost Spark job), with jumping it is O(log diameter).
+        // (A second jump per round was measured and does not cut rounds:
+        // spreading is neighbor-hop-bound, not pointer-depth-bound. The
+        // large-star/small-star edge-contraction variant below is the
+        // rung for adversarial graph shapes.)
+        val next = ring.roll(propagated.as("x")
+          .join(propagated.select(col("doc_id").as("p_id"),
+              col("cluster_id").as("p_lbl")),
+            col("x.cluster_id") === col("p_id"), "left")
+          .select(col("x.doc_id").as("doc_id"),
+            least(col("x.cluster_id"), coalesce(col("p_lbl"), col("x.cluster_id")))
+              .as("cluster_id")))
+        val s = labelSum(next)
+        labels = next
+        converged = s == prevSum
+        prevSum = s
+        rounds += 1
+        if (debug) System.err.println(
+          f"[cc] round $rounds sum=$s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // an unconverged exit would silently mislabel clusters — refuse
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents: no fixpoint within $rounds rounds")
+      (labels, rounds)
+    } finally edges.unpersist(false)
+  }
+
+  /** Large-star/small-star edge contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * adversarial-graph variant of [[connectedComponents]]. Min-label
+    * propagation walks neighbor hops, so its round count tracks graph
+    * diameter (pointer jumping brings it to O(log diameter)); star
+    * contraction rewrites the EDGE SET itself each round —
+    *
+    *   large-star: each node u links its larger neighbors to
+    *               m = min(N(u) ∪ {u});
+    *   small-star: each node u links its smaller neighbors (and
+    *               itself) to that minimum —
+    *
+    * and converges in O(log n) rounds on ANY shape, long paths
+    * included, with the same per-round plan (one join + one groupBy
+    * over the edge set). Each round is edges → min-per-endpoint →
+    * relink → distinct; the edge set only shrinks toward the star
+    * forest, so per-round cost falls as it converges. Fixpoint
+    * witness: (edge count, xxhash64 sum) pair unchanged — set
+    * equality up to hash collision, with the same refuse-on-
+    * non-convergence guard as min-label.
+    */
+  private[graft] def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    connectedComponentsStarWithRounds(pairs)._1
+
+  private[graft] def connectedComponentsStarWithRounds(
+      pairs: DataFrame): (DataFrame, Int) = {
+    val sc = pairs.sparkSession.sparkContext
+    val ring = new CkptRing(sc)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val m = und.groupBy("a").agg(least(min(col("b")), col("a")).as("m"))
+      und.join(m, "a")
+        .where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient a >= b; every neighbor of a in this view is <= a, so
+      // min(N+(a) ∪ {a}) = min(b)
+      val o = e.select(greatest(col("u"), col("v")).as("a"),
+        least(col("u"), col("v")).as("b"))
+      val m = o.groupBy("a").agg(min(col("b")).as("m"))
+      val leaf = o.join(m, "a")
+        .where(col("b") =!= col("m"))
+        .select(col("b").as("u"), col("m").as("v"))
+      val self = m.select(col("a").as("u"), col("m").as("v"))
+      leaf.unionAll(self).where(col("u") =!= col("v")).distinct()
+    }
+
+    // set-equality witness: (count, xor of per-edge hashes). XOR is
+    // order-independent and cannot overflow (sum of xxhash64 longs
+    // throws under ANSI); edges are distinct so no xor cancellation.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).first()
+      (r.getLong(0),
+        Option(r.getAs[java.lang.Long](1)).map(_.longValue).getOrElse(0L))
+    }
+
+    var edges = ring.roll(pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
+    var prev = sig(edges)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val t0 = System.nanoTime()
-      // label(v) <- min(label(v), min over neighbors u of label(u))
-      val fromNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val propagated = labels.join(fromNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-      // pointer jumping: label(v) <- min(label(v), label(label(v))).
-      // Every label is itself a vertex id, so a self-join doubles the
-      // distance a label has traveled — neighbor propagation alone
-      // walks chains one hop per round (O(diameter) rounds, each a
-      // fixed-cost Spark job), with jumping it is O(log diameter).
-      // (A second jump per round was measured and does not cut rounds:
-      // spreading is neighbor-hop-bound, not pointer-depth-bound. The
-      // large-star/small-star edge-contraction algorithm is the next
-      // rung if adversarial graph shapes ever dominate.)
-      val next = propagated.as("x")
-        .join(propagated.select(col("doc_id").as("p_id"),
-            col("cluster_id").as("p_lbl")),
-          col("x.cluster_id") === col("p_id"), "left")
-        .select(col("x.doc_id").as("doc_id"),
-          least(col("x.cluster_id"), coalesce(col("p_lbl"), col("x.cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
-      labels = next
-      converged = s == prevSum
-      prevSum = s
+      val next = ring.roll(smallStar(largeStar(edges)))
+      val s = sig(next)
+      converged = s == prev
+      prev = s
+      edges = next
       rounds += 1
-      if (debug) System.err.println(
-        f"[cc] round $rounds sum=$s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // an unconverged exit would silently mislabel clusters — refuse
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents: no fixpoint within $rounds rounds")
-    edges.unpersist()
-    labels
+      s"connectedComponentsStar: no fixpoint within $rounds rounds")
+    // at the fixpoint the edge set is a star forest: u → component-min
+    val leafLbl = edges.groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("lbl"))
+    val nodes = edges.select(col("u").as("doc_id"))
+      .unionAll(edges.select(col("v").as("doc_id")))
+      .distinct()
+    val labels = nodes.join(leafLbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -118,6 +252,18 @@ object CurationQueries {
     // its id, and the canonical survivor is the doc equal to it.
     "c1_dedup_clusters" -> ((s, d) =>
       connectedComponents(dupPairs(s, d))
+        .withColumn("is_canonical",
+          (col("doc_id") === col("cluster_id")).cast("int"))
+        .orderBy("doc_id")),
+
+    // C5 — the same clusters via large-star/small-star contraction:
+    // identical output (both label with the component min), different
+    // convergence mechanics — O(log n) rounds on any graph shape vs
+    // min-label's diameter-bound walk. Oracle-gated against the same
+    // recursive-CTE ground truth as c1; CurationSpec pins both against
+    // union-find on random graphs and counts rounds on a path graph.
+    "c5_dedup_clusters_star" -> ((s, d) =>
+      connectedComponentsStar(dupPairs(s, d))
         .withColumn("is_canonical",
           (col("doc_id") === col("cluster_id")).cast("int"))
         .orderBy("doc_id")),
@@ -167,16 +313,27 @@ object CurationQueries {
 
     // C3 — per-source quota sample: k docs per source, chosen by md5
     // rank — a deterministic stand-in for uniform sampling that
-    // rebalances a skewed source mix. One shuffle on source; the
-    // rank+filter prunes to k·|sources| rows immediately.
+    // rebalances a skewed source mix. Scale-safe formulation: a
+    // bounded per-source top-k Aggregator ([[graft.functions.TopKAgg]])
+    // instead of row_number() over the full source partition — each
+    // task keeps at most k entries per source and partials combine
+    // map-side, so a Zipfian source mix (one crawl dominating at
+    // 100 TB) costs O(k) memory per group instead of a single-task
+    // full sort. NULL text hashes via coalesce(text, '') on both
+    // engines (concat_ws would silently skip a NULL while DuckDB ||
+    // propagates it — divergent rank orders).
     "c3_quota_sample" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source")
-        .orderBy(md5(concat_ws("_", col("doc_id"), col("text"))), col("doc_id"))
+      val topk = graft.functions.TopKAgg.topDocs(5)
       documents(s, d)
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 5)
-        .select("source", "rk", "doc_id")
+        .select(col("source"),
+          md5(concat(col("doc_id").cast("string"), lit("_"),
+            coalesce(col("text"), lit("")))).as("hk"),
+          col("doc_id"))
+        .groupBy("source")
+        .agg(topk(col("hk"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top.ids")))
+        .select(col("source"), (col("pos") + 1).as("rk"),
+          col("col").as("doc_id"))
         .orderBy("source", "rk")
     })
   )
@@ -185,22 +342,25 @@ object CurationQueries {
     s"""${DedupQueries.oracle("d7_lsh_bucket_cap")
         .replace("ORDER BY doc_a, doc_b", "")}"""
 
+  private val sqlClusters =
+    s"""WITH pairs AS ($sqlPairs),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE agreement >= 0.5
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE agreement >= 0.5),
+       |reach AS (
+       |  WITH RECURSIVE r(doc_id, lbl) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc_id)
+       |  SELECT * FROM r)
+       |SELECT doc_id, min(lbl) AS cluster_id,
+       |  CAST(doc_id = min(lbl) AS INT) AS is_canonical
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "c1_dedup_clusters" ->
-      s"""WITH pairs AS ($sqlPairs),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE agreement >= 0.5
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE agreement >= 0.5),
-         |reach AS (
-         |  WITH RECURSIVE r(doc_id, lbl) AS (
-         |    SELECT src, src FROM edges
-         |    UNION
-         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc_id)
-         |  SELECT * FROM r)
-         |SELECT doc_id, min(lbl) AS cluster_id,
-         |  CAST(doc_id = min(lbl) AS INT) AS is_canonical
-         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c1_dedup_clusters" -> sqlClusters,
+    "c5_dedup_clusters_star" -> sqlClusters,
     "c4_corpus_filter" ->
       s"""WITH pairs AS ($sqlPairs),
          |edges AS (
@@ -241,7 +401,8 @@ object CurationQueries {
       """WITH r AS (
         |  SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '_' || text), doc_id)
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '_' || coalesce(text, '')),
+        |               doc_id)
         |      AS rk
         |  FROM documents)
         |SELECT source, rk, doc_id FROM r WHERE rk <= 5

@@ -37,6 +37,35 @@ object ScaleProbe {
     }
   }
 
+  /** Generate the deterministic corpus (documents + embeddings) into
+    * `dir` — shared by the measured run and the warm-up mini-corpus.
+    */
+  private def generate(spark: SparkSession, nDocs: Long, dir: String): Unit = {
+    import spark.implicits._
+    val docs = spark.range(nDocs).map { jid =>
+      val id: Long = jid
+      // a planted near-dup every 50 docs: doc 50k+1 = doc 50k with one
+      // word swapped, exercising minhash/LSH/cc at generation scale
+      val base = if (id % 50 == 1) id - 1 else id
+      val ws = words(base)
+      if (id % 50 == 1) ws(7) = vocab((id % vocab.length).toInt)
+      val text = ws.mkString(" ")
+      (id, text, "en", s"src${id % 20}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // n4 needs embeddings: hash-derived 64-dim floats, nDocs/10 rows
+    spark.range(math.max(nDocs / 10, 10L)).map { jid =>
+      val id: Long = jid
+      var st = lcg(id ^ 0x5deece66dL)
+      val e = Array.fill(64) {
+        st = lcg(st)
+        ((st >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
+      }
+      (id, e, (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args(0).toLong
     val workDir = args(1)
@@ -58,36 +87,22 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     // --- corpus generation (distributed, deterministic per doc_id) ---
-    val docs = spark.range(nDocs).map { jid =>
-      val id: Long = jid
-      // a planted near-dup every 50 docs: doc 50k+1 = doc 50k with one
-      // word swapped, exercising minhash/LSH/cc at generation scale
-      val base = if (id % 50 == 1) id - 1 else id
-      val ws = words(base)
-      if (id % 50 == 1) ws(7) = vocab((id % vocab.length).toInt)
-      val text = ws.mkString(" ")
-      (id, text, "en", s"src${id % 20}", text.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    docs.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
-    // n4 needs embeddings: hash-derived 64-dim floats, nDocs/10 rows
-    spark.range(nDocs / 10).map { jid =>
-      val id: Long = jid
-      var st = lcg(id ^ 0x5deece66dL)
-      val e = Array.fill(64) {
-        st = lcg(st)
-        ((st >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
-      }
-      (id, e, (id % 10).toInt)
-    }.toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+    generate(spark, nDocs, workDir)
 
-    // --- timings: warm once at sf0.001, then best-of-2 at scale ---
+    // --- timings: warm once on a mini-corpus derived from workDir
+    // (self-contained — no dependence on this box's testdata layout),
+    // then best-of-2 at scale. Warm-up failures are real failures of
+    // the same code path the measured run will take — surface them.
+    val warmDir = s"$workDir/warmup"
+    generate(spark, 1000L, warmDir)
     names.foreach { q =>
-      try graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => }
+      try graft.SparkEntry.queries(q)(spark, warmDir).count()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[warmup] $q failed: ${e.getMessage}")
+      }
     }
     val results = names.map { q =>
       def once(): Double = {

@@ -33,4 +33,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, bad.mkString("; "))
   }
+
+  test("c3_quota_sample plans no window over an unbounded partition") {
+    // the r2 scale-killer: row_number().over(partitionBy(source)) sorts
+    // a whole source inside one task. The bounded top-k aggregator must
+    // keep the plan window-free.
+    val plan = SparkEntry.queries("c3_quota_sample")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "c3 must use the bounded top-k aggregator, not a window sort")
+  }
 }

@@ -67,6 +67,64 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: empty pair graph yields empty labels, no NPE") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(CurationQueries.connectedComponents(pairs).collect().isEmpty)
+    assert(CurationQueries.connectedComponentsStar(pairs).collect().isEmpty)
+  }
+
+  test("star contraction matches union-find on seeded random graphs") {
+    import spark.implicits._
+    var state = 11L
+    def next(mod: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (Math.floorMod(state >>> 11, mod.toLong)).toInt
+    }
+    (1 to 8).foreach { trial =>
+      val n = 6 + next(20)
+      val edges = (0 until n).map(_ => (next(n).toLong, next(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val byRoot = verts.groupBy(find)
+        val want = verts.map(v => v -> byRoot(find(v)).min).toMap
+        val got = CurationQueries.connectedComponentsStar(
+            edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial: graph $edges")
+      }
+    }
+  }
+
+  test("star contraction needs no more rounds than min-label on a path graph") {
+    import spark.implicits._
+    // a 64-node path is the adversarial shape for label propagation:
+    // the min label must travel the full diameter. Star contraction
+    // rewrites the edges themselves and converges in O(log n) rounds.
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (lblMin, roundsMin) =
+      CurationQueries.connectedComponentsWithRounds(path)
+    val (lblStar, roundsStar) =
+      CurationQueries.connectedComponentsStarWithRounds(path)
+    val wantAll0 = (0L to 63L).map(_ -> 0L).toMap
+    assert(lblMin.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == wantAll0)
+    assert(lblStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == wantAll0)
+    assert(roundsStar <= roundsMin,
+      s"star took $roundsStar rounds vs min-label $roundsMin")
+  }
+
   test("hash split partitions every doc exactly once") {
     val rows = CurationQueries.queries("c2_hash_split")(spark, sf0001)
       .collect()
