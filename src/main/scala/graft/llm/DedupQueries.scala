@@ -92,6 +92,52 @@ object DedupQueries {
       .withColumn("sig", expr(sigExpr))
       .select(col("doc_id"), col("sig"))
 
+  /** d4's block-width cap: sources wider than this many docs are
+    * excluded from the exact all-pairs baseline (testdata sources are
+    * ≤250 docs, so the cap never binds there; DedupCapSpec drives it
+    * with a skewed corpus and a small cap to prove it does bind).
+    */
+  private[llm] val BlockCap = 1000
+
+  /** The d4 plan with an explicit block cap (see the catalog entry). */
+  private[llm] def ngramJaccard(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    val withHs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.ShingleHashes(col("text")).as("hs"))
+    // skip over-cap blocks BEFORE the shingle explode: the width check
+    // is one tiny aggregate over (source, count), and dropped sources
+    // never produce shuffle rows at all
+    val narrow = withHs.groupBy("source")
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") <= cap)
+      .select("source")
+    val capped = withHs.join(narrow, "source")
+    // per-doc set size straight from the array — no explode/shuffle
+    val sizes = capped.select(col("doc_id"), size(col("hs")).as("n"))
+    val sh = capped
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+    // shuffle-hash hint: size estimation cannot see the explode
+    // blow-up and would broadcast the full shingle relation — a plan
+    // that cannot survive scale-up
+    val shared = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1 — exact dedup: survivors = min doc_id per content digest.
     "d1_dedup_exact" -> ((s, d) =>
@@ -188,35 +234,15 @@ object DedupQueries {
 
     // D4 — exact n-gram jaccard over blocked pairs (block = source):
     // shingle-set overlap via a distinct-shingle self-join, never
-    // materializing pairwise sets.
-    "d4_ngram_jaccard" -> ((s, d) => {
-      val withHs = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          graft.functions.ShingleHashes(col("text")).as("hs"))
-      // per-doc set size straight from the array — no explode/shuffle
-      val sizes = withHs.select(col("doc_id"), size(col("hs")).as("n"))
-      val sh = withHs
-        .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
-      // shuffle-hash hint: size estimation cannot see the explode
-      // blow-up and would broadcast the full shingle relation — a plan
-      // that cannot survive scale-up
-      val shared = sh.as("a").hint("shuffle_hash")
-        .join(sh.as("b").hint("shuffle_hash"),
-          col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard",
-          round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
+    // materializing pairwise sets. Blocks wider than BlockCap docs are
+    // skipped (same mitigation as d7's hot buckets): the per-block
+    // self-join is quadratic in block width, and one dominant crawl at
+    // 100 TB would otherwise explode this exact baseline. The cap is
+    // mirrored in the oracle, and DedupCapSpec pins that it binds on a
+    // skewed corpus. The scale path for unbounded corpora stays
+    // d7 (capped LSH) → d8 (exact verify on candidates); d4's role is
+    // the oracle-checkable exact ground truth on bounded blocks.
+    "d4_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d, BlockCap)),
 
     // D5 — simhash (28-bit) over distinct word tokens: majority vote
     // per bit position, computed entirely inside one projection
@@ -304,8 +330,12 @@ object DedupQueries {
          |JOIN hashed hb ON hb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, source, unnest($sqlShingleHashes) AS h FROM documents),
+      s"""WITH narrow AS (
+         |  SELECT source FROM documents GROUP BY source
+         |  HAVING count(*) <= $BlockCap),
+         |sh AS (
+         |  SELECT doc_id, d.source, unnest($sqlShingleHashes) AS h
+         |  FROM documents d JOIN narrow USING (source)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared

@@ -44,11 +44,47 @@ object SimilarityQueries {
       .withColumn("norm", sqrt(dot("e", "e")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // D6 — embedding-cosine near-duplicate pairs, blocked by label.
+    // D6 — embedding-cosine near-duplicate pairs, blocked by label:
+    // the exact-within-block ground truth. Quadratic in label-block
+    // width, so test-scale-only as a mining strategy — d9 below is the
+    // bucketed scale path (hyperplane-LSH blocking + this exact cosine
+    // as the verify stage).
     "d6_embedding_neardup" -> ((s, d) => {
       val t = base(s, d)
       t.as("a").join(t.as("b"),
           col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          round(dot("a.e", "b.e") / (col("a.norm") * col("b.norm")), 6))
+        .where(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // D9 — bucketed embedding near-dup: the scale-safe counterpart of
+    // d6, the embedding analog of the d7→d8 chain. The n3 random-
+    // hyperplane signature (6 planes → 64 buckets) is the BLOCKING key:
+    // candidate mining is a per-bucket self-join (cosine-similar
+    // vectors land in the same bucket with high probability), and the
+    // exact cosine — d6's formulation — is the verify stage, computed
+    // only within buckets. Work is quadratic in BUCKET width, not in
+    // label-block width: at 100 TB the bucket count grows with the
+    // plane count (b planes → 2^b buckets, each a partition for
+    // pruning), where d6's label blocks grow with the corpus. The
+    // recall trade (near-dups split across a plane boundary are
+    // missed) is the standard LSH contract; multi-probe or plane
+    // rotations recover it without changing this plan's shape.
+    "d9_embedding_neardup_lsh" -> ((s, d) => {
+      val t = base(s, d)
+      val bucket = (0 until 6).map { b =>
+        when(graft.functions.DotProduct(
+          col("e"), typedlit(hyperplane(b).toSeq)) >= 0, lit(1 << b))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      val bk = t.withColumn("bucket", bucket)
+      bk.as("a").join(bk.as("b"),
+          col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",
           round(dot("a.e", "b.e") / (col("a.norm") * col("b.norm")), 6))
@@ -190,6 +226,14 @@ object SimilarityQueries {
          |  round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
          |FROM b, q WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "d9_embedding_neardup_lsh" ->
+      s"""WITH t AS ($sqlBase),
+         |bk AS (SELECT vec_id, e, norm, $sqlBucket AS bucket FROM t)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) AS cos
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "d6_embedding_neardup" ->
       s"""WITH t AS ($sqlBase)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
