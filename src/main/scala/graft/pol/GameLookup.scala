@@ -23,13 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object GameLookup {
 
-  /** Load the dimension from a CSV fixture (offline stand-in for the
-    * xlsx, SURVEY §1.2): columns Game, Game_id, Pool_id, Bet
-    * [, Max_win_factor]. `row_idx` pins workbook row order (single
-    * small file → single partition → file order).
+  /** Normalize a raw header-named dimension frame (all-string columns
+    * Game, Game_id, Pool_id, Bet [, Max_win_factor]) to the resolved
+    * schema. `row_idx` pins workbook row order (single partition →
+    * encounter order).
     */
-  def fromCsv(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.option("header", "true").csv(path).coalesce(1)
+  private def normalize(raw: DataFrame): DataFrame = {
+    val df = raw.coalesce(1)
     val withMwf =
       if (df.columns.contains("Max_win_factor")) df
       else df.withColumn("Max_win_factor", lit(null).cast("string"))
@@ -41,6 +41,44 @@ object GameLookup {
       col("Max_win_factor").cast("double").as("max_win_factor"),
       monotonically_increasing_id().as("row_idx"))
   }
+
+  /** Load the dimension from a CSV fixture (offline stand-in for the
+    * xlsx, SURVEY §1.2).
+    */
+  def fromCsv(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.read.option("header", "true").csv(path))
+
+  /** Load the dimension straight from the reference's `.xlsx` workbook
+    * (S5: `etl/transform.py:27-58` loads `game_id_to_pools.xlsx`).
+    * xlsx is a zip of XML — this is a dependency-free driver-side
+    * reader (java.util.zip + the JDK's StAX), which is the right scale
+    * shape: the dimension is a handful of rows that the join side
+    * broadcasts; the FACT side never touches this path. Handles shared
+    * strings, inline strings and numeric cells; numeric cell text is
+    * kept verbatim, so integer ids stay "6371", never "6371.0".
+    */
+  def fromXlsx(spark: SparkSession, path: String): DataFrame = {
+    val rows = Xlsx.readRows(path)
+    require(rows.nonEmpty, s"empty worksheet in $path")
+    val header = rows.head.map(h => Option(h).getOrElse(""))
+    val schema = org.apache.spark.sql.types.StructType(header.map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val data = rows.tail.map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        header.indices.map(i => if (i < r.length) r(i) else null))
+    }
+    import scala.jdk.CollectionConverters._
+    normalize(spark.createDataFrame(data.asJava, schema))
+  }
+
+  /** Load the dimension from either artifact kind by extension — the
+    * reference's own `game_id_to_pools.xlsx` works directly, a CSV
+    * export works identically.
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    if (path.toLowerCase.endsWith(".xlsx")) fromXlsx(spark, path)
+    else fromCsv(spark, path)
 
   /** `lstrip('0') or '0'` (trap #6 in SURVEY §7). */
   def strip0(c: Column): Column = {

@@ -60,7 +60,7 @@ object PolMain {
       case None =>
     }
 
-    val dim = GameLookup.fromCsv(spark, lookupCsv)
+    val dim = GameLookup.load(spark, lookupCsv)
     // parse with ride-along error accounting (A8): drop counts surface
     // from the same scan via observe(), printed when actions complete
     val parsed = PolParser.parseObserved(PolParser.readRaw(spark, root))

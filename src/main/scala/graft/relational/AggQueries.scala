@@ -109,6 +109,46 @@ object AggQueries {
         .orderBy("pool")
     }),
 
+    // A7 — cross-file aggregated summary, oracle-gated (the golden-
+    // JSON path in pol/PoolSummary pins the byte-exact reference
+    // shape; this entry proves the same aggregation CONTENT against
+    // DuckDB over testdata): tag distribution (lang plays tag),
+    // files-by-folder (source plays folder), and min/max/avg over the
+    // per-pool rtp/volatility of a6. Long format (section, k, v) so
+    // three heterogeneous summary blocks ride one comparable schema.
+    // The avg goes through an exact DECIMAL sum of the already-2dp
+    // values — partial-aggregation order cannot drift the double.
+    "a7_summary" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tags = docs.groupBy(col("lang").as("k"))
+        .agg(count(lit(1)).cast("double").as("v"))
+        .withColumn("section", lit("tags"))
+      val folders = docs.groupBy(col("source").as("k"))
+        .agg(count(lit(1)).cast("double").as("v"))
+        .withColumn("section", lit("files_by_folder"))
+      val pools = queries("a6_volatility")(s, d)
+      val stats = pools.agg(
+        min($("rtp")).as("rtp_min"),
+        max($("rtp")).as("rtp_max"),
+        round(sum($("rtp").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 2).as("rtp_avg"),
+        min($("volatility")).as("volatility_min"),
+        max($("volatility")).as("volatility_max"),
+        round(sum($("volatility").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 2).as("volatility_avg"),
+        count(lit(1)).cast("double").as("n_pools"))
+      val statsLong = stats.selectExpr(
+        """stack(7,
+          |  'rtp_min', rtp_min, 'rtp_max', rtp_max, 'rtp_avg', rtp_avg,
+          |  'volatility_min', volatility_min, 'volatility_max', volatility_max,
+          |  'volatility_avg', volatility_avg, 'n_pools', n_pools)
+          |AS (k, v)""".stripMargin)
+        .withColumn("section", lit("stats"))
+      tags.unionByName(folders).unionByName(statsLong)
+        .select("section", "k", "v")
+        .orderBy("section", "k")
+    }),
+
     // A9 — rich per-group stats (declared surface, ref README.md:66-103):
     // count/sum/min/max/avg/median/stddev/distinct. stddev is computed
     // from exact integer-valued sums (sum, sum of squares) so both
@@ -185,6 +225,24 @@ object AggQueries {
 
   private def $(name: String): Column = col(name)
 
+  private val sqlA6 =
+    """WITH li AS (
+      |  SELECT l_orderkey % 50 AS pool, l_quantity AS win FROM lineitem
+      |), pool AS (
+      |  SELECT pool, sum(win) AS sum_win, count(*) AS n,
+      |         round(CAST(sum(win) / (count(*) * 5.0) * 100 AS DOUBLE), 2) AS rtp
+      |  FROM li GROUP BY pool
+      |), counts AS (
+      |  SELECT pool, win, count(*) AS cnt FROM li GROUP BY pool, win
+      |)
+      |SELECT c.pool, any_value(p.rtp) AS rtp,
+      |  round(1.645 * sqrt(CAST(sum(CAST(
+      |    round(CAST((c.cnt * 1.0 / p.n) * (c.win / 5.0 - p.rtp / 100) *
+      |          (c.win / 5.0 - p.rtp / 100) AS DOUBLE), 4)
+      |    AS DECIMAL(18,4))) AS DOUBLE)), 2) AS volatility
+      |FROM counts c JOIN pool p USING (pool)
+      |GROUP BY c.pool""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "a1_count" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
@@ -209,23 +267,33 @@ object AggQueries {
     "a5_value_counts" ->
       """SELECT l_quantity AS winning, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "a6_volatility" ->
-      """WITH li AS (
-        |  SELECT l_orderkey % 50 AS pool, l_quantity AS win FROM lineitem
-        |), pool AS (
-        |  SELECT pool, sum(win) AS sum_win, count(*) AS n,
-        |         round(CAST(sum(win) / (count(*) * 5.0) * 100 AS DOUBLE), 2) AS rtp
-        |  FROM li GROUP BY pool
-        |), counts AS (
-        |  SELECT pool, win, count(*) AS cnt FROM li GROUP BY pool, win
-        |)
-        |SELECT c.pool, any_value(p.rtp) AS rtp,
-        |  round(1.645 * sqrt(CAST(sum(CAST(
-        |    round(CAST((c.cnt * 1.0 / p.n) * (c.win / 5.0 - p.rtp / 100) *
-        |          (c.win / 5.0 - p.rtp / 100) AS DOUBLE), 4)
-        |    AS DECIMAL(18,4))) AS DOUBLE)), 2) AS volatility
-        |FROM counts c JOIN pool p USING (pool)
-        |GROUP BY c.pool ORDER BY c.pool""".stripMargin,
+    "a6_volatility" -> s"$sqlA6 ORDER BY c.pool",
+    "a7_summary" ->
+      s"""WITH pools AS ($sqlA6),
+         |stats AS (
+         |  SELECT min(rtp) AS rtp_min, max(rtp) AS rtp_max,
+         |    round(CAST(sum(CAST(rtp AS DECIMAL(18,2))) AS DOUBLE)
+         |      / count(*), 2) AS rtp_avg,
+         |    min(volatility) AS volatility_min,
+         |    max(volatility) AS volatility_max,
+         |    round(CAST(sum(CAST(volatility AS DECIMAL(18,2))) AS DOUBLE)
+         |      / count(*), 2) AS volatility_avg,
+         |    CAST(count(*) AS DOUBLE) AS n_pools
+         |  FROM pools)
+         |SELECT * FROM (
+         |  SELECT 'tags' AS section, lang AS k, CAST(count(*) AS DOUBLE) AS v
+         |  FROM documents GROUP BY lang
+         |  UNION ALL
+         |  SELECT 'files_by_folder', source, CAST(count(*) AS DOUBLE)
+         |  FROM documents GROUP BY source
+         |  UNION ALL SELECT 'stats', 'rtp_min', rtp_min FROM stats
+         |  UNION ALL SELECT 'stats', 'rtp_max', rtp_max FROM stats
+         |  UNION ALL SELECT 'stats', 'rtp_avg', rtp_avg FROM stats
+         |  UNION ALL SELECT 'stats', 'volatility_min', volatility_min FROM stats
+         |  UNION ALL SELECT 'stats', 'volatility_max', volatility_max FROM stats
+         |  UNION ALL SELECT 'stats', 'volatility_avg', volatility_avg FROM stats
+         |  UNION ALL SELECT 'stats', 'n_pools', n_pools FROM stats)
+         |ORDER BY section, k""".stripMargin,
     "a9_rich_stats" ->
       """SELECT l_returnflag AS type_code, count(*) AS n,
         |  sum(l_quantity) AS sum_v, min(l_quantity) AS min_v,

@@ -31,7 +31,7 @@ object IncrementalPol {
       outputFile: java.nio.file.Path,
       checkpointDir: String,
       processedAt: Option[String] = None): Long = {
-    val dim = GameLookup.fromCsv(spark, lookupCsv)
+    val dim = GameLookup.load(spark, lookupCsv)
     // File-granular source (binaryFile): one row per new file, so the
     // batch itself IS the file inventory — 0-byte and all-unparseable
     // files still produce a size-0 document and are recorded, exactly
