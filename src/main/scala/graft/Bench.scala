@@ -33,10 +33,12 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    // Best-of-2 per query: this box is a microVM and host-level
-    // scheduling noise shows up as multi-second roving stalls (observed
-    // 34s..87s catalog totals with identical code, GC/safepoints clean).
-    // The min of two runs measures the engine, not the neighbor.
+    // Best-of-N per query (N = SPARK_GRAFT_BENCH_RUNS, default 2):
+    // this box is a microVM and host-level scheduling noise shows up
+    // as multi-second roving stalls (observed 34s..87s catalog totals
+    // with identical code, GC/safepoints clean). The min of N runs
+    // measures the engine, not the neighbor.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -46,14 +48,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      name -> (1 to runs).map(_ => timeOnce(name, fn)).min
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The JSON goes to BOTH stdout (the driver contract) and a file:
+    // round 2's captured stdout tail lost the total and five queries,
+    // so the file is the durable copy (SPARK_GRAFT_BENCH_OUT to move
+    // it; always one complete line, written atomically via tmp+move).
+    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+    val tmp = outPath.resolveSibling(outPath.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, outPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -232,6 +232,55 @@ object PoolJsonSink {
       .unionByName(incoming)
   }
 
+  /** S6's executable scale path: the MERGE-shaped keyed upsert against
+    * a parquet table hash-partitioned on the upsert key (`__pt =
+    * pmod(xxhash64(key), nBuckets)`) — the same plan a Delta/Iceberg
+    * MERGE lowers to for overwrite-by-key, runnable on plain parquet.
+    *
+    * Only partitions that incoming keys hash into are READ (partition
+    * pruning via the `__pt IN (...)` filter — the bucket list is at
+    * most nBuckets values, collected driver-side) and only those are
+    * REWRITTEN (dynamic partition overwrite); a billion-row table with
+    * a thousand-row incoming batch touches a handful of directories
+    * and leaves the rest byte-identical on disk. The merged touched
+    * partitions are localCheckpoint'ed before the write because Spark
+    * (correctly) refuses to overwrite a path it is still reading from;
+    * the materialized footprint is bounded by the touched partitions,
+    * not the table. On a production cluster, a reliable checkpoint or
+    * a staging-dir swap is the durable variant of that severing step.
+    *
+    * Returns the bucket ids rewritten. `key` must be an unresolved
+    * column expression valid on both incoming and the stored schema
+    * (e.g. `col("metadata.source_file")`).
+    */
+  def upsertPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      incoming: DataFrame,
+      key: org.apache.spark.sql.Column,
+      nBuckets: Int = 64): Seq[Long] = {
+    val withPt = incoming.withColumn("__pt",
+      pmod(xxhash64(key), lit(nBuckets.toLong)))
+    if (!new java.io.File(tableDir).exists()) {
+      withPt.write.partitionBy("__pt").parquet(tableDir)
+      return withPt.select("__pt").distinct().collect().map(_.getLong(0)).toSeq
+    }
+    val touched = withPt.select("__pt").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val existing = spark.read.parquet(tableDir)
+      .where(col("__pt").isin(touched: _*))
+    val keep = existing.join(
+      withPt.select(key.as("__k")).distinct(),
+      key === col("__k"), "left_anti")
+    val merged = keep.unionByName(withPt).localCheckpoint(true)
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__pt")
+      .parquet(tableDir)
+    touched
+  }
+
   // ---------- S7: summary report ----------
 
   /** Render the run summary (`etl/main.py:135-148` shape + A7 block). */
