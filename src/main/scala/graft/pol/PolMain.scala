@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions.col
   * `python etl/main.py [--all]` (`etl/main.py:154-165`): scan → parse →
   * metrics → documents → summary, printed/written from one Spark job.
   *
-  * Usage: PolMain <pol-root> [lookup-csv] [out-dir]
-  *          [--incremental <ckpt-dir> | --ledger <ledger-path>]
+  * Usage: PolMain <pol-root> [lookup-csv-or-xlsx] [out-dir]
+  *          [--incremental <ckpt-dir> | --ledger <ledger-path>
+  *           | --git-diff <repo-root>]
   *
   * With `--incremental` the run uses the streaming changed-files mode
   * (entry point 2): only files the checkpoint has not seen are
@@ -23,7 +24,9 @@ object PolMain {
     val ckpt = if (incIdx >= 0) Some(args(incIdx + 1)) else None
     val ledIdx = args.indexOf("--ledger")
     val ledgerPath = if (ledIdx >= 0) Some(args(ledIdx + 1)) else None
-    val dropped = Seq(incIdx, ledIdx).filter(_ >= 0)
+    val gitIdx = args.indexOf("--git-diff")
+    val gitRepo = if (gitIdx >= 0) Some(args(gitIdx + 1)) else None
+    val dropped = Seq(incIdx, ledIdx, gitIdx).filter(_ >= 0)
       .flatMap(i => Seq(i, i + 1)).toSet
     val pos = args.zipWithIndex.filterNot(z => dropped(z._2)).map(_._1)
     val root = pos.headOption.getOrElse("/root/reference/samples/pools2")
@@ -45,6 +48,20 @@ object PolMain {
         val n = PolPipeline.processChanged(spark, root, lookupCsv,
           java.nio.file.Paths.get(out).resolve("all_pools_data.json"), ckptDir)
         println(s"incremental run: processed $n new file(s) into $out")
+        spark.stop()
+        return
+      case None =>
+    }
+    // --git-diff <repoRoot>: the reference's literal CI mode — discover
+    // changed .pol files via `git diff --name-only HEAD~1 HEAD` under
+    // samples/pools2, full-scan fallback on an empty diff.
+    gitRepo match {
+      case Some(repoRoot) =>
+        val out = pos.lift(2).getOrElse("/tmp/graft_polmain")
+        val n = graft.streaming.ChangedFiles.runGit(
+          spark, repoRoot, "samples/pools2", lookupCsv,
+          java.nio.file.Paths.get(out).resolve("all_pools_data.json"))
+        println(s"git-diff run: processed $n changed file(s) into $out")
         spark.stop()
         return
       case None =>

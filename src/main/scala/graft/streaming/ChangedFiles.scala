@@ -46,21 +46,18 @@ object ChangedFiles {
             org.apache.spark.sql.types.TimestampType))))
   }
 
-  /** One changed-files run: list → diff against the ledger → parse +
-    * transform ONLY the changed files → upsert their documents → write
-    * the new ledger (current inventory, so deletes age out). Returns
-    * the number of files processed.
+  /** Parse + transform exactly the files of `changed` (an inventory
+    * subset) and upsert their documents. Shared by the ledger mode and
+    * the git-diff mode — the discovery strategy is the only thing that
+    * differs between them.
     */
-  def runOnce(
+  private def processChangedSet(
       spark: SparkSession,
       root: String,
-      lookupCsv: String,
+      changed: DataFrame,
+      lookupPath: String,
       outputFile: java.nio.file.Path,
-      ledgerPath: String,
-      processedAt: Option[String] = None): Long = {
-    val inventory = PolParser.listFiles(spark, root)
-    val ledger = loadLedger(spark, ledgerPath)
-    val changed = detect(inventory, ledger).cache()
+      processedAt: Option[String]): Long = {
     val n = changed.count()
     if (n > 0) {
       // scan only the changed files: the text source takes an explicit
@@ -78,7 +75,7 @@ object ChangedFiles {
           col("_metadata.file_modification_time").as("modified_ts"))
       val withMeta = PolParser.pathMeta(raw, base)
       val parsed = PolParser.parse(withMeta)
-      val dim = GameLookup.fromCsv(spark, lookupCsv)
+      val dim = GameLookup.load(spark, lookupPath)
       val files = changed
         .select("relative_path", "file_name", "folder_path", "parent_folder")
       val docs = PoolMetrics.documents(
@@ -86,6 +83,26 @@ object ChangedFiles {
         .collect().toSeq
       PoolJsonSink.upsert(docs, outputFile)
     }
+    n
+  }
+
+  /** One changed-files run: list → diff against the ledger → parse +
+    * transform ONLY the changed files → upsert their documents → write
+    * the new ledger (current inventory, so deletes age out). Returns
+    * the number of files processed.
+    */
+  def runOnce(
+      spark: SparkSession,
+      root: String,
+      lookupCsv: String,
+      outputFile: java.nio.file.Path,
+      ledgerPath: String,
+      processedAt: Option[String] = None): Long = {
+    val inventory = PolParser.listFiles(spark, root)
+    val ledger = loadLedger(spark, ledgerPath)
+    val changed = detect(inventory, ledger).cache()
+    val n = processChangedSet(
+      spark, root, changed, lookupCsv, outputFile, processedAt)
     // new ledger = full current inventory (atomic swap via temp dir)
     val tmp = ledgerPath + "__tmp"
     inventory.select("relative_path", "size_bytes", "modified_ts")
@@ -100,5 +117,54 @@ object ChangedFiles {
     new java.io.File(tmp).renameTo(target)
     changed.unpersist()
     n
+  }
+
+  /** The reference's LITERAL discovery mode (`etl/extract.py:161-211`):
+    * `git diff --name-only <from> <to>` on the repo, keep `.pol` paths
+    * under `subdir`, drop paths that no longer exist (deleted files,
+    * `etl/extract.py:186-189`). Driver-side subprocess by design — a
+    * CI-repo diff is thousands of paths, not a data-scale problem; the
+    * ledger mode above is the engine-native formulation of the same
+    * semantics for corpora that do not live in git. Returned paths are
+    * repo-relative.
+    */
+  def gitChangedFiles(
+      repoRoot: String,
+      subdir: String = "samples/pools2",
+      from: String = "HEAD~1",
+      to: String = "HEAD"): Seq[String] = {
+    import scala.sys.process._
+    val out = Seq("git", "-C", repoRoot, "diff", "--name-only", from, to).!!
+    out.linesIterator
+      .map(_.trim)
+      .filter(p => p.nonEmpty && p.endsWith(".pol"))
+      .filter(p => subdir.isEmpty || p.startsWith(subdir + "/"))
+      .filter(p => new java.io.File(repoRoot, p).exists())
+      .toSeq
+  }
+
+  /** One git-diff-driven run — the drop-in CI replacement for the
+    * reference's incremental mode: changed `.pol` files since the last
+    * commit are reprocessed and upserted; an EMPTY diff falls back to
+    * the full scan, exactly the reference's fallback
+    * (`etl/main.py:82-85`). Returns the number of files processed.
+    */
+  def runGit(
+      spark: SparkSession,
+      repoRoot: String,
+      subdir: String,
+      lookupPath: String,
+      outputFile: java.nio.file.Path,
+      from: String = "HEAD~1",
+      to: String = "HEAD",
+      processedAt: Option[String] = None): Long = {
+    val root = new java.io.File(repoRoot, subdir).getAbsolutePath
+    val inventory = PolParser.listFiles(spark, root)
+    val wanted = gitChangedFiles(repoRoot, subdir, from, to)
+      .map(_.stripPrefix(subdir + "/"))
+    val changed =
+      if (wanted.isEmpty) inventory // empty diff → full scan fallback
+      else inventory.where(col("relative_path").isin(wanted: _*))
+    processChangedSet(spark, root, changed, lookupPath, outputFile, processedAt)
   }
 }
