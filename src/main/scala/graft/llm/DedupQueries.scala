@@ -37,8 +37,8 @@ object DedupQueries {
       |  i -> CAST(conv(substr(md5(substring(text, i + 1, 8)), 1, 7), 16, 10) AS BIGINT)))"""
       .stripMargin
 
-  /** DuckDB equivalent of [[shingleHashesExpr]]. */
-  private val sqlShingleHashes =
+  /** DuckDB equivalent of [[shingleHashesExpr]] (shared with x8). */
+  private[llm] val sqlShingleHashes =
     """list_distinct(list_transform(
       |  range(greatest(len(text) - 7, 1)),
       |  i -> CAST('0x' || substr(md5(substr(text, i + 1, 8)), 1, 7) AS BIGINT)))"""

@@ -159,6 +159,43 @@ object TextQueries {
         .orderBy(col("n").desc, col("tok"))
         .limit(20)),
 
+    // X8 — benchmark decontamination: flag training docs sharing any
+    // 8-char shingle hash with the benchmark/eval set (held-out docs,
+    // here deterministically doc_id % 97 == 0) — the standard n-gram
+    // decontamination pass every LLM corpus runs before training.
+    // Scale shape: benchmark suites are MEGABYTES (the corpus is the
+    // 100 TB side), so the benchmark shingle set BROADCASTS and the
+    // semi-join is map-side — the only shuffle is the per-doc overlap
+    // count over surviving rows. At production scale the broadcast set
+    // becomes a bloom filter pushed into the scan (same plan shape,
+    // sketch instead of set); this exact form is the oracle-checkable
+    // baseline.
+    "x8_decontaminate" -> ((s, d) => {
+      val hs = documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes(col("text")).as("hs"))
+      val bench = hs.where(col("doc_id") % 97 === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+      val overlap = hs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      // contamination = fraction of the DOC's shingles found in the
+      // benchmark set (≥ 0.5): an absolute count is vacuous when the
+      // corpus shares boilerplate vocabulary; the fraction is the form
+      // production decontamination uses (n-gram overlap ratio)
+      hs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), size(col("hs")).as("n_shingles"))
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)) / col("n_shingles"), 4)
+            .as("overlap_frac"),
+          (coalesce(col("n_overlap"), lit(0L)) / col("n_shingles") >= 0.5)
+            .cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // X4 — winnowing fingerprint: 8-char shingle hashes, min over each
     // 4-shingle window, distinct mins are the fingerprint set. Exposed
     // as count/min/max/sum so the result is scalar per doc. The native
@@ -277,6 +314,25 @@ object TextQueries {
           |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
           |  FROM documents)
           |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+      "x8_decontaminate" ->
+        s"""WITH hs AS (
+           |  SELECT doc_id, ${DedupQueries.sqlShingleHashes} AS hs
+           |  FROM documents),
+           |bench AS (
+           |  SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0),
+           |docs AS (
+           |  SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0),
+           |ov AS (
+           |  SELECT doc_id, count(*) AS n_overlap FROM docs
+           |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+           |SELECT h.doc_id AS doc_id,
+           |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(h.hs), 4)
+           |    AS overlap_frac,
+           |  CAST(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(h.hs) >= 0.5
+           |    AS INT) AS contaminated
+           |FROM hs h LEFT JOIN ov USING (doc_id)
+           |WHERE h.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
       "x4_fingerprint" ->
         """WITH sh0 AS (
           |  SELECT doc_id,
