@@ -63,26 +63,31 @@ object SimilarityQueries {
     }),
 
     // D9 — bucketed embedding near-dup: the scale-safe counterpart of
-    // d6, the embedding analog of the d7→d8 chain. The n3 random-
-    // hyperplane signature (6 planes → 64 buckets) is the BLOCKING key:
-    // candidate mining is a per-bucket self-join (cosine-similar
-    // vectors land in the same bucket with high probability), and the
-    // exact cosine — d6's formulation — is the verify stage, computed
-    // only within buckets. Work is quadratic in BUCKET width, not in
-    // label-block width: at 100 TB the bucket count grows with the
-    // plane count (b planes → 2^b buckets, each a partition for
-    // pruning), where d6's label blocks grow with the corpus. The
-    // recall trade (near-dups split across a plane boundary are
-    // missed) is the standard LSH contract; multi-probe or plane
-    // rotations recover it without changing this plan's shape.
+    // d6, the embedding analog of the d7→d8 chain. Random-hyperplane
+    // signatures are the BLOCKING key — L=4 independent hash tables of
+    // 6 planes each (planes 6t..6t+5 → bucket 64t..64t+63), exploded
+    // exactly like d7's LSH bands, so candidate mining is ONE
+    // per-(table,bucket) self-join and the exact cosine — d6's
+    // formulation — is the verify stage, computed only within buckets.
+    // Work is quadratic in BUCKET width, never in corpus or
+    // label-block width; recall compounds across tables (a pair is
+    // found unless EVERY table splits it — measured 2→14 of the 59
+    // true cos≥0.4 pairs going 1→4 tables on the sf0.01 testdata,
+    // and far higher for genuinely near-identical vectors). At 100 TB
+    // the two dials are planes-per-table (bucket width) and table
+    // count (recall) — the same machinery production SimHash/LSH
+    // dedup runs, without changing this plan's shape.
     "d9_embedding_neardup_lsh" -> ((s, d) => {
       val t = base(s, d)
-      val bucket = (0 until 6).map { b =>
-        when(graft.functions.DotProduct(
-          col("e"), typedlit(hyperplane(b).toSeq)) >= 0, lit(1 << b))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-      val bk = t.withColumn("bucket", bucket)
+      val tableBuckets = (0 until 4).map { tab =>
+        (0 until 6).map { j =>
+          when(graft.functions.DotProduct(
+            col("e"), typedlit(hyperplane(6 * tab + j).toSeq)) >= 0,
+            lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _) + lit(64 * tab)
+      }
+      val bk = t.withColumn("bucket",
+        explode(array(tableBuckets: _*)))
       bk.as("a").join(bk.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -91,6 +96,7 @@ object SimilarityQueries {
         .where(col("cos") >= 0.4)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("cos"))
+        .dropDuplicates("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     }),
 
@@ -216,6 +222,15 @@ object SimilarityQueries {
       .stripMargin
   }.mkString(" + ")
 
+  /** d9's hash table `tab`: planes 6·tab..6·tab+5 → bucket 64·tab + b. */
+  private def sqlBucketTable(tab: Int): String = (0 until 6).map { j =>
+    val plane = 6 * tab + j
+    s"""(CASE WHEN list_inner_product(e, list_transform(range(64),
+       |  j -> CAST('0x' || substr(md5(concat('$plane', '_', j)), 1, 7) AS BIGINT)
+       |       / 134217728.0 - 1.0)) >= 0 THEN ${1 << j} ELSE 0 END)"""
+      .stripMargin
+  }.mkString(" + ") + s" + ${64 * tab}"
+
   val oracle: Map[String, String] = Map(
     "n3_ann_lsh" ->
       s"""WITH t AS ($sqlBase),
@@ -228,8 +243,10 @@ object SimilarityQueries {
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "d9_embedding_neardup_lsh" ->
       s"""WITH t AS ($sqlBase),
-         |bk AS (SELECT vec_id, e, norm, $sqlBucket AS bucket FROM t)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |bk AS (SELECT vec_id, e, norm, unnest([
+         |  ${(0 until 4).map(sqlBucketTable).mkString(",\n  ")}]) AS bucket
+         |  FROM t)
+         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) AS cos
          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.4

@@ -106,11 +106,17 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
-  test("star contraction needs no more rounds than min-label on a path graph") {
+  test("both CC variants are log-round-bounded on a path graph") {
     import spark.implicits._
-    // a 64-node path is the adversarial shape for label propagation:
-    // the min label must travel the full diameter. Star contraction
-    // rewrites the edges themselves and converges in O(log n) rounds.
+    // a 64-node path is the adversarial shape for naive label
+    // propagation: the min label must travel the full diameter (63
+    // hops → 63 rounds without jumping). Star contraction rewrites the
+    // edges themselves; min-label with pointer jumping + seeded init
+    // doubles label travel per round. Both must land in O(log n)
+    // rounds — measured 6 (min-label) and 7 (star); star's remaining
+    // value is that per-round WORK shrinks with the contracting edge
+    // set and needs no separate vertex-label table, which is the
+    // safety margin for high-degree + long-path graph mixes.
     val path = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (lblMin, roundsMin) =
       CurationQueries.connectedComponentsWithRounds(path)
@@ -121,8 +127,9 @@ class CurationSpec extends AnyFunSuite {
       == wantAll0)
     assert(lblStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       == wantAll0)
-    assert(roundsStar <= roundsMin,
-      s"star took $roundsStar rounds vs min-label $roundsMin")
+    assert(roundsMin <= 8 && roundsStar <= 8,
+      s"rounds not log-bounded: min-label $roundsMin, star $roundsStar " +
+        "(naive propagation would need 63)")
   }
 
   test("hash split partitions every doc exactly once") {
