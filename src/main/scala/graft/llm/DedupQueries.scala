@@ -162,8 +162,11 @@ object DedupQueries {
     "d3_minhash_lsh_pairs" -> ((s, d) => {
       val banded = sigs(s, d)
         .withColumn("bucket", explode(expr(bucketsExpr)))
-      val pairs = banded.as("a")
-        .join(banded.as("b"),
+      // shuffle-hash hints: size estimation cannot see the band
+      // explode's blow-up and would broadcast the full banded relation
+      // — a plan that cannot survive scale-up (same reasoning as d4)
+      val pairs = banded.as("a").hint("shuffle_hash")
+        .join(banded.as("b").hint("shuffle_hash"),
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -194,9 +197,15 @@ object DedupQueries {
         .agg(count(lit(1)).as("w"))
         .where(col("w") <= BucketCap)
         .select("bucket")
-      val capped = banded.join(narrow, "bucket")
-      val pairs = capped.as("a")
-        .join(capped.as("b"),
+      // shuffle-hash hints throughout: the bucket-id relation scales
+      // with |docs|·bands/width and the banded relation with
+      // |docs|·bands — neither is broadcastable at 100 TB, but size
+      // estimation cannot see past the explode and would broadcast
+      // (same reasoning as d4)
+      val capped = banded.hint("shuffle_hash")
+        .join(narrow.hint("shuffle_hash"), "bucket")
+      val pairs = capped.as("a").hint("shuffle_hash")
+        .join(capped.as("b").hint("shuffle_hash"),
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -221,9 +230,13 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"))
       val hs = documents(s, d)
         .select(col("doc_id"), graft.functions.ShingleHashes(col("text")).as("hs"))
-      cands
-        .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-        .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      // the shingle-array relation is corpus-sized (and each row wide);
+      // hint both verify joins off the broadcast path
+      cands.hint("shuffle_hash")
+        .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+          .hint("shuffle_hash"), "doc_b")
         .withColumn("shared",
           expr("size(array_intersect(hs_a, hs_b))"))
         .withColumn("jaccard", round(

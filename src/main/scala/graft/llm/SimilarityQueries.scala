@@ -88,7 +88,11 @@ object SimilarityQueries {
       }
       val bk = t.withColumn("bucket",
         explode(array(tableBuckets: _*)))
-      bk.as("a").join(bk.as("b"),
+      // shuffle-hash hints: the banded relation is L·|vectors| rows of
+      // wide embedding arrays — size estimation cannot see past the
+      // explode and would broadcast it (the d4 bug class)
+      bk.as("a").hint("shuffle_hash")
+        .join(bk.as("b").hint("shuffle_hash"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",

@@ -113,7 +113,10 @@ object TextQueries {
         .groupBy("doc_id", "n_toks", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(round(max(col("c")) / first(col("n_toks")), 4).as("top_tok_frac"))
-      inRow.join(topTok, "doc_id")
+      // both sides are corpus-sized (topTok is a per-doc aggregate of
+      // the whole corpus) — keep the recombine join off the broadcast
+      // path the explode hides it onto
+      inRow.hint("shuffle_hash").join(topTok.hint("shuffle_hash"), "doc_id")
         .select("doc_id", "n_toks", "dup_word_frac", "dup_bigram_frac",
           "top_tok_frac")
         .orderBy("doc_id")
@@ -184,9 +187,13 @@ object TextQueries {
       // benchmark set (≥ 0.5): an absolute count is vacuous when the
       // corpus shares boilerplate vocabulary; the fraction is the form
       // production decontamination uses (n-gram overlap ratio)
+      // both sides of the count join are corpus-sized — keep it off
+      // the broadcast path (the benchmark broadcast above is the ONLY
+      // intended broadcast in this plan)
       hs.where(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), size(col("hs")).as("n_shingles"))
-        .join(overlap, Seq("doc_id"), "left")
+        .hint("shuffle_hash")
+        .join(overlap.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
           round(coalesce(col("n_overlap"), lit(0L)) / col("n_shingles"), 4)

@@ -93,7 +93,12 @@ object Skew {
     val saltedFact = fact.withColumn("__salt", salt(buckets))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
-    saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType)
+    // shuffle-hash hints: the dim is non-broadcastable BY CONTRACT
+    // (that is why it is being salted), but size estimation cannot see
+    // the replication explode and would happily broadcast it — which
+    // both defeats the salting and dies at scale
+    saltedFact.hint("shuffle_hash")
+      .join(replicatedDim.hint("shuffle_hash"), Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
 }

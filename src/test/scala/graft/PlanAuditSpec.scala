@@ -34,6 +34,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("no query broadcasts an exploded relation") {
+    // The d4 bug class, mechanically guarded: size estimation cannot
+    // see an explode's blow-up, so a banded/shingled relation (which
+    // scales with the corpus) silently rides a BroadcastExchange — a
+    // plan that dies at the first real scale-up. Allowlist: x8's
+    // benchmark shingle set is exploded AND broadcast on purpose
+    // (benchmarks are MBs by contract; the corpus is the probe side).
+    // A broadcast whose subtree caps itself with a limit (n2's
+    // 2-centroid probe) is bounded no matter what explodes below it.
+    val allowed = Set("x8_decontaminate")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, _) if streaming(name) || allowed(name) => None
+        case (name, fn) =>
+          val plan = fn(spark, sf0001).queryExecution.executedPlan
+          val hit = plan.collect {
+            case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+                if b.collect {
+                  case g: org.apache.spark.sql.execution.GenerateExec => g
+                }.nonEmpty && b.collect {
+                  case l: org.apache.spark.sql.execution.BaseLimitExec => l
+                  case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+                }.isEmpty => b
+          }
+          if (hit.nonEmpty) Some(name) else None
+      }
+      assert(bad.isEmpty,
+        s"broadcasting an exploded relation: ${bad.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("c3_quota_sample plans no window over an unbounded partition") {
     // the r2 scale-killer: row_number().over(partitionBy(source)) sorts
     // a whole source inside one task. The bounded top-k aggregator must
