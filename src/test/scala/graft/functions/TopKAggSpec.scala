@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The top-k aggregator's scale contract is that PARTIAL aggregation
+  * is invisible: any partitioning of the input into reduce chunks,
+  * merged in any order, must equal the global sort-take-k. Spark only
+  * exercises one merge shape per run, so the property is pinned here
+  * directly against random splits and merge orders.
+  */
+class TopKAggSpec extends AnyFunSuite {
+
+  private val k = 5
+  private val agg = TopKAgg.topKByKey(k)
+
+  private var state = 13L
+  private def next(mod: Int): Int = {
+    state = state * 6364136223846793005L + 1442695040888963407L
+    Math.floorMod(state >>> 11, mod.toLong).toInt
+  }
+
+  private def randomInput(n: Int): Seq[(String, Long)] =
+    (0 until n).map { _ =>
+      // duplicate-heavy keys exercise the (key, id) tiebreak
+      (f"k${next(40)}%02d", next(1000).toLong)
+    }
+
+  private def oracle(in: Seq[(String, Long)]): Seq[Long] =
+    in.sorted.take(k).map(_._2)
+
+  test("random splits + shuffled merge order == global sort-take-k") {
+    (1 to 20).foreach { trial =>
+      val in = randomInput(1 + next(200))
+      // split into 1..6 chunks at random boundaries
+      val nChunks = 1 + next(6)
+      val chunks = in.grouped(math.max(1, in.length / nChunks)).toSeq
+      var bufs = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+      // merge in a shuffled order, pairwise
+      while (bufs.length > 1) {
+        val i = next(bufs.length - 1)
+        val merged = agg.merge(bufs(i), bufs(i + 1))
+        bufs = bufs.patch(i, Seq(merged), 2)
+      }
+      val got = agg.finish(bufs.head).ids
+      assert(got == oracle(in), s"trial $trial over ${in.length} rows")
+    }
+  }
+
+  test("fewer than k inputs returns all, in rank order") {
+    val in = Seq(("b", 2L), ("a", 9L), ("a", 1L))
+    val got = agg.finish(in.foldLeft(agg.zero)(agg.reduce)).ids
+    assert(got == Seq(1L, 9L, 2L))
+  }
+
+  test("buffer never holds more than 4k entries") {
+    val in = randomInput(500)
+    val buf = in.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.items.length <= 4 * k)
+  }
+}
