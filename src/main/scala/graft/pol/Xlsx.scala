@@ -35,9 +35,20 @@ object Xlsx {
         }
       val shared = slurp("xl/sharedStrings.xml")
         .map(parseSharedStrings).getOrElse(Vector.empty)
-      val sheet = slurp("xl/worksheets/sheet1.xml").getOrElse(
+      // resolve the FIRST sheet through workbook.xml + its rels (sheet
+      // order is workbook metadata — after reordering, the first tab
+      // can be stored as any sheetN.xml); fall back to the
+      // openpyxl/pandas default layout
+      val sheetPath = (for {
+        wb <- slurp("xl/workbook.xml")
+        rels <- slurp("xl/_rels/workbook.xml.rels")
+        rid <- firstSheetRelId(wb)
+        target <- relTarget(rels, rid)
+      } yield if (target.startsWith("/")) target.stripPrefix("/")
+        else s"xl/$target").getOrElse("xl/worksheets/sheet1.xml")
+      val sheet = slurp(sheetPath).getOrElse(
         throw new IllegalArgumentException(
-          s"$path: no xl/worksheets/sheet1.xml (not an xlsx workbook?)"))
+          s"$path: no $sheetPath (not an xlsx workbook?)"))
       parseSheet(sheet, shared)
     } finally zf.close()
   }
@@ -48,6 +59,38 @@ object Xlsx {
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.createXMLStreamReader(new StringReader(xml))
+  }
+
+  /** r:id of the first `<sheet>` of workbook.xml (document order). */
+  private[pol] def firstSheetRelId(workbookXml: String): Option[String] = {
+    val r = reader(workbookXml)
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet") {
+          (0 until r.getAttributeCount).foreach { i =>
+            if (r.getAttributeLocalName(i) == "id")
+              return Some(r.getAttributeValue(i))
+          }
+        }
+      }
+      None
+    } finally r.close()
+  }
+
+  /** Target of the relationship with the given Id in a .rels part. */
+  private[pol] def relTarget(relsXml: String, rid: String): Option[String] = {
+    val r = reader(relsXml)
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship" &&
+            r.getAttributeValue(null, "Id") == rid) {
+          return Option(r.getAttributeValue(null, "Target"))
+        }
+      }
+      None
+    } finally r.close()
   }
 
   /** `<si>` entries; rich-text runs concatenate their `<t>` pieces. */

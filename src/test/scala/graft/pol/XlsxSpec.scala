@@ -60,6 +60,39 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows == Seq(Seq("6371", "10")))
   }
 
+  test("first sheet resolves through workbook rels, not a hardcoded name") {
+    // after tab reordering the FIRST sheet can be stored as any
+    // sheetN.xml — the reader must follow workbook.xml → rels
+    val f = java.nio.file.Files.createTempFile("graft_xlsx_r", ".xlsx").toFile
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Main" sheetId="7" r:id="rId9"/>
+        |<sheet name="Other" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships>
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId9" Target="worksheets/sheet3.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1"><v>WRONG</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    entry("xl/worksheets/sheet3.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1"><v>RIGHT</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    assert(Xlsx.readRows(f.getAbsolutePath) == Seq(Seq("RIGHT")))
+  }
+
   test("column reference decoding handles multi-letter columns") {
     assert(Xlsx.colIndex("A1") == 0)
     assert(Xlsx.colIndex("Z9") == 25)
