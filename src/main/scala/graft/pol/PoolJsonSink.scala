@@ -281,6 +281,42 @@ object PoolJsonSink {
     touched
   }
 
+  /** Maintenance for [[upsertPartitioned]] tables: every MERGE batch
+    * appends at least one parquet file to each touched bucket, so a
+    * table taking frequent small upserts accumulates the classic
+    * small-files problem (scan tasks, open costs and footer reads all
+    * scale with file count, not bytes). Compaction rewrites ONLY the
+    * buckets whose file count exceeds `maxFilesPerPartition` — one
+    * task per fat bucket (`repartition` on the partition column), so
+    * each lands as a single file — and leaves every other partition
+    * byte-identical on disk. Returns the bucket ids compacted.
+    */
+  def compactPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      maxFilesPerPartition: Int = 4): Seq[Long] = {
+    val root = new java.io.File(tableDir)
+    val fat = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("__pt="))
+      .filter(_.listFiles().count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith(".")) >
+        maxFilesPerPartition)
+      .map(_.getName.stripPrefix("__pt=").toLong)
+      .toSeq
+    if (fat.nonEmpty) {
+      val df = spark.read.parquet(tableDir)
+        .where(col("__pt").isin(fat: _*))
+        .localCheckpoint(true) // sever file lineage before overwrite
+      df.repartition(fat.size, col("__pt"))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__pt")
+        .parquet(tableDir)
+    }
+    fat
+  }
+
   // ---------- S7: summary report ----------
 
   /** Render the run summary (`etl/main.py:135-148` shape + A7 block). */

@@ -61,6 +61,46 @@ class PartitionedUpsertSpec extends AnyFunSuite {
     assert(got("key7") == "v0_7")
   }
 
+  test("compaction squashes only fat buckets, preserves content") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("table").toString
+    val base = (0 until 60).map(i => (s"key$i", s"v0_$i")).toDF("k", "payload")
+      .coalesce(1)
+    PoolJsonSink.upsertPartitioned(spark, dir, base, col("k"), nBuckets = 4)
+    // fatten ONE bucket: a wide-parallelism upsert writes one file per
+    // task per touched partition (at cluster scale: hundreds of files
+    // per bucket per MERGE batch — exactly the small-files problem)
+    val hot = base
+      .where(pmod(xxhash64(col("k")), lit(4L)) === 1)
+      .withColumn("payload", concat(col("payload"), lit("_u")))
+    val touched = PoolJsonSink.upsertPartitioned(spark, dir,
+      hot.repartition(12), col("k"), nBuckets = 4)
+    assert(touched == Seq(1L))
+    val before = listByPartition(dir)
+    assert(before("__pt=1").count(_.endsWith(".parquet")) > 4,
+      "setup: hot bucket must have accumulated small files")
+
+    val compacted = PoolJsonSink.compactPartitions(spark, dir,
+      maxFilesPerPartition = 4)
+    assert(compacted == Seq(1L))
+    val after = listByPartition(dir)
+    // fat bucket: down to one file; all others: byte-identical listing
+    assert(after("__pt=1").count(_.endsWith(".parquet")) == 1)
+    (before.keySet - "__pt=1").foreach { p =>
+      assert(after(p) == before(p), s"cold partition $p was rewritten")
+    }
+    // content identical: 60 keys, hot-bucket keys at their new values
+    val got = spark.read.parquet(dir)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    val hotKeys = hot.select("k").as[String].collect().toSet
+    assert(got.size == 60)
+    hotKeys.foreach(k => assert(got(k).endsWith("_u"), s"$k not updated"))
+    (got.keySet -- hotKeys).foreach(k => assert(!got(k).endsWith("_u")))
+    // and a second compaction is a no-op
+    assert(PoolJsonSink.compactPartitions(spark, dir, 4).isEmpty)
+  }
+
   test("upsert of an already-present identical key is idempotent") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert2")
