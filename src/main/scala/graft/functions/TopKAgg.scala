@@ -66,4 +66,61 @@ object TopKAgg {
   def topDocs(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(topKByKey(k),
       Encoders.product[(String, Long)])
+
+  /** One scored neighbor: id plus the score that ranked it. */
+  case class Hit(id: Long, score: Double)
+  case class SBuf(items: mutable.ArrayBuffer[(Double, Long)])
+  case class ScoredOut(items: Seq[Hit])
+
+  /** Bounded per-group top-k by DESCENDING score (ties → smaller id) —
+    * the k-NN-join shape: per probe, keep the k best-scoring neighbors.
+    * Same partial-aggregation mechanics as [[topKByKey]]: each task
+    * holds ≤4k entries per group, partials combine map-side, the
+    * shuffle carries k·|groups| tuples regardless of corpus skew — vs
+    * the window formulation that sorts every candidate row of a probe
+    * in one task. Scores must be pre-rounded upstream if cross-engine
+    * rank stability is required (doubles compare exactly after both
+    * engines round to the same decimals).
+    */
+  def topKByScore(k: Int): Aggregator[(Double, Long), SBuf, ScoredOut] =
+    new Aggregator[(Double, Long), SBuf, ScoredOut] {
+      // descending score, ascending id — NaN-free by construction
+      // (cosines of non-zero vectors), so Double.TotalOrdering's NaN
+      // placement never engages
+      private val ord = Ordering.by[(Double, Long), (Double, Long)] {
+        case (s, id) => (-s, id)
+      }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+
+      private def trim(b: SBuf): SBuf = {
+        if (b.items.length > k) {
+          val kept = b.items.sorted(ord).take(k)
+          b.items.clear()
+          b.items ++= kept
+        }
+        b
+      }
+
+      def zero: SBuf = SBuf(mutable.ArrayBuffer.empty)
+
+      def reduce(b: SBuf, in: (Double, Long)): SBuf = {
+        b.items += in
+        if (b.items.length >= 4 * k) trim(b) else b
+      }
+
+      def merge(x: SBuf, y: SBuf): SBuf = { x.items ++= y.items; trim(x) }
+
+      def finish(b: SBuf): ScoredOut =
+        ScoredOut(b.items.sorted(ord).take(k)
+          .map { case (s, id) => Hit(id, s) }.toSeq)
+
+      def bufferEncoder: Encoder[SBuf] = Encoders.kryo[SBuf]
+      def outputEncoder: Encoder[ScoredOut] = Encoders.product[ScoredOut]
+    }
+
+  /** `df.groupBy(g).agg(topNeighbors(k)(scoreCol, idCol))` → struct
+    * with `items`: k (id, score) hits in (score desc, id) rank order.
+    */
+  def topNeighbors(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(topKByScore(k),
+      Encoders.product[(Double, Long)])
 }

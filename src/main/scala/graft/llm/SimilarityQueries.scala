@@ -151,6 +151,36 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // N5 — batch k-NN JOIN: top-5 neighbors for EVERY probe in a probe
+    // SET (vec_id % 50 = 0), not a single query vector — the shape a
+    // curation pipeline actually runs (dedup a batch of new docs
+    // against the corpus, retrieve for N training prompts at once).
+    // Scale design: the probe set is the SMALL side (thousands of rows)
+    // and broadcasts; each corpus partition scores its rows against
+    // every probe map-side, and the per-probe global top-k is a bounded
+    // [[graft.functions.TopKAgg.topKByScore]] aggregation — partials
+    // combine map-side, the shuffle carries k·|probes| tuples, and no
+    // task ever sorts more than 4k candidates per probe. The window
+    // formulation (row_number over probe_id) would sort |corpus| rows
+    // per probe in one task each — the c3 scale-killer shape again.
+    "n5_knn_join" -> ((s, d) => {
+      val t = base(s, d)
+      val probes = t.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("e").as("qe"),
+          col("norm").as("qnorm"))
+      val scored = t.where(col("vec_id") % 50 =!= 0)
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6).as("cos"))
+      val topk = graft.functions.TopKAgg.topNeighbors(5)
+      scored.groupBy("probe_id")
+        .agg(topk(col("cos"), col("vec_id")).as("top"))
+        .select(col("probe_id"), posexplode(col("top.items")))
+        .select(col("probe_id"), (col("pos") + 1).as("rk"),
+          col("col.id").as("vec_id"), col("col.score").as("cos"))
+        .orderBy("probe_id", "rk")
+    }),
+
     // N4 — int8 embedding quantization (symmetric, per-vector scale =
     // max|x|/127): the standard 4× memory/bandwidth reduction before an
     // ANN index is built over a 100 TB embedding corpus. floor() (not
@@ -262,6 +292,19 @@ object SimilarityQueries {
          |FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "n5_knn_join" ->
+      s"""WITH t AS ($sqlBase),
+         |p AS (SELECT vec_id AS probe_id, e AS qe, norm AS qnorm
+         |      FROM t WHERE vec_id % 50 = 0),
+         |c AS (SELECT probe_id, vec_id,
+         |        round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
+         |      FROM t, p WHERE vec_id % 50 <> 0),
+         |r AS (SELECT probe_id, vec_id, cos,
+         |        row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY cos DESC, vec_id) AS rk
+         |      FROM c)
+         |SELECT probe_id, rk, vec_id, cos FROM r WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin,
     "n1_ann_bruteforce" ->
       s"""WITH t AS ($sqlBase),
          |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0)

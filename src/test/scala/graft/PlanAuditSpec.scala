@@ -17,8 +17,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val streaming = Set("t1_stream_agg", "t2_stream_window",
     "t4_stream_stream_join", "t5_stream_dedup")
+  // n1/n2/r14 broadcast a single row; n5 broadcasts the probe SET —
+  // small by contract (the batch being deduped/retrieved-for), with
+  // the corpus streaming against it map-side and the per-probe top-k
+  // bounded by the TopKAgg aggregation above it.
   private val bnljAllowed = Set("n1_ann_bruteforce", "n2_ann_ivf",
-    "r14_scalar_subquery")
+    "r14_scalar_subquery", "n5_knn_join")
 
   test("no catalog query plans a cartesian product or stray BNLJ") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

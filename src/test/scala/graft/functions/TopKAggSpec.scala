@@ -57,4 +57,46 @@ class TopKAggSpec extends AnyFunSuite {
     val buf = in.foldLeft(agg.zero)(agg.reduce)
     assert(buf.items.length <= 4 * k)
   }
+
+  // --- topKByScore (the n5 k-NN-join variant: DESC score, ASC id) ---
+
+  private val sAgg = TopKAgg.topKByScore(k)
+
+  private def randomScored(n: Int): Seq[(Double, Long)] =
+    (0 until n).map { _ =>
+      // coarse score grid forces ties → exercises the id tiebreak
+      (next(20) / 10.0, next(1000).toLong)
+    }
+
+  private def scoredOracle(in: Seq[(Double, Long)]): Seq[(Long, Double)] =
+    in.sortBy { case (s, id) => (-s, id) }.take(k)
+      .map { case (s, id) => (id, s) }
+
+  test("score variant: random splits + shuffled merges == sort-take-k") {
+    (1 to 20).foreach { trial =>
+      val in = randomScored(1 + next(200))
+      val nChunks = 1 + next(6)
+      val chunks = in.grouped(math.max(1, in.length / nChunks)).toSeq
+      var bufs = chunks.map(c => c.foldLeft(sAgg.zero)(sAgg.reduce))
+      while (bufs.length > 1) {
+        val i = next(bufs.length - 1)
+        val merged = sAgg.merge(bufs(i), bufs(i + 1))
+        bufs = bufs.patch(i, Seq(merged), 2)
+      }
+      val got = sAgg.finish(bufs.head).items.map(h => (h.id, h.score))
+      assert(got == scoredOracle(in), s"trial $trial over ${in.length} rows")
+    }
+  }
+
+  test("score variant ranks descending with ascending-id tiebreak") {
+    val in = Seq((0.5, 7L), (0.9, 3L), (0.9, 1L), (0.1, 9L), (0.5, 2L))
+    val got = sAgg.finish(in.foldLeft(sAgg.zero)(sAgg.reduce)).items
+      .map(h => (h.id, h.score))
+    assert(got == Seq((1L, 0.9), (3L, 0.9), (2L, 0.5), (7L, 0.5), (9L, 0.1)))
+  }
+
+  test("score variant buffer never holds more than 4k entries") {
+    val buf = randomScored(500).foldLeft(sAgg.zero)(sAgg.reduce)
+    assert(buf.items.length <= 4 * k)
+  }
 }
