@@ -203,6 +203,51 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // X9 — bloom-sketch decontamination: the AT-SCALE form of x8's
+    // plan, producing the IDENTICAL exact result (shared oracle). The
+    // benchmark shingle set folds into a bloom filter via Spark's own
+    // BloomFilterAggregate (distributed build, partials OR together);
+    // the sketch ships to the driver as ONE binary value and is inlined
+    // as a constant, so the corpus-side prefilter
+    // might_contain(sketch, h) is MAP-ONLY — applied inside whole-stage
+    // codegen right at the shingle explode, before any join machinery.
+    // The exact broadcast semi-join then runs only over bloom
+    // SURVIVORS, killing false positives. At 100 TB the difference vs
+    // x8 is the fraction of the exploded shingle stream that ever
+    // reaches the join: the sketch rejects the overwhelming clean
+    // majority at scan speed, and (unlike the broadcast hash set) its
+    // size is fixed by the filter's bit budget, not the benchmark's
+    // distinct-shingle count.
+    "x9_decontaminate_bloom" -> ((s, d) => {
+      val hs = documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes(col("text")).as("hs"))
+      val bench = hs.where(col("doc_id") % 97 === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+      // distributed sketch build; a single ~KB-scale binary reaches the
+      // driver — the same ship-the-sketch movement Spark's runtime
+      // filters perform, not a data collect
+      val sketch = bench
+        .agg(graft.functions.BloomSketch.build(col("h"), 1L << 20).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val corpus = hs.where(col("doc_id") % 97 =!= 0)
+      val overlap = corpus
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .where(graft.functions.BloomSketch.mightContain(sketch, col("h")))
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      corpus.select(col("doc_id"), size(col("hs")).as("n_shingles"))
+        .hint("shuffle_hash")
+        .join(overlap.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)) / col("n_shingles"), 4)
+            .as("overlap_frac"),
+          (coalesce(col("n_overlap"), lit(0L)) / col("n_shingles") >= 0.5)
+            .cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // X4 — winnowing fingerprint: 8-char shingle hashes, min over each
     // 4-shingle window, distinct mins are the fingerprint set. Exposed
     // as count/min/max/sum so the result is scalar per doc. The native
@@ -226,7 +271,29 @@ object TextQueries {
   val oracle: Map[String, String] = {
     val en = enStop.map(w => s"'$w'").mkString(", ")
     val da = dataStop.map(w => s"'$w'").mkString(", ")
+    // x9 is the bloom-prefiltered EXACT-result form of x8 — one oracle
+    // pins both plans to the same answer
+    val decontamSql =
+      s"""WITH hs AS (
+         |  SELECT doc_id, ${DedupQueries.sqlShingleHashes} AS hs
+         |  FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0),
+         |docs AS (
+         |  SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0),
+         |ov AS (
+         |  SELECT doc_id, count(*) AS n_overlap FROM docs
+         |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+         |SELECT h.doc_id AS doc_id,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(h.hs), 4)
+         |    AS overlap_frac,
+         |  CAST(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(h.hs) >= 0.5
+         |    AS INT) AS contaminated
+         |FROM hs h LEFT JOIN ov USING (doc_id)
+         |WHERE h.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin
     Map(
+      "x9_decontaminate_bloom" -> decontamSql,
       "x1_langid" ->
         s"""WITH t AS (
            |  SELECT doc_id,
@@ -321,25 +388,7 @@ object TextQueries {
           |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
           |  FROM documents)
           |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
-      "x8_decontaminate" ->
-        s"""WITH hs AS (
-           |  SELECT doc_id, ${DedupQueries.sqlShingleHashes} AS hs
-           |  FROM documents),
-           |bench AS (
-           |  SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0),
-           |docs AS (
-           |  SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0),
-           |ov AS (
-           |  SELECT doc_id, count(*) AS n_overlap FROM docs
-           |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
-           |SELECT h.doc_id AS doc_id,
-           |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-           |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(h.hs), 4)
-           |    AS overlap_frac,
-           |  CAST(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(h.hs) >= 0.5
-           |    AS INT) AS contaminated
-           |FROM hs h LEFT JOIN ov USING (doc_id)
-           |WHERE h.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
+      "x8_decontaminate" -> decontamSql,
       "x4_fingerprint" ->
         """WITH sh0 AS (
           |  SELECT doc_id,

@@ -47,7 +47,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (benchmarks are MBs by contract; the corpus is the probe side).
     // A broadcast whose subtree caps itself with a limit (n2's
     // 2-centroid probe) is bounded no matter what explodes below it.
-    val allowed = Set("x8_decontaminate")
+    // x9 shares x8's intended benchmark-set broadcast (and adds the
+    // bloom prefilter so far fewer corpus shingles reach it)
+    val allowed = Set("x8_decontaminate", "x9_decontaminate_bloom")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
