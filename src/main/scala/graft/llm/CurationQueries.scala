@@ -316,6 +316,61 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // C6 — source mixture sampling: downsample each source to a target
+    // mixture weight (the "20% web, 60% books, …" knob every training
+    // run turns). The weights are a DIMENSION table (broadcast — tiny
+    // by contract: one row per source), and the keep decision is the
+    // same deterministic md5 bucket as c2, so the sampled corpus is
+    // byte-stable across runs, partitionings and engines, and the
+    // whole operator is map-side: broadcast-join + filter, no shuffle
+    // until the final per-source stats aggregate. At 100 TB this is
+    // one scan.
+    "c6_mixture_sample" -> ((s, d) => {
+      import s.implicits._
+      val weights = (0 until 20)
+        .map(i => (s"src$i", ((i % 4) + 1) * 2500L)).toDF("source", "w10k")
+      documents(s, d)
+        .join(broadcast(weights), "source")
+        .where(expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 10000")
+          < col("w10k"))
+        .groupBy("source")
+        .agg(max(col("w10k")).as("w10k"),
+          count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("n_chars_kept"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("source")
+    }),
+
+    // C7 — sequence packing: assign docs to fixed-capacity context
+    // windows (2048 chars) by their start offset in the concatenated
+    // (source, shard) stream — bin = floor(chars_before / C), the
+    // offset form of greedy sequential packing (a doc straddling a
+    // boundary belongs to the window its first char lands in). The
+    // cumulative sum runs per (source, shard=doc_id div 100): packing
+    // needs an order, but it does NOT need a global one — sharding by
+    // fixed doc_id ranges bounds every window partition at 100 rows by
+    // construction, so a Zipfian source cannot recreate the c3
+    // single-task-sort killer; shards pack embarrassingly parallel,
+    // exactly how a 1000-executor packing job shards its input files.
+    "c7_pack_sequences" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      documents(s, d)
+        .select(col("source"), (col("doc_id") / 100).cast("long").as("shard"),
+          col("doc_id"), col("n_chars"))
+        .withColumn("cum_before", sum(col("n_chars")).over(w) - col("n_chars"))
+        .withColumn("bin", (col("cum_before") / 2048).cast("long"))
+        .groupBy("source", "shard", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"),
+          round(sum(col("n_chars")) / lit(2048.0), 4).as("fill"))
+        .orderBy("source", "shard", "bin")
+    }),
+
     // C3 — per-source quota sample: k docs per source, chosen by md5
     // rank — a deterministic stand-in for uniform sampling that
     // rebalances a skewed source mix. Scale-safe formulation: a
@@ -402,6 +457,30 @@ object CurationQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |  min(doc_id) AS first_doc
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c6_mixture_sample" ->
+      """WITH w AS (
+        |  SELECT 'src' || i AS source, ((i % 4) + 1) * 2500 AS w10k
+        |  FROM range(20) t(i)),
+        |kept AS (
+        |  SELECT d.source, w.w10k, d.doc_id, d.n_chars FROM documents d
+        |  JOIN w ON w.source = d.source
+        |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)
+        |        AS BIGINT) % 10000 < w.w10k)
+        |SELECT source, CAST(max(w10k) AS BIGINT) AS w10k,
+        |  count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS n_chars_kept,
+        |  min(doc_id) AS first_doc
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "c7_pack_sequences" ->
+      """WITH s AS (
+        |  SELECT source, doc_id // 100 AS shard, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source, doc_id // 100
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
+        |  FROM documents)
+        |SELECT source, shard, cum_before // 2048 AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS first_doc,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / 2048.0, 4) AS fill
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "c3_quota_sample" ->
       """WITH r AS (
         |  SELECT source, doc_id,
