@@ -63,6 +63,57 @@ object CurationQueries {
     }
   }
 
+  /** Edge-count gate under which components are solved ON THE DRIVER
+    * with union-find instead of iterative propagation. The pair graph
+    * after capped LSH is a sub-percent fraction of the corpus (d7's
+    * cap bounds it by construction), so at every scale short of
+    * billions of docs the whole graph fits in driver memory with room
+    * to spare — and a local union-find is one pass, vs 3–6 distributed
+    * rounds of join+agg jobs whose cost is pure scheduling overhead at
+    * that size. This is the same judgment Spark itself makes when it
+    * collects a small join side to broadcast it: below a size bound,
+    * local beats distributed. 1M undirected edges ≈ 16 MB collected.
+    * The distributed iteration stays the path for graphs over the
+    * gate, and both paths are pinned equal on random graphs by
+    * CurationSpec (force the iterative path with `localMax = 0`, or
+    * the `GRAFT_CC_LOCAL_MAX` env var for the catalog queries).
+    */
+  private[graft] val defaultLocalEdgeMax: Long =
+    sys.env.get("GRAFT_CC_LOCAL_MAX").map(_.toLong).getOrElse(1L << 20)
+
+  /** Driver-side union-find (path compression + union-by-min): every
+    * vertex maps to its component's minimum id — exactly the fixpoint
+    * the distributed propagation reaches. Union always points the
+    * larger root at the smaller, so a component's final root IS its
+    * min vertex.
+    */
+  private def unionFindLabels(
+      edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var root = x0
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var x = x0
+      while (x != root) { val nxt = parent(x); parent(x) = root; x = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val vs = parent.keysIterator.toArray
+    vs.sorted.map(v => v -> find(v)).toSeq
+  }
+
+  private def labelsDf(s: SparkSession,
+      labels: Seq[(Long, Long)]): DataFrame = {
+    import s.implicits._
+    labels.toDF("doc_id", "cluster_id")
+  }
+
   /** Null-safe label-sum fixpoint witness: labels are monotonically
     * non-increasing, so an unchanged sum means converged. On an empty
     * frame sum() is NULL — read through the boxed type (an empty pair
@@ -84,11 +135,12 @@ object CurationQueries {
     * dominates); on a production cluster with executor churn, a
     * reliable `checkpoint` to the cluster FS is the durable variant.
     */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
-    connectedComponentsWithRounds(pairs)._1
+  private[graft] def connectedComponents(pairs: DataFrame,
+      localMax: Long = defaultLocalEdgeMax): DataFrame =
+    connectedComponentsWithRounds(pairs, localMax)._1
 
-  private[graft] def connectedComponentsWithRounds(
-      pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+      localMax: Long = defaultLocalEdgeMax): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     // both edge directions from ONE scan of the pair plan (a union of
     // two projections would evaluate the upstream LSH pipeline twice)
@@ -98,11 +150,18 @@ object CurationQueries {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     try {
+      val nDirected = edges.count()
       // empty pair graph (e.g. every LSH bucket over the cap, or no
       // agreement survivors): converged-empty, same as the oracle
-      if (edges.isEmpty)
+      if (nDirected == 0)
         return (edges.select(col("src").as("doc_id"),
           col("dst").as("cluster_id")).limit(0), 0)
+      // size-gated local solve (see defaultLocalEdgeMax): the directed
+      // list holds each undirected edge twice — duplicates are no-ops
+      // for union-find
+      if (nDirected <= 2 * localMax)
+        return (labelsDf(pairs.sparkSession, unionFindLabels(
+          edges.collect().map(r => (r.getLong(0), r.getLong(1))))), 0)
       val ring = new CkptRing(sc)
       // seed labels one propagation ahead: label(v) = min(v, N(v)) —
       // the same groupBy(min) the first round would run, folded into
@@ -179,11 +238,12 @@ object CurationQueries {
     * equality up to hash collision, with the same refuse-on-
     * non-convergence guard as min-label.
     */
-  private[graft] def connectedComponentsStar(pairs: DataFrame): DataFrame =
-    connectedComponentsStarWithRounds(pairs)._1
+  private[graft] def connectedComponentsStar(pairs: DataFrame,
+      localMax: Long = defaultLocalEdgeMax): DataFrame =
+    connectedComponentsStarWithRounds(pairs, localMax)._1
 
-  private[graft] def connectedComponentsStarWithRounds(
-      pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def connectedComponentsStarWithRounds(pairs: DataFrame,
+      localMax: Long = defaultLocalEdgeMax): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     val ring = new CkptRing(sc)
 
@@ -221,11 +281,30 @@ object CurationQueries {
         Option(r.getAs[java.lang.Long](1)).map(_.longValue).getOrElse(0L))
     }
 
-    var edges = ring.roll(pairs
+    val init = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct())
+      .distinct().cache()
+    val nUndirected =
+      try init.count()
+      catch { case t: Throwable => init.unpersist(false); throw t }
+    if (nUndirected == 0) {
+      val empty = init.select(col("u").as("doc_id"),
+        col("v").as("cluster_id")).limit(0)
+      init.unpersist(false)
+      return (empty, 0)
+    }
+    // same size gate as min-label: below it, contraction rounds are
+    // pure scheduling overhead vs a one-pass driver union-find
+    if (nUndirected <= localMax) {
+      val labels = unionFindLabels(
+        init.collect().map(r => (r.getLong(0), r.getLong(1))))
+      init.unpersist(false)
+      return (labelsDf(pairs.sparkSession, labels), 0)
+    }
+    var edges = ring.roll(init)
+    init.unpersist(false)
     var prev = sig(edges)
     var converged = false
     var rounds = 0

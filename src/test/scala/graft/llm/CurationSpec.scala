@@ -17,7 +17,7 @@ class CurationSpec extends AnyFunSuite {
     // several rounds to walk the chain end to end.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("doc_a", "doc_b")
-    val got = CurationQueries.connectedComponents(pairs)
+    val got = CurationQueries.connectedComponents(pairs, localMax = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
@@ -28,7 +28,7 @@ class CurationSpec extends AnyFunSuite {
     // min id sits at the DST end of every edge — propagation must use
     // both directions to find it.
     val pairs = Seq((5L, 1L), (9L, 5L)).toDF("doc_a", "doc_b")
-    val got = CurationQueries.connectedComponents(pairs)
+    val got = CurationQueries.connectedComponents(pairs, localMax = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
   }
@@ -60,7 +60,7 @@ class CurationSpec extends AnyFunSuite {
         val byRoot = verts.groupBy(find)
         val want = verts.map(v => v -> byRoot(find(v)).min).toMap
         val got = CurationQueries.connectedComponents(
-            edges.toDF("doc_a", "doc_b"))
+            edges.toDF("doc_a", "doc_b"), localMax = 0)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == want, s"trial $trial: graph $edges")
       }
@@ -70,7 +70,7 @@ class CurationSpec extends AnyFunSuite {
   test("connected components: empty pair graph yields empty labels, no NPE") {
     import spark.implicits._
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
-    assert(CurationQueries.connectedComponents(pairs).collect().isEmpty)
+    assert(CurationQueries.connectedComponents(pairs, localMax = 0).collect().isEmpty)
     assert(CurationQueries.connectedComponentsStar(pairs).collect().isEmpty)
   }
 
@@ -99,7 +99,7 @@ class CurationSpec extends AnyFunSuite {
         val byRoot = verts.groupBy(find)
         val want = verts.map(v => v -> byRoot(find(v)).min).toMap
         val got = CurationQueries.connectedComponentsStar(
-            edges.toDF("doc_a", "doc_b"))
+            edges.toDF("doc_a", "doc_b"), localMax = 0)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == want, s"trial $trial: graph $edges")
       }
@@ -119,9 +119,9 @@ class CurationSpec extends AnyFunSuite {
     // safety margin for high-degree + long-path graph mixes.
     val path = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (lblMin, roundsMin) =
-      CurationQueries.connectedComponentsWithRounds(path)
+      CurationQueries.connectedComponentsWithRounds(path, localMax = 0)
     val (lblStar, roundsStar) =
-      CurationQueries.connectedComponentsStarWithRounds(path)
+      CurationQueries.connectedComponentsStarWithRounds(path, localMax = 0)
     val wantAll0 = (0L to 63L).map(_ -> 0L).toMap
     assert(lblMin.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       == wantAll0)
@@ -130,6 +130,32 @@ class CurationSpec extends AnyFunSuite {
     assert(roundsMin <= 8 && roundsStar <= 8,
       s"rounds not log-bounded: min-label $roundsMin, star $roundsStar " +
         "(naive propagation would need 63)")
+  }
+
+  test("size-gated local union-find path equals the distributed path") {
+    import spark.implicits._
+    var state = 23L
+    def next(mod: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (Math.floorMod(state >>> 11, mod.toLong)).toInt
+    }
+    (1 to 6).foreach { trial =>
+      val n = 6 + next(24)
+      val edges = (0 until n).map(_ => (next(n).toLong, next(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("doc_a", "doc_b")
+        def m(got: org.apache.spark.sql.DataFrame) =
+          got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val localMin = m(CurationQueries.connectedComponents(df))
+        val distMin = m(CurationQueries.connectedComponents(df, localMax = 0))
+        val localStar = m(CurationQueries.connectedComponentsStar(df))
+        val distStar =
+          m(CurationQueries.connectedComponentsStar(df, localMax = 0))
+        assert(localMin == distMin, s"trial $trial min-label: graph $edges")
+        assert(localStar == distStar, s"trial $trial star: graph $edges")
+      }
+    }
   }
 
   test("hash split partitions every doc exactly once") {
