@@ -34,10 +34,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+      // integer `div`, not `/`: the raw nanos exceed 2^53, so a double
+      // division is 1 µs off on some epochs while the oracle's
+      // epoch_ns(ts) // 1000 floors exactly
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000)
-            .cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

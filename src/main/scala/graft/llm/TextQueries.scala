@@ -265,7 +265,99 @@ object TextQueries {
           array_min(col("fps")).as("min_fp"),
           array_max(col("fps")).as("max_fp"),
           expr("aggregate(fps, 0L, (acc, x) -> acc + x)").as("sum_fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // X10 — Gopher-style document filter rules (Rae et al. 2021 §A1.1):
+    // word-count bounds, mean-word-length band, alphabetic-word
+    // fraction, required-stopword count — each surfaced as a feature
+    // plus the combined pass flag. One map-only projection per doc, no
+    // shuffle: at 100 TB this is the gate that runs INSIDE the scan,
+    // before anything else pays to move the row.
+    "x10_gopher_rules" -> ((s, d) => {
+      val reqStop = Seq("the", "a", "of", "to", "and")
+      val rq = reqStop.map(w => s"'$w'").mkString(", ")
+      documents(s, d)
+        .withColumn("toks",
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("mean_tok_len",
+          round(expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+            / col("n_toks"), 4))
+        .withColumn("alpha_frac",
+          round(size(expr("filter(toks, x -> x rlike '[a-z]')"))
+            / col("n_toks"), 4))
+        .withColumn("n_req_stop",
+          expr(s"size(filter(array($rq), w -> array_contains(toks, w)))"))
+        .select(col("doc_id"), col("n_toks"), col("mean_tok_len"),
+          col("alpha_frac"), col("n_req_stop"),
+          (col("n_toks").between(30, 100000) &&
+            col("mean_tok_len").between(3, 10) &&
+            col("alpha_frac") >= 0.8 && col("n_req_stop") >= 2)
+            .cast("int").as("pass"))
+        .orderBy("doc_id")
+    }),
+
+    // X11 — exact duplicate-span detection (the primitive behind
+    // exact-substring dedup, Lee et al. 2022): hash every 3-token span
+    // at stride 2, find spans occurring in >1 distinct doc, report the
+    // per-doc shared fraction. Span length 3 is the test-scale
+    // parameter (synthetic vocab ≈ 40 tokens); production uses
+    // 50-grams — the plan is length-agnostic. Scale shape: the stride
+    // bounds the explode at |tokens|/stride; span hashes partial-
+    // aggregate map-side (16-byte digests, not text); the recombine
+    // join is corpus×corpus so both sides are pinned off the broadcast
+    // path the explode would otherwise hide them onto.
+    "x11_dup_spans" -> ((s, d) => {
+      val spans = documents(s, d)
+        .withColumn("toks",
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(
+          expr("""transform(sequence(0, CAST((size(toks) - 3) / 2 AS INT)),
+                 |  i -> md5(array_join(slice(toks, i * 2 + 1, 3), ' ')))"""
+            .stripMargin)).as("h"))
+      val dup = spans.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1)
+        .select("h")
+      val shared = spans
+        .hint("shuffle_hash")
+        .join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        .hint("shuffle_hash")
+        .join(shared.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)) / col("n_spans"), 4)
+            .as("shared_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // X12 — tokenizer vocabulary build: corpus token frequencies →
+    // contiguous ids ordered by (freq desc, token) + cumulative
+    // coverage as exact floor-ppm (pure BIGINT arithmetic — decimal or
+    // double division would round differently between engines). The
+    // global window runs over the VOCABULARY, not the corpus: token
+    // counting partial-aggregates map-side, so the single-partition
+    // rank sees |vocab| rows — inherently bounded (even 100 TB of text
+    // yields ~1e6–1e7 distinct tokens after the frequency floor a real
+    // tokenizer applies).
+    "x12_vocab_build" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = documents(s, d)
+        .select(explode(
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("n").desc, col("tok"))
+      freq
+        .withColumn("token_id", (row_number().over(ord) - 1).cast("long"))
+        .withColumn("cum_n", sum(col("n")).over(ord))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy(lit(1))))
+        .select(col("token_id"), col("tok"), col("n"),
+          expr("(cum_n * 1000000L) DIV tot").as("cum_ppm"))
+        .orderBy("token_id")
+    })
   )
 
   val oracle: Map[String, String] = {
@@ -389,6 +481,57 @@ object TextQueries {
           |  FROM documents)
           |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
       "x8_decontaminate" -> decontamSql,
+      "x10_gopher_rules" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, len(toks) AS n_toks,
+          |    round(CAST(list_reduce(list_transform(toks, x -> length(x)),
+          |      (a, b) -> a + b) AS DOUBLE) / len(toks), 4) AS mean_tok_len,
+          |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+          |      AS DOUBLE) / len(toks), 4) AS alpha_frac,
+          |    len(list_filter(['the','a','of','to','and'],
+          |      w -> list_contains(toks, w))) AS n_req_stop
+          |  FROM t)
+          |SELECT doc_id, n_toks, mean_tok_len, alpha_frac, n_req_stop,
+          |  CAST(n_toks BETWEEN 30 AND 100000 AND mean_tok_len BETWEEN 3 AND 10
+          |    AND alpha_frac >= 0.8 AND n_req_stop >= 2 AS INT) AS pass
+          |FROM f ORDER BY doc_id""".stripMargin,
+      "x11_dup_spans" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |spans AS (
+          |  SELECT doc_id,
+          |    md5(array_to_string(list_slice(toks, i * 2 + 1, i * 2 + 3), ' ')) AS h
+          |  FROM (SELECT doc_id, toks, unnest(range((len(toks) - 3) // 2 + 1)) AS i
+          |        FROM t WHERE len(toks) >= 3)),
+          |dup AS (
+          |  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+          |per AS (
+          |  SELECT doc_id, count(*) AS n_spans,
+          |    sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS n_shared
+          |  FROM spans GROUP BY doc_id)
+          |SELECT doc_id, n_spans, CAST(n_shared AS BIGINT) AS n_shared,
+          |  round(CAST(n_shared AS DOUBLE) / n_spans, 4) AS shared_frac
+          |FROM per ORDER BY doc_id""".stripMargin,
+      "x12_vocab_build" ->
+        """WITH tok AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |    x -> x <> '')) AS tok FROM documents),
+          |freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+          |v AS (
+          |  SELECT tok, n,
+          |    row_number() OVER (ORDER BY n DESC, tok) - 1 AS token_id,
+          |    sum(n) OVER (ORDER BY n DESC, tok) AS cum_n,
+          |    sum(n) OVER () AS tot
+          |  FROM freq)
+          |SELECT CAST(token_id AS BIGINT) AS token_id, tok, n,
+          |  CAST(cum_n AS BIGINT) * 1000000 // CAST(tot AS BIGINT) AS cum_ppm
+          |FROM v ORDER BY token_id""".stripMargin,
       "x4_fingerprint" ->
         """WITH sh0 AS (
           |  SELECT doc_id,

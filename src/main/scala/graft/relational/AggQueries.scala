@@ -220,7 +220,27 @@ object AggQueries {
             "max_q" -> (col("l_quantity"), "max")))
         .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
           col("n"), col("min_q"), col("max_q"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // R20 — distribution summaries per group: exact interpolated
+    // percentiles (oracle-pinned) alongside the at-scale substitution,
+    // approx_percentile (t-digest-like sketch, mergeable map-side),
+    // surfaced o5-style as a within-tolerance flag. At 100 TB the
+    // exact form's per-group sort is the cost; the sketch keeps the
+    // same plan shape with bounded per-partition state.
+    "r20_percentiles" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          expr("approx_percentile(value, 0.9, 1000)").as("__ap90"),
+          expr("percentile(value, 0.9)").as("__ep90"))
+        .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+          (abs(col("__ap90") - col("__ep90")) <= abs(col("__ep90")) * 0.05)
+            .as("approx_within_tol"))
+        .orderBy("event_type"))
   )
 
   private def $(name: String): Column = col(name)
@@ -323,6 +343,13 @@ object AggQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(l_quantity) AS n, min(l_quantity) AS min_q,
         |  max(l_quantity) AS max_q
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r20_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  TRUE AS approx_within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -98,7 +98,32 @@ object SortWindowQueries {
         .agg(count(lit(1)).as("n_rows"),
           min(col("a")).as("a_min"), max(col("a")).as("a_max"),
           min(col("b")).as("b_min"), max(col("b")).as("b_max"))
-        .orderBy("tile"))
+        .orderBy("tile")),
+
+    // W2 — event-stream analytics: lag/lead navigation plus a
+    // frame-bounded moving sum per user. Time runs in exact integer
+    // microseconds floored from the raw nanos column (`ts_ns div
+    // 1000` — the convenience `ts` micros column is produced by a
+    // double division that is 1 µs off on large epochs, so the exact
+    // path goes back to the source integer); the moving sum runs in
+    // DECIMAL so the frame aggregate is order-independent and
+    // engine-exact. Partitioned by user_id — per-user event counts
+    // are bounded, so no single-task window at scale (contrast x12's
+    // vocabulary-global rank).
+    "w2_event_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .withColumn("us", expr("ts_ns div 1000"))
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+          sum(col("value").cast("decimal(18,2)"))
+            .over(w.rowsBetween(-3, Window.currentRow))
+            .cast("double").as("mov_sum"))
+        .orderBy("user_id", "event_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,6 +168,22 @@ object SortWindowQueries {
          |SELECT CAST(z >> 11 AS INT) AS tile, count(*) AS n_rows,
          |  min(a) AS a_min, max(a) AS a_max,
          |  min(b) AS b_min, max(b) AS b_max
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w2_event_rolling" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(event_type) OVER w AS next_type,
+        |  us - lag(us) OVER w AS gap_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS mov_sum
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -18,7 +18,8 @@ class AllQueriesSpec extends AnyFunSuite {
       "o1", "o2", "o3", "o4", "w1",
       "d1", "d2", "d3", "d4", "d5", "d6", "d7", "d8", "n1", "n2", "n4",
       "c1", "c2", "c3", "c4", "t5", "o6", "h4", "h5",
-      "x1", "x2", "x3", "x4", "x5", "x6", "x7", "m1", "m2")
+      "x1", "x2", "x3", "x4", "x5", "x6", "x7", "m1", "m2",
+      "x10", "x11", "x12", "w2", "r20")
     val uncovered = required.filterNot(p => keys.exists(_.startsWith(p + "_")))
     assert(uncovered.isEmpty, s"families with no query: $uncovered")
   }

@@ -17,7 +17,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
 
   private val names = Seq(
     "a6_volatility", "c1_dedup_clusters", "d3_minhash_lsh_pairs",
-    "n2_ann_ivf", "x5_repetition", "o6_zorder_layout", "c2_hash_split")
+    "n2_ann_ivf", "x5_repetition", "o6_zorder_layout", "c2_hash_split",
+    // round-3: span-hash pair mining, vocab-global rank + integer ppm,
+    // decimal frame sum, interpolated percentiles + sketch flag
+    "x11_dup_spans", "x12_vocab_build", "w2_event_rolling",
+    "r20_percentiles")
 
   private def run(name: String, parts: String, split: String): Seq[String] = {
     val prevP = spark.conf.get("spark.sql.shuffle.partitions")
