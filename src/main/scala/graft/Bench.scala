@@ -12,6 +12,17 @@ import org.apache.spark.sql.SparkSession
   * and JIT — the standard steady-state benchmarking discipline.
   */
 object Bench {
+  /** Force FULL evaluation through the noop sink. `.count()` is the
+    * obvious forcing call but Catalyst rightly prunes everything a
+    * count doesn't need — map-only projections and window columns
+    * collapse to a parquet row-count, so projection-heavy queries
+    * would be timed at ~0 regardless of their real cost. The noop
+    * write evaluates every output column and discards rows at the
+    * sink, which is what "run the query" means.
+    */
+  private[graft] def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,7 +40,7 @@ object Bench {
     // flagship pipeline included via the a6 catalog entry.
     val warmSf = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmSf).count()
+      try force(fn(spark, warmSf))
       catch { case _: Throwable => }
     }
 
@@ -41,7 +52,7 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { force(fn(spark, sfDir)) } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }

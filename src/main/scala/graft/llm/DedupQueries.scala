@@ -262,20 +262,31 @@ object DedupQueries {
     // (nested array folds — the token hashes are materialized once per
     // row and the 28 bit-votes fold over them; no explode, no shuffle,
     // so the operator scales with document count, not documents×bits).
-    "d5_simhash" -> ((s, d) =>
-      documents(s, d)
-        .withColumn("ths", expr(
-          """transform(array_distinct(filter(split(lower(text), '\\s+'),
-            |  x -> x <> '')),
-            |  t -> CAST(conv(substr(md5(t), 1, 7), 16, 10) AS BIGINT))"""
-            .stripMargin))
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 27), 0L, (acc, bit) -> acc +
-            |  IF(aggregate(ths, 0L, (a, h) ->
-            |       a + IF((shiftright(h, bit) & 1) = 1, 1L, -1L)) > 0,
-            |     CAST(pow(2, bit) AS BIGINT), 0L))""".stripMargin)
-          .as("simhash"))
-        .orderBy("doc_id"))
+    // The 28 per-bit vote sums run as ONE codegen'd hash aggregate
+    // over exploded distinct tokens (map-side partials, each token
+    // hashed once). The obvious array formulation — a per-bit
+    // `aggregate(ths, …)` lambda nested inside an outer per-bit fold —
+    // computes the same thing but nested higher-order functions drop
+    // out of whole-stage codegen into interpreted evaluation
+    // (measured 9.6 s vs 0.9 s on the 500-doc table once the bench
+    // stopped letting count() prune the projection entirely).
+    "d5_simhash" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))"))
+          .as("tok"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(tok), 1, 7), 16, 10) AS BIGINT)").as("h"))
+      val voteCols = (0 until 28).map(b =>
+        sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L))
+          .as(s"v$b"))
+      val simhash = (0 until 28)
+        .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"), simhash.as("simhash"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(

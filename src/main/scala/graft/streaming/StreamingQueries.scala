@@ -61,8 +61,7 @@ object StreamingQueries {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_${sinkId.incrementAndGet()}"
     runToCompletion(s)(
       agg(stream).writeStream
@@ -105,8 +104,7 @@ object StreamingQueries {
       def side(): DataFrame = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts",
-          timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val purchases = side().where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id"), col("ts").as("p_ts"))
@@ -180,6 +178,70 @@ object StreamingQueries {
           min(col("event_id")).as("first_event"),
           max(col("event_id")).as("last_event"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // T6 — streaming MERGE maintenance of a keyed external table: the
+    // events stream (staged as 4 chunk files, maxFilesPerTrigger=1 →
+    // 4 genuine micro-batches) drives foreachBatch, and each batch
+    // upserts a per-user running aggregate (count / decimal sum /
+    // latest event) into a hash-partitioned parquet table through
+    // `PoolJsonSink.upsertPartitioned` — the streaming twin of S6's
+    // at-scale sink, i.e. continuous ingestion into a MERGE-shaped
+    // store with per-batch partition pruning. Two properties carry
+    // the determinism and the exactly-once story:
+    //  * the combine (sum + sum(DECIMAL) + max(struct(us,event_id)))
+    //    is commutative/associative, so the final table is identical
+    //    under ANY micro-batch order or file split — the same
+    //    argument PartitionInvarianceSpec applies to batch plans;
+    //  * foreachBatch is at-least-once on retry, so a batch-id marker
+    //    file gates the merge (re-delivery of a completed batch is a
+    //    no-op) — upsert + idempotence marker = effectively-once, the
+    //    standard production recipe for non-transactional sinks.
+    "t6_stream_upsert" -> ((s, d) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_t6_stage_").toString
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_t6_table_").toString + "/tbl"
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts_ns div 1000").as("us"))
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+      runToCompletion(s)(
+        stream.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val marker = new java.io.File(s"$table.batch-$batchId.done")
+            if (!marker.exists()) {
+              val delta = batch.groupBy("user_id").agg(
+                count(lit(1)).as("n_events"),
+                sum(col("value").cast("decimal(18,2)")).as("sum_value_dec"),
+                max(struct(col("us"), col("event_id"))).as("last"))
+              val combined =
+                if (new java.io.File(table).exists())
+                  s.read.parquet(table).drop("__pt")
+                    .unionByName(delta)
+                    .groupBy("user_id").agg(
+                      sum(col("n_events")).as("n_events"),
+                      sum(col("sum_value_dec")).as("sum_value_dec"),
+                      max(col("last")).as("last"))
+                else delta
+              graft.pol.PoolJsonSink.upsertPartitioned(
+                s, table, combined, col("user_id"), nBuckets = 16)
+              marker.createNewFile()
+            }
+            ()
+          }
+          .trigger(Trigger.AvailableNow()))
+      s.read.parquet(table)
+        .select(col("user_id"), col("n_events"),
+          col("sum_value_dec").cast("double").as("sum_value"),
+          col("last.event_id").as("last_event_id"))
+        .orderBy("user_id")
     })
   )
 
@@ -226,6 +288,25 @@ object StreamingQueries {
         |  FROM s)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event
-        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the finished incremental MERGE table must equal the one-shot
+    // batch aggregate — the maintenance-invariance contract
+    "t6_stream_upsert" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1),
+        |lastev AS (
+        |  SELECT user_id, event_id AS last_event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, n_events, sum_value, last_event_id
+        |FROM agg JOIN (SELECT user_id, last_event_id FROM lastev WHERE rn = 1)
+        |  USING (user_id)
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -64,6 +64,19 @@ object ScaleProbe {
       (id, e, (id % 10).toInt)
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // w2/r20 need events: nDocs rows, ~100 events per user so the
+    // per-user window stays bounded as the corpus grows (users scale
+    // with data — the real shape), raw nanos LONG ts like the testdata
+    val types = Array("view", "click", "purchase", "signup", "error")
+    spark.range(nDocs).map { jid =>
+      val id: Long = jid
+      val st = lcg(id ^ 0x2545f4914f6cdd1dL)
+      val value = ((st >>> 11) % 20000L).toDouble / 100.0
+      (id, 1704067200000000000L + id * 7001L * 1000L,
+        id % math.max(nDocs / 100, 10L),
+        types(((st >>> 3) % types.length).toInt.abs), value, """{"k": 1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,7 +111,7 @@ object ScaleProbe {
     val warmDir = s"$workDir/warmup"
     generate(spark, 1000L, warmDir)
     names.foreach { q =>
-      try graft.SparkEntry.queries(q)(spark, warmDir).count()
+      try graft.Bench.force(graft.SparkEntry.queries(q)(spark, warmDir))
       catch {
         case e: Throwable =>
           System.err.println(s"[warmup] $q failed: ${e.getMessage}")
@@ -107,7 +120,7 @@ object ScaleProbe {
     val results = names.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, workDir).count()
+        graft.Bench.force(graft.SparkEntry.queries(q)(spark, workDir))
         (System.nanoTime() - t0) / 1e9
       }
       val t = math.min(once(), once())

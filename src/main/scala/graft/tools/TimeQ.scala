@@ -24,7 +24,7 @@ object TimeQ {
     names.foreach { q =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, sfDir).count()
+        graft.Bench.force(graft.SparkEntry.queries(q)(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$q: ${times.map(t => f"$t%.2f").mkString(" ")}")
