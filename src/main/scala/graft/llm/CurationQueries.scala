@@ -555,7 +555,7 @@ object CurationQueries {
         |    sum(n_chars) OVER (PARTITION BY source, doc_id // 100
         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
         |  FROM documents)
-        |SELECT source, shard, cum_before // 2048 AS bin,
+        |SELECT source, shard, CAST(cum_before // 2048 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |  min(doc_id) AS first_doc,
         |  round(CAST(sum(n_chars) AS DOUBLE) / 2048.0, 4) AS fill
