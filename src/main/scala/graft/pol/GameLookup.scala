@@ -80,6 +80,23 @@ object GameLookup {
     if (path.toLowerCase.endsWith(".xlsx")) fromXlsx(spark, path)
     else fromCsv(spark, path)
 
+  /** The reference's workbook discovery (`etl/transform.py:43-47`):
+    * probe `<root>/`, `<root>/config/`, `<root>/data/` in order and
+    * load the first `game_id_to_pools` artifact found (.xlsx exactly
+    * as the reference; a .csv export of the same name also resolves).
+    */
+  def loadFromRoot(spark: SparkSession, repoRoot: String): DataFrame = {
+    val candidates = for {
+      dir <- Seq("", "config/", "data/")
+      name <- Seq("game_id_to_pools.xlsx", "game_id_to_pools.csv")
+    } yield s"$repoRoot/$dir$name"
+    candidates.find(p => new java.io.File(p).isFile) match {
+      case Some(p) => load(spark, p)
+      case None => sys.error("game_id_to_pools workbook not found; " +
+        s"probed: ${candidates.mkString(", ")}")
+    }
+  }
+
   /** `lstrip('0') or '0'` (trap #6 in SURVEY §7). */
   def strip0(c: Column): Column = {
     val s = regexp_replace(c, "^0+", "")

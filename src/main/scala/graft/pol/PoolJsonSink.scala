@@ -232,89 +232,277 @@ object PoolJsonSink {
       .unionByName(incoming)
   }
 
+  // ---------- S6 at scale: manifest-committed keyed parquet table ----------
+  //
+  // Layout (the minimal Delta-style transaction, on plain parquet):
+  //
+  //   table/
+  //     _graft_manifest          # the ONLY mutable file: commit pointer
+  //     data/pt<B>-<uuid>.parquet  # append-only; one bucket per file
+  //
+  // Data files are immutable and append-only; every write (upsert,
+  // compaction) stages new files under fresh names and then publishes
+  // them by atomically renaming a new manifest over the old one
+  // (POSIX rename(2); on an object store this step is the
+  // put-if-absent a Delta/Iceberg log commit uses). Readers resolve
+  // the file list through the manifest, so a job killed between
+  // bucket writes leaves the table exactly at its previous version —
+  // never a torn mix of old and new buckets. Replaced files become
+  // unreferenced and are reclaimed by [[vacuum]] (single-writer
+  // assumed; a retention window is the multi-reader hardening).
+
+  /** Committed state of a manifest table: monotonic version and, per
+    * bucket id, the table-relative data files holding that bucket.
+    */
+  case class TableManifest(version: Long, buckets: Map[Long, Seq[String]]) {
+    def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
+  }
+
+  val ManifestName = "_graft_manifest"
+
+  /** The bucket a key hashes into — the single definition shared by
+    * writers and delta-driven maintenance so pruning is always
+    * consistent with placement.
+    */
+  def bucketExpr(key: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(key), lit(nBuckets.toLong))
+
+  def readManifest(tableDir: String): Option[TableManifest] = {
+    val f = new java.io.File(tableDir, ManifestName)
+    if (!f.exists()) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val lines = Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+      val version = lines.head.split(' ')(2).toLong
+      val entries = lines.tail.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf(' ')
+        l.take(i).toLong -> l.drop(i + 1)
+      }
+      Some(TableManifest(version,
+        entries.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap))
+    }
+  }
+
+  private def commitManifest(tableDir: String, m: TableManifest): Unit = {
+    val body = (s"graft-manifest 1 ${m.version}" +:
+      m.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+        fs.sorted.map(f => s"$b $f")
+      }).mkString("\n")
+    val tmp = new java.io.File(tableDir,
+      s".${ManifestName}.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath,
+      new java.io.File(tableDir, ManifestName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Stage `df` (which carries a `__pt` bucket column) as immutable
+    * data files — `partitionBy` on a shadow column splits one file per
+    * task per bucket while `__pt` itself stays IN the data (so reads
+    * of explicit file lists need no partition-dir inference) — then
+    * move them under `data/` with bucket-tagged unique names. Returns
+    * bucket -> new relative paths. Nothing is visible to readers until
+    * the caller commits a manifest referencing the files.
+    */
+  private def stageDataFiles(
+      tableDir: String, df: DataFrame): Map[Long, Seq[String]] = {
+    val stage = new java.io.File(tableDir,
+      s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.withColumn("__ptd", col("__pt"))
+      .write.partitionBy("__ptd").parquet(stage.toString)
+    val dataDir = new java.io.File(tableDir, "data")
+    dataDir.mkdirs()
+    val moved = for {
+      d <- Option(stage.listFiles()).getOrElse(Array.empty).toSeq
+      if d.isDirectory && d.getName.startsWith("__ptd=")
+      bucket = d.getName.stripPrefix("__ptd=").toLong
+      f <- Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      if f.getName.endsWith(".parquet") && !f.getName.startsWith(".")
+    } yield {
+      val rel = s"data/pt$bucket-${java.util.UUID.randomUUID()}.parquet"
+      Files.move(f.toPath, new java.io.File(tableDir, rel).toPath)
+      bucket -> rel
+    }
+    deleteRecursively(stage)
+    moved.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  private def readFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, rels: Seq[String], schemaFrom: Seq[String]): DataFrame =
+    if (rels.nonEmpty)
+      spark.read.parquet(rels.map(r => s"$tableDir/$r"): _*)
+    else // empty selection: keep the schema, zero rows
+      spark.read.parquet(s"$tableDir/${schemaFrom.head}").limit(0)
+
+  /** Read the current committed version of a manifest table (plain
+    * `spark.read.parquet` on the dir would also see uncommitted staged
+    * files — always resolve through here). Falls back to a plain read
+    * for a directory that is not a manifest table.
+    */
+  def readTable(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    readManifest(tableDir) match {
+      case Some(m) => readFiles(spark, tableDir, m.files, m.files)
+      case None => spark.read.parquet(tableDir)
+    }
+
+  /** Read only the named buckets — manifest-level pruning: unselected
+    * files are never listed, opened, or footer-read. This is what
+    * keeps a keyed MERGE O(touched), not O(table).
+    */
+  def readBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, buckets: Seq[Long]): DataFrame = {
+    val m = readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    readFiles(spark, tableDir,
+      buckets.flatMap(b => m.buckets.getOrElse(b, Nil)), m.files)
+  }
+
   /** S6's executable scale path: the MERGE-shaped keyed upsert against
-    * a parquet table hash-partitioned on the upsert key (`__pt =
-    * pmod(xxhash64(key), nBuckets)`) — the same plan a Delta/Iceberg
-    * MERGE lowers to for overwrite-by-key, runnable on plain parquet.
+    * a manifest-committed parquet table hash-bucketed on the upsert
+    * key (`__pt = pmod(xxhash64(key), nBuckets)`) — the same plan a
+    * Delta/Iceberg MERGE lowers to for overwrite-by-key.
     *
-    * Only partitions that incoming keys hash into are READ (partition
-    * pruning via the `__pt IN (...)` filter — the bucket list is at
-    * most nBuckets values, collected driver-side) and only those are
-    * REWRITTEN (dynamic partition overwrite); a billion-row table with
-    * a thousand-row incoming batch touches a handful of directories
-    * and leaves the rest byte-identical on disk. The merged touched
-    * partitions are localCheckpoint'ed before the write because Spark
-    * (correctly) refuses to overwrite a path it is still reading from;
-    * the materialized footprint is bounded by the touched partitions,
-    * not the table. On a production cluster, a reliable checkpoint or
-    * a staging-dir swap is the durable variant of that severing step.
+    * Only buckets that incoming keys hash into are READ (the manifest
+    * prunes to their files; the bucket list is at most nBuckets
+    * values, collected driver-side) and only those get NEW files; a
+    * billion-row table with a thousand-row incoming batch touches a
+    * handful of files and leaves the rest byte-identical on disk.
+    * Because data files are append-only (no overwrite of paths being
+    * read), no checkpoint/severing step is needed, and the commit is
+    * atomic: the new manifest is renamed over the old one only after
+    * every staged file is in place, so a crash anywhere before that
+    * leaves readers on the previous version (see the crash-injection
+    * spec in PartitionedUpsertSpec).
     *
     * Returns the bucket ids rewritten. `key` must be an unresolved
     * column expression valid on both incoming and the stored schema
-    * (e.g. `col("metadata.source_file")`).
+    * (e.g. `col("metadata.source_file")`). `onBeforeCommit` is a test
+    * seam: it runs after all data files are staged, immediately
+    * before the manifest rename.
     */
   def upsertPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String,
       incoming: DataFrame,
       key: org.apache.spark.sql.Column,
-      nBuckets: Int = 64): Seq[Long] = {
-    val withPt = incoming.withColumn("__pt",
-      pmod(xxhash64(key), lit(nBuckets.toLong)))
-    if (!new java.io.File(tableDir).exists()) {
-      withPt.write.partitionBy("__pt").parquet(tableDir)
-      return withPt.select("__pt").distinct().collect().map(_.getLong(0)).toSeq
+      nBuckets: Int = 64,
+      onBeforeCommit: () => Unit = () => ()): Seq[Long] = {
+    val withPt = incoming.withColumn("__pt", bucketExpr(key, nBuckets))
+    new java.io.File(tableDir).mkdirs()
+    val prev = readManifest(tableDir)
+    val merged = prev match {
+      case None => withPt
+      case Some(m) =>
+        val touched = withPt.select("__pt").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val keep = readBuckets(spark, tableDir,
+            touched.filter(m.buckets.contains))
+          .join(withPt.select(key.as("__k")).distinct(),
+            key === col("__k"), "left_anti")
+        keep.unionByName(withPt)
     }
-    val touched = withPt.select("__pt").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val existing = spark.read.parquet(tableDir)
-      .where(col("__pt").isin(touched: _*))
-    val keep = existing.join(
-      withPt.select(key.as("__k")).distinct(),
-      key === col("__k"), "left_anti")
-    val merged = keep.unionByName(withPt).localCheckpoint(true)
-    merged.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__pt")
-      .parquet(tableDir)
-    touched
+    val newFiles = stageDataFiles(tableDir, merged)
+    onBeforeCommit()
+    commitManifest(tableDir, TableManifest(
+      prev.map(_.version + 1).getOrElse(1L),
+      prev.map(_.buckets).getOrElse(Map.empty) ++ newFiles))
+    newFiles.keys.toSeq.sorted
   }
 
-  /** Maintenance for [[upsertPartitioned]] tables: every MERGE batch
-    * appends at least one parquet file to each touched bucket, so a
-    * table taking frequent small upserts accumulates the classic
-    * small-files problem (scan tasks, open costs and footer reads all
-    * scale with file count, not bytes). Compaction rewrites ONLY the
-    * buckets whose file count exceeds `maxFilesPerPartition` — one
-    * task per fat bucket (`repartition` on the partition column), so
-    * each lands as a single file — and leaves every other partition
-    * byte-identical on disk. Returns the bucket ids compacted.
+  /** Delta-driven MERGE maintenance — the streaming foreachBatch
+    * recipe (T6). Combines the aggregate `delta` with ONLY the
+    * existing rows of the delta's own keys (manifest-pruned bucket
+    * reads + a semi-join on the delta keys), then upserts the
+    * combined rows. Per-batch cost is O(delta + touched buckets),
+    * never O(table): a trickle of events against a 100 TB table reads
+    * and rewrites a handful of bucket files. `combine` sees
+    * existing-rows-for-delta-keys ∪ delta (both without `__pt`) and
+    * must re-aggregate per key with a commutative/associative
+    * combine. Returns the bucket ids rewritten.
+    */
+  def mergeDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      delta: DataFrame,
+      key: org.apache.spark.sql.Column,
+      nBuckets: Int = 64)(combine: DataFrame => DataFrame): Seq[Long] = {
+    val combined = readManifest(tableDir) match {
+      case None => delta
+      case Some(m) =>
+        val touched = delta.select(bucketExpr(key, nBuckets).as("__pt"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+          .filter(m.buckets.contains)
+        if (touched.isEmpty) delta
+        else {
+          val existingForKeys = readBuckets(spark, tableDir, touched)
+            .drop("__pt")
+            .join(delta.select(key.as("__k")).distinct(),
+              key === col("__k"), "left_semi")
+          combine(existingForKeys.unionByName(delta))
+        }
+    }
+    upsertPartitioned(spark, tableDir, combined, key, nBuckets)
+  }
+
+  /** Maintenance for manifest tables: every MERGE batch adds at least
+    * one file per touched bucket, so a table taking frequent small
+    * upserts accumulates the classic small-files problem (scan tasks,
+    * open costs and footer reads all scale with file count, not
+    * bytes). Compaction rewrites ONLY the buckets whose manifest file
+    * count exceeds `maxFilesPerPartition` — `repartition` on the
+    * bucket column puts each fat bucket in exactly one task, so each
+    * lands as a single file — commits the swapped entries atomically,
+    * and leaves every other bucket's files untouched on disk. Returns
+    * the bucket ids compacted.
     */
   def compactPartitions(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String,
-      maxFilesPerPartition: Int = 4): Seq[Long] = {
-    val root = new java.io.File(tableDir)
-    val fat = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("__pt="))
-      .filter(_.listFiles().count(f =>
-        f.getName.endsWith(".parquet") && !f.getName.startsWith(".")) >
-        maxFilesPerPartition)
-      .map(_.getName.stripPrefix("__pt=").toLong)
-      .toSeq
-    if (fat.nonEmpty) {
-      val df = spark.read.parquet(tableDir)
-        .where(col("__pt").isin(fat: _*))
-        .localCheckpoint(true) // sever file lineage before overwrite
-      df.repartition(fat.size, col("__pt"))
-        .write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__pt")
-        .parquet(tableDir)
+      maxFilesPerPartition: Int = 4): Seq[Long] =
+    readManifest(tableDir) match {
+      case None => Seq.empty
+      case Some(m) =>
+        val fat = m.buckets.filter(_._2.size > maxFilesPerPartition)
+          .keys.toSeq.sorted
+        if (fat.nonEmpty) {
+          val df = readBuckets(spark, tableDir, fat)
+            .repartition(fat.size, col("__pt"))
+          val newFiles = stageDataFiles(tableDir, df)
+          commitManifest(tableDir,
+            TableManifest(m.version + 1, m.buckets ++ newFiles))
+        }
+        fat
     }
-    fat
+
+  /** Reclaim data files no longer referenced by the current manifest
+    * (replaced by later upserts/compactions, or orphaned by a crashed
+    * write). Single-writer: with concurrent readers, age-gate this
+    * behind a retention window as Delta's VACUUM does. Returns the
+    * number of files deleted.
+    */
+  def vacuum(tableDir: String): Int = readManifest(tableDir) match {
+    case None => 0
+    case Some(m) =>
+      val referenced = m.files.toSet
+      var n = 0
+      Option(new java.io.File(tableDir, "data").listFiles())
+        .getOrElse(Array.empty)
+        .foreach { f =>
+          if (!referenced.contains(s"data/${f.getName}")) { f.delete(); n += 1 }
+        }
+      Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith(".stage-"))
+        .foreach { d => deleteRecursively(d); n += 1 }
+      n
   }
 
   // ---------- S7: summary report ----------

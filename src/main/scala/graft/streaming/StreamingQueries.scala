@@ -183,20 +183,27 @@ object StreamingQueries {
     // T6 — streaming MERGE maintenance of a keyed external table: the
     // events stream (staged as 4 chunk files, maxFilesPerTrigger=1 →
     // 4 genuine micro-batches) drives foreachBatch, and each batch
-    // upserts a per-user running aggregate (count / decimal sum /
-    // latest event) into a hash-partitioned parquet table through
-    // `PoolJsonSink.upsertPartitioned` — the streaming twin of S6's
-    // at-scale sink, i.e. continuous ingestion into a MERGE-shaped
-    // store with per-batch partition pruning. Two properties carry
-    // the determinism and the exactly-once story:
+    // merges a per-user running aggregate (count / decimal sum /
+    // latest event) into a manifest-committed hash-bucketed parquet
+    // table through `PoolJsonSink.mergeDelta` — the streaming twin of
+    // S6's at-scale sink: continuous ingestion into a MERGE-shaped
+    // store. Three properties carry the at-scale story:
+    //  * DELTA-DRIVEN: each batch reads only the buckets its delta
+    //    keys hash into and combines only those keys (semi-join), so
+    //    per-batch cost is O(delta + touched buckets), never O(table)
+    //    — a trickle of events against a 100 TB table touches a
+    //    handful of files (StreamUpsertSpec pins untouched buckets
+    //    byte-identical across a batch);
     //  * the combine (sum + sum(DECIMAL) + max(struct(us,event_id)))
     //    is commutative/associative, so the final table is identical
     //    under ANY micro-batch order or file split — the same
     //    argument PartitionInvarianceSpec applies to batch plans;
     //  * foreachBatch is at-least-once on retry, so a batch-id marker
     //    file gates the merge (re-delivery of a completed batch is a
-    //    no-op) — upsert + idempotence marker = effectively-once, the
-    //    standard production recipe for non-transactional sinks.
+    //    no-op) — atomic manifest commit + idempotence marker =
+    //    effectively-once on a non-transactional store.
+    // Every 2nd batch compacts fat buckets so the table doesn't
+    // accrete one file per bucket per batch (small-files problem).
     "t6_stream_upsert" -> ((s, d) => {
       val stage = java.nio.file.Files
         .createTempDirectory("graft_t6_stage_").toString
@@ -214,30 +221,37 @@ object StreamingQueries {
       runToCompletion(s)(
         stream.writeStream
           .outputMode("append")
+          .queryName("graft_t6_maintenance")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val marker = new java.io.File(s"$table.batch-$batchId.done")
             if (!marker.exists()) {
+              // sum_value_dec is pinned at DECIMAL(38,2): sum() widens
+              // precision, and a manifest table must keep ONE schema
+              // across files written by different batches (38,2 is the
+              // fixpoint — summing it cannot widen further).
               val delta = batch.groupBy("user_id").agg(
                 count(lit(1)).as("n_events"),
-                sum(col("value").cast("decimal(18,2)")).as("sum_value_dec"),
+                sum(col("value").cast("decimal(18,2)"))
+                  .cast("decimal(38,2)").as("sum_value_dec"),
                 max(struct(col("us"), col("event_id"))).as("last"))
-              val combined =
-                if (new java.io.File(table).exists())
-                  s.read.parquet(table).drop("__pt")
-                    .unionByName(delta)
-                    .groupBy("user_id").agg(
-                      sum(col("n_events")).as("n_events"),
-                      sum(col("sum_value_dec")).as("sum_value_dec"),
-                      max(col("last")).as("last"))
-                else delta
-              graft.pol.PoolJsonSink.upsertPartitioned(
-                s, table, combined, col("user_id"), nBuckets = 16)
+              graft.pol.PoolJsonSink.mergeDelta(
+                s, table, delta, col("user_id"), nBuckets = 16)(
+                _.groupBy("user_id").agg(
+                  sum(col("n_events")).as("n_events"),
+                  sum(col("sum_value_dec")).cast("decimal(38,2)")
+                    .as("sum_value_dec"),
+                  max(col("last")).as("last")))
+              if ((batchId + 1) % 2 == 0) {
+                graft.pol.PoolJsonSink.compactPartitions(
+                  s, table, maxFilesPerPartition = 2)
+                graft.pol.PoolJsonSink.vacuum(table)
+              }
               marker.createNewFile()
             }
             ()
           }
           .trigger(Trigger.AvailableNow()))
-      s.read.parquet(table)
+      graft.pol.PoolJsonSink.readTable(s, table)
         .select(col("user_id"), col("n_events"),
           col("sum_value_dec").cast("double").as("sum_value"),
           col("last.event_id").as("last_event_id"))

@@ -2,74 +2,148 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+import org.apache.spark.sql.execution.{BaseLimitExec, SparkPlan, SparkPlanInfo, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.ui.{SparkListenerSQLAdaptiveExecutionUpdate, SparkListenerSQLExecutionStart}
+
 /** Catalog-wide physical-plan audit: no query may plan a
-  * CartesianProduct, and BroadcastNestedLoopJoin is allowed only on
-  * the allowlist where the broadcast side is a single row and 1×N is
-  * the intended plan (ANN probe vectors, scalar subquery). Guards
-  * against a future query (or Spark upgrade) silently regressing into
-  * a quadratic join that cannot survive scale-up.
+  * CartesianProduct, BroadcastNestedLoopJoin is allowed only on the
+  * allowlist where the broadcast side is a single row and 1×N is the
+  * intended plan (ANN probe vectors, scalar subquery), and no
+  * broadcast may sit over an un-limited explode (the d4 bug class).
+  * Guards against a future query (or Spark upgrade) silently
+  * regressing into a quadratic join that cannot survive scale-up.
   *
-  * Streaming queries execute on plan inspection, so only batch queries
-  * are audited — their streaming plans are pinned by their own specs.
+  * Coverage is ALL 97 queries: batch plans through the returned
+  * DataFrame's queryExecution; streaming plans through the SQL
+  * execution events every micro-batch posts (and every batch action a
+  * foreachBatch maintenance loop issues — t6's MERGE reads/writes),
+  * captured with a SparkListener while each stream runs to
+  * completion. A finished stream's `lastExecution` is a no-data
+  * context (null plan), so events-at-execution-time are the only
+  * reliable audit surface.
   */
 class PlanAuditSpec extends AnyFunSuite {
   import QueryHarness._
 
   private val streaming = Set("t1_stream_agg", "t2_stream_window",
-    "t4_stream_stream_join", "t5_stream_dedup")
+    "t4_stream_stream_join", "t5_stream_dedup", "t6_stream_upsert")
   // n1/n2/r14 broadcast a single row; n5 broadcasts the probe SET —
   // small by contract (the batch being deduped/retrieved-for), with
   // the corpus streaming against it map-side and the per-probe top-k
   // bounded by the TopKAgg aggregation above it.
   private val bnljAllowed = Set("n1_ann_bruteforce", "n2_ann_ivf",
     "r14_scalar_subquery", "n5_knn_join")
+  // x8/x9 explode AND broadcast the benchmark shingle set on purpose
+  // (benchmarks are MBs by contract; the corpus is the probe side).
+  private val explodeBroadcastAllowed =
+    Set("x8_decontaminate", "x9_decontaminate_bloom")
 
-  test("no catalog query plans a cartesian product or stray BNLJ") {
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if streaming(name) => None
-      case (name, fn) =>
-        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct"))
-          Some(s"$name: CartesianProduct")
-        else if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
-          Some(s"$name: BroadcastNestedLoopJoin off-allowlist")
-        else None
-    }
-    assert(bad.isEmpty, bad.mkString("; "))
-  }
-
-  test("no query broadcasts an exploded relation") {
-    // The d4 bug class, mechanically guarded: size estimation cannot
-    // see an explode's blow-up, so a banded/shingled relation (which
-    // scales with the corpus) silently rides a BroadcastExchange — a
-    // plan that dies at the first real scale-up. Allowlist: x8's
-    // benchmark shingle set is exploded AND broadcast on purpose
-    // (benchmarks are MBs by contract; the corpus is the probe side).
+  /** The three bans, applied to one executed physical plan. */
+  private def audit(name: String, plan: SparkPlan): Seq[String] = {
+    val s = plan.toString
+    val cartesian =
+      if (s.contains("CartesianProduct")) Seq(s"$name: CartesianProduct")
+      else Nil
+    val bnlj =
+      if (s.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        Seq(s"$name: BroadcastNestedLoopJoin off-allowlist")
+      else Nil
     // A broadcast whose subtree caps itself with a limit (n2's
     // 2-centroid probe) is bounded no matter what explodes below it.
-    // x9 shares x8's intended benchmark-set broadcast (and adds the
-    // bloom prefilter so far fewer corpus shingles reach it)
-    val allowed = Set("x8_decontaminate", "x9_decontaminate_bloom")
+    val explodeBroadcast =
+      if (explodeBroadcastAllowed(name)) Nil
+      else plan.collect {
+        case b: BroadcastExchangeExec
+            if b.collect {
+              case g: org.apache.spark.sql.execution.GenerateExec => g
+            }.nonEmpty && b.collect {
+              case l: BaseLimitExec => l
+              case t: TakeOrderedAndProjectExec => t
+            }.isEmpty => s"$name: broadcast over un-limited explode"
+      }
+    cartesian ++ bnlj ++ explodeBroadcast
+  }
+
+  /** The same three bans on a SparkPlanInfo event tree. */
+  private def auditInfo(name: String, info: SparkPlanInfo): Seq[String] = {
+    def nodes(i: SparkPlanInfo): Seq[SparkPlanInfo] =
+      i +: i.children.flatMap(nodes)
+    def has(i: SparkPlanInfo, p: String => Boolean): Boolean =
+      nodes(i).exists(n => p(n.nodeName))
+    val all = nodes(info)
+    val cartesian =
+      if (has(info, _.startsWith("CartesianProduct")))
+        Seq(s"$name: CartesianProduct (streaming)")
+      else Nil
+    val bnlj =
+      if (has(info, _.startsWith("BroadcastNestedLoopJoin")) &&
+          !bnljAllowed(name))
+        Seq(s"$name: BroadcastNestedLoopJoin (streaming)")
+      else Nil
+    val explodeBroadcast =
+      if (explodeBroadcastAllowed(name)) Nil
+      else all.filter { n =>
+        n.nodeName.startsWith("BroadcastExchange") &&
+          has(n, _.startsWith("Generate")) &&
+          !has(n, x => x.contains("Limit") ||
+            x.startsWith("TakeOrderedAndProject"))
+      }.map(_ => s"$name: broadcast over un-limited explode (streaming)")
+    cartesian ++ bnlj ++ explodeBroadcast
+  }
+
+  test("no batch catalog query plans a cartesian product or stray BNLJ") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-        case (name, _) if streaming(name) || allowed(name) => None
+        case (name, _) if streaming(name) => Nil
         case (name, fn) =>
-          val plan = fn(spark, sf0001).queryExecution.executedPlan
-          val hit = plan.collect {
-            case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-                if b.collect {
-                  case g: org.apache.spark.sql.execution.GenerateExec => g
-                }.nonEmpty && b.collect {
-                  case l: org.apache.spark.sql.execution.BaseLimitExec => l
-                  case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
-                }.isEmpty => b
-          }
-          if (hit.nonEmpty) Some(name) else None
+          audit(name, fn(spark, sf0001).queryExecution.executedPlan)
       }
-      assert(bad.isEmpty,
-        s"broadcasting an exploded relation: ${bad.mkString(", ")}")
+      assert(bad.isEmpty, bad.mkString("; "))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("streaming micro-batch plans pass the same audit") {
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[SparkPlanInfo]()
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit =
+        event match {
+          case e: SparkListenerSQLExecutionStart =>
+            captured.add(e.sparkPlanInfo); ()
+          case e: SparkListenerSQLAdaptiveExecutionUpdate =>
+            captured.add(e.sparkPlanInfo); ()
+          case _ => ()
+        }
+    }
+    def drainStable(): Seq[SparkPlanInfo] = {
+      // the listener bus is async — wait until the count is stable
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = captured.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      import scala.jdk.CollectionConverters._
+      captured.asScala.toSeq
+    }
+    val bad = streaming.toSeq.sorted.flatMap { name =>
+      captured.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val finalPlan =
+        try SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.executedPlan
+        finally ()
+      val infos = drainStable()
+      spark.sparkContext.removeSparkListener(listener)
+      assert(infos.nonEmpty, s"$name: no execution events captured")
+      infos.flatMap(i => auditInfo(name, i)) ++ audit(name, finalPlan)
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
   }
 
   test("c3_quota_sample plans no window over an unbounded partition") {

@@ -48,4 +48,31 @@ class GameLookupSpec extends AnyFunSuite {
     val m = resolve("42")
     assert(m("42")._2 == Seq("300"))
   }
+
+  test("loadFromRoot probes the reference's three candidate locations") {
+    // etl/transform.py:43-47: repo root, then config/, then data/
+    val src = java.nio.file.Paths.get(
+      "src/test/resources/lookup/game_lookup.csv")
+    for (sub <- Seq("", "config", "data")) {
+      val root = java.nio.file.Files.createTempDirectory("graft_lookup")
+      val dir = if (sub.isEmpty) root else
+        java.nio.file.Files.createDirectory(root.resolve(sub))
+      java.nio.file.Files.copy(src, dir.resolve("game_id_to_pools.csv"))
+      val got = GameLookup.loadFromRoot(spark, root.toString)
+      assert(got.count() > 0, s"location '$sub' did not resolve")
+    }
+    // earlier location wins when several exist
+    val root = java.nio.file.Files.createTempDirectory("graft_lookup")
+    java.nio.file.Files.createDirectory(root.resolve("config"))
+    java.nio.file.Files.copy(src, root.resolve("game_id_to_pools.csv"))
+    java.nio.file.Files.write(
+      root.resolve("config").resolve("game_id_to_pools.csv"),
+      "Game,Game_id,Pool_id,Bet\n".getBytes)
+    assert(GameLookup.loadFromRoot(spark, root.toString).count() > 0)
+    // and a miss reports every probed path
+    val empty = java.nio.file.Files.createTempDirectory("graft_lookup")
+    val e = intercept[RuntimeException](
+      GameLookup.loadFromRoot(spark, empty.toString))
+    assert(e.getMessage.contains("config/") && e.getMessage.contains("data/"))
+  }
 }

@@ -9,29 +9,37 @@ import org.apache.spark.sql.functions._
 import graft.QueryHarness.spark
 
 /** S6's scale path: upsertPartitioned must behave like a keyed MERGE
-  * (incoming keys replace, everything else survives) AND touch only
-  * the partitions its keys hash into — untouched partition
-  * directories keep their exact files (names compared, not mtimes:
-  * parquet part files get fresh UUID names on any rewrite, so an
-  * unchanged listing proves the directory was never rewritten).
+  * (incoming keys replace, everything else survives), touch only the
+  * buckets its keys hash into, and commit ATOMICALLY — a writer that
+  * dies after staging data files but before the manifest rename must
+  * leave readers on the previous version, never a torn mix of old and
+  * new buckets. Data files are append-only (immutable once named), so
+  * "untouched bucket never rewritten" is provable from the manifest:
+  * its file list for that bucket is unchanged and the files still
+  * exist with their original bytes.
   */
 class PartitionedUpsertSpec extends AnyFunSuite {
 
-  private def listByPartition(dir: String): Map[String, Set[String]] =
-    new File(dir).listFiles().filter(_.isDirectory)
-      .map(d => d.getName -> d.listFiles().map(_.getName)
-        .filterNot(_.startsWith(".")).toSet)
-      .toMap
+  private def manifest(dir: String): PoolJsonSink.TableManifest =
+    PoolJsonSink.readManifest(dir).get
 
-  test("upsert rewrites only touched partitions, merges by key") {
+  /** (size, mtime) fingerprint of every referenced data file. */
+  private def fingerprint(dir: String): Map[String, (Long, Long)] =
+    manifest(dir).files.map { rel =>
+      val f = new File(dir, rel)
+      rel -> ((f.length(), f.lastModified()))
+    }.toMap
+
+  test("upsert rewrites only touched buckets, merges by key") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("table").toString
     val base = (0 until 100).map(i => (s"key$i", s"v0_$i"))
       .toDF("k", "payload")
     PoolJsonSink.upsertPartitioned(spark, dir, base, col("k"), nBuckets = 8)
-    val before = listByPartition(dir)
-    assert(before.nonEmpty)
+    val before = manifest(dir)
+    val beforeFp = fingerprint(dir)
+    assert(before.buckets.nonEmpty)
 
     // update 2 keys, insert 1 new — at most 3 of 8 buckets touched
     val batch = Seq(("key3", "v1_3"), ("key42", "v1_42"), ("key_new", "v1_new"))
@@ -40,25 +48,74 @@ class PartitionedUpsertSpec extends AnyFunSuite {
       spark, dir, batch, col("k"), nBuckets = 8)
     assert(touched.nonEmpty && touched.size <= 3)
 
-    val after = listByPartition(dir)
-    val touchedDirs = touched.map(b => s"__pt=$b").toSet
-    // untouched partitions: identical file listing, byte-for-byte
-    // never rewritten
-    (before.keySet -- touchedDirs).foreach { p =>
-      assert(after(p) == before(p), s"untouched partition $p was rewritten")
+    val after = manifest(dir)
+    assert(after.version == before.version + 1)
+    // untouched buckets: identical manifest entries, files intact
+    (before.buckets.keySet -- touched).foreach { b =>
+      assert(after.buckets(b) == before.buckets(b),
+        s"untouched bucket $b was rewritten")
+      after.buckets(b).foreach { rel =>
+        val f = new File(dir, rel)
+        assert(f.exists() &&
+          (f.length(), f.lastModified()) == beforeFp(rel),
+          s"untouched file $rel modified")
+      }
     }
-    // touched partitions: rewritten (fresh part-file names)
-    touchedDirs.filter(before.contains).foreach { p =>
-      assert(after(p) != before(p), s"touched partition $p kept stale files")
+    // touched buckets: fresh files referenced
+    touched.filter(before.buckets.contains).foreach { b =>
+      assert(after.buckets(b) != before.buckets(b),
+        s"touched bucket $b kept stale files")
     }
 
     // MERGE semantics: 101 keys, updates visible, the rest intact
-    val got = spark.read.parquet(dir)
+    val got = PoolJsonSink.readTable(spark, dir)
       .select("k", "payload").as[(String, String)].collect().toMap
     assert(got.size == 101)
     assert(got("key3") == "v1_3" && got("key42") == "v1_42")
     assert(got("key_new") == "v1_new")
     assert(got("key7") == "v0_7")
+  }
+
+  test("crash between bucket writes and commit leaves old table readable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash")
+      .resolve("table").toString
+    val base = (0 until 50).map(i => (s"key$i", s"v0_$i")).toDF("k", "payload")
+    PoolJsonSink.upsertPartitioned(spark, dir, base, col("k"), nBuckets = 8)
+    val v1 = manifest(dir)
+    val v1Fp = fingerprint(dir)
+
+    // the writer dies after ALL new bucket files are staged, one
+    // instruction before the manifest rename — the worst case for a
+    // non-atomic commit (dynamic partition overwrite would have
+    // already replaced some directories by now)
+    val batch = (0 until 50 by 5).map(i => (s"key$i", s"CRASH_$i"))
+      .toDF("k", "payload")
+    intercept[RuntimeException] {
+      PoolJsonSink.upsertPartitioned(spark, dir, batch, col("k"),
+        nBuckets = 8, onBeforeCommit =
+          () => throw new RuntimeException("killed mid-commit"))
+    }
+
+    // readers still see version 1, complete and unmodified
+    assert(manifest(dir).version == v1.version)
+    assert(manifest(dir).buckets == v1.buckets)
+    assert(fingerprint(dir) == v1Fp)
+    val got = PoolJsonSink.readTable(spark, dir)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(got.size == 50)
+    assert(got.values.forall(_.startsWith("v0_")), "torn write visible")
+
+    // the crash's orphaned files are invisible but on disk; vacuum
+    // reclaims them, and a retry of the same batch then succeeds
+    assert(PoolJsonSink.vacuum(dir) > 0)
+    assert(fingerprint(dir) == v1Fp)
+    PoolJsonSink.upsertPartitioned(spark, dir, batch, col("k"), nBuckets = 8)
+    val retried = PoolJsonSink.readTable(spark, dir)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(retried("key5") == "CRASH_5" && retried("key6") == "v0_6")
+    assert(PoolJsonSink.vacuum(dir) > 0) // replaced v1 files reclaimed
+    assert(PoolJsonSink.readTable(spark, dir).count() == 50)
   }
 
   test("compaction squashes only fat buckets, preserves content") {
@@ -69,7 +126,7 @@ class PartitionedUpsertSpec extends AnyFunSuite {
       .coalesce(1)
     PoolJsonSink.upsertPartitioned(spark, dir, base, col("k"), nBuckets = 4)
     // fatten ONE bucket: a wide-parallelism upsert writes one file per
-    // task per touched partition (at cluster scale: hundreds of files
+    // task per touched bucket (at cluster scale: hundreds of files
     // per bucket per MERGE batch — exactly the small-files problem)
     val hot = base
       .where(pmod(xxhash64(col("k")), lit(4L)) === 1)
@@ -77,21 +134,27 @@ class PartitionedUpsertSpec extends AnyFunSuite {
     val touched = PoolJsonSink.upsertPartitioned(spark, dir,
       hot.repartition(12), col("k"), nBuckets = 4)
     assert(touched == Seq(1L))
-    val before = listByPartition(dir)
-    assert(before("__pt=1").count(_.endsWith(".parquet")) > 4,
+    val before = manifest(dir)
+    val beforeFp = fingerprint(dir)
+    assert(before.buckets(1L).size > 4,
       "setup: hot bucket must have accumulated small files")
 
     val compacted = PoolJsonSink.compactPartitions(spark, dir,
       maxFilesPerPartition = 4)
     assert(compacted == Seq(1L))
-    val after = listByPartition(dir)
-    // fat bucket: down to one file; all others: byte-identical listing
-    assert(after("__pt=1").count(_.endsWith(".parquet")) == 1)
-    (before.keySet - "__pt=1").foreach { p =>
-      assert(after(p) == before(p), s"cold partition $p was rewritten")
+    val after = manifest(dir)
+    // fat bucket: down to one file; all others: untouched on disk
+    assert(after.buckets(1L).size == 1)
+    (before.buckets.keySet - 1L).foreach { b =>
+      assert(after.buckets(b) == before.buckets(b),
+        s"cold bucket $b was rewritten")
+      after.buckets(b).foreach { rel =>
+        val f = new File(dir, rel)
+        assert((f.length(), f.lastModified()) == beforeFp(rel))
+      }
     }
     // content identical: 60 keys, hot-bucket keys at their new values
-    val got = spark.read.parquet(dir)
+    val got = PoolJsonSink.readTable(spark, dir)
       .select("k", "payload").as[(String, String)].collect().toMap
     val hotKeys = hot.select("k").as[String].collect().toSet
     assert(got.size == 60)
@@ -109,7 +172,7 @@ class PartitionedUpsertSpec extends AnyFunSuite {
     PoolJsonSink.upsertPartitioned(spark, dir, base, col("k"), nBuckets = 4)
     PoolJsonSink.upsertPartitioned(spark, dir,
       Seq(("key1", 1L)).toDF("k", "v"), col("k"), nBuckets = 4)
-    val got = spark.read.parquet(dir).select("k", "v")
+    val got = PoolJsonSink.readTable(spark, dir).select("k", "v")
       .as[(String, Long)].collect().toMap
     assert(got.size == 10 && got("key1") == 1L)
   }
