@@ -36,10 +36,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: every query at the smallest SF (codegen cache + JIT),
-    // flagship pipeline included via the a6 catalog entry.
+    // SPARK_GRAFT_BENCH_ONLY=a1_count,t4_... restricts the run to the
+    // named queries (quiet-box re-measurement of a drifted number
+    // without paying for the whole catalog); default is every query.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Warmup: every selected query at the smallest SF (codegen cache +
+    // JIT), flagship pipeline included via the a6 catalog entry.
     val warmSf = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try force(fn(spark, warmSf))
       catch { case _: Throwable => }
     }
@@ -58,7 +66,7 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       name -> (1 to runs).map(_ => timeOnce(name, fn)).min
     }
     val qs = results

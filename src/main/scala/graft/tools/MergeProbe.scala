@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pol.PoolJsonSink
+
+/** MergeProbe <nKeys> <workDir> — the evidence behind t6's scale
+  * claim: delta-driven MERGE maintenance must cost O(delta + touched
+  * buckets), never O(table).
+  *
+  * Seeds a manifest table with nKeys per-user aggregate rows (256
+  * buckets), then times (a) a fixed 10-key delta through
+  * `PoolJsonSink.mergeDelta` (min of 3) and (b) the naive combine the
+  * round-3 t6 did — read the WHOLE table, union the delta,
+  * re-aggregate every key, rewrite everything (1 rep; it only gets
+  * slower). Run at 1e5 / 1e6 / 1e7 keys: the mergeDelta time tracks
+  * the ~10 touched buckets (table_bytes / 256 each) while the naive
+  * time tracks the table — the ratio is the scaling argument recorded
+  * in SCALING.md.
+  */
+object MergeProbe {
+  def main(args: Array[String]): Unit = {
+    val nKeys = args(0).toLong
+    val work = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def combine(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_value_dec")).cast("decimal(38,2)")
+          .as("sum_value_dec"))
+    def delta(seed: Long) = spark.range(10).select(
+      concat(lit("u"), (col("id") * (nKeys / 10) + seed) % nKeys)
+        .as("user_id"),
+      lit(1L).as("n_events"),
+      lit(java.math.BigDecimal.ONE).cast("decimal(38,2)")
+        .as("sum_value_dec"))
+
+    val dir = s"$work/tbl_$nKeys"
+    val base = spark.range(nKeys).select(
+      concat(lit("u"), col("id")).as("user_id"),
+      lit(1L).as("n_events"),
+      col("id").cast("decimal(38,2)").as("sum_value_dec"))
+    val (_, tSeed) = timed {
+      PoolJsonSink.upsertPartitioned(spark, dir, base, col("user_id"),
+        nBuckets = 256)
+    }
+    // a maintained table is compacted (one file per bucket) — without
+    // this the probe times 32-files-per-bucket open overhead, not the
+    // merge
+    PoolJsonSink.compactPartitions(spark, dir, maxFilesPerPartition = 1)
+    PoolJsonSink.vacuum(dir)
+
+    // warm the code paths once on a throwaway table
+    val warm = s"$work/tbl_warm"
+    PoolJsonSink.upsertPartitioned(spark, warm,
+      base.limit(1000), col("user_id"), nBuckets = 256)
+    PoolJsonSink.mergeDelta(spark, warm, delta(0), col("user_id"),
+      nBuckets = 256)(combine)
+
+    val tMerge = (1 to 3).map { i =>
+      timed(PoolJsonSink.mergeDelta(spark, dir, delta(i * 17L),
+        col("user_id"), nBuckets = 256)(combine))._2
+    }.min
+
+    // the round-3 shape: full-table read + full re-agg + full rewrite
+    val naiveDir = s"$work/tbl_naive_$nKeys"
+    val (_, tNaive) = timed {
+      val full = combine(
+        PoolJsonSink.readTable(spark, dir)
+          .drop("__pt").unionByName(delta(999)))
+      PoolJsonSink.upsertPartitioned(spark, naiveDir, full,
+        col("user_id"), nBuckets = 256)
+    }
+
+    println(f"""{"nKeys":$nKeys,"seed_s":$tSeed%.2f,""" +
+      f""""merge_delta_s":$tMerge%.3f,"naive_full_s":$tNaive%.2f}""")
+    spark.stop()
+  }
+}

@@ -90,7 +90,9 @@ object ScaleProbe {
       else Seq("d1_dedup_exact", "d2_minhash_signatures",
         "d7_lsh_bucket_cap", "d5_simhash", "c1_dedup_clusters",
         "c2_hash_split", "c3_quota_sample", "x4_fingerprint",
-        "x5_repetition", "x6_pii_redact", "n4_embedding_quantize")
+        "x5_repetition", "x6_pii_redact", "n4_embedding_quantize",
+        "c6_mixture_sample", "c7_pack_sequences", "x11_dup_spans",
+        "t6_stream_upsert")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
