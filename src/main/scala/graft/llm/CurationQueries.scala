@@ -474,7 +474,27 @@ object CurationQueries {
         .select(col("source"), (col("pos") + 1).as("rk"),
           col("col").as("doc_id"))
         .orderBy("source", "rk")
-    })
+    }),
+
+    // C8 — quality-aware canonical selection: among docs sharing a
+    // lead fingerprint (md5 of the first 64 chars — the cheap "same
+    // boilerplate head" key real pipelines hash before full dedup),
+    // keep the BEST copy: longest text, then lowest doc_id. d1 keeps
+    // min-id; production dedup keeps the most complete copy — this is
+    // that policy. One bounded aggregation: max(struct) carries one
+    // (n_chars, id) pair per group map-side — no window, no per-group
+    // sort, no skew hazard (contrast: row_number over a partition
+    // sorts the whole group in one task — the c3 killer).
+    "c8_keep_best_duplicate" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(substring(col("text"), 1, 64)).as("digest"))
+        .agg(
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+            .as("best"),
+          count(lit(1)).as("n_copies"))
+        .select((-col("best.neg_id")).as("doc_id"),
+          col("best.n_chars").as("n_chars"), col("n_copies"))
+        .orderBy("doc_id"))
   )
 
   private val sqlPairs =
@@ -560,6 +580,16 @@ object CurationQueries {
         |  min(doc_id) AS first_doc,
         |  round(CAST(sum(n_chars) AS DOUBLE) / 2048.0, 4) AS fill
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "c8_keep_best_duplicate" ->
+      """WITH g AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY md5(substr(text, 1, 64))
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY md5(substr(text, 1, 64)))
+        |      AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM g WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "c3_quota_sample" ->
       """WITH r AS (
         |  SELECT source, doc_id,

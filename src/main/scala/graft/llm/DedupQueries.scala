@@ -286,8 +286,46 @@ object DedupQueries {
       toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
         .select(col("doc_id"), simhash.as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // D10 — cross-source contamination matrix: distinct 8-gram
+    // shingles shared by each PAIR of sources — the corpus-level "is
+    // crawl A leaking into crawl B / is the eval set inside the
+    // training mix" sweep (x8 answers it per-document; this answers
+    // it per-source-pair). Scale shape: only (source, shingle-hash)
+    // rows ever shuffle (16 bytes + source), the pair join is keyed
+    // on the shingle hash, and shingles present in MORE than
+    // [[MaxOverlapSources]] sources are dropped BEFORE the self-join
+    // — ubiquitous boilerplate carries no contamination signal but
+    // would cost C(n,2) rows per shingle (the d7 hot-bucket cap
+    // applied to the source axis). Both joins are shuffle-hash
+    // hinted: size estimation cannot see the explode's blow-up, and
+    // broadcasting a corpus-scale digest list is the d4 bug class.
+    "d10_cross_source_overlap" -> ((s, d) => {
+      val ds = documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.ShingleHashes(col("text"))).as("h"))
+        .distinct()
+      val eligible = ds.groupBy("h")
+        .agg(count(lit(1)).as("nsrc"))
+        .where(col("nsrc").between(2, MaxOverlapSources))
+        .select("h")
+      val dsc = ds.join(eligible.hint("shuffle_hash"), Seq("h"),
+        "left_semi")
+      dsc.as("a").hint("shuffle_hash")
+        .join(dsc.as("b").hint("shuffle_hash"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .orderBy("src_a", "src_b")
     })
   )
+
+  /** d10's source-axis cap: shingles in more sources than this are
+    * boilerplate, not contamination — and each would emit C(n,2) pair
+    * rows. Testdata has 20 sources; the 2..10 band binds there.
+    */
+  private[llm] val MaxOverlapSources = 10
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -388,6 +426,19 @@ object DedupQueries {
          |  CAST(sum(CASE WHEN vote > 0
          |           THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
          |    AS simhash
-         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d10_cross_source_overlap" ->
+      s"""WITH ds AS (
+         |  SELECT DISTINCT source, h FROM (
+         |    SELECT source, unnest($sqlShingleHashes) AS h
+         |    FROM documents)),
+         |elig AS (
+         |  SELECT h FROM ds GROUP BY h
+         |  HAVING count(*) BETWEEN 2 AND $MaxOverlapSources),
+         |dsc AS (SELECT ds.* FROM ds JOIN elig USING (h))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS shared_shingles
+         |FROM dsc a JOIN dsc b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

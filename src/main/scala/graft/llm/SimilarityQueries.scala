@@ -205,23 +205,39 @@ object SimilarityQueries {
     // the 2 nearest centroids, brute-force only inside them.
     "n2_ann_ivf" -> ((s, d) => {
       val t = base(s, d)
-      // centroids: per (label, dim) decimal-exact mean, re-assembled in
-      // dim order
-      val cent = t.select(col("label"), posexplode(col("e")))
-        .groupBy("label", "pos")
-        .agg((sum(col("col").cast("decimal(25,10)")) / count(lit(1)))
-          .cast("double").as("m"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-          .as("ce"))
       val q = t.where(col("vec_id") === 0)
         .select(col("e").as("qe"), col("norm").as("qnorm"))
-      val nearest = cent.crossJoin(broadcast(q))
-        .withColumn("cdist", dot("ce", "qe"))
-        .orderBy(col("cdist").desc, col("label"))
-        .limit(2)
-        .select(col("label"))
+      val nearest = nearestCentroids(t, q)
       t.join(broadcast(nearest), "label")
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6))
+        .select(col("vec_id"), col("label"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // N6 — n2's production shape: the cluster id as a PARTITION
+    // COLUMN. The embeddings are materialized once per corpus as a
+    // label-partitioned parquet index; the probe collects its 2
+    // nearest centroid labels (2 rows by construction — that collect
+    // is what turns cluster choice into a literal) and filters with
+    // `label IN (…)`, so pruning happens at PLANNING time: unprobed
+    // partitions are never listed, opened, or footer-read
+    // (IvfPartitionSpec pins the scan to 2 of 10 partitions). At
+    // 100 TB this is the difference between "scan 20% of the corpus"
+    // (n2's runtime join filter) and "the other 80% doesn't exist for
+    // this query". Same oracle as n2 — the layout changes nothing
+    // semantically.
+    "n6_ann_ivf_partitioned" -> ((s, d) => {
+      val t = base(s, d)
+      val q = t.where(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("norm").as("qnorm"))
+      val labels = nearestCentroids(t, q)
+        .collect().map(_.getInt(0)).toSeq
+      s.read.parquet(ivfIndexDir(s, d))
+        .where(col("label").isin(labels: _*))
         .where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .withColumn("cos",
@@ -231,6 +247,43 @@ object SimilarityQueries {
         .limit(10)
     })
   )
+
+  /** Per-label decimal-exact centroids, ranked against the probe: the
+    * 2 nearest cluster labels (shared by n2 and n6).
+    */
+  private def nearestCentroids(t: DataFrame, q: DataFrame): DataFrame = {
+    val cent = t.select(col("label"), posexplode(col("e")))
+      .groupBy("label", "pos")
+      .agg((sum(col("col").cast("decimal(25,10)")) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("ce"))
+    cent.crossJoin(broadcast(q))
+      .withColumn("cdist", dot("ce", "qe"))
+      .orderBy(col("cdist").desc, col("label"))
+      .limit(2)
+      .select(col("label"))
+  }
+
+  /** Build (once per corpus dir, under java.io.tmpdir) n6's
+    * label-partitioned ANN index. On a real deployment this is the
+    * offline index-build job; here it is keyed by corpus path and
+    * completion-markered so concurrent/repeated queries reuse it.
+    */
+  private def ivfIndexDir(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_index_$key")
+    val ready = new java.io.File(dir, "_INDEX_READY")
+    if (!ready.exists()) {
+      base(s, d).write.mode("overwrite").partitionBy("label")
+        .parquet(dir.toString)
+      ready.createNewFile()
+    }
+    dir.toString
+  }
 
   /** Hyperplane b: component j = conv(substr(md5('b_j'),1,7),16,10)
     * / 2^27 − 1, the identical arithmetic as the SQL formulation (the
@@ -326,24 +379,29 @@ object SimilarityQueries {
         |  list_min(q) AS qmin, list_max(q) AS qmax,
         |  CAST(list_sum(q) AS BIGINT) AS qsum
         |FROM qq ORDER BY vec_id""".stripMargin,
-    "n2_ann_ivf" ->
-      s"""WITH t AS ($sqlBase),
-         |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0),
-         |dims AS (
-         |  SELECT label, i.range AS pos,
-         |    CAST(sum(CAST(e[i.range + 1] AS DECIMAL(25,10))) / count(*) AS DOUBLE) AS m
-         |  FROM t, range(64) i GROUP BY 1, 2),
-         |cent AS (
-         |  SELECT label, list_transform(
-         |    list_sort(list(struct_pack(pos := pos, m := m))), x -> x.m) AS ce
-         |  FROM dims GROUP BY label),
-         |nearest AS (
-         |  SELECT label FROM cent, q
-         |  ORDER BY list_inner_product(ce, qe) DESC, label LIMIT 2)
-         |SELECT vec_id, label,
-         |  round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
-         |FROM t JOIN nearest USING (label), q
-         |WHERE vec_id <> 0
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    "n2_ann_ivf" -> sqlIvf,
+    // n6 is n2 with the cluster id as a partition column — identical
+    // semantics, so the identical oracle
+    "n6_ann_ivf_partitioned" -> sqlIvf
   )
+
+  private lazy val sqlIvf =
+    s"""WITH t AS ($sqlBase),
+       |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0),
+       |dims AS (
+       |  SELECT label, i.range AS pos,
+       |    CAST(sum(CAST(e[i.range + 1] AS DECIMAL(25,10))) / count(*) AS DOUBLE) AS m
+       |  FROM t, range(64) i GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, list_transform(
+       |    list_sort(list(struct_pack(pos := pos, m := m))), x -> x.m) AS ce
+       |  FROM dims GROUP BY label),
+       |nearest AS (
+       |  SELECT label FROM cent, q
+       |  ORDER BY list_inner_product(ce, qe) DESC, label LIMIT 2)
+       |SELECT vec_id, label,
+       |  round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
+       |FROM t JOIN nearest USING (label), q
+       |WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 }

@@ -29,12 +29,13 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val streaming = Set("t1_stream_agg", "t2_stream_window",
     "t4_stream_stream_join", "t5_stream_dedup", "t6_stream_upsert")
-  // n1/n2/r14 broadcast a single row; n5 broadcasts the probe SET —
-  // small by contract (the batch being deduped/retrieved-for), with
-  // the corpus streaming against it map-side and the per-probe top-k
-  // bounded by the TopKAgg aggregation above it.
+  // n1/n2/n6 broadcast a single probe row (n6 over the pruned
+  // partitioned index); r14 a single scalar row; n5 broadcasts the
+  // probe SET — small by contract (the batch being deduped/
+  // retrieved-for), with the corpus streaming against it map-side and
+  // the per-probe top-k bounded by the TopKAgg aggregation above it.
   private val bnljAllowed = Set("n1_ann_bruteforce", "n2_ann_ivf",
-    "r14_scalar_subquery", "n5_knn_join")
+    "n6_ann_ivf_partitioned", "r14_scalar_subquery", "n5_knn_join")
   // x8/x9 explode AND broadcast the benchmark shingle set on purpose
   // (benchmarks are MBs by contract; the corpus is the probe side).
   private val explodeBroadcastAllowed =

@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryHarness.{spark, sf0001}
+
+/** Round-4 operators: c8 canonical selection policy and n6 partition
+  * pruning. The oracle pins both on the testdata; these specs pin the
+  * SEMANTICS on adversarial inputs (c8: the best copy must win, not
+  * the first or min-id one) and the SCALE MECHANISM (n6: the scan
+  * must plan only the probed partitions — the whole point of storing
+  * the cluster id as a partition column).
+  */
+class NewCurationOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("c8 keeps the longest copy, then the lowest doc_id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_c8").toString
+    // one shared 64-char head, different tails/lengths; a tie pair;
+    // and a singleton
+    val head = "H" * 64
+    Seq(
+      (10L, head + " short", "en", "s", (head + " short").length.toLong),
+      (11L, head + " the much longer and more complete copy", "en", "s",
+        (head + " the much longer and more complete copy").length.toLong),
+      (12L, head + " mid-size copy here", "en", "s",
+        (head + " mid-size copy here").length.toLong),
+      (20L, "tie " * 16 + "A", "en", "s", ("tie " * 16 + "A").length.toLong),
+      (21L, "tie " * 16 + "B", "en", "s", ("tie " * 16 + "B").length.toLong),
+      (30L, "solo document", "en", "s", "solo document".length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("c8_keep_best_duplicate")(spark, dir)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    // longest of the 3-copy group wins regardless of id order
+    assert(got == Map(11L -> 3L, 20L -> 2L, 30L -> 1L))
+  }
+
+  test("n6 plans only the probed label partitions") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.SparkEntry.queries("n6_ann_ivf_partitioned")(
+        spark, sf0001)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location")
+              .exists(_.contains("graft_ivf_index")) => f
+      }
+      assert(scans.nonEmpty, "no index scan in the n6 plan")
+      // 10 labels exist; the probe selects exactly 2 as a LITERAL IN —
+      // that is the planning-time prune (e.g. "label#64 IN (2,8)")
+      val pf = scans.head.metadata("PartitionFilters")
+      assert("label#\\d+ IN \\(\\d+,\\d+\\)".r.findFirstIn(pf).isDefined,
+        s"expected a 2-label literal partition filter, got: $pf")
+      // and the probe-side filter reaches the parquet reader
+      assert(scans.head.metadata("PushedFilters").contains("vec_id"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("n6 returns exactly n2's result (layout must not change semantics)") {
+    val a = graft.SparkEntry.queries("n2_ann_ivf")(spark, sf0001)
+      .collect().toSeq
+    val b = graft.SparkEntry.queries("n6_ann_ivf_partitioned")(spark, sf0001)
+      .collect().toSeq
+    assert(a == b)
+  }
+}
