@@ -25,6 +25,9 @@ object SimilarityQueries {
 
   private def vecd(c: Column): Column = c.cast("array<double>")
 
+  /** n7's k — 8 clusters; centroid sets are always broadcast-sized. */
+  private val Kmeans = 8
+
   /** Left-fold dot product — the native [[graft.functions.DotProduct]]
     * expression, bit-identical to the builtin
     * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`
@@ -218,6 +221,55 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // N7 — k-means TRAINING for the IVF index (the offline job whose
+    // output n2/n6 serve): 2 unrolled Lloyd iterations, k=8, fully
+    // deterministic — seeds are the k vectors with the smallest
+    // (md5(vec_id), vec_id), assignment breaks distance ties by
+    // centroid id, and centroid means go through DECIMAL(25,10) sums
+    // so the reduction is order-independent. dist² is
+    // ee − 2·(e·c) + cc with the left-fold dot both engines share —
+    // identical IEEE doubles, no RNG, no iteration-order dependence:
+    // a 1000-executor run is byte-identical to the oracle. Plan per
+    // iteration: centroids BROADCAST (k rows — k-means' assign stage
+    // is embarrassingly parallel at any corpus size), assignment is
+    // one bounded min(struct) aggregate per vector (never a per-vector
+    // sort), means are one partial-agg'd groupBy(cid, dim). The seed
+    // window runs over k rows post-limit — bounded by construction.
+    "n7_kmeans" -> ((s, d) => {
+      val t = base(s, d).select(col("vec_id"), col("e"))
+        .withColumn("ee", dot("e", "e"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("hk"), col("vec_id"))
+      val cents0 = t
+        .select(col("vec_id"), col("e"),
+          md5(col("vec_id").cast("string")).as("hk"))
+        .orderBy(col("hk"), col("vec_id")).limit(Kmeans)
+        .withColumn("cid", (row_number().over(w) - 1).cast("long"))
+        .select(col("cid"), col("e").as("ce"))
+      def assign(cents: DataFrame): DataFrame =
+        t.crossJoin(broadcast(
+            cents.withColumn("cc", dot("ce", "ce"))))
+          .withColumn("d2",
+            col("ee") - lit(2.0) * dot("e", "ce") + col("cc"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"),
+            col("m.d2").as("d2"))
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned.join(t, "vec_id")
+          .select(col("cid"), posexplode(col("e")))
+          .groupBy("cid", "pos")
+          .agg((sum(col("col").cast("decimal(25,10)")) / count(lit(1)))
+            .cast("double").as("m"))
+          .groupBy("cid")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+            .as("ce"))
+      assign(recompute(assign(cents0)))
+        .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
+        .orderBy("vec_id")
+    }),
+
     // N6 — n2's production shape: the cluster id as a PARTITION
     // COLUMN. The embeddings are materialized once per corpus as a
     // label-partitioned parquet index; the probe collects its 2
@@ -382,7 +434,43 @@ object SimilarityQueries {
     "n2_ann_ivf" -> sqlIvf,
     // n6 is n2 with the cluster id as a partition column — identical
     // semantics, so the identical oracle
-    "n6_ann_ivf_partitioned" -> sqlIvf
+    "n6_ann_ivf_partitioned" -> sqlIvf,
+    "n7_kmeans" ->
+      s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |tt AS (SELECT vec_id, e, list_inner_product(e, e) AS ee FROM t),
+         |c0 AS (
+         |  SELECT row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         |    e AS ce
+         |  FROM t ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT tt.vec_id, c0.cid,
+         |      row_number() OVER (PARTITION BY tt.vec_id ORDER BY
+         |        tt.ee - 2 * list_inner_product(tt.e, c0.ce)
+         |          + list_inner_product(c0.ce, c0.ce), c0.cid) AS rk
+         |    FROM tt, c0) WHERE rk = 1),
+         |dims1 AS (
+         |  SELECT a1.cid, i.range AS pos,
+         |    CAST(sum(CAST(t.e[i.range + 1] AS DECIMAL(25,10))) / count(*)
+         |      AS DOUBLE) AS m
+         |  FROM a1 JOIN t USING (vec_id), range(64) i GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT cid, list_transform(
+         |    list_sort(list(struct_pack(pos := pos, m := m))), x -> x.m) AS ce
+         |  FROM dims1 GROUP BY cid),
+         |a2 AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT tt.vec_id, c1.cid,
+         |      tt.ee - 2 * list_inner_product(tt.e, c1.ce)
+         |        + list_inner_product(c1.ce, c1.ce) AS d2,
+         |      row_number() OVER (PARTITION BY tt.vec_id ORDER BY
+         |        tt.ee - 2 * list_inner_product(tt.e, c1.ce)
+         |          + list_inner_product(c1.ce, c1.ce), c1.cid) AS rk
+         |    FROM tt, c1) WHERE rk = 1)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cid, round(d2, 6) AS d2
+         |FROM a2 ORDER BY vec_id""".stripMargin
   )
 
   private lazy val sqlIvf =

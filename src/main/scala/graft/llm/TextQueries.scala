@@ -357,6 +357,36 @@ object TextQueries {
         .select(col("token_id"), col("tok"), col("n"),
           expr("(cum_n * 1000000L) DIV tot").as("cum_ppm"))
         .orderBy("token_id")
+    }),
+
+    // X13 — unigram-LM rarity score: the CCNet-style quality filter
+    // (docs dominated by rare tokens score low/rare) made cross-engine
+    // EXACT — token probabilities stay in integer PPM
+    // (cnt·1e6 DIV total) and the per-doc mean is integer division,
+    // so no log/double reduction exists anywhere and a 1000-executor
+    // partial-agg run is byte-identical to the single-threaded oracle
+    // (the perplexity variant differs only by a log table lookup).
+    // Plan: one corpus-wide groupBy(tok) (map-side partials), a
+    // token→freq equi-join — shuffle-hash hinted, a web-scale vocab
+    // must never broadcast — and one bounded per-doc aggregate. The
+    // corpus total rides in as a 1-row broadcast scalar (r14's shape,
+    // allowlisted).
+    "x13_rarity_score" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          .as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("tot"))
+      val ppm = freq.crossJoin(broadcast(total))
+        .select(col("tok"), expr("(cnt * 1000000L) DIV tot").as("ppm"))
+      toks.hint("shuffle_hash")
+        .join(ppm.hint("shuffle_hash"), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          expr("sum(ppm) DIV count(1)").as("mean_ppm"),
+          min(col("ppm")).as("rarest_ppm"))
+        .orderBy("doc_id")
     })
   )
 
@@ -532,6 +562,22 @@ object TextQueries {
           |SELECT CAST(token_id AS BIGINT) AS token_id, tok, n,
           |  CAST(cum_n AS BIGINT) * 1000000 // CAST(tot AS BIGINT) AS cum_ppm
           |FROM v ORDER BY token_id""".stripMargin,
+      "x13_rarity_score" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '')) AS tok
+          |  FROM documents),
+          |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM freq),
+          |ppm AS (
+          |  SELECT tok, CAST(cnt * 1000000 // tot AS BIGINT) AS ppm
+          |  FROM freq, tot)
+          |SELECT doc_id, count(*) AS n_toks,
+          |  CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm,
+          |  min(ppm) AS rarest_ppm
+          |FROM toks JOIN ppm USING (tok)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "x4_fingerprint" ->
         """WITH sh0 AS (
           |  SELECT doc_id,

@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // retrieved-for), with the corpus streaming against it map-side and
   // the per-probe top-k bounded by the TopKAgg aggregation above it.
   private val bnljAllowed = Set("n1_ann_bruteforce", "n2_ann_ivf",
-    "n6_ann_ivf_partitioned", "r14_scalar_subquery", "n5_knn_join")
+    "n6_ann_ivf_partitioned", "r14_scalar_subquery", "n5_knn_join",
+    "x13_rarity_score", // 1-row corpus-total scalar broadcast
+    "n7_kmeans") // k-row centroid broadcast: assign is map-side by design
   // x8/x9 explode AND broadcast the benchmark shingle set on purpose
   // (benchmarks are MBs by contract; the corpus is the probe side).
   private val explodeBroadcastAllowed =
