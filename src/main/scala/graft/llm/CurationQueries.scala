@@ -494,7 +494,37 @@ object CurationQueries {
           count(lit(1)).as("n_copies"))
         .select((-col("best.neg_id")).as("doc_id"),
           col("best.n_chars").as("n_chars"), col("n_copies"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // C9 — contamination-aware split: c2's deterministic hash buckets
+    // with x8's benchmark-decontamination verdict overriding the
+    // assignment. A doc whose shingles overlap the held-out benchmark
+    // must NEVER land in train (eval leakage — the bug that silently
+    // inflates every benchmark number), so it is QUARANTINED
+    // regardless of its bucket; benchmark member docs themselves are
+    // not corpus rows, mirroring x8. Plan: x8's per-doc flags join
+    // once on doc_id (sort-merge at corpus scale — both sides
+    // co-keyed), the bucket is the same map-side md5 as c2.
+    "c9_decontaminated_split" -> ((s, d) => {
+      val flags = TextQueries.queries("x8_decontaminate")(s, d)
+        .select(col("doc_id"), col("contaminated"))
+      documents(s, d)
+        .where(col("doc_id") % 97 =!= 0)
+        .join(flags, Seq("doc_id"), "left")
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), " +
+            "16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          when(coalesce(col("contaminated"), lit(0)) === 1, "quarantined")
+            .when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("split")
+    })
   )
 
   private val sqlPairs =
@@ -580,6 +610,23 @@ object CurationQueries {
         |  min(doc_id) AS first_doc,
         |  round(CAST(sum(n_chars) AS DOUBLE) / 2048.0, 4) AS fill
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "c9_decontaminated_split" ->
+      s"""WITH x8 AS (
+         |${TextQueries.oracle("x8_decontaminate")
+             .replace("ORDER BY doc_id", "")}),
+         |b AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)
+         |      AS BIGINT) % 100 AS bucket,
+         |    coalesce(x8.contaminated, 0) AS cont
+         |  FROM documents d LEFT JOIN x8 ON x8.doc_id = d.doc_id
+         |  WHERE d.doc_id % 97 <> 0)
+         |SELECT CASE WHEN cont = 1 THEN 'quarantined'
+         |            WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS first_doc
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "c8_keep_best_duplicate" ->
       """WITH g AS (
         |  SELECT doc_id, n_chars,

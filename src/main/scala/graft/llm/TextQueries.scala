@@ -387,7 +387,26 @@ object TextQueries {
           expr("sum(ppm) DIV count(1)").as("mean_ppm"),
           min(col("ppm")).as("rarest_ppm"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // X14 — fixed-window chunking with overlap (the tokenize-ready
+    // chunker every pretraining/RAG pipeline runs before embedding):
+    // 256-char windows every 224 chars (32-char overlap), emitted with
+    // per-chunk digests for downstream chunk-level dedup. Pure
+    // map-side explode — chunking 100 TB is one scan; chunk STARTS
+    // come from `sequence()` (explode factor len/224, not len — the
+    // x4 lesson), and empty tails are dropped.
+    "x14_chunk" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, greatest(length(coalesce(text, '')), 1), " +
+            "224), p -> substring(coalesce(text, ''), p, 256))")))
+        .where(col("col") =!= "")
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          (col("pos") * 224 + 1).cast("long").as("start"),
+          length(col("col")).cast("long").as("n_chars"),
+          md5(col("col")).as("digest"))
+        .orderBy("doc_id", "chunk_id"))
   )
 
   val oracle: Map[String, String] = {
@@ -578,6 +597,20 @@ object TextQueries {
           |  min(ppm) AS rarest_ppm
           |FROM toks JOIN ppm USING (tok)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "x14_chunk" ->
+        """WITH c AS (
+          |  SELECT doc_id, i AS start,
+          |    substr(coalesce(text, ''), CAST(i AS INT), 256) AS chunk
+          |  FROM (
+          |    SELECT doc_id, text,
+          |      unnest(range(1, greatest(len(coalesce(text, '')), 1) + 1,
+          |        224)) AS i
+          |    FROM documents))
+          |SELECT doc_id, CAST((start - 1) // 224 AS BIGINT) AS chunk_id,
+          |  CAST(start AS BIGINT) AS start,
+          |  CAST(len(chunk) AS BIGINT) AS n_chars, md5(chunk) AS digest
+          |FROM c WHERE chunk <> ''
+          |ORDER BY doc_id, chunk_id""".stripMargin,
       "x4_fingerprint" ->
         """WITH sh0 AS (
           |  SELECT doc_id,

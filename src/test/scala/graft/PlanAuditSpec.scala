@@ -39,9 +39,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "x13_rarity_score", // 1-row corpus-total scalar broadcast
     "n7_kmeans") // k-row centroid broadcast: assign is map-side by design
   // x8/x9 explode AND broadcast the benchmark shingle set on purpose
-  // (benchmarks are MBs by contract; the corpus is the probe side).
+  // (benchmarks are MBs by contract; the corpus is the probe side);
+  // c9 embeds x8's plan wholesale for its quarantine flags.
   private val explodeBroadcastAllowed =
-    Set("x8_decontaminate", "x9_decontaminate_bloom")
+    Set("x8_decontaminate", "x9_decontaminate_bloom",
+      "c9_decontaminated_split")
 
   /** The three bans, applied to one executed physical plan. */
   private def audit(name: String, plan: SparkPlan): Seq[String] = {
