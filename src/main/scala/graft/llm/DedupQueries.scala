@@ -228,10 +228,20 @@ object DedupQueries {
     "d8_jaccard_verify" -> ((s, d) => {
       val cands = queries("d7_lsh_bucket_cap")(s, d)
         .select(col("doc_a"), col("doc_b"))
+      // Shingle arrays ONLY for docs that appear in a candidate pair:
+      // the semi-join (16-byte id shuffle) pushes below the shingle
+      // projection, so un-candidated docs never compute OR shuffle
+      // their ~KB-wide arrays. Without this the verify stage shuffles
+      // the corpus-sized array relation twice — measured 4× corpus →
+      // 9× wall at the 4M-doc probe; with it the stage scales with
+      // CANDIDATES, which is the whole contract of verify-after-LSH.
+      val candDocs = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
       val hs = documents(s, d)
         .select(col("doc_id"), graft.functions.ShingleHashes(col("text")).as("hs"))
-      // the shingle-array relation is corpus-sized (and each row wide);
-      // hint both verify joins off the broadcast path
+        .join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      // the shingle-array relation is still wide per row; hint both
+      // verify joins off the broadcast path
       cands.hint("shuffle_hash")
         .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
           .hint("shuffle_hash"), "doc_a")

@@ -20,6 +20,34 @@ object TextQueries {
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
   private val dataStop = Seq("table", "row", "data", "query", "join", "scan")
 
+  /** X10's Gopher filter-rule features over any documents-shaped frame
+    * (input columns preserved, feature + `pass` columns appended) —
+    * one stateless map-only projection, so the identical operator
+    * serves the batch catalog entry and the streaming quality gate
+    * (t7) per micro-batch.
+    */
+  private[graft] def gopherFeatures(df: DataFrame): DataFrame = {
+    val reqStop = Seq("the", "a", "of", "to", "and")
+    val rq = reqStop.map(w => s"'$w'").mkString(", ")
+    df.withColumn("toks",
+        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("mean_tok_len",
+        round(expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+          / col("n_toks"), 4))
+      .withColumn("alpha_frac",
+        round(size(expr("filter(toks, x -> x rlike '[a-z]')"))
+          / col("n_toks"), 4))
+      .withColumn("n_req_stop",
+        expr(s"size(filter(array($rq), w -> array_contains(toks, w)))"))
+      .withColumn("pass",
+        (col("n_toks").between(30, 100000) &&
+          col("mean_tok_len").between(3, 10) &&
+          col("alpha_frac") >= 0.8 && col("n_req_stop") >= 2)
+          .cast("int"))
+      .drop("toks")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1 — language ID heuristic: stopword-list hit ratios, argmax of
     // two profiles with a deterministic tie rule.
@@ -273,29 +301,15 @@ object TextQueries {
     // plus the combined pass flag. One map-only projection per doc, no
     // shuffle: at 100 TB this is the gate that runs INSIDE the scan,
     // before anything else pays to move the row.
-    "x10_gopher_rules" -> ((s, d) => {
-      val reqStop = Seq("the", "a", "of", "to", "and")
-      val rq = reqStop.map(w => s"'$w'").mkString(", ")
-      documents(s, d)
-        .withColumn("toks",
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
-        .withColumn("n_toks", size(col("toks")))
-        .withColumn("mean_tok_len",
-          round(expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
-            / col("n_toks"), 4))
-        .withColumn("alpha_frac",
-          round(size(expr("filter(toks, x -> x rlike '[a-z]')"))
-            / col("n_toks"), 4))
-        .withColumn("n_req_stop",
-          expr(s"size(filter(array($rq), w -> array_contains(toks, w)))"))
+    "x10_gopher_rules" -> ((s, d) =>
+      gopherFeatures(documents(s, d))
         .select(col("doc_id"), col("n_toks"), col("mean_tok_len"),
-          col("alpha_frac"), col("n_req_stop"),
-          (col("n_toks").between(30, 100000) &&
-            col("mean_tok_len").between(3, 10) &&
-            col("alpha_frac") >= 0.8 && col("n_req_stop") >= 2)
-            .cast("int").as("pass"))
-        .orderBy("doc_id")
-    }),
+          col("alpha_frac"), col("n_req_stop"), col("pass"))
+        .orderBy("doc_id")),
+
+    // x10's feature projection lives in [[gopherFeatures]] so the
+    // streaming quality gate (t7) reuses the identical operator —
+    // stateless projections serve batch and micro-batch unchanged.
 
     // X11 — exact duplicate-span detection (the primitive behind
     // exact-substring dedup, Lee et al. 2022): hash every 3-token span

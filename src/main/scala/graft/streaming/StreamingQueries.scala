@@ -256,6 +256,45 @@ object StreamingQueries {
           col("sum_value_dec").cast("double").as("sum_value"),
           col("last.event_id").as("last_event_id"))
         .orderBy("user_id")
+    }),
+
+    // T7 — streaming corpus curation: the documents table staged as 4
+    // chunk files streams through the BATCH x10 Gopher gate
+    // (`TextQueries.gopherFeatures` — operator reuse: a stateless
+    // projection serves batch and micro-batch unchanged), survivors
+    // appending to a parquet file sink. The file sink's _spark_metadata
+    // commit log is the exactly-once story (a re-run batch overwrites
+    // its own manifest entry, readers see only committed files), and
+    // the map-only gate means per-batch cost is exactly batch-size
+    // scan work — no state store at all. The finished sink aggregates
+    // per source; the oracle pins it against the one-shot batch gate.
+    "t7_stream_quality_gate" -> ((s, d) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_t7_stage_").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_t7_sink_").toString + "/gated"
+      graft.Tables.documents(s, d)
+        .repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+      val gated = graft.llm.TextQueries.gopherFeatures(stream)
+        .where(col("pass") === 1)
+        .select("doc_id", "source", "n_chars")
+      runToCompletion(s)(
+        gated.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", sink)
+          .queryName("graft_t7_gate")
+          .trigger(Trigger.AvailableNow()))
+      s.read.parquet(sink)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy("source")
     })
   )
 
@@ -303,6 +342,16 @@ object StreamingQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streamed gate must equal the one-shot batch gate
+    "t7_stream_quality_gate" ->
+      s"""WITH x10 AS (
+         |${graft.llm.TextQueries.oracle("x10_gopher_rules")
+             .replace("ORDER BY doc_id", "")})
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+         |FROM documents d JOIN x10 ON x10.doc_id = d.doc_id
+         |WHERE x10.pass = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the finished incremental MERGE table must equal the one-shot
     // batch aggregate — the maintenance-invariance contract
     "t6_stream_upsert" ->

@@ -21,7 +21,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round-3: span-hash pair mining, vocab-global rank + integer ppm,
     // decimal frame sum, interpolated percentiles + sketch flag
     "x11_dup_spans", "x12_vocab_build", "w2_event_rolling",
-    "r20_percentiles")
+    "r20_percentiles",
+    // round-4: bounded max(struct) selection, capped pair matrix,
+    // 2-iteration decimal k-means, integer-ppm rarity
+    "c8_keep_best_duplicate", "d10_cross_source_overlap",
+    "n7_kmeans", "x13_rarity_score")
 
   private def run(name: String, parts: String, split: String): Seq[String] = {
     val prevP = spark.conf.get("spark.sql.shuffle.partitions")

@@ -66,4 +66,42 @@ class NewCurationOpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("x14 chunks reconstruct every document (property, seeded random)") {
+    // The chunker's contract: 256-char windows every 224 chars means
+    // consecutive chunks overlap by exactly 32 chars, so
+    // chunk0 ++ tail.map(_.drop(32)) must equal the document — for
+    // ANY length, including shorter-than-one-window docs, exact
+    // window-boundary lengths, and whitespace-heavy text.
+    val rnd = new scala.util.Random(42)
+    val lengths = Seq(0, 1, 31, 32, 224, 225, 255, 256, 257, 448, 480) ++
+      Seq.fill(40)(rnd.nextInt(1200))
+    val docs = lengths.zipWithIndex.map { case (n, i) =>
+      val sb = new StringBuilder
+      while (sb.length < n) sb.append(
+        if (rnd.nextInt(6) == 0) ' ' else ('a' + rnd.nextInt(26)).toChar)
+      (i.toLong, sb.toString, "en", "s", n.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_x14").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // chunk text is not emitted (digests are) — re-derive each chunk
+    // from (start, n_chars) against the original for the check
+    val byDoc = graft.SparkEntry.queries("x14_chunk")(spark, dir)
+      .select("doc_id", "chunk_id", "start", "n_chars")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val texts = docs.map(d => d._1 -> d._2).toMap
+    texts.foreach { case (id, text) =>
+      if (text.isEmpty) assert(!byDoc.contains(id))
+      else {
+        val cs = byDoc(id)
+        val pieces = cs.map { case (_, _, start, n) =>
+          text.substring(start.toInt - 1, start.toInt - 1 + n.toInt)
+        }
+        val rebuilt = pieces.head + pieces.tail.map(_.drop(32)).mkString
+        assert(rebuilt == text, s"doc $id not reconstructible")
+      }
+    }
+  }
 }
