@@ -283,7 +283,22 @@ object PoolJsonSink {
     }
   }
 
+  /** Publish version m.version: optimistic concurrency — the table's
+    * current version must still be m.version - 1 at commit time, else
+    * another writer won the race and this commit would silently drop
+    * its changes (the lost update). Detection is read-then-rename (a
+    * true CAS needs the store's put-if-absent, which is how a Delta
+    * log does it); the window is documented single-writer, the check
+    * catches accidental concurrent writers deterministically in
+    * everything but a photo finish.
+    */
   private def commitManifest(tableDir: String, m: TableManifest): Unit = {
+    val current = readManifest(tableDir).map(_.version).getOrElse(0L)
+    if (current != m.version - 1)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir: expected to commit v${m.version} over v${m.version - 1}, " +
+          s"but the table is at v$current — concurrent writer detected; " +
+          "re-read and retry the merge")
     val body = (s"graft-manifest 1 ${m.version}" +:
       m.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
         fs.sorted.map(f => s"$b $f")

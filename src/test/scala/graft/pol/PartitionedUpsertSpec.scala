@@ -118,6 +118,33 @@ class PartitionedUpsertSpec extends AnyFunSuite {
     assert(PoolJsonSink.readTable(spark, dir).count() == 50)
   }
 
+  test("a lost-update race is detected at commit time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_race")
+      .resolve("table").toString
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      (0 until 20).map(i => (s"key$i", "v0")).toDF("k", "payload"),
+      col("k"), nBuckets = 8)
+    // writer A stages its files; writer B lands a full commit in the
+    // window before A's manifest rename — A must NOT clobber it
+    val e = intercept[java.util.ConcurrentModificationException] {
+      PoolJsonSink.upsertPartitioned(spark, dir,
+        Seq(("key1", "A")).toDF("k", "payload"), col("k"), nBuckets = 8,
+        onBeforeCommit = () =>
+          PoolJsonSink.upsertPartitioned(spark, dir,
+            Seq(("key2", "B")).toDF("k", "payload"), col("k"),
+            nBuckets = 8))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // B's commit survives; A's update never became visible
+    val got = PoolJsonSink.readTable(spark, dir)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(got("key2") == "B" && got("key1") == "v0")
+    // A's staged files are invisible orphans, reclaimed by vacuum
+    assert(PoolJsonSink.vacuum(dir) > 0)
+    assert(PoolJsonSink.readTable(spark, dir).count() == 20)
+  }
+
   test("compaction squashes only fat buckets, preserves content") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact")
