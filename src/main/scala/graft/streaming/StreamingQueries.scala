@@ -158,6 +158,26 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // T8 — native session windows: the same 30-min-gap sessionization
+    // as t3, but through Spark's `session_window` streaming operator —
+    // state merges adjacent windows as events arrive and the watermark
+    // bounds state lifetime (gap-session state CANNOT be bounded
+    // without one). Complete mode over AvailableNow equals the batch
+    // gap formulation, which the oracle pins (t3's lag+cumsum twin).
+    // Exact-boundary note: an event exactly gap after its predecessor
+    // starts a NEW session in session_window ([start, end) windows)
+    // but t3's `diff > gap` keeps it — the testdata's 7001-microsecond
+    // stride family can never produce an exact 30-min gap, so the two
+    // formulations agree on every achievable input.
+    "t8_stream_session_window" -> ((s, d) =>
+      runStream(s, d)(
+        _.withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events")))
+        .select(col("user_id"),
+          col("session_window.start").as("win_start"), col("n_events"))
+        .orderBy("user_id", "win_start")),
+
     // T3 — gap-based sessionization (30-min inactivity): batch
     // formulation via lag + running sum; the stateful streaming twin
     // (flatMapGroupsWithState) is exercised in the test suite.
@@ -342,6 +362,27 @@ object StreamingQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // native session windows must equal the batch gap formulation
+    "t8_stream_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |              OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+        |                 > CAST(1800000000000 AS BIGINT)
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |t AS (
+        |  SELECT user_id, ns,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM s)
+        |SELECT user_id, make_timestamp(min(ns) // 1000) AS win_start,
+        |  count(*) AS n_events
+        |FROM t GROUP BY user_id, session_id
+        |ORDER BY user_id, win_start""".stripMargin,
     // the streamed gate must equal the one-shot batch gate
     "t7_stream_quality_gate" ->
       s"""WITH x10 AS (
