@@ -165,17 +165,21 @@ object DedupQueries {
       // shuffle-hash hints: size estimation cannot see the band
       // explode's blow-up and would broadcast the full banded relation
       // — a plan that cannot survive scale-up (same reasoning as d4)
-      val pairs = banded.as("a").hint("shuffle_hash")
+      // agreement is a function of the two signatures alone, so it is
+      // identical no matter which band bucket surfaced the pair —
+      // compute it INSIDE the join projection and let the pair-dedup
+      // shuffle carry (id, id, double) instead of two 16-long
+      // signature arrays (~16x narrower rows on the widest shuffle of
+      // the chain; the redundant zip per extra shared bucket is 16
+      // comparisons, far cheaper than shipping the arrays)
+      banded.as("a").hint("shuffle_hash")
         .join(banded.as("b").hint("shuffle_hash"),
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+          expr(s"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / CAST($K AS DOUBLE)")
+            .as("agreement"))
         .dropDuplicates("doc_a", "doc_b")
-      pairs
-        .withColumn("agreement",
-          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / CAST($K AS DOUBLE)"))
-        .select("doc_a", "doc_b", "agreement")
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -204,17 +208,16 @@ object DedupQueries {
       // (same reasoning as d4)
       val capped = banded.hint("shuffle_hash")
         .join(narrow.hint("shuffle_hash"), "bucket")
-      val pairs = capped.as("a").hint("shuffle_hash")
+      // same narrow-pair-shuffle trick as d3: agreement folds inside
+      // the join projection, dedup ships (id, id, double) not arrays
+      capped.as("a").hint("shuffle_hash")
         .join(capped.as("b").hint("shuffle_hash"),
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+          expr(s"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / CAST($K AS DOUBLE)")
+            .as("agreement"))
         .dropDuplicates("doc_a", "doc_b")
-      pairs
-        .withColumn("agreement",
-          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / CAST($K AS DOUBLE)"))
-        .select("doc_a", "doc_b", "agreement")
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -328,6 +331,56 @@ object DedupQueries {
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
         .agg(count(lit(1)).as("shared_shingles"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // D11 — incremental dedup: today's batch (the md5-bucket ≥ 90
+    // slice, c2's split convention) deduplicated against the all-time
+    // corpus WITHOUT shuffling the corpus. Key = bag-of-words digest
+    // (md5 over the sorted distinct token set) — the normalization
+    // that catches token-reshuffled boilerplate exact md5 misses (d1
+    // finds zero exact dups on this corpus; the normalized key finds
+    // 21 groups). Scale shape: history is the unbounded side (every
+    // doc ever crawled) and must stay map-only — the batch's digest
+    // keys fold into a bloom sketch (distributed aggregate, one ~KB
+    // binary to the driver), inlined as a constant predicate on the
+    // history scan, so only history rows colliding with the sketch
+    // (true matches + the FP rate) ever reach a shuffle. Exact
+    // distinct-digest join kills the FPs; within-batch dups resolve
+    // by min doc_id over the (batch-sized) incoming side only. Both
+    // residual joins are shuffle-hash hinted: candidate volume is
+    // |history| x fp-rate in the worst case, which no size estimate
+    // sees and which must never be broadcast.
+    "d11_incremental_dedup" -> ((s, d) => {
+      val keyed = documents(s, d)
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100"))
+        .withColumn("digest", md5(expr(
+          "array_join(array_sort(array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))), ' ')")))
+        .withColumn("bk",
+          expr("CAST(conv(substr(digest, 1, 15), 16, 10) AS BIGINT)"))
+      val incoming = keyed.where(col("bucket") >= 90)
+        .select(col("doc_id"), col("digest"), col("bk"))
+      val history = keyed.where(col("bucket") < 90)
+        .select(col("digest"), col("bk"))
+      val sketch = incoming
+        .agg(graft.functions.BloomSketch.build(col("bk"), 1L << 20).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val candidates =
+        if (sketch == null) history.select("digest").limit(0)
+        else history
+          .where(graft.functions.BloomSketch.mightContain(sketch, col("bk")))
+          .select("digest").distinct()
+      val firsts = incoming.groupBy("digest")
+        .agg(min(col("doc_id")).as("first_doc"))
+      incoming
+        .join(candidates.withColumn("in_history", lit(1))
+          .hint("shuffle_hash"), Seq("digest"), "left")
+        .join(firsts.hint("shuffle_hash"), Seq("digest"))
+        .select(col("doc_id"), col("digest"),
+          when(col("in_history") === 1, "history")
+            .when(col("doc_id") > col("first_doc"), "batch")
+            .otherwise("new").as("status"))
+        .orderBy("doc_id")
     })
   )
 
@@ -449,6 +502,26 @@ object DedupQueries {
          |SELECT a.source AS src_a, b.source AS src_b,
          |  count(*) AS shared_shingles
          |FROM dsc a JOIN dsc b ON a.h = b.h AND a.source < b.source
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d11_incremental_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+        |      % 100 AS bucket,
+        |    md5(array_to_string(list_sort(list_distinct(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))), ' '))
+        |      AS digest
+        |  FROM documents),
+        |inc AS (SELECT doc_id, digest FROM k WHERE bucket >= 90),
+        |hist AS (SELECT DISTINCT digest FROM k WHERE bucket < 90),
+        |firsts AS (SELECT digest, min(doc_id) AS first_doc
+        |           FROM inc GROUP BY digest)
+        |SELECT i.doc_id, i.digest,
+        |  CASE WHEN h.digest IS NOT NULL THEN 'history'
+        |       WHEN i.doc_id > f.first_doc THEN 'batch'
+        |       ELSE 'new' END AS status
+        |FROM inc i LEFT JOIN hist h USING (digest)
+        |JOIN firsts f USING (digest)
+        |ORDER BY doc_id""".stripMargin
   )
 }
