@@ -321,24 +321,36 @@ object TextQueries {
     // aggregate map-side (16-byte digests, not text); the recombine
     // join is corpus×corpus so both sides are pinned off the broadcast
     // path the explode would otherwise hide them onto.
+    // Scale shape (re-tuned after the 4M probe showed spill): the
+    // span digest is a BIGINT (15 hex chars of the md5), not the md5
+    // STRING — 8-byte vs 32+-byte rows through every shuffle of a
+    // relation that is ~27x the corpus row count; cross-doc dup
+    // detection is min(doc_id) != max(doc_id), which partial-
+    // aggregates map-side (countDistinct cannot); and per-doc span
+    // counts come straight from the token count (map-only arithmetic)
+    // instead of a third corpus-wide explode group-by.
     "x11_dup_spans" -> ((s, d) => {
-      val spans = documents(s, d)
+      val docs = documents(s, d)
         .withColumn("toks",
           expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
         .where(size(col("toks")) >= 3)
+      val spans = docs
         .select(col("doc_id"), explode(
           expr("""transform(sequence(0, CAST((size(toks) - 3) / 2 AS INT)),
-                 |  i -> md5(array_join(slice(toks, i * 2 + 1, 3), ' ')))"""
+                 |  i -> CAST(conv(substr(md5(array_join(slice(toks, i * 2 + 1, 3), ' ')), 1, 15), 16, 10) AS BIGINT))"""
             .stripMargin)).as("h"))
       val dup = spans.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .where(col("nd") > 1)
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .where(col("mn") =!= col("mx"))
         .select("h")
       val shared = spans
         .hint("shuffle_hash")
         .join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      docs
+        .select(col("doc_id"),
+          (expr("CAST((size(toks) - 3) / 2 AS INT)") + 1).cast("long")
+            .as("n_spans"))
         .hint("shuffle_hash")
         .join(shared.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_spans"),
@@ -566,21 +578,25 @@ object TextQueries {
         """WITH t AS (
           |  SELECT doc_id,
           |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
-          |  FROM documents),
+          |  FROM documents WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 3),
           |spans AS (
           |  SELECT doc_id,
-          |    md5(array_to_string(list_slice(toks, i * 2 + 1, i * 2 + 3), ' ')) AS h
+          |    CAST('0x' || substr(md5(array_to_string(list_slice(toks, i * 2 + 1, i * 2 + 3), ' ')), 1, 15) AS BIGINT) AS h
           |  FROM (SELECT doc_id, toks, unnest(range((len(toks) - 3) // 2 + 1)) AS i
-          |        FROM t WHERE len(toks) >= 3)),
+          |        FROM t)),
           |dup AS (
-          |  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+          |  SELECT h FROM spans GROUP BY h HAVING min(doc_id) <> max(doc_id)),
           |per AS (
-          |  SELECT doc_id, count(*) AS n_spans,
+          |  SELECT doc_id,
           |    sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS n_shared
-          |  FROM spans GROUP BY doc_id)
-          |SELECT doc_id, n_spans, CAST(n_shared AS BIGINT) AS n_shared,
-          |  round(CAST(n_shared AS DOUBLE) / n_spans, 4) AS shared_frac
-          |FROM per ORDER BY doc_id""".stripMargin,
+          |  FROM spans GROUP BY doc_id),
+          |base AS (
+          |  SELECT doc_id, (len(toks) - 3) // 2 + 1 AS n_spans FROM t)
+          |SELECT b.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+          |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+          |  round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_spans, 4) AS shared_frac
+          |FROM base b LEFT JOIN per USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
       "x12_vocab_build" ->
         """WITH tok AS (
           |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -234,22 +234,27 @@ object PoolJsonSink {
 
   // ---------- S6 at scale: manifest-committed keyed parquet table ----------
   //
-  // Layout (the minimal Delta-style transaction, on plain parquet):
+  // Layout (the minimal Delta-style transaction log, on plain parquet):
   //
   //   table/
-  //     _graft_manifest          # the ONLY mutable file: commit pointer
+  //     _graft_manifest.v<N>       # immutable; one per committed version
   //     data/pt<B>-<uuid>.parquet  # append-only; one bucket per file
   //
-  // Data files are immutable and append-only; every write (upsert,
-  // compaction) stages new files under fresh names and then publishes
-  // them by atomically renaming a new manifest over the old one
-  // (POSIX rename(2); on an object store this step is the
-  // put-if-absent a Delta/Iceberg log commit uses). Readers resolve
-  // the file list through the manifest, so a job killed between
-  // bucket writes leaves the table exactly at its previous version —
-  // never a torn mix of old and new buckets. Replaced files become
-  // unreferenced and are reclaimed by [[vacuum]] (single-writer
-  // assumed; a retention window is the multi-reader hardening).
+  // Every file on disk is immutable: writes (upsert, compaction) stage
+  // new data files under fresh names, then publish by CREATING the
+  // next manifest version — content is written to a temp file and
+  // hard-linked into place (link(2) fails with EEXIST if the version
+  // already exists), so the commit is a true compare-and-swap with
+  // fully-written content: of two racing writers targeting v(N), the
+  // loser gets [[java.util.ConcurrentModificationException]] and
+  // nothing it staged ever becomes visible. On an object store the
+  // link step maps to put-if-absent, exactly how a Delta/Iceberg log
+  // commits. Readers resolve the file list through the highest
+  // manifest version, so a job killed between bucket writes leaves the
+  // table exactly at its previous version — never a torn mix of old
+  // and new buckets — and any retained older version stays readable
+  // through [[readTableAsOf]] (time travel) until [[vacuum]] reclaims
+  // versions beyond its retention window.
 
   /** Committed state of a manifest table: monotonic version and, per
     * bucket id, the table-relative data files holding that bucket.
@@ -260,6 +265,22 @@ object PoolJsonSink {
 
   val ManifestName = "_graft_manifest"
 
+  private def manifestFile(tableDir: String, version: Long): java.io.File =
+    new java.io.File(tableDir, f"$ManifestName.v$version%020d")
+
+  /** All committed versions present on disk, ascending (older ones
+    * disappear as [[vacuum]]'s retention window passes them).
+    */
+  def listVersions(tableDir: String): Seq[Long] =
+    Option(new java.io.File(tableDir).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith(s"$ManifestName.v"))
+          Some(n.stripPrefix(s"$ManifestName.v").toLong)
+        else None
+      }.sorted.toSeq
+
   /** The bucket a key hashes into — the single definition shared by
     * writers and delta-driven maintenance so pruning is always
     * consistent with placement.
@@ -267,38 +288,48 @@ object PoolJsonSink {
   def bucketExpr(key: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(key), lit(nBuckets.toLong))
 
-  def readManifest(tableDir: String): Option[TableManifest] = {
-    val f = new java.io.File(tableDir, ManifestName)
-    if (!f.exists()) None
-    else {
-      import scala.jdk.CollectionConverters._
-      val lines = Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
-      val version = lines.head.split(' ')(2).toLong
-      val entries = lines.tail.filter(_.nonEmpty).map { l =>
-        val i = l.indexOf(' ')
-        l.take(i).toLong -> l.drop(i + 1)
-      }
-      Some(TableManifest(version,
-        entries.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap))
+  private def parseManifest(f: java.io.File): TableManifest = {
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+    val version = lines.head.split(' ')(2).toLong
+    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(' ')
+      l.take(i).toLong -> l.drop(i + 1)
     }
+    TableManifest(version,
+      entries.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap)
   }
 
-  /** Publish version m.version: optimistic concurrency — the table's
-    * current version must still be m.version - 1 at commit time, else
-    * another writer won the race and this commit would silently drop
-    * its changes (the lost update). Detection is read-then-rename (a
-    * true CAS needs the store's put-if-absent, which is how a Delta
-    * log does it); the window is documented single-writer, the check
-    * catches accidental concurrent writers deterministically in
-    * everything but a photo finish.
+  /** The table's CURRENT committed state: highest manifest version. */
+  def readManifest(tableDir: String): Option[TableManifest] =
+    listVersions(tableDir).lastOption
+      .map(v => parseManifest(manifestFile(tableDir, v)))
+
+  /** A specific committed version — the time-travel entry point.
+    * Fails with a clear message once [[vacuum]]'s retention window has
+    * reclaimed it.
+    */
+  def readManifestAt(tableDir: String, version: Long): TableManifest = {
+    val f = manifestFile(tableDir, version)
+    if (!f.isFile) {
+      val have = listVersions(tableDir)
+      sys.error(s"$tableDir: version $version not available " +
+        s"(vacuumed or never committed); on disk: " +
+        (if (have.isEmpty) "none" else s"v${have.head}..v${have.last}"))
+    }
+    parseManifest(f)
+  }
+
+  /** Publish version m.version as an immutable manifest file. The
+    * content is fully written to a temp file first, then hard-linked
+    * to its versioned name — link(2) fails atomically with EEXIST if
+    * that version was already committed, so this is a true
+    * compare-and-swap (put-if-absent on an object store): of two
+    * racing writers, exactly one wins and the loser's staged files
+    * never become visible (the lost update is impossible, not merely
+    * detected-if-noticed).
     */
   private def commitManifest(tableDir: String, m: TableManifest): Unit = {
-    val current = readManifest(tableDir).map(_.version).getOrElse(0L)
-    if (current != m.version - 1)
-      throw new java.util.ConcurrentModificationException(
-        s"$tableDir: expected to commit v${m.version} over v${m.version - 1}, " +
-          s"but the table is at v$current — concurrent writer detected; " +
-          "re-read and retry the merge")
     val body = (s"graft-manifest 1 ${m.version}" +:
       m.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
         fs.sorted.map(f => s"$b $f")
@@ -306,10 +337,17 @@ object PoolJsonSink {
     val tmp = new java.io.File(tableDir,
       s".${ManifestName}.tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath,
-      new java.io.File(tableDir, ManifestName).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.createLink(manifestFile(tableDir, m.version).toPath, tmp.toPath)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp.toPath)
+        throw new java.util.ConcurrentModificationException(
+          s"$tableDir: v${m.version} was committed by a concurrent writer " +
+            "while this merge was staging; re-read and retry the merge")
+    }
+    Files.deleteIfExists(tmp.toPath)
+    ()
   }
 
   /** Stage `df` (which carries a `__pt` bucket column) as immutable
@@ -368,6 +406,21 @@ object PoolJsonSink {
       case None => spark.read.parquet(tableDir)
     }
 
+  /** Time travel: read the table exactly as committed at `version`.
+    * Works because data files are immutable — an old manifest's file
+    * list is still bit-identical on disk until [[vacuum]]'s retention
+    * window passes that version. This is what makes a reproducible
+    * training run possible: pin the corpus table at the version the
+    * run started from and later audits re-read the identical rows,
+    * upserts since notwithstanding.
+    */
+  def readTableAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, version: Long): DataFrame = {
+    val m = readManifestAt(tableDir, version)
+    readFiles(spark, tableDir, m.files, m.files)
+  }
+
   /** Read only the named buckets — manifest-level pruning: unselected
     * files are never listed, opened, or footer-read. This is what
     * keeps a keyed MERGE O(touched), not O(table).
@@ -393,7 +446,7 @@ object PoolJsonSink {
     * handful of files and leaves the rest byte-identical on disk.
     * Because data files are append-only (no overwrite of paths being
     * read), no checkpoint/severing step is needed, and the commit is
-    * atomic: the new manifest is renamed over the old one only after
+    * atomic: the next manifest version is link(2)-published only after
     * every staged file is in place, so a crash anywhere before that
     * leaves readers on the previous version (see the crash-injection
     * spec in PartitionedUpsertSpec).
@@ -498,26 +551,37 @@ object PoolJsonSink {
         fat
     }
 
-  /** Reclaim data files no longer referenced by the current manifest
-    * (replaced by later upserts/compactions, or orphaned by a crashed
-    * write). Single-writer: with concurrent readers, age-gate this
-    * behind a retention window as Delta's VACUUM does. Returns the
-    * number of files deleted.
+  /** Reclaim versions beyond the retention window: data files
+    * referenced by NO retained manifest (replaced by later upserts/
+    * compactions, or orphaned by a crashed write) and the expired
+    * manifests themselves. `retainVersions` = how many trailing
+    * versions stay time-travel-readable (Delta's VACUUM retention,
+    * counted in versions rather than hours — deterministic for specs
+    * and probes). Still single-writer; with concurrent READERS an
+    * age gate on top of the version gate is the remaining hardening.
+    * Returns the number of files deleted.
     */
-  def vacuum(tableDir: String): Int = readManifest(tableDir) match {
-    case None => 0
-    case Some(m) =>
-      val referenced = m.files.toSet
+  def vacuum(tableDir: String, retainVersions: Int = 1): Int = {
+    val versions = listVersions(tableDir)
+    if (versions.isEmpty) 0
+    else {
+      val retained = versions.takeRight(math.max(retainVersions, 1))
+      val referenced = retained
+        .flatMap(v => readManifestAt(tableDir, v).files).toSet
       var n = 0
       Option(new java.io.File(tableDir, "data").listFiles())
         .getOrElse(Array.empty)
         .foreach { f =>
           if (!referenced.contains(s"data/${f.getName}")) { f.delete(); n += 1 }
         }
+      versions.dropRight(math.max(retainVersions, 1)).foreach { v =>
+        if (manifestFile(tableDir, v).delete()) n += 1
+      }
       Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.startsWith(".stage-"))
         .foreach { d => deleteRecursively(d); n += 1 }
       n
+    }
   }
 
   // ---------- S7: summary report ----------
