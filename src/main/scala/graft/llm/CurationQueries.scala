@@ -485,9 +485,11 @@ object CurationQueries {
     // (n_chars, id) pair per group map-side — no window, no per-group
     // sort, no skew hazard (contrast: row_number over a partition
     // sorts the whole group in one task — the c3 killer).
+    // (the digest groups as 16 binary bytes — hex<->binary bijection,
+    // half the shuffle-key width, grouping and oracle unchanged)
     "c8_keep_best_duplicate" -> ((s, d) =>
       documents(s, d)
-        .groupBy(md5(substring(col("text"), 1, 64)).as("digest"))
+        .groupBy(unhex(md5(substring(col("text"), 1, 64))).as("digest"))
         .agg(
           max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
             .as("best"),

@@ -58,18 +58,25 @@ object DedupQueries {
     s"[${mins.mkString(", ")}]"
   }
 
-  /** Band bucket strings: md5 over the 4 sigs of each band. */
+  /** Band bucket ids: 60-bit BIGINT digests of each band's 4 sigs.
+    * A fixed-width integer, not the md5 hex string — the banded
+    * relation (|docs| x bands rows) shuffles through one group-by and
+    * two joins, so key width is its whole cost (the x11 lesson). LSH
+    * blocking tolerates digest truncation: a 60-bit collision only
+    * creates a spurious candidate pair, which d8's exact verify
+    * kills — unlike d1's exact digest, which stays full-width.
+    */
   private val bucketsExpr = {
     val bs = (0 until Bands).map { b =>
       val parts = (0 until K / Bands).map(r => s"sig[${b * 4 + r}]")
-      s"md5(concat_ws('_', ${parts.mkString(", ")}))"
+      s"CAST(conv(substr(md5(concat_ws('_', ${parts.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)"
     }
     s"array(${bs.mkString(", ")})"
   }
 
   private val sqlBuckets = (0 until Bands).map { b =>
     val parts = (0 until K / Bands).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)")
-    s"md5(${parts.map(p => s"$p").mkString(" || '_' || ")})"
+    s"CAST('0x' || substr(md5(${parts.map(p => s"$p").mkString(" || '_' || ")}), 1, 15) AS BIGINT)"
   }
 
   /** Signatures via the native one-pass [[graft.functions.MinhashSignature]]
@@ -140,9 +147,13 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1 — exact dedup: survivors = min doc_id per content digest.
+    // The digest groups as 16 BINARY bytes, not the 32-char hex
+    // string (same 128-bit exactness, half the shuffle-key width —
+    // the x11 lesson; hex<->binary is bijective so the grouping, and
+    // therefore the oracle, is unchanged).
     "d1_dedup_exact" -> ((s, d) =>
       documents(s, d)
-        .groupBy(md5(col("text")).as("digest"))
+        .groupBy(unhex(md5(col("text"))).as("digest"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "n_copies")
         .orderBy("doc_id")),

@@ -315,6 +315,68 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("n_chars"))
         .orderBy("source")
+    }),
+
+    // T9 — streaming incremental ingest dedup: d11's continuous-crawl
+    // twin. The incoming slice (md5-bucket >= 90, staged as 4 files ->
+    // 4 micro-batches) streams against the static all-time corpus.
+    // The history bloom sketch is built ONCE per stream start and
+    // inlined as a constant predicate, which splits each batch
+    // map-side: docs the sketch rejects are PROVABLY new (bloom has no
+    // false negatives) and emit without any join; only sketch hits —
+    // true dups + the FP rate — take the exact stream-static anti-join
+    // against history digests. Cross-batch first-wins resolves through
+    // a streaming min(doc_id)-per-digest aggregation (deterministic,
+    // unlike dropDuplicates' arrival-order survivor), state bounded by
+    // distinct incoming digests. At 100 TB the sketch is sized by
+    // |history| (GBs at 1e10 docs — the real-world trade; the exact
+    // join path keeps correctness regardless of FP rate), and
+    // unbounded streams age the agg state with a watermark.
+    "t9_stream_ingest_dedup" -> ((s, d) => {
+      val digestExpr = md5(expr(
+        "array_join(array_sort(array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))), ' ')"))
+      val bkExpr = expr("CAST(conv(substr(digest, 1, 15), 16, 10) AS BIGINT)")
+      val keyed = graft.Tables.documents(s, d)
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100"))
+      val history = keyed.where(col("bucket") < 90)
+        .withColumn("digest", digestExpr).withColumn("bk", bkExpr)
+        .select("digest", "bk")
+      val sketch = history
+        .agg(graft.functions.BloomSketch.build(col("bk"), 1L << 20).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val histDigests = history.select("digest").distinct()
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_t9_stage_").toString
+      keyed.where(col("bucket") >= 90).drop("bucket")
+        .repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .withColumn("digest", digestExpr).withColumn("bk", bkExpr)
+      val incoming =
+        if (sketch == null) stream.select("doc_id", "digest")
+        else {
+          val definitelyNew = stream
+            .where(!graft.functions.BloomSketch.mightContain(sketch, col("bk")))
+            .select("doc_id", "digest")
+          val candidates = stream
+            .where(graft.functions.BloomSketch.mightContain(sketch, col("bk")))
+            .join(histDigests, Seq("digest"), "left_anti")
+            .select("doc_id", "digest")
+          definitelyNew.union(candidates)
+        }
+      val name = s"graft_stream_${sinkId.incrementAndGet()}"
+      runToCompletion(s)(
+        incoming
+          .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow()))
+      s.table(name).select("doc_id", "digest").orderBy("doc_id")
     })
   )
 
@@ -411,6 +473,21 @@ object StreamingQueries {
         |SELECT user_id, n_events, sum_value, last_event_id
         |FROM agg JOIN (SELECT user_id, last_event_id FROM lastev WHERE rn = 1)
         |  USING (user_id)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    // the streamed ingest-dedup must equal d11's batch 'new' set
+    "t9_stream_ingest_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+        |      % 100 AS bucket,
+        |    md5(array_to_string(list_sort(list_distinct(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))), ' '))
+        |      AS digest
+        |  FROM documents),
+        |inc AS (SELECT doc_id, digest FROM k WHERE bucket >= 90),
+        |hist AS (SELECT DISTINCT digest FROM k WHERE bucket < 90)
+        |SELECT min(doc_id) AS doc_id, digest
+        |FROM inc WHERE digest NOT IN (SELECT digest FROM hist)
+        |GROUP BY digest ORDER BY doc_id""".stripMargin
   )
 }

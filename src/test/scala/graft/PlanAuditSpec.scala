@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val streaming = Set("t1_stream_agg", "t2_stream_window",
     "t4_stream_stream_join", "t5_stream_dedup", "t6_stream_upsert",
-    "t7_stream_quality_gate", "t8_stream_session_window")
+    "t7_stream_quality_gate", "t8_stream_session_window",
+    "t9_stream_ingest_dedup")
   // n1/n2/n6 broadcast a single probe row (n6 over the pruned
   // partitioned index); r14 a single scalar row; n5 broadcasts the
   // probe SET — small by contract (the batch being deduped/
