@@ -79,33 +79,13 @@ object SimilarityQueries {
     // and far higher for genuinely near-identical vectors). At 100 TB
     // the two dials are planes-per-table (bucket width) and table
     // count (recall) — the same machinery production SimHash/LSH
-    // dedup runs, without changing this plan's shape.
-    "d9_embedding_neardup_lsh" -> ((s, d) => {
-      val t = base(s, d)
-      val tableBuckets = (0 until 4).map { tab =>
-        (0 until 6).map { j =>
-          when(graft.functions.DotProduct(
-            col("e"), typedlit(hyperplane(6 * tab + j).toSeq)) >= 0,
-            lit(1 << j)).otherwise(lit(0))
-        }.reduce(_ + _) + lit(64 * tab)
-      }
-      val bk = t.withColumn("bucket",
-        explode(array(tableBuckets: _*)))
-      // shuffle-hash hints: the banded relation is L·|vectors| rows of
-      // wide embedding arrays — size estimation cannot see past the
-      // explode and would broadcast it (the d4 bug class)
-      bk.as("a").hint("shuffle_hash")
-        .join(bk.as("b").hint("shuffle_hash"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos",
-          round(dot("a.e", "b.e") / (col("a.norm") * col("b.norm")), 6))
-        .where(col("cos") >= 0.4)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("cos"))
-        .dropDuplicates("vec_a", "vec_b")
-        .orderBy("vec_a", "vec_b")
-    }),
+    // dedup runs, without changing this plan's shape. Buckets wider
+    // than [[D9BucketCap]] are dropped before the pair join (the d7
+    // hot-bucket guard, mirrored in the oracle) — the 400k-vector
+    // probe proved the uncapped plan cannot survive a corpus whose
+    // density outgrows the plane count; see [[embeddingLshPairs]].
+    "d9_embedding_neardup_lsh" -> ((s, d) =>
+      embeddingLshPairs(s, d, planes = 6, tables = 4, cap = D9BucketCap)),
 
     // N1 — brute-force cosine top-10 for a probe vector (vec_id 0):
     // one scan + TakeOrderedAndProject, the exact baseline every ANN
@@ -361,6 +341,61 @@ object SimilarityQueries {
       .stripMargin
   }.mkString(" + ")
 
+  /** d9's hot-bucket cap (same protection as d7's): a hyperplane
+    * bucket wider than this is a dense region where the per-bucket
+    * self-join goes quadratic — measured at the 400k-vector probe,
+    * the UNCAPPED plan (6 planes → 64 buckets/table → ~6k-wide
+    * buckets → billions of candidate pairs of wide arrays) ran the
+    * JVM to its heap cap and never finished. The cap bounds the join;
+    * the RECALL dial at scale is `planes` (bucket width ~ n/2^planes
+    * — production grows planes with the corpus, it does not widen
+    * buckets), which [[embeddingLshPairs]] exposes and the probe
+    * exercises at planes=14. Mirrored in the oracle.
+    */
+  private[graft] val D9BucketCap = 1024L
+
+  /** The parametrized hyperplane-LSH candidate miner behind d9:
+    * `tables` independent hash tables of `planes` planes each (plane
+    * planes·tab+j, bucket offset 2^planes·tab — identical layout to
+    * the fixed catalog entry at 6/4), buckets wider than `cap`
+    * dropped BEFORE the pair join, exact cosine as the in-bucket
+    * verify. Shuffle-hash hints: the banded relation is
+    * tables·|vectors| rows of wide embedding arrays — size estimation
+    * cannot see past the explode and would broadcast it (the d4 bug
+    * class).
+    */
+  private[graft] def embeddingLshPairs(
+      s: SparkSession, d: String,
+      planes: Int, tables: Int, cap: Long): DataFrame = {
+    val t = base(s, d)
+    val tableBuckets = (0 until tables).map { tab =>
+      (0 until planes).map { j =>
+        when(graft.functions.DotProduct(
+          col("e"), typedlit(hyperplane(planes * tab + j).toSeq)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit((1L << planes) * tab)
+    }
+    val bk = t.withColumn("bucket",
+      explode(array(tableBuckets: _*)))
+    val narrow = bk.groupBy("bucket")
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") <= cap)
+      .select("bucket")
+    val capped = bk.hint("shuffle_hash")
+      .join(narrow.hint("shuffle_hash"), "bucket")
+    capped.as("a").hint("shuffle_hash")
+      .join(capped.as("b").hint("shuffle_hash"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        round(dot("a.e", "b.e") / (col("a.norm") * col("b.norm")), 6))
+      .where(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cos"))
+      .dropDuplicates("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** d9's hash table `tab`: planes 6·tab..6·tab+5 → bucket 64·tab + b. */
   private def sqlBucketTable(tab: Int): String = (0 until 6).map { j =>
     val plane = 6 * tab + j
@@ -384,10 +419,14 @@ object SimilarityQueries {
       s"""WITH t AS ($sqlBase),
          |bk AS (SELECT vec_id, e, norm, unnest([
          |  ${(0 until 4).map(sqlBucketTable).mkString(",\n  ")}]) AS bucket
-         |  FROM t)
+         |  FROM t),
+         |narrow AS (
+         |  SELECT bucket FROM bk GROUP BY bucket
+         |  HAVING count(*) <= $D9BucketCap),
+         |bkc AS (SELECT bk.* FROM bk JOIN narrow USING (bucket))
          |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) AS cos
-         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM bkc a JOIN bkc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
     "d6_embedding_neardup" ->

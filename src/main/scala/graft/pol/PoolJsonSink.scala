@@ -256,10 +256,17 @@ object PoolJsonSink {
   // through [[readTableAsOf]] (time travel) until [[vacuum]] reclaims
   // versions beyond its retention window.
 
-  /** Committed state of a manifest table: monotonic version and, per
-    * bucket id, the table-relative data files holding that bucket.
+  /** Committed state of a manifest table: monotonic version; per
+    * bucket id, the table-relative data files holding that bucket;
+    * and optional per-file column stats (min/max of LONG columns
+    * harvested from parquet footers at write time — the Delta/Iceberg
+    * data-skipping zone map). A file absent from `stats` is never
+    * skipped (conservative).
     */
-  case class TableManifest(version: Long, buckets: Map[Long, Seq[String]]) {
+  case class TableManifest(
+      version: Long,
+      buckets: Map[Long, Seq[String]],
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -293,11 +300,19 @@ object PoolJsonSink {
     val lines = Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
     val version = lines.head.split(' ')(2).toLong
     val entries = lines.tail.filter(_.nonEmpty).map { l =>
-      val i = l.indexOf(' ')
-      l.take(i).toLong -> l.drop(i + 1)
+      val parts = l.split(' ')
+      val stats = if (parts.length < 3) Map.empty[String, (Long, Long)]
+        else parts(2).split(';').flatMap { s =>
+          s.split(':') match {
+            case Array(c, "long", mn, mx) => Some(c -> ((mn.toLong, mx.toLong)))
+            case _ => None
+          }
+        }.toMap
+      (parts(0).toLong, parts(1), stats)
     }
     TableManifest(version,
-      entries.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap)
+      entries.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
+      entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -332,7 +347,16 @@ object PoolJsonSink {
   private def commitManifest(tableDir: String, m: TableManifest): Unit = {
     val body = (s"graft-manifest 1 ${m.version}" +:
       m.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
-        fs.sorted.map(f => s"$b $f")
+        fs.sorted.map { f =>
+          m.stats.get(f).filter(_.nonEmpty) match {
+            case Some(s) =>
+              val enc = s.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+                s"$c:long:$mn:$mx"
+              }.mkString(";")
+              s"$b $f $enc"
+            case None => s"$b $f"
+          }
+        }
       }).mkString("\n")
     val tmp = new java.io.File(tableDir,
       s".${ManifestName}.tmp-${java.util.UUID.randomUUID()}")
@@ -349,6 +373,23 @@ object PoolJsonSink {
     Files.deleteIfExists(tmp.toPath)
     ()
   }
+
+  /** Commit-retry loop for racing writers — the Delta commit loop.
+    * `attempt` must RE-READ table state on every call (every write
+    * path here does: [[upsertPartitioned]]/[[mergeDelta]] resolve the
+    * current manifest per invocation), so on a CAS conflict the retry
+    * recomputes its merge against the winner's version and both
+    * writers' updates land. Loser-side staged files from failed
+    * attempts are invisible orphans reclaimed by [[vacuum]].
+    */
+  @annotation.tailrec
+  def withCommitRetry[T](maxRetries: Int = 5)(attempt: () => T): T =
+    try attempt()
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        if (maxRetries <= 0) throw e
+        else withCommitRetry(maxRetries - 1)(attempt)
+    }
 
   /** Stage `df` (which carries a `__pt` bucket column) as immutable
     * data files — `partitionBy` on a shadow column splits one file per
@@ -386,11 +427,53 @@ object PoolJsonSink {
     f.delete(); ()
   }
 
+  /** Per-file min/max of the requested LONG columns, straight from the
+    * parquet footer's column-chunk statistics (no data pages read —
+    * the same metadata a scan's row-group filter uses, lifted into the
+    * manifest so pruning happens BEFORE any file is opened). Columns
+    * with no non-null values in a file are omitted for it
+    * (conservative: that file is never skipped on that column).
+    */
+  private def footerLongStats(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, rels: Seq[String],
+      cols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"stats columns must be simple identifiers: $cols")
+    val conf = spark.sessionState.newHadoopConf()
+    rels.map { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$tableDir/$rel"), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala
+        val perCol = cols.flatMap { c =>
+          val chunks = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == c))
+          val stats = chunks.map(_.getStatistics).filter(s =>
+            s != null && !s.isEmpty && s.hasNonNullValue &&
+              s.genericGetMin.isInstanceOf[java.lang.Long])
+          if (stats.isEmpty || stats.size != chunks.size) None
+          else Some(c -> ((
+            stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+            stats.map(_.genericGetMax.asInstanceOf[Long]).max)))
+        }.toMap
+        rel -> perCol
+      } finally reader.close()
+    }.filter(_._2.nonEmpty).toMap
+  }
+
   private def readFiles(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String, rels: Seq[String], schemaFrom: Seq[String]): DataFrame =
     if (rels.nonEmpty)
-      spark.read.parquet(rels.map(r => s"$tableDir/$r"): _*)
+      // mergeSchema: files written before an additive schema change
+      // lack the newer columns — merge the union schema across the
+      // SELECTED files only (footer reads scale with the selection,
+      // so bucket pruning also prunes schema-merge work)
+      spark.read.option("mergeSchema", "true")
+        .parquet(rels.map(r => s"$tableDir/$r"): _*)
     else // empty selection: keep the schema, zero rows
       spark.read.parquet(s"$tableDir/${schemaFrom.head}").limit(0)
 
@@ -419,6 +502,39 @@ object PoolJsonSink {
       tableDir: String, version: Long): DataFrame = {
     val m = readManifestAt(tableDir, version)
     readFiles(spark, tableDir, m.files, m.files)
+  }
+
+  /** The files a `colName BETWEEN lo AND hi` read must open: those
+    * whose manifest zone map intersects the range, plus any file with
+    * no stats for the column (conservative — never skip blind).
+    */
+  def pruneFilesLongRange(
+      m: TableManifest, colName: String, lo: Long, hi: Long): Seq[String] =
+    m.files.filter { f =>
+      m.stats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+
+  /** Data-skipping range read: manifest-level file pruning on a LONG
+    * column's zone map, then the residual predicate. For an
+    * ingest-ordered column (event time, sequence id) this is the
+    * standard "read one day out of three years" pattern — files whose
+    * [min,max] miss the range are never listed, opened, or
+    * footer-read, on top of the bucket pruning the key hash already
+    * gives. Requires the table to have been written with `statsCols`
+    * covering `colName`; files predating that opt-in are read (never
+    * silently skipped).
+    */
+  def readTableLongRange(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, colName: String, lo: Long, hi: Long): DataFrame = {
+    val m = readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    readFiles(spark, tableDir, pruneFilesLongRange(m, colName, lo, hi),
+      m.files)
+      .where(col(colName).between(lo, hi))
   }
 
   /** Read only the named buckets — manifest-level pruning: unselected
@@ -463,7 +579,8 @@ object PoolJsonSink {
       incoming: DataFrame,
       key: org.apache.spark.sql.Column,
       nBuckets: Int = 64,
-      onBeforeCommit: () => Unit = () => ()): Seq[Long] = {
+      onBeforeCommit: () => Unit = () => (),
+      statsCols: Seq[String] = Nil): Seq[Long] = {
     val withPt = incoming.withColumn("__pt", bucketExpr(key, nBuckets))
     new java.io.File(tableDir).mkdirs()
     val prev = readManifest(tableDir)
@@ -476,13 +593,31 @@ object PoolJsonSink {
             touched.filter(m.buckets.contains))
           .join(withPt.select(key.as("__k")).distinct(),
             key === col("__k"), "left_anti")
-        keep.unionByName(withPt)
+        // additive schema evolution: an incoming batch may carry
+        // columns the stored rows don't have yet (and vice versa
+        // during rolling upgrades) — kept rows null-fill them, the
+        // Delta mergeSchema behavior
+        keep.unionByName(withPt, allowMissingColumns = true)
     }
     val newFiles = stageDataFiles(tableDir, merged)
+    // data-skipping stats: explicit statsCols opts in; thereafter the
+    // column set carries forward automatically, so maintenance writes
+    // (mergeDelta batches, compaction) keep every file's zone map
+    // fresh without each call site re-stating the columns
+    val prevStats = prev.map(_.stats).getOrElse(Map.empty)
+    val cols = (statsCols ++
+      prevStats.valuesIterator.flatMap(_.keys)).distinct
+    val newStats =
+      if (cols.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      else footerLongStats(spark, tableDir,
+        newFiles.valuesIterator.flatten.toSeq, cols)
+    val allBuckets = prev.map(_.buckets).getOrElse(Map.empty) ++ newFiles
+    val live = allBuckets.valuesIterator.flatten.toSet
     onBeforeCommit()
     commitManifest(tableDir, TableManifest(
       prev.map(_.version + 1).getOrElse(1L),
-      prev.map(_.buckets).getOrElse(Map.empty) ++ newFiles))
+      allBuckets,
+      (prevStats ++ newStats).filter(kv => live(kv._1))))
     newFiles.keys.toSeq.sorted
   }
 
@@ -545,8 +680,16 @@ object PoolJsonSink {
           val df = readBuckets(spark, tableDir, fat)
             .repartition(fat.size, col("__pt"))
           val newFiles = stageDataFiles(tableDir, df)
+          val cols = m.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
+          val newStats =
+            if (cols.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+            else footerLongStats(spark, tableDir,
+              newFiles.valuesIterator.flatten.toSeq, cols)
+          val allBuckets = m.buckets ++ newFiles
+          val live = allBuckets.valuesIterator.flatten.toSet
           commitManifest(tableDir,
-            TableManifest(m.version + 1, m.buckets ++ newFiles))
+            TableManifest(m.version + 1, allBuckets,
+              (m.stats ++ newStats).filter(kv => live(kv._1))))
         }
         fat
     }

@@ -1,0 +1,98 @@
+package graft.pol
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryHarness.spark
+
+/** Manifest-level data skipping: per-file LONG min/max harvested from
+  * parquet footers at write time, so a range read prunes files BEFORE
+  * opening any of them — the Delta/Iceberg zone-map primitive, on top
+  * of the bucket pruning the key hash already provides. Ingest-ordered
+  * batches (each carrying a disjoint sequence range) are the classic
+  * shape: reading one range must open only that batch's files.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def table(): String =
+    java.nio.file.Files.createTempDirectory("graft_skip")
+      .resolve("tbl").toString
+
+  test("range read opens only the files whose zone map intersects") {
+    val dir = table()
+    // 4 ingest batches with disjoint seq ranges (time-ordered ingest)
+    (0 until 4).foreach { b =>
+      val rows = (0 until 100)
+        .map(i => (s"k${b * 100 + i}", (b * 100 + i).toLong))
+        .toDF("k", "seq")
+      PoolJsonSink.upsertPartitioned(spark, dir, rows, col("k"),
+        nBuckets = 4, statsCols = Seq("seq"))
+    }
+    val m = PoolJsonSink.readManifest(dir).get
+    assert(m.stats.nonEmpty, "footer stats must land in the manifest")
+    // batch 2's range: only files overlapping [210, 260] get opened
+    val sel = PoolJsonSink.pruneFilesLongRange(m, "seq", 210, 260)
+    assert(sel.nonEmpty && sel.size < m.files.size,
+      s"pruning must drop files: ${sel.size} of ${m.files.size}")
+    sel.foreach { f =>
+      val (mn, mx) = m.stats(f)("seq")
+      assert(mx >= 210 && mn <= 260, s"$f [$mn,$mx] outside range")
+    }
+    // and the pruned read equals the full-scan filter
+    val pruned = PoolJsonSink.readTableLongRange(spark, dir, "seq", 210, 260)
+      .select("k", "seq").as[(String, Long)].collect().toSet
+    val full = PoolJsonSink.readTable(spark, dir)
+      .where(col("seq").between(210, 260))
+      .select("k", "seq").as[(String, Long)].collect().toSet
+    assert(pruned == full && pruned.size == 51)
+  }
+
+  test("stats columns carry forward through maintenance and compaction") {
+    val dir = table()
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      (0 until 50).map(i => (s"k$i", i.toLong)).toDF("k", "seq"),
+      col("k"), nBuckets = 2, statsCols = Seq("seq"))
+    // later writes do NOT restate statsCols — the column set carries
+    (0 until 3).foreach { b =>
+      PoolJsonSink.upsertPartitioned(spark, dir,
+        (0 until 20).map(i => (s"k${50 + b * 20 + i}",
+          (50 + b * 20 + i).toLong)).toDF("k", "seq"),
+        col("k"), nBuckets = 2)
+    }
+    PoolJsonSink.compactPartitions(spark, dir, maxFilesPerPartition = 1)
+    PoolJsonSink.vacuum(dir)
+    val m = PoolJsonSink.readManifest(dir).get
+    // every live file (all fresh from compaction) has seq stats
+    m.files.foreach { f =>
+      assert(m.stats.get(f).exists(_.contains("seq")),
+        s"compacted file $f lost its zone map")
+    }
+    // no stale stats for vacuumed files
+    assert(m.stats.keySet.subsetOf(m.files.toSet))
+    val got = PoolJsonSink.readTableLongRange(spark, dir, "seq", 0, 109)
+      .count()
+    assert(got == 110)
+  }
+
+  test("files without stats are read, never skipped") {
+    val dir = table()
+    // first write WITHOUT stats, second WITH
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      Seq(("a", 5L)).toDF("k", "seq"), col("k"), nBuckets = 2)
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      Seq(("b", 500L)).toDF("k", "seq"), col("k"), nBuckets = 2,
+      statsCols = Seq("seq"))
+    val m = PoolJsonSink.readManifest(dir).get
+    // range far from the stats-less file's value: that file must
+    // still be selected (no stats -> cannot prove absence)
+    val sel = PoolJsonSink.pruneFilesLongRange(m, "seq", 0, 10)
+    val statsless = m.files.filterNot(f =>
+      m.stats.get(f).exists(_.contains("seq")))
+    assert(statsless.nonEmpty && statsless.forall(sel.contains))
+    val got = PoolJsonSink.readTableLongRange(spark, dir, "seq", 0, 10)
+      .select("k").as[String].collect().toSet
+    assert(got == Set("a"))
+  }
+}

@@ -203,4 +203,62 @@ class PartitionedUpsertSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got.size == 10 && got("key1") == 1L)
   }
+
+  test("withCommitRetry lands both racing writers' updates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry")
+      .resolve("table").toString
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      (0 until 20).map(i => (s"key$i", "v0")).toDF("k", "payload"),
+      col("k"), nBuckets = 8)
+    // first attempt loses the race (B commits in A's staging window);
+    // the retry recomputes against B's version and must succeed
+    var attempts = 0
+    PoolJsonSink.withCommitRetry() { () =>
+      attempts += 1
+      PoolJsonSink.upsertPartitioned(spark, dir,
+        Seq(("key1", "A")).toDF("k", "payload"), col("k"), nBuckets = 8,
+        onBeforeCommit = () =>
+          if (attempts == 1)
+            PoolJsonSink.upsertPartitioned(spark, dir,
+              Seq(("key2", "B")).toDF("k", "payload"), col("k"),
+              nBuckets = 8))
+    }
+    assert(attempts == 2)
+    val got = PoolJsonSink.readTable(spark, dir)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(got("key1") == "A" && got("key2") == "B" && got.size == 20)
+  }
+
+  test("additive schema evolution: new column null-fills old rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve")
+      .resolve("table").toString
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      (0 until 20).map(i => (s"key$i", s"p$i")).toDF("k", "payload"),
+      col("k"), nBuckets = 4)
+    // the evolved batch carries a column the stored rows lack
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      Seq(("key1", "p1x", "en"), ("key99", "new", "fr"))
+        .toDF("k", "payload", "lang"),
+      col("k"), nBuckets = 4)
+    val got = PoolJsonSink.readTable(spark, dir)
+      .select("k", "payload", "lang")
+      .collect().map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.getString(2))))).toMap
+    assert(got.size == 21)
+    assert(got("key1") == (("p1x", Some("en"))))
+    assert(got("key99") == (("new", Some("fr"))))
+    // untouched old rows read back with the new column null
+    assert(got("key5") == (("p5", None)))
+    // buckets not touched by the evolved batch were NOT rewritten:
+    // their files still lack the column on disk (mergeSchema fills it
+    // at read), proving evolution did not force a table rewrite
+    val m = PoolJsonSink.readManifest(dir).get
+    val perFileCols = m.files.map { rel =>
+      spark.read.parquet(s"$dir/$rel").columns.toSet
+    }
+    assert(perFileCols.exists(!_.contains("lang")),
+      "expected at least one pre-evolution file without the new column")
+  }
 }
