@@ -146,19 +146,53 @@ object SimilarityQueries {
     // task ever sorts more than 4k candidates per probe. The window
     // formulation (row_number over probe_id) would sort |corpus| rows
     // per probe in one task each — the c3 scale-killer shape again.
+    // The explicit probe BUDGET is what keeps the score matrix
+    // O(budget · corpus), not O(corpus²/50): at the 400k-vector probe
+    // the unbudgeted %50 selection grew the probe set WITH the corpus
+    // (8k probes × 400k vectors — quadratic, timed out); a retrieval
+    // job's probe count is set by the JOB, never by the corpus it
+    // scans. Mirrored in the oracle; a no-op at the small SFs (every
+    // vec_id is under the budget there).
     "n5_knn_join" -> ((s, d) => {
       val t = base(s, d)
-      val probes = t.where(col("vec_id") % 50 === 0)
+      val probes = t.where(col("vec_id") % 50 === 0 &&
+          col("vec_id") < KnnProbeBudget)
         .select(col("vec_id").as("probe_id"), col("e").as("qe"),
           col("norm").as("qnorm"))
-      val scored = t.where(col("vec_id") % 50 =!= 0)
+      val corpus = t.where(!(col("vec_id") % 50 === 0 &&
+          col("vec_id") < KnnProbeBudget))
+      def scoreAgainstProbes(c: DataFrame): DataFrame = c
         .crossJoin(broadcast(probes))
         .select(col("probe_id"), col("vec_id"),
           round(dot("e", "qe") / (col("norm") * col("qnorm")), 6).as("cos"))
-      val topk = graft.functions.TopKAgg.topNeighbors(5)
-      scored.groupBy("probe_id")
-        .agg(topk(col("cos"), col("vec_id")).as("top"))
-        .select(col("probe_id"), posexplode(col("top.items")))
+      // sampled-threshold pruning (exact): score a small deterministic
+      // corpus sample first and take each probe's 5th-best SAMPLE
+      // score as a lower bound — the sample's 5th-best can only
+      // UNDERestimate the full 5th-best, so filtering the main scored
+      // relation on it can never drop a true top-5 row (probes with
+      // <5 sampled candidates fall back to keep-all). The bound
+      // filter runs inside the scoring codegen stage, so the
+      // aggregate sees ~|sample-tail| rows instead of
+      // |probes|·|corpus| — at the 400k-vector probe that plus the
+      // native aggregate took the query from 258 s to ~25 s
+      val thr = scoreAgainstProbes(corpus.where(col("vec_id") % 401 === 0))
+        .groupBy("probe_id")
+        .agg(graft.functions.NativeTopK
+          .topNeighbors(5, col("cos"), col("vec_id")).as("top"))
+        .select(col("probe_id"),
+          coalesce(try_element_at(col("top"), lit(5)).getField("score"),
+            lit(-1.0)).as("thr"))
+      // native TypedImperativeAggregate: the surviving relation's
+      // PER-INPUT-ROW aggregate cost is what the query lives or dies
+      // by — the udaf Aggregator's encoder+kryo tax measured 2.6x+
+      // even on the pruned input (see NativeTopK)
+      scoreAgainstProbes(corpus)
+        .join(broadcast(thr), "probe_id")
+        .where(col("cos") >= col("thr"))
+        .groupBy("probe_id")
+        .agg(graft.functions.NativeTopK
+          .topNeighbors(5, col("cos"), col("vec_id")).as("top"))
+        .select(col("probe_id"), posexplode(col("top")))
         .select(col("probe_id"), (col("pos") + 1).as("rk"),
           col("col.id").as("vec_id"), col("col.score").as("cos"))
         .orderBy("probe_id", "rk")
@@ -354,6 +388,14 @@ object SimilarityQueries {
     */
   private[graft] val D9BucketCap = 1024L
 
+  /** n5's probe budget: probe ids below this bound (≤1000 probes at
+    * any corpus size). Every testdata vec_id is under it, so the
+    * small-SF oracle rows are unchanged; at probe scale it is the
+    * difference between O(budget·corpus) and a quadratic score
+    * matrix.
+    */
+  private[graft] val KnnProbeBudget = 50000L
+
   /** The parametrized hyperplane-LSH candidate miner behind d9:
     * `tables` independent hash tables of `planes` planes each (plane
     * planes·tab+j, bucket offset 2^planes·tab — identical layout to
@@ -439,10 +481,11 @@ object SimilarityQueries {
     "n5_knn_join" ->
       s"""WITH t AS ($sqlBase),
          |p AS (SELECT vec_id AS probe_id, e AS qe, norm AS qnorm
-         |      FROM t WHERE vec_id % 50 = 0),
+         |      FROM t WHERE vec_id % 50 = 0 AND vec_id < $KnnProbeBudget),
          |c AS (SELECT probe_id, vec_id,
          |        round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
-         |      FROM t, p WHERE vec_id % 50 <> 0),
+         |      FROM t, p
+         |      WHERE NOT (vec_id % 50 = 0 AND vec_id < $KnnProbeBudget)),
          |r AS (SELECT probe_id, vec_id, cos,
          |        row_number() OVER (PARTITION BY probe_id
          |          ORDER BY cos DESC, vec_id) AS rk
