@@ -700,28 +700,37 @@ object PoolJsonSink {
     * manifests themselves. `retainVersions` = how many trailing
     * versions stay time-travel-readable (Delta's VACUUM retention,
     * counted in versions rather than hours — deterministic for specs
-    * and probes). Still single-writer; with concurrent READERS an
-    * age gate on top of the version gate is the remaining hardening.
-    * Returns the number of files deleted.
+    * and probes). `minAgeMs` is the concurrent-reader hardening
+    * (Delta's retention-hours gate): nothing younger than it is
+    * deleted, so a reader that resolved an old manifest just before
+    * this vacuum still finds every file of its snapshot on disk for
+    * at least that long. Returns the number of files deleted.
     */
-  def vacuum(tableDir: String, retainVersions: Int = 1): Int = {
+  def vacuum(tableDir: String, retainVersions: Int = 1,
+      minAgeMs: Long = 0L): Int = {
     val versions = listVersions(tableDir)
     if (versions.isEmpty) 0
     else {
       val retained = versions.takeRight(math.max(retainVersions, 1))
       val referenced = retained
         .flatMap(v => readManifestAt(tableDir, v).files).toSet
+      val cutoff = System.currentTimeMillis() - minAgeMs
+      def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
       var n = 0
       Option(new java.io.File(tableDir, "data").listFiles())
         .getOrElse(Array.empty)
         .foreach { f =>
-          if (!referenced.contains(s"data/${f.getName}")) { f.delete(); n += 1 }
+          if (!referenced.contains(s"data/${f.getName}") && oldEnough(f)) {
+            f.delete(); n += 1
+          }
         }
       versions.dropRight(math.max(retainVersions, 1)).foreach { v =>
-        if (manifestFile(tableDir, v).delete()) n += 1
+        val f = manifestFile(tableDir, v)
+        if (oldEnough(f) && f.delete()) n += 1
       }
       Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith(".stage-"))
+        .filter(d => d.isDirectory && d.getName.startsWith(".stage-") &&
+          oldEnough(d))
         .foreach { d => deleteRecursively(d); n += 1 }
       n
     }

@@ -293,12 +293,19 @@ object StreamingQueries {
         .createTempDirectory("graft_t7_stage_").toString
       val sink = java.nio.file.Files
         .createTempDirectory("graft_t7_sink_").toString + "/gated"
+      // stage 32 files, trigger 8 per batch: still 4 genuine
+      // micro-batches, but each batch's scan parallelism is
+      // files-per-trigger × parquet splits instead of ONE file's
+      // splits — at the 4M-doc probe the 4-file staging ran each
+      // 1M-doc batch on ~2 cores (460 s); a micro-batch's parallelism
+      // must come from its FILE COUNT, matching how a real ingest
+      // directory accumulates many small files per trigger interval
       graft.Tables.documents(s, d)
-        .repartition(4, col("doc_id"))
+        .repartition(32, col("doc_id"))
         .write.mode("overwrite").parquet(stage)
       val schema = s.read.parquet(stage).schema
       val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "8")
         .parquet(stage)
       val gated = graft.llm.TextQueries.gopherFeatures(stream)
         .where(col("pass") === 1)

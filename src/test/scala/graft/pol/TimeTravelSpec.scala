@@ -70,6 +70,25 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(payloads(dir, PoolJsonSink.readTable(spark, dir))("key1") == "v4")
   }
 
+  test("the age gate protects young files from vacuum") {
+    val dir = table()
+    (1 to 3).foreach { v =>
+      PoolJsonSink.upsertPartitioned(spark, dir,
+        Seq(("key1", s"v$v")).toDF("k", "payload"), col("k"), nBuckets = 2)
+    }
+    // everything on disk is seconds old: an hour-long age gate must
+    // delete nothing, even though v1/v2 are outside retention
+    assert(PoolJsonSink.vacuum(dir, retainVersions = 1,
+      minAgeMs = 3600L * 1000) == 0)
+    assert(PoolJsonSink.listVersions(dir) == Seq(1L, 2L, 3L))
+    // a reader pinned at v1 still reads its snapshot
+    assert(payloads(dir,
+      PoolJsonSink.readTableAsOf(spark, dir, 1))("key1") == "v1")
+    // with the gate open the same vacuum reclaims
+    assert(PoolJsonSink.vacuum(dir, retainVersions = 1) > 0)
+    assert(PoolJsonSink.listVersions(dir) == Seq(3L))
+  }
+
   test("retained old version is byte-stable under later upserts") {
     val dir = table()
     PoolJsonSink.upsertPartitioned(spark, dir,
