@@ -511,7 +511,7 @@ object CurationQueries {
       val flags = TextQueries.queries("x8_decontaminate")(s, d)
         .select(col("doc_id"), col("contaminated"))
       documents(s, d)
-        .where(col("doc_id") % 97 =!= 0)
+        .where(!TextQueries.isBenchDoc)
         .join(flags, Seq("doc_id"), "left")
         .withColumn("bucket",
           expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), " +
@@ -622,7 +622,7 @@ object CurationQueries {
          |      AS BIGINT) % 100 AS bucket,
          |    coalesce(x8.contaminated, 0) AS cont
          |  FROM documents d LEFT JOIN x8 ON x8.doc_id = d.doc_id
-         |  WHERE d.doc_id % 97 <> 0)
+         |  WHERE NOT (d.doc_id % 97 = 0 AND d.doc_id < ${TextQueries.BenchBudget}))
          |SELECT CASE WHEN cont = 1 THEN 'quarantined'
          |            WHEN bucket < 80 THEN 'train'
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,

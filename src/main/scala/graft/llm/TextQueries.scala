@@ -20,6 +20,25 @@ object TextQueries {
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
   private val dataStop = Seq("table", "row", "data", "query", "join", "scan")
 
+  /** x8/x9/c9's benchmark-set budget: benchmark docs are ids divisible
+    * by 97 AND below this bound (≤516 docs at any corpus size — every
+    * testdata id is under it, so small-SF oracle rows are unchanged).
+    * Same contract as n5's probe budget: an eval suite's size is set
+    * by the SUITE, never by the corpus being decontaminated — the
+    * unbudgeted %97 selection grew the "megabytes by contract"
+    * broadcast set linearly with the corpus (41k docs' distinct
+    * shingles at the 4M-doc probe).
+    */
+  private[llm] val BenchBudget = 50000L
+
+  /** The benchmark-membership predicate (Spark side). */
+  private[llm] def isBenchDoc: org.apache.spark.sql.Column =
+    col("doc_id") % 97 === 0 && col("doc_id") < BenchBudget
+
+  /** DuckDB mirror of [[isBenchDoc]], bare `doc_id` context. */
+  private[llm] val sqlBenchPred =
+    s"(doc_id % 97 = 0 AND doc_id < $BenchBudget)"
+
   /** X10's Gopher filter-rule features over any documents-shaped frame
     * (input columns preserved, feature + `pass` columns appended) —
     * one stateless map-only projection, so the identical operator
@@ -205,9 +224,9 @@ object TextQueries {
       val hs = documents(s, d)
         .select(col("doc_id"),
           graft.functions.ShingleHashes(col("text")).as("hs"))
-      val bench = hs.where(col("doc_id") % 97 === 0)
+      val bench = hs.where(isBenchDoc)
         .select(explode(col("hs")).as("h")).distinct()
-      val overlap = hs.where(col("doc_id") % 97 =!= 0)
+      val overlap = hs.where(!isBenchDoc)
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .join(broadcast(bench), Seq("h"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
@@ -218,7 +237,7 @@ object TextQueries {
       // both sides of the count join are corpus-sized — keep it off
       // the broadcast path (the benchmark broadcast above is the ONLY
       // intended broadcast in this plan)
-      hs.where(col("doc_id") % 97 =!= 0)
+      hs.where(!isBenchDoc)
         .select(col("doc_id"), size(col("hs")).as("n_shingles"))
         .hint("shuffle_hash")
         .join(overlap.hint("shuffle_hash"), Seq("doc_id"), "left")
@@ -250,7 +269,7 @@ object TextQueries {
       val hs = documents(s, d)
         .select(col("doc_id"),
           graft.functions.ShingleHashes(col("text")).as("hs"))
-      val bench = hs.where(col("doc_id") % 97 === 0)
+      val bench = hs.where(isBenchDoc)
         .select(explode(col("hs")).as("h")).distinct()
       // distributed sketch build; a single ~KB-scale binary reaches the
       // driver — the same ship-the-sketch movement Spark's runtime
@@ -258,7 +277,7 @@ object TextQueries {
       val sketch = bench
         .agg(graft.functions.BloomSketch.build(col("h"), 1L << 20).as("bf"))
         .head.getAs[Array[Byte]]("bf")
-      val corpus = hs.where(col("doc_id") % 97 =!= 0)
+      val corpus = hs.where(!isBenchDoc)
       val overlap = corpus
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .where(graft.functions.BloomSketch.mightContain(sketch, col("h")))
@@ -445,9 +464,9 @@ object TextQueries {
          |  SELECT doc_id, ${DedupQueries.sqlShingleHashes} AS hs
          |  FROM documents),
          |bench AS (
-         |  SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0),
+         |  SELECT DISTINCT unnest(hs) AS h FROM hs WHERE $sqlBenchPred),
          |docs AS (
-         |  SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0),
+         |  SELECT doc_id, unnest(hs) AS h FROM hs WHERE NOT $sqlBenchPred),
          |ov AS (
          |  SELECT doc_id, count(*) AS n_overlap FROM docs
          |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
@@ -458,7 +477,8 @@ object TextQueries {
          |  CAST(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(h.hs) >= 0.5
          |    AS INT) AS contaminated
          |FROM hs h LEFT JOIN ov USING (doc_id)
-         |WHERE h.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin
+         |WHERE NOT (h.doc_id % 97 = 0 AND h.doc_id < $BenchBudget)
+         |ORDER BY doc_id""".stripMargin
     Map(
       "x9_decontaminate_bloom" -> decontamSql,
       "x1_langid" ->
