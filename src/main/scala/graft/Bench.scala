@@ -73,8 +73,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Field order matters for the driver artifact: its stdout capture
+    // keeps a bounded TAIL of the line, so anything printed early on a
+    // long line (108 queries ≈ 2.5 kB) can be truncated away. Rounds
+    // 2-4 lost the total by printing it first; the total and sf now
+    // come AFTER the queries map so the tail always retains them.
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","unit":"sec","queries":$qs,"value":$total%.3f,"sf":"$sfDir"}"""
     // The JSON goes to BOTH stdout (the driver contract) and a file:
     // round 2's captured stdout tail lost the total and five queries,
     // so the file is the durable copy (SPARK_GRAFT_BENCH_OUT to move

@@ -23,14 +23,34 @@ import org.apache.spark.sql.types.BinaryType
 object BloomSketch {
 
   /** Aggregate a `bigint` column into a bloom-filter sketch (binary).
-    * `expectedItems` sizes the filter (Spark's default bits-per-item
-    * heuristic, capped by
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`).
+    * `expectedItems` sizes the filter at Spark's default FPP.
+    *
+    * Spark CLAMPS the aggregate at the runtime-filter confs
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems` = 4M,
+    * `.maxNumBits` = 64M bits) — sized for per-join runtime filters,
+    * not an explicit history sketch. A caller asking for 10M+ items
+    * would silently get a saturating filter (measured fp 11% at 10M
+    * keys under the default caps), which is exactly the
+    * degraded-prefilter failure mode sizing-from-count exists to
+    * prevent — so the confs are raised here to fit the request. The
+    * session-conf write is visible side state, documented and
+    * monotonic (only ever raised).
     */
-  def build(keys: Column, expectedItems: Long): Column =
+  def build(keys: Column, expectedItems: Long): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      val needBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(expectedItems, 0.03)
+      val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      if (s.conf.get(itemsConf).toLong < expectedItems)
+        s.conf.set(itemsConf, expectedItems)
+      if (s.conf.get(bitsConf).toLong < needBits)
+        s.conf.set(bitsConf, needBits)
+    }
     GraftColumnBridge.column(
       new BloomFilterAggregate(GraftColumnBridge.expression(keys),
         expectedItems).toAggregateExpression())
+  }
 
   /** Constant-sketch membership probe: `might_contain(sketch, key)`.
     * False positives possible, false negatives never — callers needing

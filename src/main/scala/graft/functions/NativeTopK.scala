@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
@@ -37,6 +38,19 @@ case class TopKByScoreAgg(
 
   override def left: Expression = score
   override def right: Expression = id
+
+  // update() reads the evaluated inputs as Double/Long; checking the
+  // declared types makes a float/decimal/int input fail at ANALYSIS
+  // time with a clear message instead of a runtime ClassCastException
+  // inside the aggregate (callers cast explicitly — this aggregate
+  // runs on pair-join-sized inputs where an implicit per-row cast
+  // should be a visible plan choice, not an analyzer insertion)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (DOUBLE score, BIGINT id) inputs, got " +
+        s"(${score.dataType.sql}, ${id.dataType.sql}) — cast explicitly")
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

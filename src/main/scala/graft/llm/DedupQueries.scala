@@ -346,46 +346,48 @@ object DedupQueries {
 
     // D11 — incremental dedup: today's batch (the md5-bucket ≥ 90
     // slice, c2's split convention) deduplicated against the all-time
-    // corpus WITHOUT shuffling the corpus. Key = bag-of-words digest
-    // (md5 over the sorted distinct token set) — the normalization
-    // that catches token-reshuffled boilerplate exact md5 misses (d1
-    // finds zero exact dups on this corpus; the normalized key finds
-    // 21 groups). Scale shape: history is the unbounded side (every
-    // doc ever crawled) and must stay map-only — the batch's digest
-    // keys fold into a bloom sketch (distributed aggregate, one ~KB
-    // binary to the driver), inlined as a constant predicate on the
-    // history scan, so only history rows colliding with the sketch
-    // (true matches + the FP rate) ever reach a shuffle. Exact
-    // distinct-digest join kills the FPs; within-batch dups resolve
-    // by min doc_id over the (batch-sized) incoming side only. Both
-    // residual joins are shuffle-hash hinted: candidate volume is
-    // |history| x fp-rate in the worst case, which no size estimate
-    // sees and which must never be broadcast.
+    // corpus WITHOUT scanning it. The history side is the PERSISTED
+    // [[HistorySnapshot]]: a digest-keyed manifest table plus a
+    // count-sized bloom sketch, built once per maintenance window
+    // (the reference's processed-files-ledger semantics — computed
+    // once, carried forward) — NOT recomputed scan+digest+distinct
+    // per run, which at 1e10 docs would BE the job. Per run this
+    // reads: the batch, the sketch (constant), and only the snapshot
+    // buckets the batch's digests hash into. The sketch rejects
+    // provably-new docs map-side before any join (bloom has no false
+    // negatives); sketch hits take the exact bucket-pruned join that
+    // kills FPs. Within-batch dups resolve by min doc_id over the
+    // batch side only. Joins are shuffle-hash hinted: the candidate
+    // volume is invisible to size estimation and must never be
+    // broadcast. Key = bag-of-words digest (md5 over the sorted
+    // distinct token set) — catches token-reshuffled boilerplate
+    // byte-exact md5 misses (d1 finds zero exact dups here; the
+    // normalized key finds 21 groups).
     "d11_incremental_dedup" -> ((s, d) => {
-      val keyed = documents(s, d)
-        .withColumn("bucket",
-          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100"))
-        .withColumn("digest", md5(expr(
-          "array_join(array_sort(array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))), ' ')")))
-        .withColumn("bk",
-          expr("CAST(conv(substr(digest, 1, 15), 16, 10) AS BIGINT)"))
-      val incoming = keyed.where(col("bucket") >= 90)
+      val snap = HistorySnapshot.forCorpus(s, d)
+      val incoming = documents(s, d)
+        .withColumn("bucket", HistorySnapshot.splitBucketExpr)
+        .where(col("bucket") >= 90)
+        .withColumn("digest", HistorySnapshot.digestExpr)
+        .withColumn("bk", HistorySnapshot.bkExpr)
         .select(col("doc_id"), col("digest"), col("bk"))
-      val history = keyed.where(col("bucket") < 90)
-        .select(col("digest"), col("bk"))
-      val sketch = incoming
-        .agg(graft.functions.BloomSketch.build(col("bk"), 1L << 20).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
-      val candidates =
-        if (sketch == null) history.select("digest").limit(0)
-        else history
-          .where(graft.functions.BloomSketch.mightContain(sketch, col("bk")))
-          .select("digest").distinct()
+      val flagged = snap.sketch match {
+        case None => // empty history: nothing can be a history dup
+          incoming.withColumn("in_history", lit(null).cast("int"))
+        case Some(_) =>
+          val hist = snap.touchedDigests(s, incoming)
+            .withColumn("in_history", lit(1))
+          val miss = incoming
+            .where(!snap.mightContain(col("bk")))
+            .withColumn("in_history", lit(null).cast("int"))
+          val hit = incoming
+            .where(snap.mightContain(col("bk")))
+            .join(hist.hint("shuffle_hash"), Seq("digest"), "left")
+          miss.unionByName(hit)
+      }
       val firsts = incoming.groupBy("digest")
         .agg(min(col("doc_id")).as("first_doc"))
-      incoming
-        .join(candidates.withColumn("in_history", lit(1))
-          .hint("shuffle_hash"), Seq("digest"), "left")
+      flagged
         .join(firsts.hint("shuffle_hash"), Seq("digest"))
         .select(col("doc_id"), col("digest"),
           when(col("in_history") === 1, "history")

@@ -186,9 +186,14 @@ object SimilarityQueries {
       // PER-INPUT-ROW aggregate cost is what the query lives or dies
       // by — the udaf Aggregator's encoder+kryo tax measured 2.6x+
       // even on the pruned input (see NativeTopK)
+      // LEFT join + keep-all fallback: a corpus with no sampled row
+      // (under ~402 vectors) yields an EMPTY thr relation — an inner
+      // join would drop every probe and return zero rows instead of
+      // the exact top-5. Missing thresholds mean "no bound proven",
+      // so those probes keep every candidate (thr = -1.0 ≤ any cos).
       scoreAgainstProbes(corpus)
-        .join(broadcast(thr), "probe_id")
-        .where(col("cos") >= col("thr"))
+        .join(broadcast(thr), Seq("probe_id"), "left")
+        .where(col("cos") >= coalesce(col("thr"), lit(-1.0)))
         .groupBy("probe_id")
         .agg(graft.functions.NativeTopK
           .topNeighbors(5, col("cos"), col("vec_id")).as("top"))

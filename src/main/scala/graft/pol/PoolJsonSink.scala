@@ -256,17 +256,43 @@ object PoolJsonSink {
   // through [[readTableAsOf]] (time travel) until [[vacuum]] reclaims
   // versions beyond its retention window.
 
+  /** Per-file, per-column zone-map entry. LONG columns carry numeric
+    * min/max; STRING/BINARY columns carry the raw min/max bytes in
+    * parquet's UTF8/BINARY sort order (unsigned lexicographic), so
+    * pruning compares with the same ordering the writer used.
+    */
+  sealed trait ColStat
+  case class LongStat(mn: Long, mx: Long) extends ColStat
+  case class BinStat(mn: Array[Byte], mx: Array[Byte]) extends ColStat
+
+  /** Unsigned lexicographic byte comparison — parquet's UTF8/BINARY
+    * stats order.
+    */
+  private[pol] def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Committed state of a manifest table: monotonic version; per
     * bucket id, the table-relative data files holding that bucket;
-    * and optional per-file column stats (min/max of LONG columns
-    * harvested from parquet footers at write time — the Delta/Iceberg
-    * data-skipping zone map). A file absent from `stats` is never
-    * skipped (conservative).
+    * optional per-file column stats (min/max harvested from parquet
+    * footers at write time — the Delta/Iceberg data-skipping zone
+    * map; a file absent from `stats` is never skipped); and the table
+    * schema (Spark DataType JSON) so a table whose rows have all been
+    * deleted — or whose first commit was empty — still reads back as
+    * an empty DataFrame with the right columns instead of failing.
     */
   case class TableManifest(
       version: Long,
       buckets: Map[Long, Seq[String]],
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
+      schemaJson: Option[String] = None) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -295,16 +321,28 @@ object PoolJsonSink {
   def bucketExpr(key: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(key), lit(nBuckets.toLong))
 
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"$x%02x").mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   private def parseManifest(f: java.io.File): TableManifest = {
     import scala.jdk.CollectionConverters._
     val lines = Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
     val version = lines.head.split(' ')(2).toLong
-    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+    val schemaJson = lines.tail.headOption
+      .filter(_.startsWith("schema "))
+      .map(_.stripPrefix("schema "))
+    val dataLines = lines.tail.filterNot(_.startsWith("schema "))
+    val entries = dataLines.filter(_.nonEmpty).map { l =>
       val parts = l.split(' ')
-      val stats = if (parts.length < 3) Map.empty[String, (Long, Long)]
+      val stats = if (parts.length < 3) Map.empty[String, ColStat]
         else parts(2).split(';').flatMap { s =>
           s.split(':') match {
-            case Array(c, "long", mn, mx) => Some(c -> ((mn.toLong, mx.toLong)))
+            case Array(c, "long", mn, mx) =>
+              Some(c -> (LongStat(mn.toLong, mx.toLong): ColStat))
+            case Array(c, "bin", mn, mx) =>
+              Some(c -> (BinStat(unhex(mn), unhex(mx)): ColStat))
             case _ => None
           }
         }.toMap
@@ -312,7 +350,8 @@ object PoolJsonSink {
     }
     TableManifest(version,
       entries.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
-      entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap)
+      entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap,
+      schemaJson)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -345,13 +384,16 @@ object PoolJsonSink {
     * detected-if-noticed).
     */
   private def commitManifest(tableDir: String, m: TableManifest): Unit = {
-    val body = (s"graft-manifest 1 ${m.version}" +:
+    val header = Seq(s"graft-manifest 1 ${m.version}") ++
+      m.schemaJson.map(j => s"schema $j")
+    val body = (header ++
       m.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
         fs.sorted.map { f =>
           m.stats.get(f).filter(_.nonEmpty) match {
             case Some(s) =>
-              val enc = s.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-                s"$c:long:$mn:$mx"
+              val enc = s.toSeq.sortBy(_._1).map {
+                case (c, LongStat(mn, mx)) => s"$c:long:$mn:$mx"
+                case (c, BinStat(mn, mx)) => s"$c:bin:${hex(mn)}:${hex(mx)}"
               }.mkString(";")
               s"$b $f $enc"
             case None => s"$b $f"
@@ -427,17 +469,27 @@ object PoolJsonSink {
     f.delete(); ()
   }
 
-  /** Per-file min/max of the requested LONG columns, straight from the
+  /** Binary zone-map values longer than this are skipped — parquet
+    * itself may truncate giant min/max in newer writers, and a zone
+    * map whose entries rival the data defeats its purpose. A skipped
+    * column on a file just means that file is never pruned on it.
+    */
+  private val MaxBinStatLen = 64
+
+  /** Per-file min/max of the requested columns, straight from the
     * parquet footer's column-chunk statistics (no data pages read —
     * the same metadata a scan's row-group filter uses, lifted into the
-    * manifest so pruning happens BEFORE any file is opened). Columns
-    * with no non-null values in a file are omitted for it
-    * (conservative: that file is never skipped on that column).
+    * manifest so pruning happens BEFORE any file is opened). LONG
+    * columns record numeric min/max; STRING/BINARY columns record the
+    * raw bytes (parquet's unsigned-lexicographic order). Columns with
+    * no non-null values in a file — or binary values beyond
+    * [[MaxBinStatLen]] — are omitted for it (conservative: that file
+    * is never skipped on that column).
     */
-  private def footerLongStats(
+  private def footerStats(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String, rels: Seq[String],
-      cols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+      cols: Seq[String]): Map[String, Map[String, ColStat]] = {
     require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
       s"stats columns must be simple identifiers: $cols")
     val conf = spark.sessionState.newHadoopConf()
@@ -452,12 +504,33 @@ object PoolJsonSink {
           val chunks = blocks.flatMap(_.getColumns.asScala
             .find(_.getPath.toDotString == c))
           val stats = chunks.map(_.getStatistics).filter(s =>
-            s != null && !s.isEmpty && s.hasNonNullValue &&
-              s.genericGetMin.isInstanceOf[java.lang.Long])
+            s != null && !s.isEmpty && s.hasNonNullValue)
           if (stats.isEmpty || stats.size != chunks.size) None
-          else Some(c -> ((
-            stats.map(_.genericGetMin.asInstanceOf[Long]).min,
-            stats.map(_.genericGetMax.asInstanceOf[Long]).max)))
+          else stats.head.genericGetMin match {
+            case _: java.lang.Long
+                if stats.forall(_.genericGetMin.isInstanceOf[java.lang.Long]) =>
+              Some(c -> (LongStat(
+                stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+                stats.map(_.genericGetMax.asInstanceOf[Long]).max): ColStat))
+            case _: org.apache.parquet.io.api.Binary
+                if stats.forall { s =>
+                  s.genericGetMin.isInstanceOf[org.apache.parquet.io.api.Binary] &&
+                    s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .length <= MaxBinStatLen &&
+                    s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .length <= MaxBinStatLen
+                } =>
+              val mins = stats.map(
+                _.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes)
+              val maxs = stats.map(
+                _.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes)
+              Some(c -> (BinStat(
+                mins.reduce((a, b) => if (unsignedCompare(a, b) <= 0) a else b),
+                maxs.reduce((a, b) => if (unsignedCompare(a, b) >= 0) a else b)): ColStat))
+            case _ => None
+          }
         }.toMap
         rel -> perCol
       } finally reader.close()
@@ -466,7 +539,7 @@ object PoolJsonSink {
 
   private def readFiles(
       spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, rels: Seq[String], schemaFrom: Seq[String]): DataFrame =
+      tableDir: String, rels: Seq[String], m: TableManifest): DataFrame =
     if (rels.nonEmpty)
       // mergeSchema: files written before an additive schema change
       // lack the newer columns — merge the union schema across the
@@ -474,8 +547,20 @@ object PoolJsonSink {
       // so bucket pruning also prunes schema-merge work)
       spark.read.option("mergeSchema", "true")
         .parquet(rels.map(r => s"$tableDir/$r"): _*)
-    else // empty selection: keep the schema, zero rows
-      spark.read.parquet(s"$tableDir/${schemaFrom.head}").limit(0)
+    else if (m.files.nonEmpty) // empty selection: schema from any file
+      spark.read.parquet(s"$tableDir/${m.files.head}").limit(0)
+    else // empty TABLE (all rows deleted / first commit empty): the
+         // manifest's stored schema keeps the table readable
+      m.schemaJson match {
+        case Some(j) =>
+          val schema = org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case None => sys.error(
+          s"$tableDir: empty table with no schema in manifest " +
+            s"v${m.version} (written by an older writer?)")
+      }
 
   /** Read the current committed version of a manifest table (plain
     * `spark.read.parquet` on the dir would also see uncommitted staged
@@ -485,7 +570,7 @@ object PoolJsonSink {
   def readTable(
       spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
     readManifest(tableDir) match {
-      case Some(m) => readFiles(spark, tableDir, m.files, m.files)
+      case Some(m) => readFiles(spark, tableDir, m.files, m)
       case None => spark.read.parquet(tableDir)
     }
 
@@ -501,21 +586,52 @@ object PoolJsonSink {
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String, version: Long): DataFrame = {
     val m = readManifestAt(tableDir, version)
-    readFiles(spark, tableDir, m.files, m.files)
+    readFiles(spark, tableDir, m.files, m)
   }
 
   /** The files a `colName BETWEEN lo AND hi` read must open: those
     * whose manifest zone map intersects the range, plus any file with
-    * no stats for the column (conservative — never skip blind).
+    * no LONG stats for the column (conservative — never skip blind).
     */
   def pruneFilesLongRange(
       m: TableManifest, colName: String, lo: Long, hi: Long): Seq[String] =
     m.files.filter { f =>
       m.stats.get(f).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
+        case Some(LongStat(mn, mx)) => mx >= lo && mn <= hi
+        case _ => true
       }
     }
+
+  /** The files a `colName = value` read on a STRING/BINARY column must
+    * open: those whose byte-range zone map contains the value, plus
+    * any file with no binary stats for the column (conservative).
+    */
+  def pruneFilesBinaryEq(
+      m: TableManifest, colName: String, value: Array[Byte]): Seq[String] =
+    m.files.filter { f =>
+      m.stats.get(f).flatMap(_.get(colName)) match {
+        case Some(BinStat(mn, mx)) =>
+          unsignedCompare(value, mn) >= 0 && unsignedCompare(value, mx) <= 0
+        case _ => true
+      }
+    }
+
+  /** Data-skipping equality read on a STRING column (e.g. `source`,
+    * a date string, a hex digest): manifest-level file pruning on the
+    * byte-range zone map, then the residual predicate. The string
+    * analog of [[readTableLongRange]] — a source-partitioned-in-
+    * practice corpus reads one source's files without listing the
+    * rest.
+    */
+  def readTableStringEq(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, colName: String, value: String): DataFrame = {
+    val m = readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    readFiles(spark, tableDir,
+      pruneFilesBinaryEq(m, colName, value.getBytes(StandardCharsets.UTF_8)), m)
+      .where(col(colName) === value)
+  }
 
   /** Data-skipping range read: manifest-level file pruning on a LONG
     * column's zone map, then the residual predicate. For an
@@ -532,8 +648,7 @@ object PoolJsonSink {
       tableDir: String, colName: String, lo: Long, hi: Long): DataFrame = {
     val m = readManifest(tableDir).getOrElse(
       sys.error(s"not a manifest table: $tableDir"))
-    readFiles(spark, tableDir, pruneFilesLongRange(m, colName, lo, hi),
-      m.files)
+    readFiles(spark, tableDir, pruneFilesLongRange(m, colName, lo, hi), m)
       .where(col(colName).between(lo, hi))
   }
 
@@ -543,12 +658,22 @@ object PoolJsonSink {
     */
   def readBuckets(
       spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, buckets: Seq[Long]): DataFrame = {
-    val m = readManifest(tableDir).getOrElse(
-      sys.error(s"not a manifest table: $tableDir"))
+      tableDir: String, buckets: Seq[Long]): DataFrame =
+    readBucketsOf(spark, tableDir,
+      readManifest(tableDir).getOrElse(
+        sys.error(s"not a manifest table: $tableDir")), buckets)
+
+  /** [[readBuckets]] against an ALREADY-RESOLVED manifest snapshot —
+    * the form every multi-step writer must use: resolving the manifest
+    * once and threading it through read + commit is what turns an
+    * interleaved concurrent commit into a CAS failure (and retry)
+    * instead of a silent lost update based on a stale read.
+    */
+  def readBucketsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, m: TableManifest, buckets: Seq[Long]): DataFrame =
     readFiles(spark, tableDir,
-      buckets.flatMap(b => m.buckets.getOrElse(b, Nil)), m.files)
-  }
+      buckets.flatMap(b => m.buckets.getOrElse(b, Nil)), m)
 
   /** S6's executable scale path: the MERGE-shaped keyed upsert against
     * a manifest-committed parquet table hash-bucketed on the upsert
@@ -581,15 +706,38 @@ object PoolJsonSink {
       nBuckets: Int = 64,
       onBeforeCommit: () => Unit = () => (),
       statsCols: Seq[String] = Nil): Seq[Long] = {
-    val withPt = incoming.withColumn("__pt", bucketExpr(key, nBuckets))
     new java.io.File(tableDir).mkdirs()
-    val prev = readManifest(tableDir)
+    upsertPartitionedFrom(spark, tableDir, incoming, key, nBuckets,
+      onBeforeCommit, statsCols, readManifest(tableDir))
+  }
+
+  /** [[upsertPartitioned]] against an ALREADY-RESOLVED snapshot
+    * (`prev` = the manifest this merge was computed from; `None` for
+    * a first commit). The commit targets `prev.version + 1`, so any
+    * concurrent commit that landed after the caller resolved `prev`
+    * makes the CAS fail with ConcurrentModificationException — the
+    * caller's [[withCommitRetry]] then re-resolves and recomputes.
+    * This is what makes the lost update impossible for multi-step
+    * writers like [[mergeDelta]], whose combine reads table state
+    * BEFORE calling here: committing against a re-resolved manifest
+    * would silently base the merge on a stale snapshot.
+    */
+  private[graft] def upsertPartitionedFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      incoming: DataFrame,
+      key: org.apache.spark.sql.Column,
+      nBuckets: Int,
+      onBeforeCommit: () => Unit,
+      statsCols: Seq[String],
+      prev: Option[TableManifest]): Seq[Long] = {
+    val withPt = incoming.withColumn("__pt", bucketExpr(key, nBuckets))
     val merged = prev match {
       case None => withPt
       case Some(m) =>
         val touched = withPt.select("__pt").distinct()
           .collect().map(_.getLong(0)).toSeq
-        val keep = readBuckets(spark, tableDir,
+        val keep = readBucketsOf(spark, tableDir, m,
             touched.filter(m.buckets.contains))
           .join(withPt.select(key.as("__k")).distinct(),
             key === col("__k"), "left_anti")
@@ -608,8 +756,8 @@ object PoolJsonSink {
     val cols = (statsCols ++
       prevStats.valuesIterator.flatMap(_.keys)).distinct
     val newStats =
-      if (cols.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
-      else footerLongStats(spark, tableDir,
+      if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else footerStats(spark, tableDir,
         newFiles.valuesIterator.flatten.toSeq, cols)
     val allBuckets = prev.map(_.buckets).getOrElse(Map.empty) ++ newFiles
     val live = allBuckets.valuesIterator.flatten.toSet
@@ -617,7 +765,8 @@ object PoolJsonSink {
     commitManifest(tableDir, TableManifest(
       prev.map(_.version + 1).getOrElse(1L),
       allBuckets,
-      (prevStats ++ newStats).filter(kv => live(kv._1))))
+      (prevStats ++ newStats).filter(kv => live(kv._1)),
+      Some(merged.schema.json)))
     newFiles.keys.toSeq.sorted
   }
 
@@ -638,7 +787,15 @@ object PoolJsonSink {
       delta: DataFrame,
       key: org.apache.spark.sql.Column,
       nBuckets: Int = 64)(combine: DataFrame => DataFrame): Seq[Long] = {
-    val combined = readManifest(tableDir) match {
+    // ONE manifest resolution for both the combine's read and the
+    // commit: the combine is computed from `prev`, and the commit
+    // targets prev.version + 1 — a concurrent commit landing between
+    // them fails the CAS (and the caller's withCommitRetry recomputes
+    // against the winner) instead of being silently overwritten by a
+    // merge based on the stale snapshot.
+    new java.io.File(tableDir).mkdirs()
+    val prev = readManifest(tableDir)
+    val combined = prev match {
       case None => delta
       case Some(m) =>
         val touched = delta.select(bucketExpr(key, nBuckets).as("__pt"))
@@ -646,14 +803,69 @@ object PoolJsonSink {
           .filter(m.buckets.contains)
         if (touched.isEmpty) delta
         else {
-          val existingForKeys = readBuckets(spark, tableDir, touched)
+          val existingForKeys = readBucketsOf(spark, tableDir, m, touched)
             .drop("__pt")
             .join(delta.select(key.as("__k")).distinct(),
               key === col("__k"), "left_semi")
           combine(existingForKeys.unionByName(delta))
         }
     }
-    upsertPartitioned(spark, tableDir, combined, key, nBuckets)
+    upsertPartitionedFrom(spark, tableDir, combined, key, nBuckets,
+      () => (), Nil, prev)
+  }
+
+  /** The MERGE's WHEN-MATCHED-DELETE arm: remove every row whose key
+    * appears in `keys` (a one-column DataFrame of key values). Same
+    * delta-driven shape as the upsert — only the buckets the doomed
+    * keys hash into are read and rewritten (anti-join against the
+    * keys), every other bucket's files stay byte-identical on disk —
+    * and the same atomic manifest CAS publishes it. A bucket whose
+    * rows are all deleted drops out of the manifest; deleting the
+    * LAST row of the table leaves an empty-but-readable table (schema
+    * kept in the manifest). Time travel composes: the deleted rows
+    * remain visible through [[readTableAsOf]] at pre-delete versions
+    * until [[vacuum]] reclaims them — deletion is a new version, not
+    * a destruction of history (the GDPR hard-purge is delete +
+    * vacuum(retain to past the delete)). Returns the bucket ids
+    * rewritten (or emptied).
+    */
+  def deletePartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      keys: DataFrame,
+      key: org.apache.spark.sql.Column,
+      nBuckets: Int = 64,
+      onBeforeCommit: () => Unit = () => ()): Seq[Long] = {
+    val prev = readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    val keyCol = keys.columns.head
+    val touched = keys
+      .select(bucketExpr(col(keyCol), nBuckets).as("__pt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+      .filter(prev.buckets.contains)
+    if (touched.isEmpty) Seq.empty
+    else {
+      val kept = readBucketsOf(spark, tableDir, prev, touched)
+        .join(keys.select(col(keyCol).as("__k")).distinct(),
+          key === col("__k"), "left_anti")
+      val newFiles = stageDataFiles(tableDir, kept)
+      // touched buckets are REPLACED (possibly by nothing — an
+      // emptied bucket vanishes from the manifest); untouched ones
+      // carry their entries forward verbatim
+      val allBuckets = (prev.buckets -- touched) ++ newFiles
+      val cols = prev.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
+      val newStats =
+        if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
+        else footerStats(spark, tableDir,
+          newFiles.valuesIterator.flatten.toSeq, cols)
+      val live = allBuckets.valuesIterator.flatten.toSet
+      onBeforeCommit()
+      commitManifest(tableDir, TableManifest(
+        prev.version + 1, allBuckets,
+        (prev.stats ++ newStats).filter(kv => live(kv._1)),
+        prev.schemaJson.orElse(Some(kept.schema.json))))
+      touched.sorted
+    }
   }
 
   /** Maintenance for manifest tables: every MERGE batch adds at least
@@ -677,19 +889,20 @@ object PoolJsonSink {
         val fat = m.buckets.filter(_._2.size > maxFilesPerPartition)
           .keys.toSeq.sorted
         if (fat.nonEmpty) {
-          val df = readBuckets(spark, tableDir, fat)
+          val df = readBucketsOf(spark, tableDir, m, fat)
             .repartition(fat.size, col("__pt"))
           val newFiles = stageDataFiles(tableDir, df)
           val cols = m.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
           val newStats =
-            if (cols.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
-            else footerLongStats(spark, tableDir,
+            if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
+            else footerStats(spark, tableDir,
               newFiles.valuesIterator.flatten.toSeq, cols)
           val allBuckets = m.buckets ++ newFiles
           val live = allBuckets.valuesIterator.flatten.toSet
           commitManifest(tableDir,
             TableManifest(m.version + 1, allBuckets,
-              (m.stats ++ newStats).filter(kv => live(kv._1))))
+              (m.stats ++ newStats).filter(kv => live(kv._1)),
+              m.schemaJson))
         }
         fat
     }
@@ -711,12 +924,23 @@ object PoolJsonSink {
     val versions = listVersions(tableDir)
     if (versions.isEmpty) 0
     else {
-      val retained = versions.takeRight(math.max(retainVersions, 1))
-      val referenced = retained
-        .flatMap(v => readManifestAt(tableDir, v).files).toSet
       val cutoff = System.currentTimeMillis() - minAgeMs
       def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
       var n = 0
+      // 1. expired manifests first — but only if old enough. Data-file
+      //    reachability is then computed from the manifests STILL on
+      //    disk afterwards (retained OR too-young-to-delete), so an
+      //    expired manifest that survives the age gate keeps every
+      //    file of its snapshot alive too: readManifestAt on it can
+      //    never succeed and then fail on missing data files.
+      versions.dropRight(math.max(retainVersions, 1)).foreach { v =>
+        val f = manifestFile(tableDir, v)
+        if (oldEnough(f) && f.delete()) n += 1
+      }
+      val referenced = listVersions(tableDir)
+        .flatMap(v => readManifestAt(tableDir, v).files).toSet
+      // 2. data files referenced by no surviving manifest (replaced by
+      //    later versions, or orphaned by a crashed/lost-race write)
       Option(new java.io.File(tableDir, "data").listFiles())
         .getOrElse(Array.empty)
         .foreach { f =>
@@ -724,14 +948,18 @@ object PoolJsonSink {
             f.delete(); n += 1
           }
         }
-      versions.dropRight(math.max(retainVersions, 1)).foreach { v =>
-        val f = manifestFile(tableDir, v)
-        if (oldEnough(f) && f.delete()) n += 1
-      }
+      // 3. crashed-write debris: staging dirs and manifest temp files
+      //    (a commitManifest that died between write and link leaks
+      //    its .tmp- file — non-EEXIST failures never reach the
+      //    deleteIfExists cleanup)
       Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.startsWith(".stage-") &&
           oldEnough(d))
         .foreach { d => deleteRecursively(d); n += 1 }
+      Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile &&
+          f.getName.startsWith(s".$ManifestName.tmp-") && oldEnough(f))
+        .foreach { f => if (f.delete()) n += 1 }
       n
     }
   }

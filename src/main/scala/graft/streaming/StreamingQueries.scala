@@ -326,64 +326,75 @@ object StreamingQueries {
 
     // T9 — streaming incremental ingest dedup: d11's continuous-crawl
     // twin. The incoming slice (md5-bucket >= 90, staged as 4 files ->
-    // 4 micro-batches) streams against the static all-time corpus.
-    // The history bloom sketch is built ONCE per stream start and
-    // inlined as a constant predicate, which splits each batch
-    // map-side: docs the sketch rejects are PROVABLY new (bloom has no
-    // false negatives) and emit without any join; only sketch hits —
-    // true dups + the FP rate — take the exact stream-static anti-join
-    // against history digests. Cross-batch first-wins resolves through
-    // a streaming min(doc_id)-per-digest aggregation (deterministic,
-    // unlike dropDuplicates' arrival-order survivor), state bounded by
-    // distinct incoming digests. At 100 TB the sketch is sized by
-    // |history| (GBs at 1e10 docs — the real-world trade; the exact
-    // join path keeps correctness regardless of FP rate), and
-    // unbounded streams age the agg state with a watermark.
+    // 4 micro-batches) streams against the PERSISTED history digest
+    // snapshot ([[graft.llm.HistorySnapshot]] — digest-keyed manifest
+    // table + count-sized bloom sketch, built once per maintenance
+    // window). Round 4's shape recomputed the history scan + digest +
+    // distinct INSIDE every micro-batch (84 s/batch at the 4M-doc
+    // probe, O(history) per batch — the one flagged scale-killer);
+    // now each batch reads: itself, the constant sketch, and only the
+    // snapshot buckets its own digests hash into — O(batch + touched
+    // buckets), the same delta-driven contract as t6's merge. The
+    // sketch rejects provably-new docs map-side with no join at all
+    // (bloom has no false negatives); sketch hits take the exact
+    // bucket-pruned anti-join that kills FPs. Per-batch output is
+    // LOG-STRUCTURED: each batch overwrites its own partition of an
+    // append log (path-per-batch-id overwrite = idempotent under
+    // foreachBatch's at-least-once re-delivery) with its per-digest
+    // min; cross-batch first-wins resolves ONCE at read time as a
+    // global min-per-digest over the (batch-sized × batches) log —
+    // min is commutative/associative, so the result is identical
+    // under any micro-batch order. At window close the accepted
+    // digests fold into the snapshot via appendDigests and the log
+    // truncates — appends stay O(batch), the heavyweight keyed merge
+    // happens once per window, not once per batch (t6 demonstrates
+    // the per-batch mergeDelta shape; a dedup log doesn't need it).
     "t9_stream_ingest_dedup" -> ((s, d) => {
-      val digestExpr = md5(expr(
-        "array_join(array_sort(array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))), ' ')"))
-      val bkExpr = expr("CAST(conv(substr(digest, 1, 15), 16, 10) AS BIGINT)")
-      val keyed = graft.Tables.documents(s, d)
-        .withColumn("bucket",
-          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100"))
-      val history = keyed.where(col("bucket") < 90)
-        .withColumn("digest", digestExpr).withColumn("bk", bkExpr)
-        .select("digest", "bk")
-      val sketch = history
-        .agg(graft.functions.BloomSketch.build(col("bk"), 1L << 20).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
-      val histDigests = history.select("digest").distinct()
+      val snap = graft.llm.HistorySnapshot.forCorpus(s, d)
       val stage = java.nio.file.Files
         .createTempDirectory("graft_t9_stage_").toString
-      keyed.where(col("bucket") >= 90).drop("bucket")
+      val log = java.nio.file.Files
+        .createTempDirectory("graft_t9_log_").toString + "/accepted"
+      graft.Tables.documents(s, d)
+        .withColumn("bucket", graft.llm.HistorySnapshot.splitBucketExpr)
+        .where(col("bucket") >= 90).drop("bucket")
         .repartition(4, col("doc_id"))
         .write.mode("overwrite").parquet(stage)
       val schema = s.read.parquet(stage).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
-        .withColumn("digest", digestExpr).withColumn("bk", bkExpr)
-      val incoming =
-        if (sketch == null) stream.select("doc_id", "digest")
-        else {
-          val definitelyNew = stream
-            .where(!graft.functions.BloomSketch.mightContain(sketch, col("bk")))
-            .select("doc_id", "digest")
-          val candidates = stream
-            .where(graft.functions.BloomSketch.mightContain(sketch, col("bk")))
-            .join(histDigests, Seq("digest"), "left_anti")
-            .select("doc_id", "digest")
-          definitelyNew.union(candidates)
-        }
-      val name = s"graft_stream_${sinkId.incrementAndGet()}"
+        .withColumn("digest", graft.llm.HistorySnapshot.digestExpr)
+        .withColumn("bk", graft.llm.HistorySnapshot.bkExpr)
       runToCompletion(s)(
-        incoming
-          .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
-          .writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(name)
+        stream.writeStream
+          .outputMode("append")
+          .queryName("graft_t9_ingest")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val rows = batch.select("doc_id", "digest", "bk")
+            val newDocs = snap.sketch match {
+              case None => rows.select("doc_id", "digest")
+              case Some(_) =>
+                val hist = snap.touchedDigests(s, rows)
+                val definitelyNew = rows
+                  .where(!snap.mightContain(col("bk")))
+                  .select("doc_id", "digest")
+                val candidates = rows
+                  .where(snap.mightContain(col("bk")))
+                  .join(hist.hint("shuffle_hash"), Seq("digest"),
+                    "left_anti")
+                  .select("doc_id", "digest")
+                definitelyNew.union(candidates)
+            }
+            newDocs.groupBy("digest")
+              .agg(min(col("doc_id")).as("doc_id"))
+              .write.mode("overwrite")
+              .parquet(s"$log/batch=$batchId")
+            ()
+          }
           .trigger(Trigger.AvailableNow()))
-      s.table(name).select("doc_id", "digest").orderBy("doc_id")
+      s.read.parquet(s"$log/batch=*")
+        .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "digest").orderBy("doc_id")
     })
   )
 

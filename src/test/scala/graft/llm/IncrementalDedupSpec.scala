@@ -76,6 +76,63 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val plan = DedupQueries.queries("d11_incremental_dedup")(spark, sf001)
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
-      s"history side must prefilter through the constant sketch:\n$plan")
+      s"incoming must prefilter through the constant sketch:\n$plan")
+  }
+
+  test("count-sized bloom sketch holds its FP bound at 10x the old " +
+      "fixed capacity; the fixed size degrades") {
+    import graft.QueryHarness.spark
+    // 10M history keys — 10x the old fixed 1<<20 expectedItems. The
+    // count-sized sketch must keep the FP rate a real prefilter;
+    // the old fixed sizing at this scale silently degrades toward
+    // let-everything-through (the 100 TB failure mode: the map-side
+    // prefilter becomes the full history shuffle it exists to avoid).
+    val n = 10_000_000L
+    val keys = spark.range(0, n).select(col("id").as("bk"))
+    val sized = keys
+      .agg(graft.functions.BloomSketch
+        .build(col("bk"), HistorySnapshot.sketchItems(n)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val fixed = keys
+      .agg(graft.functions.BloomSketch.build(col("bk"), 1L << 20).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    // disjoint probe keys: every hit is a false positive
+    val probes = spark.range(n, n + 200_000).select(col("id").as("bk"))
+    def fpRate(bf: Array[Byte]): Double =
+      probes.where(graft.functions.BloomSketch.mightContain(bf, col("bk")))
+        .count().toDouble / 200_000.0
+    val fpSized = fpRate(sized)
+    val fpFixed = fpRate(fixed)
+    assert(fpSized < 0.05, f"sized sketch fp=$fpSized%.4f breaches 5%%")
+    assert(fpFixed > 0.20,
+      f"fixed 1<<20 sketch at 10M keys should have degraded " +
+        f"(fp=$fpFixed%.4f) — if not, this pin is stale")
+  }
+
+  test("snapshot table: bucket-pruned reads and idempotent append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    corpus(dir)
+    val snap = HistorySnapshot.forCorpus(spark, dir)
+    assert(snap.nDigests == 3 && snap.sketch.nonEmpty)
+    // second resolve: the READY marker gates the rebuild (the
+    // maintenance-window contract — carried forward, not recomputed)
+    assert(HistorySnapshot.forCorpus(spark, dir).nDigests == 3)
+    // appendDigests folds a window's new digests in idempotently
+    val newDigests = Seq("00ff00ff00ff00ff00ff00ff00ff00ff")
+      .toDF("digest")
+    HistorySnapshot.appendDigests(spark, snap, newDigests)
+    HistorySnapshot.appendDigests(spark, snap, newDigests)
+    assert(graft.pol.PoolJsonSink.readTable(spark, snap.tableDir)
+      .count() == 4)
+    // touchedDigests reads ONLY the buckets the probe digests hash
+    // into: a single-digest probe must not open every file
+    val m = graft.pol.PoolJsonSink.readManifest(snap.tableDir).get
+    val probe = newDigests
+    val got = snap.touchedDigests(spark, probe)
+      .as[String].collect().toSet
+    assert(got.contains("00ff00ff00ff00ff00ff00ff00ff00ff"))
+    if (m.buckets.size > 1)
+      assert(got.size < 4, "touched-bucket read returned the full table")
   }
 }

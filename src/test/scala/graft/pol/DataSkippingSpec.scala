@@ -37,7 +37,7 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(sel.nonEmpty && sel.size < m.files.size,
       s"pruning must drop files: ${sel.size} of ${m.files.size}")
     sel.foreach { f =>
-      val (mn, mx) = m.stats(f)("seq")
+      val PoolJsonSink.LongStat(mn, mx) = m.stats(f)("seq")
       assert(mx >= 210 && mn <= 260, s"$f [$mn,$mx] outside range")
     }
     // and the pruned read equals the full-scan filter
@@ -74,6 +74,40 @@ class DataSkippingSpec extends AnyFunSuite {
     val got = PoolJsonSink.readTableLongRange(spark, dir, "seq", 0, 109)
       .count()
     assert(got == 110)
+  }
+
+  test("string zone maps prune equality reads on source-clustered files") {
+    val dir = table()
+    // data CLUSTERED by the skip column before the write (repartition
+    // by source → every staged file is task×bucket = single-source):
+    // the same layout discipline o6's z-order demonstrates — zone maps
+    // only prune what the physical layout separates
+    val rows = (for {
+      src <- Seq("arxiv", "github", "wiki"); i <- 0 until 100
+    } yield (s"${src}_doc$i", src)).toDF("k", "source")
+      .repartition(3, col("source"))
+    PoolJsonSink.upsertPartitioned(spark, dir, rows, col("k"),
+      nBuckets = 4, statsCols = Seq("source"))
+    val m = PoolJsonSink.readManifest(dir).get
+    // string stats landed as byte-range zone maps
+    assert(m.files.exists(f =>
+      m.stats.get(f).exists(_.get("source").exists(
+        _.isInstanceOf[PoolJsonSink.BinStat]))),
+      "string zone maps must land in the manifest")
+    val sel = PoolJsonSink.pruneFilesBinaryEq(m, "source",
+      "github".getBytes("UTF-8"))
+    assert(sel.nonEmpty && sel.size < m.files.size,
+      s"string pruning must drop files: ${sel.size} of ${m.files.size}")
+    // pruned read equals the full-scan filter
+    val pruned = PoolJsonSink.readTableStringEq(spark, dir, "source", "github")
+      .select("k").as[String].collect().toSet
+    val full = PoolJsonSink.readTable(spark, dir)
+      .where(col("source") === "github")
+      .select("k").as[String].collect().toSet
+    assert(pruned == full && pruned.size == 100)
+    // a value outside every zone map opens nothing
+    assert(PoolJsonSink.pruneFilesBinaryEq(m, "source",
+      "zzz".getBytes("UTF-8")).isEmpty)
   }
 
   test("files without stats are read, never skipped") {

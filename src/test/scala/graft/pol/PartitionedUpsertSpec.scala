@@ -230,6 +230,117 @@ class PartitionedUpsertSpec extends AnyFunSuite {
     assert(got("key1") == "A" && got("key2") == "B" && got.size == 20)
   }
 
+  test("delete removes keys, leaves untouched buckets byte-identical, " +
+      "keeps history readable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delete")
+      .resolve("table").toString
+    val base = (0 until 100).map(i => (s"key$i", s"v0_$i"))
+      .toDF("k", "payload")
+    PoolJsonSink.upsertPartitioned(spark, dir, base, col("k"), nBuckets = 8)
+    val v1 = manifest(dir)
+    val v1Fp = fingerprint(dir)
+
+    // WHEN MATCHED DELETE: 3 doomed keys → at most 3 of 8 buckets
+    val doomed = Seq("key3", "key42", "key77").toDF("k")
+    val touched = PoolJsonSink.deletePartitioned(
+      spark, dir, doomed, col("k"), nBuckets = 8)
+    assert(touched.nonEmpty && touched.size <= 3)
+    val v2 = manifest(dir)
+    assert(v2.version == v1.version + 1)
+    // untouched buckets: identical manifest entries, files intact
+    (v1.buckets.keySet -- touched).foreach { b =>
+      assert(v2.buckets(b) == v1.buckets(b),
+        s"untouched bucket $b was rewritten by a delete")
+      v2.buckets(b).foreach { rel =>
+        val f = new File(dir, rel)
+        assert((f.length(), f.lastModified()) == v1Fp(rel),
+          s"untouched file $rel modified")
+      }
+    }
+    // deleted keys gone, everything else intact
+    val got = PoolJsonSink.readTable(spark, dir)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(got.size == 97)
+    assert(!got.contains("key3") && !got.contains("key42") &&
+      !got.contains("key77"))
+    assert(got("key7") == "v0_7")
+    // time travel: the pre-delete version still shows them — deletion
+    // is a new version, not destruction of history
+    val asOf = PoolJsonSink.readTableAsOf(spark, dir, v1.version)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(asOf.size == 100 && asOf("key3") == "v0_3")
+    // deleting a key absent from the table is a clean no-op
+    assert(PoolJsonSink.deletePartitioned(spark, dir,
+      Seq("never_there").toDF("k"), col("k"), nBuckets = 8).size <= 1)
+    assert(PoolJsonSink.readTable(spark, dir).count() == 97)
+  }
+
+  test("deleting every row leaves an empty but readable table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delete_all")
+      .resolve("table").toString
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      (0 until 10).map(i => (s"key$i", i.toLong)).toDF("k", "v"),
+      col("k"), nBuckets = 4)
+    PoolJsonSink.deletePartitioned(spark, dir,
+      (0 until 10).map(i => s"key$i").toDF("k"), col("k"), nBuckets = 4)
+    // schema survives in the manifest: the empty table still reads
+    // with its columns (the reported empty-v1 NoSuchElementException
+    // failure mode), and the hard-purge composes with vacuum
+    val df = PoolJsonSink.readTable(spark, dir)
+    assert(df.count() == 0)
+    assert(df.columns.toSet == Set("k", "v", "__pt"))
+    assert(PoolJsonSink.vacuum(dir) > 0) // pre-delete files reclaimed
+    assert(PoolJsonSink.readTable(spark, dir).count() == 0)
+    // and an upsert into the emptied table starts a fresh history
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      Seq(("key_new", 99L)).toDF("k", "v"), col("k"), nBuckets = 4)
+    assert(PoolJsonSink.readTable(spark, dir).count() == 1)
+  }
+
+  test("mergeDelta commits against the snapshot its combine read " +
+      "(no silent lost update)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mergedelta_race")
+      .resolve("table").toString
+    def merge(k: String, n: Long, onRead: () => Unit = () => ()): Unit =
+      PoolJsonSink.mergeDelta(spark, dir,
+        Seq((k, n)).toDF("k", "n"), col("k"), nBuckets = 4) { df =>
+          onRead()
+          df.groupBy("k").agg(sum(col("n")).as("n"))
+        }
+    merge("key1", 1L)
+    // writer B lands a full merge for key1 INSIDE writer A's
+    // read-combine-commit window: A's combine was computed from the
+    // pre-B snapshot, so A committing would silently drop B's +10.
+    // The snapshot-threaded commit must fail the CAS instead...
+    val e = intercept[java.util.ConcurrentModificationException] {
+      var fired = false
+      merge("key1", 100L, onRead = () => {
+        if (!fired) { fired = true; merge("key1", 10L) }
+      })
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // ...leaving B's update intact (1 + 10), A's never visible
+    val afterRace = PoolJsonSink.readTable(spark, dir)
+      .select("k", "n").as[(String, Long)].collect().toMap
+    assert(afterRace("key1") == 11L, s"lost update: $afterRace")
+    // and the standard retry loop recomputes A against B's version:
+    // BOTH updates land — the withCommitRetry doc contract
+    var attempts = 0
+    PoolJsonSink.withCommitRetry() { () =>
+      attempts += 1
+      merge("key1", 100L, onRead = () => {
+        if (attempts == 1) merge("key1", 1000L)
+      })
+    }
+    val finalGot = PoolJsonSink.readTable(spark, dir)
+      .select("k", "n").as[(String, Long)].collect().toMap
+    assert(attempts == 2 && finalGot("key1") == 1111L,
+      s"retry must recompute the combine: $finalGot")
+  }
+
   test("additive schema evolution: new column null-fills old rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve")
