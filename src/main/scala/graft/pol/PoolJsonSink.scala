@@ -732,8 +732,8 @@ object PoolJsonSink {
       statsCols: Seq[String],
       prev: Option[TableManifest]): Seq[Long] = {
     val withPt = incoming.withColumn("__pt", bucketExpr(key, nBuckets))
-    val merged = prev match {
-      case None => withPt
+    val (merged, touched) = prev match {
+      case None => (withPt, Seq.empty[Long])
       case Some(m) =>
         val touched = withPt.select("__pt").distinct()
           .collect().map(_.getLong(0)).toSeq
@@ -745,13 +745,28 @@ object PoolJsonSink {
         // columns the stored rows don't have yet (and vice versa
         // during rolling upgrades) — kept rows null-fill them, the
         // Delta mergeSchema behavior
-        keep.unionByName(withPt, allowMissingColumns = true)
+        (keep.unionByName(withPt, allowMissingColumns = true), touched)
     }
-    val newFiles = stageDataFiles(tableDir, merged)
-    // data-skipping stats: explicit statsCols opts in; thereafter the
-    // column set carries forward automatically, so maintenance writes
-    // (mergeDelta batches, compaction) keep every file's zone map
-    // fresh without each call site re-stating the columns
+    stageAndCommit(spark, tableDir, prev, merged, touched, statsCols,
+      onBeforeCommit)
+  }
+
+  /** Stage `content` (the complete NEW state of `replaceTouched`'s
+    * buckets, carrying `__pt`) and commit `prev.version + 1` with
+    * those bucket entries replaced (an entry staging no file drops
+    * out — the emptied-bucket case) and stats/schema carried forward.
+    * The shared write tail of the merge/delete paths: exactly ONE
+    * evaluation of `content`, one staging pass, one CAS commit.
+    */
+  private def stageAndCommit(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      prev: Option[TableManifest],
+      content: DataFrame,
+      replaceTouched: Seq[Long],
+      statsCols: Seq[String],
+      onBeforeCommit: () => Unit): Seq[Long] = {
+    val newFiles = stageDataFiles(tableDir, content)
     val prevStats = prev.map(_.stats).getOrElse(Map.empty)
     val cols = (statsCols ++
       prevStats.valuesIterator.flatMap(_.keys)).distinct
@@ -759,27 +774,37 @@ object PoolJsonSink {
       if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
       else footerStats(spark, tableDir,
         newFiles.valuesIterator.flatten.toSeq, cols)
-    val allBuckets = prev.map(_.buckets).getOrElse(Map.empty) ++ newFiles
+    val allBuckets =
+      (prev.map(_.buckets).getOrElse(Map.empty) -- replaceTouched) ++
+        newFiles
     val live = allBuckets.valuesIterator.flatten.toSet
     onBeforeCommit()
     commitManifest(tableDir, TableManifest(
       prev.map(_.version + 1).getOrElse(1L),
       allBuckets,
       (prevStats ++ newStats).filter(kv => live(kv._1)),
-      Some(merged.schema.json)))
+      Some(content.schema.json)))
     newFiles.keys.toSeq.sorted
   }
 
   /** Delta-driven MERGE maintenance — the streaming foreachBatch
     * recipe (T6). Combines the aggregate `delta` with ONLY the
     * existing rows of the delta's own keys (manifest-pruned bucket
-    * reads + a semi-join on the delta keys), then upserts the
-    * combined rows. Per-batch cost is O(delta + touched buckets),
-    * never O(table): a trickle of events against a 100 TB table reads
-    * and rewrites a handful of bucket files. `combine` sees
+    * reads + a semi-join on the delta keys), keeps the touched
+    * buckets' OTHER rows verbatim, and commits the rewritten buckets.
+    * Per-batch cost is O(delta + touched buckets), never O(table): a
+    * trickle of events against a 100 TB table reads and rewrites a
+    * handful of bucket files. `combine` sees
     * existing-rows-for-delta-keys ∪ delta (both without `__pt`) and
     * must re-aggregate per key with a commutative/associative
     * combine. Returns the bucket ids rewritten.
+    *
+    * Plan shape (measured at sf0.1 — job count is what a small-delta
+    * merge pays for): the delta is localCheckpoint'd so its plan runs
+    * ONCE (not re-evaluated for the bucket collect, the combine and
+    * the write), and the combine + keep branches live in one content
+    * plan evaluated by the single staging pass — not a combine read
+    * followed by upsert's second keep read.
     */
   def mergeDelta(
       spark: org.apache.spark.sql.SparkSession,
@@ -795,23 +820,30 @@ object PoolJsonSink {
     // merge based on the stale snapshot.
     new java.io.File(tableDir).mkdirs()
     val prev = readManifest(tableDir)
-    val combined = prev match {
-      case None => delta
+    val deltaCk = delta.localCheckpoint()
+    val touchedAll = deltaCk
+      .select(bucketExpr(key, nBuckets).as("__pt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val withPt = (df: DataFrame) =>
+      df.withColumn("__pt", bucketExpr(key, nBuckets))
+    val content = prev match {
+      case None => withPt(deltaCk)
       case Some(m) =>
-        val touched = delta.select(bucketExpr(key, nBuckets).as("__pt"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-          .filter(m.buckets.contains)
-        if (touched.isEmpty) delta
+        val touched = touchedAll.filter(m.buckets.contains)
+        if (touched.isEmpty) withPt(deltaCk)
         else {
-          val existingForKeys = readBucketsOf(spark, tableDir, m, touched)
-            .drop("__pt")
-            .join(delta.select(key.as("__k")).distinct(),
-              key === col("__k"), "left_semi")
-          combine(existingForKeys.unionByName(delta))
+          val existing = readBucketsOf(spark, tableDir, m, touched)
+          val deltaKeys = deltaCk.select(key.as("__k")).distinct()
+          val existingForKeys = existing.drop("__pt")
+            .join(deltaKeys, key === col("__k"), "left_semi")
+          val keep = existing
+            .join(deltaKeys, key === col("__k"), "left_anti")
+          withPt(combine(existingForKeys.unionByName(deltaCk)))
+            .unionByName(keep, allowMissingColumns = true)
         }
     }
-    upsertPartitionedFrom(spark, tableDir, combined, key, nBuckets,
-      () => (), Nil, prev)
+    stageAndCommit(spark, tableDir, prev, content, touchedAll, Nil,
+      () => ())
   }
 
   /** The MERGE's WHEN-MATCHED-DELETE arm: remove every row whose key
@@ -845,25 +877,14 @@ object PoolJsonSink {
       .filter(prev.buckets.contains)
     if (touched.isEmpty) Seq.empty
     else {
+      // touched buckets are REPLACED by their surviving rows
+      // (possibly by nothing — an emptied bucket vanishes from the
+      // manifest); untouched ones carry their entries forward
       val kept = readBucketsOf(spark, tableDir, prev, touched)
         .join(keys.select(col(keyCol).as("__k")).distinct(),
           key === col("__k"), "left_anti")
-      val newFiles = stageDataFiles(tableDir, kept)
-      // touched buckets are REPLACED (possibly by nothing — an
-      // emptied bucket vanishes from the manifest); untouched ones
-      // carry their entries forward verbatim
-      val allBuckets = (prev.buckets -- touched) ++ newFiles
-      val cols = prev.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
-      val newStats =
-        if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
-        else footerStats(spark, tableDir,
-          newFiles.valuesIterator.flatten.toSeq, cols)
-      val live = allBuckets.valuesIterator.flatten.toSet
-      onBeforeCommit()
-      commitManifest(tableDir, TableManifest(
-        prev.version + 1, allBuckets,
-        (prev.stats ++ newStats).filter(kv => live(kv._1)),
-        prev.schemaJson.orElse(Some(kept.schema.json))))
+      stageAndCommit(spark, tableDir, Some(prev), kept, touched, Nil,
+        onBeforeCommit)
       touched.sorted
     }
   }
