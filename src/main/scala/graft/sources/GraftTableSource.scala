@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.pol.PoolJsonSink
+
+/** `spark.read.format("graft")` — SQL/DataFrame access to a
+  * manifest-committed table that can NEVER observe torn state.
+  *
+  * A plain `spark.read.parquet(tableDir)` on a manifest table would
+  * list uncommitted staged files and orphans from crashed or
+  * lost-race writes — readers must resolve the file list through the
+  * committed manifest, which until now only the Scala entry points
+  * (`PoolJsonSink.readTable`/`readBuckets`) did. This source closes
+  * the gap for SQL users and BI tools:
+  *
+  * {{{
+  *   spark.read.format("graft").load(tableDir)              // current
+  *   spark.read.format("graft")
+  *     .option("versionAsOf", 3).load(tableDir)             // time travel
+  *   CREATE TEMPORARY VIEW t USING graft OPTIONS (path '…') // plain SQL
+  * }}}
+  *
+  * Every scan re-resolves the CURRENT committed manifest (a view
+  * created before an upsert sees the new version on its next query —
+  * snapshot-per-query, like Delta). Pushed filters do double duty:
+  * equality on a STRING stats column or range/equality on a LONG
+  * stats column prunes data files through the manifest zone maps
+  * BEFORE any file is opened, and every filter is also applied inside
+  * the inner plan so the parquet scan gets its usual pushdown. All
+  * filters are reported unhandled, so Spark re-applies them above —
+  * pruning here is a pure optimization, never a semantics bet.
+  */
+class GraftTableSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft source requires a 'path' option"))
+    GraftTableRelation(path, parameters.get("versionAsOf").map(_.toLong))(
+      sqlContext)
+  }
+}
+
+case class GraftTableRelation(path: String, versionAsOf: Option[Long])(
+    @transient val sqlContext: SQLContext)
+  extends BaseRelation with PrunedFilteredScan {
+
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType = resolve(Array.empty).schema
+
+  // all filters re-applied by Spark above this scan (default
+  // unhandledFilters) — translation below is pushdown, not contract
+
+  /** Resolve the committed table, letting pushed filters choose a
+    * manifest-level zone-map pruned read where one applies.
+    */
+  private def resolve(filters: Array[Filter]): DataFrame =
+    versionAsOf match {
+      case Some(v) => PoolJsonSink.readTableAsOf(spark, path, v)
+      case None =>
+        if (PoolJsonSink.readManifest(path).isEmpty)
+          PoolJsonSink.readTable(spark, path) // plain-dir fallback
+        else stringEqPruned(filters)
+          .orElse(longRangePruned(filters))
+          .getOrElse(PoolJsonSink.readTable(spark, path))
+    }
+
+  private def stringEqPruned(filters: Array[Filter]): Option[DataFrame] =
+    filters.collectFirst {
+      case EqualTo(a, v: String) =>
+        PoolJsonSink.readTableStringEq(spark, path, a, v)
+    }
+
+  /** Fold per-column bounds from long-valued comparison filters; the
+    * first column with a bound becomes the zone-map range read.
+    */
+  private def longRangePruned(filters: Array[Filter]): Option[DataFrame] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    val bounds = collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long)]
+    def tighten(a: String, lo: Option[Long], hi: Option[Long]): Unit = {
+      val (clo, chi) = bounds.getOrElse(a, (Long.MinValue, Long.MaxValue))
+      bounds(a) = (math.max(clo, lo.getOrElse(Long.MinValue)),
+        math.min(chi, hi.getOrElse(Long.MaxValue)))
+    }
+    filters.foreach {
+      case EqualTo(a, v) => asLong(v).foreach(l => tighten(a, Some(l), Some(l)))
+      case GreaterThan(a, v) => asLong(v).foreach(l => tighten(a, Some(l + 1), None))
+      case GreaterThanOrEqual(a, v) => asLong(v).foreach(l => tighten(a, Some(l), None))
+      case LessThan(a, v) => asLong(v).foreach(l => tighten(a, None, Some(l - 1)))
+      case LessThanOrEqual(a, v) => asLong(v).foreach(l => tighten(a, None, Some(l)))
+      case _ =>
+    }
+    bounds.collectFirst {
+      case (a, (lo, hi))
+          if lo != Long.MinValue || hi != Long.MaxValue =>
+        PoolJsonSink.readTableLongRange(spark, path, a, lo, hi)
+    }
+  }
+
+  /** Best-effort Filter → Column translation so predicates reach the
+    * inner parquet scan; untranslatable filters are simply skipped
+    * (Spark re-applies everything above).
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case StringContains(a, p) => Some(col(a).contains(p))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val base = resolve(filters)
+    val filtered = filters.flatMap(toColumn)
+      .foldLeft(base)((df, c) => df.where(c))
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+}
