@@ -25,9 +25,6 @@ object SimilarityQueries {
 
   private def vecd(c: Column): Column = c.cast("array<double>")
 
-  /** n7's k — 8 clusters; centroid sets are always broadcast-sized. */
-  private val Kmeans = 8
-
   /** Left-fold dot product — the native [[graft.functions.DotProduct]]
     * expression, bit-identical to the builtin
     * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`
@@ -90,18 +87,7 @@ object SimilarityQueries {
     // N1 — brute-force cosine top-10 for a probe vector (vec_id 0):
     // one scan + TakeOrderedAndProject, the exact baseline every ANN
     // variant is measured against.
-    "n1_ann_bruteforce" -> ((s, d) => {
-      val t = base(s, d)
-      val q = t.where(col("vec_id") === 0)
-        .select(col("e").as("qe"), col("norm").as("qnorm"))
-      t.where(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("cos",
-          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6))
-        .select(col("vec_id"), col("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
-    }),
+    "n1_ann_bruteforce" -> ((s, d) => bruteTop10(s, d)),
 
     // N3 — LSH-bucketed ANN: random-hyperplane (SimHash-for-vectors)
     // bucketing. Hyperplanes are pseudo-random but engine-independent:
@@ -240,83 +226,77 @@ object SimilarityQueries {
         .limit(10)
     }),
 
-    // N7 — k-means TRAINING for the IVF index (the offline job whose
-    // output n2/n6 serve): 2 unrolled Lloyd iterations, k=8, fully
-    // deterministic — seeds are the k vectors with the smallest
-    // (md5(vec_id), vec_id), assignment breaks distance ties by
-    // centroid id, and centroid means go through DECIMAL(25,10) sums
-    // so the reduction is order-independent. dist² is
-    // ee − 2·(e·c) + cc with the left-fold dot both engines share —
-    // identical IEEE doubles, no RNG, no iteration-order dependence:
-    // a 1000-executor run is byte-identical to the oracle. Plan per
-    // iteration: centroids BROADCAST (k rows — k-means' assign stage
-    // is embarrassingly parallel at any corpus size), assignment is
-    // one bounded min(struct) aggregate per vector (never a per-vector
-    // sort), means are one partial-agg'd groupBy(cid, dim). The seed
-    // window runs over k rows post-limit — bounded by construction.
+    // N7 — k-means TRAINING to CONVERGENCE for the IVF index (the
+    // offline job whose output n6 serves): [[KMeans.fit]] iterates
+    // Lloyd until a recompute reproduces the previous centroids
+    // bit-for-bit (a true fixpoint — round 4's 2 unrolled iterations
+    // were an admitted stub), k=8, fully deterministic: md5 seeds,
+    // ties to the smaller cid, DECIMAL(25,10) means. The trained
+    // model enters this plan as LITERALS, so the query itself is one
+    // MAP-ONLY argmin projection — no crossJoin, no per-vector
+    // groupBy; a 1000-executor assign is byte-identical to the
+    // oracle. The oracle unrolls KMeans.OracleRounds (>= measured
+    // convergence) and the fixpoint identity makes the early-stopped
+    // Scala result equal the fixed-round SQL (KMeansSpec pins round
+    // counts; see KMeans.scala for the argument).
     "n7_kmeans" -> ((s, d) => {
-      val t = base(s, d).select(col("vec_id"), col("e"))
+      val model = KMeans.fit(s, d)
+      graft.Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          vecd(col("embedding")).as("e"))
         .withColumn("ee", dot("e", "e"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("hk"), col("vec_id"))
-      val cents0 = t
-        .select(col("vec_id"), col("e"),
-          md5(col("vec_id").cast("string")).as("hk"))
-        .orderBy(col("hk"), col("vec_id")).limit(Kmeans)
-        .withColumn("cid", (row_number().over(w) - 1).cast("long"))
-        .select(col("cid"), col("e").as("ce"))
-      def assign(cents: DataFrame): DataFrame =
-        t.crossJoin(broadcast(
-            cents.withColumn("cc", dot("ce", "ce"))))
-          .withColumn("d2",
-            col("ee") - lit(2.0) * dot("e", "ce") + col("cc"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"),
-            col("m.d2").as("d2"))
-      def recompute(assigned: DataFrame): DataFrame =
-        assigned.join(t, "vec_id")
-          .select(col("cid"), posexplode(col("e")))
-          .groupBy("cid", "pos")
-          .agg((sum(col("col").cast("decimal(25,10)")) / count(lit(1)))
-            .cast("double").as("m"))
-          .groupBy("cid")
-          .agg(expr(
-            "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-            .as("ce"))
-      assign(recompute(assign(cents0)))
-        .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
+        .withColumn("m", KMeans.assignCol(model.centroids))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          round(col("m.d2"), 6).as("d2"))
         .orderBy("vec_id")
     }),
 
-    // N6 — n2's production shape: the cluster id as a PARTITION
-    // COLUMN. The embeddings are materialized once per corpus as a
-    // label-partitioned parquet index; the probe collects its 2
-    // nearest centroid labels (2 rows by construction — that collect
-    // is what turns cluster choice into a literal) and filters with
-    // `label IN (…)`, so pruning happens at PLANNING time: unprobed
-    // partitions are never listed, opened, or footer-read
-    // (IvfPartitionSpec pins the scan to 2 of 10 partitions). At
-    // 100 TB this is the difference between "scan 20% of the corpus"
-    // (n2's runtime join filter) and "the other 80% doesn't exist for
-    // this query". Same oracle as n2 — the layout changes nothing
-    // semantically.
-    "n6_ann_ivf_partitioned" -> ((s, d) => {
-      val t = base(s, d)
-      val q = t.where(col("vec_id") === 0)
-        .select(col("e").as("qe"), col("norm").as("qnorm"))
-      val labels = nearestCentroids(t, q)
-        .collect().map(_.getInt(0)).toSeq
-      s.read.parquet(ivfIndexDir(s, d))
-        .where(col("label").isin(labels: _*))
-        .where(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("cos",
-          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6))
-        .select(col("vec_id"), col("label"), col("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
-    })
+    // N6 — the TRAINED index: n7's converged model's cluster id as a
+    // PARTITION COLUMN, closing the train→index→serve loop (round 4
+    // partitioned by the testdata's given labels — a stand-in). The
+    // embeddings are materialized once per corpus as a cid-partitioned
+    // parquet index; the probe ranks the k trained centroids
+    // driver-side (k·dim doubles — that is what turns cluster choice
+    // into a literal) and filters `cid IN (…)`, so pruning happens at
+    // PLANNING time: unprobed partitions are never listed, opened, or
+    // footer-read (NewCurationOpsSpec pins the scan to 2 of 8
+    // partitions). At 100 TB this is the difference between "scan 25%
+    // of the corpus" (n2's runtime join filter) and "the other 75%
+    // doesn't exist for this query".
+    "n6_ann_ivf_partitioned" -> ((s, d) => trainedIvfTop10(s, d)),
+
+    // N8 — ANN RECALL@10: the eval that keeps the trained index
+    // honest — |exact top-10 ∩ IVF top-10| / 10 for the probe, one
+    // output row. The exact side is n1's brute force, the approx side
+    // is n6's pruned-partition read; the intersection is a 10-row
+    // semi-join. At 100 TB this is the recurring index-quality job a
+    // production ANN deployment runs after every retrain (recall
+    // dropping means k or the probe count needs retuning) — and it is
+    // as cheap as one brute-force pass over the probe set.
+    "n8_ann_recall" -> ((s, d) => {
+      val exact = bruteTop10(s, d).select("vec_id")
+      val approx = trainedIvfTop10(s, d).select("vec_id")
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"),
+          (count(lit(1)).cast("double") / lit(10)).as("recall_at_10"))
+    }),
+
+    // D12 — SemDeDup-style SEMANTIC dedup (public recipe: cluster the
+    // embedding space, then dedup only WITHIN clusters — the cluster
+    // assignment replaces d9's hyperplane buckets as the blocking
+    // key): assign every vector to n7's TRAINED centroids map-side,
+    // then remove each vector with a smaller-id same-cluster neighbor
+    // at cosine >= 0.4. This closes the train→cluster→curate chain:
+    // the same converged model serves ANN (n6) and semantic dedup.
+    // Work is quadratic in CLUSTER width, never in corpus width; at
+    // scale the dial is k (cluster width ~ n/k — production grows k
+    // with the corpus, exactly like d9 grows planes), and
+    // [[D12ClusterCap]] is the d7/d9 seatbelt: clusters wider than
+    // the cap starve dedup (kept, visible) instead of melting the
+    // pair join. The k-row size relation is broadcast — never a
+    // window over the corpus.
+    "d12_semantic_dedup" -> ((s, d) =>
+      semanticDedup(s, d, cap = D12ClusterCap))
   )
 
   /** Per-label decimal-exact centroids, ranked against the probe: the
@@ -337,19 +317,71 @@ object SimilarityQueries {
       .select(col("label"))
   }
 
-  /** Build (once per corpus dir, under java.io.tmpdir) n6's
-    * label-partitioned ANN index. On a real deployment this is the
-    * offline index-build job; here it is keyed by corpus path and
-    * completion-markered so concurrent/repeated queries reuse it.
+  /** n1's plan: one scan + TakeOrderedAndProject against the 1-row
+    * broadcast probe — the exact baseline (and n8's ground truth).
     */
-  private def ivfIndexDir(s: SparkSession, d: String): String = {
+  private def bruteTop10(s: SparkSession, d: String): DataFrame = {
+    val t = base(s, d)
+    val q = t.where(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("norm").as("qnorm"))
+    t.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(dot("e", "qe") / (col("norm") * col("qnorm")), 6))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** n6's plan (and n8's approx side): rank the k trained centroids
+    * driver-side, read only the 2 probed partitions of the trained
+    * index.
+    */
+  private def trainedIvfTop10(s: SparkSession, d: String): DataFrame = {
+    val model = KMeans.fit(s, d)
+    val t = base(s, d)
+    val q = t.where(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("norm").as("qnorm"))
+    val qe = q.head.getSeq[Double](0).toArray
+    val probed = model.centroids
+      .map { case (cid, ce) =>
+        (cid, ce.zip(qe).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b })
+      }
+      .sortBy { case (cid, score) => (-score, cid) }
+      .take(2).map(_._1)
+    s.read.parquet(trainedIndexDir(s, d))
+      .where(col("cid").isin(probed: _*))
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(dot("e", "qe") / (col("norm") * col("qnorm")), 6))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Build (once per corpus dir, under java.io.tmpdir) n6's
+    * cid-partitioned ANN index from the TRAINED k-means model: assign
+    * every vector map-side (the model enters as literals), write
+    * partitioned by cluster id. On a real deployment this is the
+    * offline index-build job that runs right after training; here it
+    * is keyed by corpus path and completion-markered so
+    * concurrent/repeated queries reuse it.
+    */
+  private def trainedIndexDir(s: SparkSession, d: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
     val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_ivf_index_$key")
+      sys.props("java.io.tmpdir"), s"graft_ivf_trained_$key")
     val ready = new java.io.File(dir, "_INDEX_READY")
     if (!ready.exists()) {
-      base(s, d).write.mode("overwrite").partitionBy("label")
+      val model = KMeans.fit(s, d)
+      base(s, d)
+        .withColumn("ee", dot("e", "e"))
+        .withColumn("cid", KMeans.assignCol(model.centroids).getField("cid"))
+        .select(col("vec_id"), col("e"), col("norm"), col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
         .parquet(dir.toString)
       ready.createNewFile()
     }
@@ -400,6 +432,47 @@ object SimilarityQueries {
     * matrix.
     */
   private[graft] val KnnProbeBudget = 50000L
+
+  /** d12's hot-cluster cap (the d7/d9 guard applied to k-means
+    * blocks): a cluster wider than this is skipped by the pair join —
+    * its members are all KEPT, and the starve is visible in the
+    * output rather than an unbounded quadratic join. The real scale
+    * dial is k itself (SemDeDup at web scale runs ~1e5 clusters so
+    * cluster width stays bounded); the cap is the seatbelt for the
+    * skewed cluster a fixed k leaves behind. Mirrored in the oracle.
+    */
+  private[graft] val D12ClusterCap = 8192L
+
+  /** The parametrized semantic-dedup plan behind d12: trained-model
+    * assignment (map-only — centroids are literals), a broadcast
+    * k-row cluster-size gate, one within-cluster self-join with the
+    * exact rounded cosine (d6's formulation) as the dup predicate,
+    * keep = smallest vec_id. shuffle_hash hints for the same reason
+    * as [[embeddingLshPairs]]: the relation carries 64-double arrays
+    * the size estimator cannot see past.
+    */
+  private[graft] def semanticDedup(
+      s: SparkSession, d: String, cap: Long): DataFrame = {
+    val model = KMeans.fit(s, d)
+    val t = base(s, d)
+      .withColumn("ee", dot("e", "e"))
+      .withColumn("cid", KMeans.assignCol(model.centroids).getField("cid"))
+      .select(col("vec_id"), col("cid"), col("e"), col("norm"))
+    val narrow = t.groupBy("cid").agg(count(lit(1)).as("csize"))
+      .where(col("csize") <= cap).select("cid")
+    val eligible = t.join(broadcast(narrow), "cid")
+    val removed = eligible.as("a").hint("shuffle_hash")
+      .join(eligible.as("b").hint("shuffle_hash"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .where(round(dot("a.e", "b.e") / (col("a.norm") * col("b.norm")), 6)
+        >= 0.4)
+      .select(col("a.vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    t.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+      .orderBy("vec_id")
+  }
 
   /** The parametrized hyperplane-LSH candidate miner behind d9:
     * `tables` independent hash tables of `planes` planes each (plane
@@ -519,46 +592,137 @@ object SimilarityQueries {
         |  CAST(list_sum(q) AS BIGINT) AS qsum
         |FROM qq ORDER BY vec_id""".stripMargin,
     "n2_ann_ivf" -> sqlIvf,
-    // n6 is n2 with the cluster id as a partition column — identical
-    // semantics, so the identical oracle
-    "n6_ann_ivf_partitioned" -> sqlIvf,
+    // n6 serves the TRAINED model: the same unrolled-Lloyd CTE chain
+    // as n7's oracle picks the 2 nearest trained centroids and scans
+    // only their clusters
+    "n6_ann_ivf_partitioned" ->
+      s"""WITH t AS ($sqlBase),
+         |${sqlKmeansCtes(KMeans.OracleRounds)},
+         |${sqlKmeansAssign("af", s"c${KMeans.OracleRounds}",
+            withD2 = false)},
+         |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0),
+         |nearest AS (
+         |  SELECT cid FROM c${KMeans.OracleRounds}, q
+         |  ORDER BY list_inner_product(ce, qe) DESC, cid LIMIT 2)
+         |SELECT t.vec_id, CAST(af.cid AS BIGINT) AS cid,
+         |  round(list_inner_product(t.e, q.qe) / (t.norm * q.qnorm), 6)
+         |    AS cos
+         |FROM t JOIN af USING (vec_id), q
+         |WHERE af.cid IN (SELECT cid FROM nearest) AND t.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // n8: exact top-10 (n1) ∩ trained-IVF top-10 (n6), over 10
+    "n8_ann_recall" ->
+      s"""WITH t AS ($sqlBase),
+         |${sqlKmeansCtes(KMeans.OracleRounds)},
+         |${sqlKmeansAssign("af", s"c${KMeans.OracleRounds}",
+            withD2 = false)},
+         |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0),
+         |nearest AS (
+         |  SELECT cid FROM c${KMeans.OracleRounds}, q
+         |  ORDER BY list_inner_product(ce, qe) DESC, cid LIMIT 2),
+         |approx AS MATERIALIZED (
+         |  SELECT t.vec_id,
+         |    round(list_inner_product(t.e, q.qe) / (t.norm * q.qnorm), 6)
+         |      AS cos
+         |  FROM t JOIN af USING (vec_id), q
+         |  WHERE af.cid IN (SELECT cid FROM nearest) AND t.vec_id <> 0
+         |  ORDER BY cos DESC, vec_id LIMIT 10),
+         |exact AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
+         |  FROM t, q WHERE vec_id <> 0
+         |  ORDER BY cos DESC, vec_id LIMIT 10)
+         |SELECT CAST(count(*) AS BIGINT) AS hits,
+         |  CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)"""
+        .stripMargin,
+    // n7: the fixed-round unroll equals the converged Scala result by
+    // the fixpoint identity (see KMeans.OracleRounds)
     "n7_kmeans" ->
       s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |           FROM embeddings),
-         |tt AS (SELECT vec_id, e, list_inner_product(e, e) AS ee FROM t),
-         |c0 AS (
-         |  SELECT row_number() OVER (
-         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
-         |    e AS ce
-         |  FROM t ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-         |a1 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT tt.vec_id, c0.cid,
-         |      row_number() OVER (PARTITION BY tt.vec_id ORDER BY
-         |        tt.ee - 2 * list_inner_product(tt.e, c0.ce)
-         |          + list_inner_product(c0.ce, c0.ce), c0.cid) AS rk
-         |    FROM tt, c0) WHERE rk = 1),
-         |dims1 AS (
-         |  SELECT a1.cid, i.range AS pos,
-         |    CAST(sum(CAST(t.e[i.range + 1] AS DECIMAL(25,10))) / count(*)
-         |      AS DOUBLE) AS m
-         |  FROM a1 JOIN t USING (vec_id), range(64) i GROUP BY 1, 2),
-         |c1 AS (
-         |  SELECT cid, list_transform(
-         |    list_sort(list(struct_pack(pos := pos, m := m))), x -> x.m) AS ce
-         |  FROM dims1 GROUP BY cid),
-         |a2 AS (
-         |  SELECT vec_id, cid, d2 FROM (
-         |    SELECT tt.vec_id, c1.cid,
-         |      tt.ee - 2 * list_inner_product(tt.e, c1.ce)
-         |        + list_inner_product(c1.ce, c1.ce) AS d2,
-         |      row_number() OVER (PARTITION BY tt.vec_id ORDER BY
-         |        tt.ee - 2 * list_inner_product(tt.e, c1.ce)
-         |          + list_inner_product(c1.ce, c1.ce), c1.cid) AS rk
-         |    FROM tt, c1) WHERE rk = 1)
+         |${sqlKmeansCtes(KMeans.OracleRounds)},
+         |${sqlKmeansAssign("af", s"c${KMeans.OracleRounds}",
+            withD2 = true)}
          |SELECT vec_id, CAST(cid AS BIGINT) AS cid, round(d2, 6) AS d2
-         |FROM a2 ORDER BY vec_id""".stripMargin
+         |FROM af ORDER BY vec_id""".stripMargin,
+    // d12: assignments from the same unrolled-Lloyd chain, then the
+    // within-cluster smaller-id-neighbor rule (cap mirrored)
+    "d12_semantic_dedup" ->
+      s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |${sqlKmeansCtes(KMeans.OracleRounds)},
+         |${sqlKmeansAssign("af", s"c${KMeans.OracleRounds}",
+            withD2 = false)},
+         |s0 AS (
+         |  SELECT af.vec_id, af.cid, t.e,
+         |    sqrt(list_inner_product(t.e, t.e)) AS norm
+         |  FROM af JOIN t USING (vec_id)),
+         |elig AS (
+         |  SELECT * FROM s0
+         |  QUALIFY count(*) OVER (PARTITION BY cid) <= $D12ClusterCap),
+         |rem AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM elig a JOIN elig b
+         |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6)
+         |    >= 0.4)
+         |SELECT s0.vec_id, CAST(s0.cid AS BIGINT) AS cid,
+         |  (rem.vec_id IS NOT NULL) AS removed
+         |FROM s0 LEFT JOIN rem USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
   )
+
+  /** One Lloyd assignment CTE against centroid set `prev` (dist² =
+    * ee − 2·e·c + c·c, ties to the smaller cid via row_number).
+    */
+  private def sqlKmeansAssign(
+      cte: String, prev: String, withD2: Boolean): String = {
+    val cols = if (withD2) "vec_id, cid, d2" else "vec_id, cid"
+    s"""$cte AS MATERIALIZED (
+       |  SELECT $cols FROM (
+       |    SELECT tt.vec_id, $prev.cid,
+       |      tt.ee - 2 * list_inner_product(tt.e, $prev.ce)
+       |        + list_inner_product($prev.ce, $prev.ce) AS d2,
+       |      row_number() OVER (PARTITION BY tt.vec_id ORDER BY
+       |        tt.ee - 2 * list_inner_product(tt.e, $prev.ce)
+       |          + list_inner_product($prev.ce, $prev.ce), $prev.cid) AS rk
+       |    FROM tt, $prev) WHERE rk = 1)""".stripMargin
+  }
+
+  /** The unrolled Lloyd chain: tt, md5-seeded c0, then `rounds` ×
+    * (assign a_r, DECIMAL-mean recompute c_r), referencing a CTE `t`
+    * with (vec_id, e). Every CTE is AS MATERIALIZED: DuckDB inlines
+    * single-use CTEs, and inlining an R-deep chain of windows +
+    * aggregates explodes planning (measured: un-materialized R=24
+    * never finished; materialized runs in under a second).
+    */
+  private def sqlKmeansCtes(rounds: Int): String = {
+    val head = Seq(
+      "tt AS (SELECT vec_id, e, list_inner_product(e, e) AS ee FROM t)",
+      """c0 AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |    e AS ce
+        |  FROM t ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)"""
+        .stripMargin)
+    val perRound = (1 to rounds).flatMap { r =>
+      Seq(
+        sqlKmeansAssign(s"a$r", s"c${r - 1}", withD2 = false),
+        s"""dims$r AS MATERIALIZED (
+           |  SELECT a$r.cid, i.range AS pos,
+           |    CAST(sum(CAST(t.e[i.range + 1] AS DECIMAL(25,10)))
+           |      / count(*) AS DOUBLE) AS m
+           |  FROM a$r JOIN t USING (vec_id), range(64) i GROUP BY 1, 2)"""
+          .stripMargin,
+        s"""c$r AS MATERIALIZED (
+           |  SELECT cid, list_transform(
+           |    list_sort(list(struct_pack(pos := pos, m := m))), x -> x.m)
+           |    AS ce
+           |  FROM dims$r GROUP BY cid)""".stripMargin)
+    }
+    (head ++ perRound).mkString(",\n")
+  }
 
   private lazy val sqlIvf =
     s"""WITH t AS ($sqlBase),

@@ -38,7 +38,7 @@ class NewCurationOpsSpec extends AnyFunSuite {
     assert(got == Map(11L -> 3L, 20L -> 2L, 30L -> 1L))
   }
 
-  test("n6 plans only the probed label partitions") {
+  test("n6 plans only the probed trained-cluster partitions") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = graft.SparkEntry.queries("n6_ann_ivf_partitioned")(
@@ -46,25 +46,49 @@ class NewCurationOpsSpec extends AnyFunSuite {
       val scans = df.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
             if f.metadata.get("Location")
-              .exists(_.contains("graft_ivf_index")) => f
+              .exists(_.contains("graft_ivf_trained")) => f
       }
-      assert(scans.nonEmpty, "no index scan in the n6 plan")
-      // 10 labels exist; the probe selects exactly 2 as a LITERAL IN —
-      // that is the planning-time prune (e.g. "label#64 IN (2,8)")
+      assert(scans.nonEmpty, "no trained-index scan in the n6 plan")
+      // 8 trained clusters exist; the probe selects exactly 2 as a
+      // LITERAL IN — that is the planning-time prune ("cid#64 IN (2,5)")
       val pf = scans.head.metadata("PartitionFilters")
-      assert("label#\\d+ IN \\(\\d+,\\d+\\)".r.findFirstIn(pf).isDefined,
-        s"expected a 2-label literal partition filter, got: $pf")
+      assert("cid#\\d+ IN \\(\\d+,\\d+\\)".r.findFirstIn(pf).isDefined,
+        s"expected a 2-cluster literal partition filter, got: $pf")
       // and the probe-side filter reaches the parquet reader
       assert(scans.head.metadata("PushedFilters").contains("vec_id"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("n6 returns exactly n2's result (layout must not change semantics)") {
-    val a = graft.SparkEntry.queries("n2_ann_ivf")(spark, sf0001)
-      .collect().toSeq
-    val b = graft.SparkEntry.queries("n6_ann_ivf_partitioned")(spark, sf0001)
-      .collect().toSeq
-    assert(a == b)
+  test("n6's index path equals the direct trained-model computation") {
+    // the partitioned index is a LAYOUT: build+prune+read must return
+    // exactly what assigning + filtering the trained model directly
+    // returns (catches a stale index, a broken partition write, or a
+    // probe ranking divergence)
+    val model = KMeans.fit(spark, sf0001)
+    val t = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm",
+        sqrt(graft.functions.DotProduct(col("e"), col("e"))))
+      .withColumn("ee", graft.functions.DotProduct(col("e"), col("e")))
+      .withColumn("cid", KMeans.assignCol(model.centroids).getField("cid"))
+    val q = t.where(col("vec_id") === 0).select(
+      col("e").as("qe"), col("norm").as("qnorm")).head
+    val qe = q.getSeq[Double](0).toArray
+    val probed = model.centroids.map { case (cid, ce) =>
+      (cid, ce.zip(qe).foldLeft(0.0) { case (a, (x, y)) => a + x * y })
+    }.sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1)
+    val direct = t
+      .where(col("cid").isin(probed: _*) && col("vec_id") =!= 0)
+      .withColumn("cos", round(
+        graft.functions.DotProduct(col("e"), typedlit(qe.toSeq)) /
+          (col("norm") * lit(q.getDouble(1))), 6))
+      .select(col("vec_id"), col("cid"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val viaIndex = graft.SparkEntry.queries("n6_ann_ivf_partitioned")(
+        spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaIndex.toSeq == direct.toSeq)
   }
 
   test("x14 chunks reconstruct every document (property, seeded random)") {
