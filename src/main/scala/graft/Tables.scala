@@ -24,22 +24,40 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default; read the raw nanos as LONG and convert
-    * to a microsecond TIMESTAMP (`ts`), keeping the exact nanos in
-    * `ts_ns`. Oracles must truncate to microseconds the same way
-    * (`make_timestamp(epoch_ns(ts) // 1000)` in DuckDB).
+  /** The events table's `ts` column has shipped in two physical
+    * generations: TIMESTAMP(NANOS) (readable only as LONG via the
+    * legacy conf) and plain timestamp[us] (read as TIMESTAMP_NTZ).
+    * [[normalizeEventTs]] maps EITHER onto the engine contract every
+    * event query is written against: `ts_ns` = LONG epoch nanos (the
+    * sort/gap-arithmetic column) and `ts` = microsecond TIMESTAMP.
+    * Oracles see micros either way (`epoch_ns(ts) // 1000` in DuckDB
+    * floors ns data and is exact on us data).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      // integer `div`, not `/`: the raw nanos exceed 2^53, so a double
-      // division is 1 µs off on some epochs while the oracle's
-      // epoch_ns(ts) // 1000 floors exactly
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize a raw events relation (batch OR streaming) to the
+    * `ts_ns`/`ts` contract above. Branches on the LOADED type, so the
+    * same code reads both testdata generations. Integer `div`, not
+    * `/`, for the ns→us floor: raw nanos exceed 2^53, so a double
+    * division is 1 µs off on some epochs while the oracle's
+    * epoch_ns(ts) // 1000 floors exactly. The NTZ branch casts through
+    * the session timezone — every entry point pins UTC, so epoch
+    * micros equal the stored wall-clock micros.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // timestamp[us] (NTZ) — or already-LTZ TIMESTAMP
+        raw.withColumn("ts_ns",
+            expr("unix_micros(cast(ts as timestamp)) * 1000"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -3,6 +3,8 @@ package graft.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.pol.PoolJsonSink
+
 /** Join operators: the reference's J1 lookup join and J2 upsert
   * anti-semantics (SURVEY §2), plus the generic relational surface the
   * north-star asks for (semi/anti/outer/multi-key/range/as-of joins,
@@ -42,6 +44,46 @@ object JoinQueries {
       existing.join(fresh, Seq("o_orderkey"), "left_anti")
         .unionByName(fresh)
         .orderBy("o_orderkey")
+    }),
+
+    // J3 — row-level change feed over the keyed manifest table (the
+    // Delta CDF analog, derived from the committed manifests instead
+    // of a separate log): version 1 upserts the even-event per-user
+    // aggregate, version 2 MERGEs in the odd-event delta, version 3
+    // deletes every user_id % 7 == 0 — then the feed reads versions
+    // (1, 3] and classifies insert / update_preimage /
+    // update_postimage / delete per key. Scale: each version diff
+    // reads ONLY buckets whose file sets changed (manifest compare —
+    // ChangeFeedSpec pins the pruning), so feed cost tracks the
+    // delta, never the table; unchanged rows inside rewritten buckets
+    // are killed by a null-safe struct compare. DECIMAL(38,2) sums
+    // keep every image bit-equal to the oracle's set algebra.
+    "j3_change_feed" -> ((s, d) => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_j3_table_").toString + "/tbl"
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+      def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("v")).cast("decimal(38,2)").as("sum_val"))
+      PoolJsonSink.upsertPartitioned(s, table,
+        agg(ev.where(col("event_id") % 2 === 0)), col("user_id"),
+        nBuckets = 16)
+      PoolJsonSink.mergeDelta(s, table,
+        agg(ev.where(col("event_id") % 2 === 1)), col("user_id"),
+        nBuckets = 16)(
+        _.groupBy("user_id").agg(
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_val")).cast("decimal(38,2)").as("sum_val")))
+      PoolJsonSink.deletePartitioned(s, table,
+        ev.where(col("user_id") % 7 === 0).select("user_id").distinct(),
+        col("user_id"), nBuckets = 16)
+      graft.pol.ChangeFeed.readTableChanges(s, table, 1L, 3L, col("user_id"))
+        .select(col("user_id"), col("n_events"),
+          col("sum_val").cast("double").as("sum_val"),
+          col(graft.pol.ChangeFeed.ChangeTypeCol),
+          col(graft.pol.ChangeFeed.CommitVersionCol))
+        .orderBy("_commit_version", "_change_type", "user_id")
     }),
 
     // R1 — left-semi join (EXISTS).
@@ -255,6 +297,38 @@ object JoinQueries {
         |UNION ALL
         |SELECT o_orderkey, 'new' AS src FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "j3_change_feed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |v1 AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+        |v2 AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+        |  FROM ev GROUP BY 1),
+        |changed AS (
+        |  SELECT v2.user_id FROM v2 JOIN v1 USING (user_id)
+        |  WHERE v1.n_events <> v2.n_events OR v1.sum_val <> v2.sum_val)
+        |SELECT user_id, n_events, CAST(sum_val AS DOUBLE) AS sum_val,
+        |  _change_type, _commit_version FROM (
+        |  SELECT user_id, n_events, sum_val, 'insert' AS _change_type,
+        |    CAST(2 AS BIGINT) AS _commit_version
+        |  FROM v2 WHERE user_id NOT IN (SELECT user_id FROM v1)
+        |  UNION ALL
+        |  SELECT user_id, n_events, sum_val, 'update_preimage',
+        |    CAST(2 AS BIGINT)
+        |  FROM v1 WHERE user_id IN (SELECT user_id FROM changed)
+        |  UNION ALL
+        |  SELECT user_id, n_events, sum_val, 'update_postimage',
+        |    CAST(2 AS BIGINT)
+        |  FROM v2 WHERE user_id IN (SELECT user_id FROM changed)
+        |  UNION ALL
+        |  SELECT user_id, n_events, sum_val, 'delete', CAST(3 AS BIGINT)
+        |  FROM v2 WHERE user_id % 7 = 0)
+        |ORDER BY _commit_version, _change_type, user_id""".stripMargin,
     "r1_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -43,9 +43,44 @@ class GraftTableSource extends RelationProvider with DataSourceRegister {
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       sys.error("graft source requires a 'path' option"))
-    GraftTableRelation(path, parameters.get("versionAsOf").map(_.toLong))(
-      sqlContext)
+    parameters.get("changesFrom") match {
+      case Some(from) =>
+        val key = parameters.getOrElse("changeKey", sys.error(
+          "graft change-feed reads require a 'changeKey' option " +
+            "(the table's merge key column)"))
+        GraftChangesRelation(path, from.toLong,
+          parameters.get("changesTo").map(_.toLong), key)(sqlContext)
+      case None =>
+        GraftTableRelation(path,
+          parameters.get("versionAsOf").map(_.toLong))(sqlContext)
+    }
   }
+}
+
+/** `spark.read.format("graft").option("changesFrom", 2).option(
+  * "changeKey", "user_id").load(dir)` — the SQL face of
+  * [[graft.pol.ChangeFeed.readTableChanges]]: rows changed in versions
+  * (changesFrom, changesTo] tagged with `_change_type` and
+  * `_commit_version`. `changesTo` defaults to the table's current
+  * committed version at scan time.
+  */
+case class GraftChangesRelation(
+    path: String, changesFrom: Long, changesTo: Option[Long], keyCol: String)(
+    @transient val sqlContext: SQLContext)
+  extends BaseRelation with TableScan {
+
+  private def spark = sqlContext.sparkSession
+
+  private def resolve: DataFrame = {
+    val to = changesTo.orElse(PoolJsonSink.readManifest(path).map(_.version))
+      .getOrElse(sys.error(s"not a manifest table: $path"))
+    graft.pol.ChangeFeed.readTableChanges(
+      spark, path, changesFrom, to, col(keyCol))
+  }
+
+  override val schema: StructType = resolve.schema
+
+  override def buildScan(): RDD[Row] = resolve.rdd
 }
 
 case class GraftTableRelation(path: String, versionAsOf: Option[Long])(

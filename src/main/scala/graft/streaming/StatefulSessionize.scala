@@ -53,10 +53,11 @@ object StatefulSessionize {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"))
+    val stream = graft.Tables.normalizeEventTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      .select(col("user_id"), col("event_id"), col("ts_ns"))
       .as[Event]
     val name = "graft_sessionize_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = assign(stream).writeStream

@@ -58,10 +58,10 @@ object StreamingQueries {
       agg: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
     val name = s"graft_stream_${sinkId.incrementAndGet()}"
     runToCompletion(s)(
       agg(stream).writeStream
@@ -101,10 +101,10 @@ object StreamingQueries {
     "t4_stream_stream_join" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      def side(): DataFrame = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def side(): DataFrame = graft.Tables.normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d))
       val purchases = side().where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id"), col("ts").as("p_ts"))
