@@ -451,7 +451,52 @@ object TextQueries {
           (col("pos") * 224 + 1).cast("long").as("start"),
           length(col("col")).cast("long").as("n_chars"),
           md5(col("col")).as("digest"))
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // X15 — bigram-LM perplexity scoring (the CCNet recipe: train a
+    // small LM on the corpus, keep documents the model finds
+    // predictable, route surprising ones to review). The LM is bigram
+    // conditional frequencies in integer PPM (c(w1,w2)·1e6 DIV c(w1·)
+    // — the x13 integer-exact discipline, no float reduction anywhere)
+    // and the per-doc score is total surprisal in integer BITS:
+    // 21 − length(bin(cppm)) is an EXACT floor-log2 surprisal of a
+    // ≤1e6 ppm (string length of the binary form — no floating log to
+    // drift cross-engine), reported as milli-bits per bigram.
+    // Scale: bigram extraction is one map-side explode (factor
+    // n_toks−1); context and bigram counts are partial-agg'd
+    // shuffles on word keys; the trained model re-joins the corpus
+    // via SHUFFLE-HASH on (w1,w2) — a web-scale LM table must never
+    // broadcast, same contract as x13's vocabulary. Docs with <2
+    // tokens have no bigram distribution and drop out (both engines
+    // agree by construction).
+    "x15_perplexity" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").as("a"))
+        .where(size(col("a")) >= 2)
+      val bg = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a) - 1), " +
+          "i -> struct(a[i-1] AS w1, a[i] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val bfreq = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      // model-build join is ALSO shuffle-hash pinned: Catalyst would
+      // broadcast the context counts at small SF, and a broadcast
+      // containing the corpus-wide bigram subtree is exactly what the
+      // plan audit bans — the LM is vocabulary-sized, not dimension-
+      // sized, at web scale
+      val cond = bfreq.hint("shuffle_hash")
+        .join(uni.hint("shuffle_hash"), "w1")
+        .select(col("w1"), col("w2"),
+          expr("(c2 * 1000000L) DIV c1").as("cppm"))
+      bg.hint("shuffle_hash")
+        .join(cond.hint("shuffle_hash"), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(cppm) DIV count(1)").as("mean_cppm"),
+          expr("sum(21 - length(bin(cppm))) * 1000 DIV count(1)")
+            .as("milli_bits"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = {
@@ -661,6 +706,27 @@ object TextQueries {
           |  CAST(len(chunk) AS BIGINT) AS n_chars, md5(chunk) AS digest
           |FROM c WHERE chunk <> ''
           |ORDER BY doc_id, chunk_id""".stripMargin,
+      "x15_perplexity" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS a
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+          |  FROM toks, UNNEST(range(1, len(a))) AS t(i)
+          |  WHERE len(a) >= 2),
+          |uni AS (SELECT w1 AS w, count(*) AS c1 FROM bg GROUP BY 1),
+          |bfreq AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          |cond AS (
+          |  SELECT w1, w2, CAST(c2 * 1000000 // c1 AS BIGINT) AS cppm
+          |  FROM bfreq JOIN uni ON w1 = w)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(cppm) // count(*) AS BIGINT) AS mean_cppm,
+          |  CAST(sum(21 - length(bin(cppm))) * 1000 // count(*) AS BIGINT)
+          |    AS milli_bits
+          |FROM bg JOIN cond USING (w1, w2)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "x4_fingerprint" ->
         """WITH sh0 AS (
           |  SELECT doc_id,

@@ -500,6 +500,13 @@ object PoolJsonSink {
       try {
         import scala.jdk.CollectionConverters._
         val blocks = reader.getFooter.getBlocks.asScala
+        // every staged file records its exact row count as a pseudo
+        // zone-map entry — count(*) over the table then never opens a
+        // file (see [[tableRowCount]]); the entry rides the existing
+        // stats encoding and no reader prunes on it
+        val rowCount = RowsStatCol ->
+          (LongStat(blocks.map(_.getRowCount).sum,
+            blocks.map(_.getRowCount).sum): ColStat)
         val perCol = cols.flatMap { c =>
           val chunks = blocks.flatMap(_.getColumns.asScala
             .find(_.getPath.toDotString == c))
@@ -532,10 +539,28 @@ object PoolJsonSink {
             case _ => None
           }
         }.toMap
-        rel -> perCol
+        rel -> (perCol + rowCount)
       } finally reader.close()
     }.filter(_._2.nonEmpty).toMap
   }
+
+  /** Pseudo stats column carrying each file's exact row count. */
+  val RowsStatCol = "__rows"
+
+  /** O(manifest) `count(*)`: the sum of per-file row counts recorded
+    * at write time — a 100 TB table answers row-count questions
+    * without opening a single data file (the Delta/Iceberg snapshot
+    * row-count). `None` when any live file predates the row-count
+    * entry (old writer) — conservative, never a guess.
+    */
+  def tableRowCount(tableDir: String): Option[Long] =
+    readManifest(tableDir).flatMap { m =>
+      val counts = m.files.map(f =>
+        m.stats.get(f).flatMap(_.get(RowsStatCol)).collect {
+          case LongStat(n, _) => n
+        })
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    }
 
   private def readFiles(
       spark: org.apache.spark.sql.SparkSession,
@@ -770,10 +795,10 @@ object PoolJsonSink {
     val prevStats = prev.map(_.stats).getOrElse(Map.empty)
     val cols = (statsCols ++
       prevStats.valuesIterator.flatMap(_.keys)).distinct
-    val newStats =
-      if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
-      else footerStats(spark, tableDir,
-        newFiles.valuesIterator.flatten.toSeq, cols)
+    // always harvested (even with no requested stats columns): every
+    // file at least records its row count for [[tableRowCount]]
+    val newStats = footerStats(spark, tableDir,
+      newFiles.valuesIterator.flatten.toSeq, cols)
     val allBuckets =
       (prev.map(_.buckets).getOrElse(Map.empty) -- replaceTouched) ++
         newFiles
@@ -914,10 +939,8 @@ object PoolJsonSink {
             .repartition(fat.size, col("__pt"))
           val newFiles = stageDataFiles(tableDir, df)
           val cols = m.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
-          val newStats =
-            if (cols.isEmpty) Map.empty[String, Map[String, ColStat]]
-            else footerStats(spark, tableDir,
-              newFiles.valuesIterator.flatten.toSeq, cols)
+          val newStats = footerStats(spark, tableDir,
+            newFiles.valuesIterator.flatten.toSeq, cols)
           val allBuckets = m.buckets ++ newFiles
           val live = allBuckets.valuesIterator.flatten.toSet
           commitManifest(tableDir,

@@ -109,7 +109,43 @@ object AnalyticsQueries {
         .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
           .cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
-        .select(col("revenue"), col("n_rows")))
+        .select(col("revenue"), col("n_rows"))),
+
+    // H6 — the end-to-end curation pipeline as ONE composed headline:
+    // quality gate (x10's Gopher rules) → exact dedup keep-first (d1's
+    // BINARY md5 digest key) → deterministic train/val/test split
+    // (c2's hash buckets) → per-(split, source) corpus accounting.
+    // This is the "what ships to pretraining" report, and the reason
+    // it is a single query matters at scale: the whole chain is one
+    // Catalyst plan — the gate's token features are computed once,
+    // map-side, and flow into BOTH the dedup key-agg and the final
+    // roll-up without re-reading the corpus; the only shuffles are the
+    // digest key-agg, its survivor semi-join, and the final (tiny)
+    // split×source agg. 100 TB cost: one scan + two digest-keyed
+    // exchanges — the same shape d1/c8 proved flat at the 4M probe.
+    "h6_curation_pipeline" -> ((s, d) => {
+      val gated = graft.llm.TextQueries
+        .gopherFeatures(documents(s, d))
+        .where(col("pass") === 1)
+      val survivors = gated
+        .groupBy(unhex(md5(col("text"))).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      gated
+        .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+        .withColumn("bucket", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) " +
+            "AS BIGINT) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("n_toks"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("split", "source")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +206,40 @@ object AnalyticsQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount >= 0.02 AND l_discount <= 0.04
-        |  AND l_quantity < 24""".stripMargin
+        |  AND l_quantity < 24""".stripMargin,
+
+    "h6_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len(toks) AS n_toks,
+        |    round(CAST(list_reduce(list_transform(toks, x -> length(x)),
+        |      (a, b) -> a + b) AS DOUBLE) / len(toks), 4) AS mean_tok_len,
+        |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |      AS DOUBLE) / len(toks), 4) AS alpha_frac,
+        |    len(list_filter(['the','a','of','to','and'],
+        |      w -> list_contains(toks, w))) AS n_req_stop
+        |  FROM t),
+        |gate AS (
+        |  SELECT doc_id, n_toks FROM f
+        |  WHERE n_toks BETWEEN 30 AND 100000 AND mean_tok_len BETWEEN 3 AND 10
+        |    AND alpha_frac >= 0.8 AND n_req_stop >= 2),
+        |surv AS (
+        |  SELECT min(d.doc_id) AS doc_id
+        |  FROM documents d JOIN gate USING (doc_id)
+        |  GROUP BY md5(d.text)),
+        |rows_ AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, g.n_toks,
+        |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents d JOIN gate g USING (doc_id) JOIN surv USING (doc_id))
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_toks,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars, min(doc_id) AS first_doc
+        |FROM rows_ GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

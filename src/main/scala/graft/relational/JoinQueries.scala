@@ -86,6 +86,67 @@ object JoinQueries {
         .orderBy("_commit_version", "_change_type", "user_id")
     }),
 
+    // J4 — incremental materialized-view maintenance from the change
+    // feed (the consumer side of J3, and the reason a feed carries
+    // preimages): a downstream per-group rollup is maintained by
+    // RETRACTION algebra — insert/update_postimage rows apply with
+    // sign +1, delete/update_preimage rows with sign −1 — so the MV
+    // is updated from O(changes) rows, never by re-scanning the
+    // table. The query proves the algebra end-to-end: MV(v1) ⊎
+    // signed-changes(1→3] must equal the direct aggregate of the v3
+    // table — which is exactly what the oracle computes from first
+    // principles. DECIMAL sums make + then − bit-exact (float
+    // retraction would drift); at 100 TB this is the difference
+    // between refreshing a dashboard in seconds (delta-sized work)
+    // and re-aggregating the corpus.
+    "j4_incremental_mv" -> ((s, d) => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_j4_table_").toString + "/tbl"
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+      def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("v")).cast("decimal(38,2)").as("sum_val"))
+      PoolJsonSink.upsertPartitioned(s, table,
+        agg(ev.where(col("event_id") % 2 === 0)), col("user_id"),
+        nBuckets = 16)
+      PoolJsonSink.mergeDelta(s, table,
+        agg(ev.where(col("event_id") % 2 === 1)), col("user_id"),
+        nBuckets = 16)(
+        _.groupBy("user_id").agg(
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_val")).cast("decimal(38,2)").as("sum_val")))
+      PoolJsonSink.deletePartitioned(s, table,
+        ev.where(col("user_id") % 7 === 0).select("user_id").distinct(),
+        col("user_id"), nBuckets = 16)
+      val mv1 = PoolJsonSink.readTableAsOf(s, table, 1L)
+        .groupBy((col("user_id") % 10).as("grp"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_val")).cast("decimal(38,2)").as("sum_val"))
+      val signed = graft.pol.ChangeFeed
+        .readTableChanges(s, table, 1L, 3L, col("user_id"))
+        .withColumn("sign",
+          when(col(graft.pol.ChangeFeed.ChangeTypeCol)
+            .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+        .groupBy((col("user_id") % 10).as("grp"))
+        .agg(sum(col("sign")).as("n_users"),
+          sum(col("sign") * col("n_events")).as("n_events"),
+          sum(col("sign") * col("sum_val")).cast("decimal(38,2)")
+            .as("sum_val"))
+      mv1.unionByName(signed)
+        .groupBy("grp")
+        .agg(sum(col("n_users")).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_val")).cast("double").as("sum_val"))
+        // retraction-MV GC: a group whose membership nets to zero is
+        // DELETED from the view (count-0 rows are how retraction MVs
+        // know to emit a delete downstream), matching the direct
+        // aggregate, which never sees the group at all
+        .where(col("n_users") > 0)
+        .orderBy("grp")
+    }),
+
     // R1 — left-semi join (EXISTS).
     "r1_semi_join" -> ((s, d) =>
       customer(s, d)
@@ -329,6 +390,19 @@ object JoinQueries {
         |  SELECT user_id, n_events, sum_val, 'delete', CAST(3 AS BIGINT)
         |  FROM v2 WHERE user_id % 7 = 0)
         |ORDER BY _commit_version, _change_type, user_id""".stripMargin,
+    "j4_incremental_mv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |v2 AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+        |  FROM ev GROUP BY 1),
+        |final AS (SELECT * FROM v2 WHERE user_id % 7 <> 0)
+        |SELECT user_id % 10 AS grp, count(*) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(sum_val) AS DOUBLE) AS sum_val
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "r1_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

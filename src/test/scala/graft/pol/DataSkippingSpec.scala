@@ -129,4 +129,23 @@ class DataSkippingSpec extends AnyFunSuite {
       .select("k").as[String].collect().toSet
     assert(got == Set("a"))
   }
+
+  test("tableRowCount answers count(*) from the manifest alone") {
+    val dir = table()
+    val base = (0 until 100).map(i => (s"k$i", i.toLong)).toDF("k", "seq")
+    PoolJsonSink.upsertPartitioned(spark, dir, base, col("k"), nBuckets = 4)
+    assert(PoolJsonSink.tableRowCount(dir).contains(100L))
+    // upsert: 3 updates (no growth) + 2 inserts
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      Seq(("k1", -1L), ("k2", -2L), ("k3", -3L), ("new1", 0L),
+        ("new2", 0L)).toDF("k", "seq"), col("k"), nBuckets = 4)
+    assert(PoolJsonSink.tableRowCount(dir).contains(102L))
+    // deletes shrink it; compaction must not change it
+    PoolJsonSink.deletePartitioned(spark, dir,
+      Seq("k1", "new1").toDF("k"), col("k"), nBuckets = 4)
+    assert(PoolJsonSink.tableRowCount(dir).contains(100L))
+    PoolJsonSink.compactPartitions(spark, dir, maxFilesPerPartition = 1)
+    assert(PoolJsonSink.tableRowCount(dir).contains(100L))
+    assert(PoolJsonSink.readTable(spark, dir).count() == 100L)
+  }
 }
