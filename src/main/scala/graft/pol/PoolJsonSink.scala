@@ -292,7 +292,8 @@ object PoolJsonSink {
       version: Long,
       buckets: Map[Long, Seq[String]],
       stats: Map[String, Map[String, ColStat]] = Map.empty,
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      nBuckets: Option[Int] = None) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -330,10 +331,14 @@ object PoolJsonSink {
     import scala.jdk.CollectionConverters._
     val lines = Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
     val version = lines.head.split(' ')(2).toLong
-    val schemaJson = lines.tail.headOption
-      .filter(_.startsWith("schema "))
+    val schemaJson = lines.tail
+      .find(_.startsWith("schema "))
       .map(_.stripPrefix("schema "))
-    val dataLines = lines.tail.filterNot(_.startsWith("schema "))
+    val nBuckets = lines.tail
+      .find(_.startsWith("nbuckets "))
+      .map(_.stripPrefix("nbuckets ").trim.toInt)
+    val dataLines = lines.tail
+      .filterNot(l => l.startsWith("schema ") || l.startsWith("nbuckets "))
     val entries = dataLines.filter(_.nonEmpty).map { l =>
       val parts = l.split(' ')
       val stats = if (parts.length < 3) Map.empty[String, ColStat]
@@ -351,7 +356,7 @@ object PoolJsonSink {
     TableManifest(version,
       entries.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
       entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap,
-      schemaJson)
+      schemaJson, nBuckets)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -385,6 +390,7 @@ object PoolJsonSink {
     */
   private def commitManifest(tableDir: String, m: TableManifest): Unit = {
     val header = Seq(s"graft-manifest 1 ${m.version}") ++
+      m.nBuckets.map(n => s"nbuckets $n") ++
       m.schemaJson.map(j => s"schema $j")
     val body = (header ++
       m.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
@@ -756,7 +762,14 @@ object PoolJsonSink {
       onBeforeCommit: () => Unit,
       statsCols: Seq[String],
       prev: Option[TableManifest]): Seq[Long] = {
-    val withPt = incoming.withColumn("__pt", bucketExpr(key, nBuckets))
+    // the manifest's recorded bucket count ALWAYS wins over the
+    // caller's parameter: bucket placement is a physical property of
+    // the table, and a caller passing a different n would read the
+    // wrong buckets for its keys and silently duplicate them. The
+    // parameter only takes effect on table creation (first commit)
+    // — growth afterwards goes through [[splitBuckets]].
+    val n = prev.flatMap(_.nBuckets).getOrElse(nBuckets)
+    val withPt = incoming.withColumn("__pt", bucketExpr(key, n))
     val (merged, touched) = prev match {
       case None => (withPt, Seq.empty[Long])
       case Some(m) =>
@@ -773,7 +786,7 @@ object PoolJsonSink {
         (keep.unionByName(withPt, allowMissingColumns = true), touched)
     }
     stageAndCommit(spark, tableDir, prev, merged, touched, statsCols,
-      onBeforeCommit)
+      onBeforeCommit, n)
   }
 
   /** Stage `content` (the complete NEW state of `replaceTouched`'s
@@ -790,7 +803,8 @@ object PoolJsonSink {
       content: DataFrame,
       replaceTouched: Seq[Long],
       statsCols: Seq[String],
-      onBeforeCommit: () => Unit): Seq[Long] = {
+      onBeforeCommit: () => Unit,
+      nBuckets: Int): Seq[Long] = {
     val newFiles = stageDataFiles(tableDir, content)
     val prevStats = prev.map(_.stats).getOrElse(Map.empty)
     val cols = (statsCols ++
@@ -808,7 +822,8 @@ object PoolJsonSink {
       prev.map(_.version + 1).getOrElse(1L),
       allBuckets,
       (prevStats ++ newStats).filter(kv => live(kv._1)),
-      Some(content.schema.json)))
+      Some(content.schema.json),
+      Some(nBuckets)))
     newFiles.keys.toSeq.sorted
   }
 
@@ -845,12 +860,14 @@ object PoolJsonSink {
     // merge based on the stale snapshot.
     new java.io.File(tableDir).mkdirs()
     val prev = readManifest(tableDir)
+    // recorded bucket count wins (see upsertPartitionedFrom)
+    val n = prev.flatMap(_.nBuckets).getOrElse(nBuckets)
     val deltaCk = delta.localCheckpoint()
     val touchedAll = deltaCk
-      .select(bucketExpr(key, nBuckets).as("__pt"))
+      .select(bucketExpr(key, n).as("__pt"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val withPt = (df: DataFrame) =>
-      df.withColumn("__pt", bucketExpr(key, nBuckets))
+      df.withColumn("__pt", bucketExpr(key, n))
     val content = prev match {
       case None => withPt(deltaCk)
       case Some(m) =>
@@ -868,7 +885,7 @@ object PoolJsonSink {
         }
     }
     stageAndCommit(spark, tableDir, prev, content, touchedAll, Nil,
-      () => ())
+      () => (), n)
   }
 
   /** The MERGE's WHEN-MATCHED-DELETE arm: remove every row whose key
@@ -895,9 +912,11 @@ object PoolJsonSink {
       onBeforeCommit: () => Unit = () => ()): Seq[Long] = {
     val prev = readManifest(tableDir).getOrElse(
       sys.error(s"not a manifest table: $tableDir"))
+    // recorded bucket count wins (see upsertPartitionedFrom)
+    val n = prev.nBuckets.getOrElse(nBuckets)
     val keyCol = keys.columns.head
     val touched = keys
-      .select(bucketExpr(col(keyCol), nBuckets).as("__pt"))
+      .select(bucketExpr(col(keyCol), n).as("__pt"))
       .distinct().collect().map(_.getLong(0)).toSeq
       .filter(prev.buckets.contains)
     if (touched.isEmpty) Seq.empty
@@ -909,7 +928,7 @@ object PoolJsonSink {
         .join(keys.select(col(keyCol).as("__k")).distinct(),
           key === col("__k"), "left_anti")
       stageAndCommit(spark, tableDir, Some(prev), kept, touched, Nil,
-        onBeforeCommit)
+        onBeforeCommit, n)
       touched.sorted
     }
   }
@@ -946,10 +965,55 @@ object PoolJsonSink {
           commitManifest(tableDir,
             TableManifest(m.version + 1, allBuckets,
               (m.stats ++ newStats).filter(kv => live(kv._1)),
-              m.schemaJson))
+              m.schemaJson, m.nBuckets))
         }
         fat
     }
+
+  /** Online bucket-count growth — the migration a keyed table needs
+    * when it outgrows the bucket count chosen at creation (at 100 TB,
+    * day-1's nBuckets will not fit year-2's data; per-bucket files
+    * grow without bound and every MERGE rewrites ever-fatter buckets).
+    *
+    * Multiplying the count by `factor` is BUCKET-LOCAL, never a
+    * shuffle: `pmod(h, n·f) mod n == pmod(h, n)`, so every key of old
+    * bucket b lands in one of {b, b+n, …, b+(f−1)n} — each task reads
+    * one old bucket's files and splits them into at most `factor` new
+    * files via the partitioned write, no exchange in the plan. The
+    * rewrite commits as ONE new version through the same CAS (readers
+    * stay on the old layout until the commit lands; time travel to
+    * pre-split versions still works), and the manifest's recorded
+    * bucket count — which every write path trusts over its caller's
+    * parameter — flips atomically with it, so concurrent mergers
+    * either commit before the split (CAS-serialized) or recompute
+    * against the new count on retry.
+    *
+    * The change feed sees a split as a full-bucket rewrite and
+    * correctly emits NOTHING (same keys, same rows — the struct
+    * compare kills them), at the cost of one full-table diff; feed
+    * consumers should advance their cursor past a split version
+    * before resuming trickle reads. Returns the new bucket count.
+    */
+  def splitBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      key: org.apache.spark.sql.Column,
+      factor: Int = 2): Int = {
+    require(factor >= 2, s"split factor must be >= 2: $factor")
+    val prev = readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    val n = prev.nBuckets.getOrElse(sys.error(
+      s"$tableDir: manifest v${prev.version} records no bucket count " +
+        "(written by an older writer); run one upsertPartitioned to " +
+        "record it before splitting"))
+    val newN = n * factor
+    val content = readFiles(spark, tableDir, prev.files, prev)
+      .drop("__pt")
+      .withColumn("__pt", bucketExpr(key, newN))
+    stageAndCommit(spark, tableDir, Some(prev), content,
+      prev.buckets.keys.toSeq, Nil, () => (), newN)
+    newN
+  }
 
   /** Reclaim versions beyond the retention window: data files
     * referenced by NO retained manifest (replaced by later upserts/
