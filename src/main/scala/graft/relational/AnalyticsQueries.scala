@@ -116,22 +116,26 @@ object AnalyticsQueries {
     // BINARY md5 digest key) → deterministic train/val/test split
     // (c2's hash buckets) → per-(split, source) corpus accounting.
     // This is the "what ships to pretraining" report, and the reason
-    // it is a single query matters at scale: the whole chain is one
-    // Catalyst plan — the gate's token features are computed once,
-    // map-side, and flow into BOTH the dedup key-agg and the final
-    // roll-up without re-reading the corpus; the only shuffles are the
-    // digest key-agg, its survivor semi-join, and the final (tiny)
-    // split×source agg. 100 TB cost: one scan + two digest-keyed
-    // exchanges — the same shape d1/c8 proved flat at the 4M probe.
+    // it is a single query matters at scale: keep-first is the c8
+    // min(struct) pattern — ONE bounded aggregation keyed on the
+    // BINARY digest whose min picks the min-doc_id row WITH its
+    // attributes — so the whole chain is one corpus scan (gate
+    // features computed map-side in it) + the digest key-agg exchange
+    // + the final (tiny) split×source agg. No self-join, no window,
+    // no broadcast of anything corpus-derived: the first draft's
+    // survivors-semi-join shape planned a SECOND corpus scan, and
+    // this rewrite removed it (.explain-audited; the d1/c8 4M probe
+    // already showed the digest-agg shape flat).
     "h6_curation_pipeline" -> ((s, d) => {
       val gated = graft.llm.TextQueries
         .gopherFeatures(documents(s, d))
         .where(col("pass") === 1)
-      val survivors = gated
-        .groupBy(unhex(md5(col("text"))).as("digest"))
-        .agg(min(col("doc_id")).as("doc_id"))
       gated
-        .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy(unhex(md5(col("text"))).as("digest"))
+        .agg(min(struct(col("doc_id"), col("source"),
+          col("n_toks"), col("n_chars"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+          col("r.n_toks").as("n_toks"), col("r.n_chars").as("n_chars"))
         .withColumn("bucket", expr(
           "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) " +
             "AS BIGINT) % 100"))
