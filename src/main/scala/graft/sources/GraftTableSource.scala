@@ -35,8 +35,42 @@ import graft.pol.PoolJsonSink
   * filters are reported unhandled, so Spark re-applies them above —
   * pruning here is a pure optimization, never a semantics bet.
   */
-class GraftTableSource extends RelationProvider with DataSourceRegister {
+class GraftTableSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  // ---- streaming face: the change feed as a Source (readStream) ----
+
+  private def streamParams(
+      parameters: Map[String, String]): (String, String, Long) = (
+    parameters.getOrElse("path",
+      sys.error("graft source requires a 'path' option")),
+    parameters.getOrElse("changeKey", sys.error(
+      "graft change-feed stream requires a 'changeKey' option " +
+        "(the table's merge key column)")),
+    parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (path, key, _) = streamParams(parameters)
+    (shortName(),
+      schema.getOrElse(
+        GraftChangeFeedSource.changesSchema(sqlContext, path, key)))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val (path, key, start) = streamParams(parameters)
+    new GraftChangeFeedSource(sqlContext, path, key, start,
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

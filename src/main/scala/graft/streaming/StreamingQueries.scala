@@ -395,6 +395,55 @@ object StreamingQueries {
       s.read.parquet(s"$log/batch=*")
         .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id", "digest").orderBy("doc_id")
+    }),
+
+    // T10 — the change feed as a STREAMING source (readStream.format
+    // ("graft")): three committed versions of the per-user keyed table
+    // (upsert evens / MERGE odds / delete user%7) replay from genesis
+    // through the Structured Streaming engine — offsets ARE manifest
+    // versions (checkpoint-recoverable, AvailableNow fenced at
+    // trigger time like FileStreamSource), each micro-batch reads
+    // only manifest-changed buckets, and the memory sink accumulates
+    // the full change history, which the oracle pins as j3's set
+    // algebra PLUS the genesis snapshot-as-inserts. This is the read
+    // side of the platform loop t6 writes: table in, feed out, both
+    // under the streaming engine's exactly-once offsets.
+    "t10_stream_change_feed" -> ((s, d) => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_t10_table_").toString + "/tbl"
+      val ev = graft.Tables.events(s, d).select(col("user_id"),
+        col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+      def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("v")).cast("decimal(38,2)").as("sum_val"))
+      graft.pol.PoolJsonSink.upsertPartitioned(s, table,
+        agg(ev.where(col("event_id") % 2 === 0)), col("user_id"),
+        nBuckets = 16)
+      graft.pol.PoolJsonSink.mergeDelta(s, table,
+        agg(ev.where(col("event_id") % 2 === 1)), col("user_id"),
+        nBuckets = 16)(
+        _.groupBy("user_id").agg(
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_val")).cast("decimal(38,2)").as("sum_val")))
+      graft.pol.PoolJsonSink.deletePartitioned(s, table,
+        ev.where(col("user_id") % 7 === 0).select("user_id").distinct(),
+        col("user_id"), nBuckets = 16)
+      val name = s"graft_stream_${sinkId.incrementAndGet()}"
+      runToCompletion(s)(
+        s.readStream.format("graft")
+          .option("changeKey", "user_id")
+          .option("maxVersionsPerTrigger", "1") // one version per batch
+          .load(table)
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow()))
+      s.table(name)
+        .select(col("user_id"), col("n_events"),
+          col("sum_val").cast("double").as("sum_val"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "user_id")
     })
   )
 
@@ -506,6 +555,43 @@ object StreamingQueries {
         |hist AS (SELECT DISTINCT digest FROM k WHERE bucket < 90)
         |SELECT min(doc_id) AS doc_id, digest
         |FROM inc WHERE digest NOT IN (SELECT digest FROM hist)
-        |GROUP BY digest ORDER BY doc_id""".stripMargin
+        |GROUP BY digest ORDER BY doc_id""".stripMargin,
+    // the streamed feed must equal j3's set algebra + the genesis
+    // snapshot delivered as version-1 inserts
+    "t10_stream_change_feed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |v1 AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+        |v2 AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+        |  FROM ev GROUP BY 1),
+        |changed AS (
+        |  SELECT v2.user_id FROM v2 JOIN v1 USING (user_id)
+        |  WHERE v1.n_events <> v2.n_events OR v1.sum_val <> v2.sum_val)
+        |SELECT user_id, n_events, CAST(sum_val AS DOUBLE) AS sum_val,
+        |  _change_type, _commit_version FROM (
+        |  SELECT user_id, n_events, sum_val, 'insert' AS _change_type,
+        |    CAST(1 AS BIGINT) AS _commit_version
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT user_id, n_events, sum_val, 'insert', CAST(2 AS BIGINT)
+        |  FROM v2 WHERE user_id NOT IN (SELECT user_id FROM v1)
+        |  UNION ALL
+        |  SELECT user_id, n_events, sum_val, 'update_preimage',
+        |    CAST(2 AS BIGINT)
+        |  FROM v1 WHERE user_id IN (SELECT user_id FROM changed)
+        |  UNION ALL
+        |  SELECT user_id, n_events, sum_val, 'update_postimage',
+        |    CAST(2 AS BIGINT)
+        |  FROM v2 WHERE user_id IN (SELECT user_id FROM changed)
+        |  UNION ALL
+        |  SELECT user_id, n_events, sum_val, 'delete', CAST(3 AS BIGINT)
+        |  FROM v2 WHERE user_id % 7 = 0)
+        |ORDER BY _commit_version, _change_type, user_id""".stripMargin
   )
 }

@@ -24,4 +24,17 @@ object GraftColumnBridge {
   def analyzed(df: DataFrame):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Streaming-tagged DataFrame from an InternalRow RDD — the v1
+    * streaming Source contract (`getBatch` must return a frame with
+    * `isStreaming = true`; `SQLContext.internalCreateDataFrame` is
+    * `private[sql]`, and this is the same call Spark's own
+    * FileStreamSource makes).
+    */
+  def streamingDataFrame(
+      sqlContext: SQLContext,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    sqlContext.asInstanceOf[classic.SQLContext]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }
