@@ -448,11 +448,14 @@ object PoolJsonSink {
     * the caller commits a manifest referencing the files.
     */
   private def stageDataFiles(
-      tableDir: String, df: DataFrame): Map[Long, Seq[String]] = {
+      tableDir: String, df: DataFrame,
+      maxRecordsPerFile: Option[Long] = None): Map[Long, Seq[String]] = {
     val stage = new java.io.File(tableDir,
       s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.withColumn("__ptd", col("__pt"))
-      .write.partitionBy("__ptd").parquet(stage.toString)
+    val w = df.withColumn("__ptd", col("__pt")).write
+    maxRecordsPerFile.fold(w)(n =>
+        w.option("maxRecordsPerFile", n.toString))
+      .partitionBy("__ptd").parquet(stage.toString)
     val dataDir = new java.io.File(tableDir, "data")
     dataDir.mkdirs()
     val moved = for {
@@ -827,6 +830,30 @@ object PoolJsonSink {
     newFiles.keys.toSeq.sorted
   }
 
+  /** Replace the ENTIRE table content with `incoming` in one commit —
+    * SaveMode.Overwrite / streaming Complete-mode semantics. Every
+    * existing bucket entry is dropped and the incoming rows staged
+    * fresh; the commit is the same CAS, so readers flip atomically
+    * from old content to new and time travel still reaches the
+    * replaced versions until vacuum. Keeps the table's recorded
+    * bucket count.
+    */
+  def overwritePartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      incoming: DataFrame,
+      key: org.apache.spark.sql.Column,
+      nBuckets: Int = 64,
+      statsCols: Seq[String] = Nil): Seq[Long] = {
+    new java.io.File(tableDir).mkdirs()
+    val prev = readManifest(tableDir)
+    val n = prev.flatMap(_.nBuckets).getOrElse(nBuckets)
+    val withPt = incoming.withColumn("__pt", bucketExpr(key, n))
+    stageAndCommit(spark, tableDir, prev, withPt,
+      prev.map(_.buckets.keys.toSeq).getOrElse(Nil), statsCols,
+      () => (), n)
+  }
+
   /** Delta-driven MERGE maintenance — the streaming foreachBatch
     * recipe (T6). Combines the aggregate `delta` with ONLY the
     * existing rows of the delta's own keys (manifest-pruned bucket
@@ -947,16 +974,32 @@ object PoolJsonSink {
   def compactPartitions(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String,
-      maxFilesPerPartition: Int = 4): Seq[Long] =
+      maxFilesPerPartition: Int = 4,
+      clusterBy: Seq[String] = Nil,
+      targetRecordsPerFile: Long = 1L << 20): Seq[Long] =
     readManifest(tableDir) match {
       case None => Seq.empty
       case Some(m) =>
-        val fat = m.buckets.filter(_._2.size > maxFilesPerPartition)
-          .keys.toSeq.sorted
+        // clusterBy = the OPTIMIZE-layout pass: rewrite EVERY bucket
+        // with rows range-sorted on the cluster columns and split at
+        // targetRecordsPerFile, so each output file covers a narrow
+        // sorted range and its zone map actually excludes queries —
+        // a single unsorted file per bucket has min/max spanning
+        // everything and prunes nothing. The Delta OPTIMIZE ZORDER
+        // trade: more (clustered) files now, fewer opened per query.
+        val fat =
+          if (clusterBy.nonEmpty) m.buckets.keys.toSeq.sorted
+          else m.buckets.filter(_._2.size > maxFilesPerPartition)
+            .keys.toSeq.sorted
         if (fat.nonEmpty) {
-          val df = readBucketsOf(spark, tableDir, m, fat)
+          val base = readBucketsOf(spark, tableDir, m, fat)
             .repartition(fat.size, col("__pt"))
-          val newFiles = stageDataFiles(tableDir, df)
+          val df =
+            if (clusterBy.isEmpty) base
+            else base.sortWithinPartitions(
+              (col("__pt") +: clusterBy.map(col)): _*)
+          val newFiles = stageDataFiles(tableDir, df,
+            if (clusterBy.isEmpty) None else Some(targetRecordsPerFile))
           val cols = m.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
           val newStats = footerStats(spark, tableDir,
             newFiles.valuesIterator.flatten.toSeq, cols)

@@ -2,11 +2,67 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
 import graft.pol.PoolJsonSink
+
+/** The streaming keyed-upsert sink behind `writeStream.format
+  * ("graft")` — see [[GraftTableSource.createSink]]. Batch-id
+  * idempotence lives in `<table>/.graft_sink_batch` (atomic tmp+move
+  * AFTER the table commit): a restarted query re-delivering batch N
+  * skips it, and a crash between table commit and marker write makes
+  * the redelivered upsert a same-keys-same-values no-op — the same
+  * effectively-once argument t6's marker file makes.
+  */
+class GraftTableSink(
+    sqlContext: SQLContext,
+    path: String,
+    keyCol: String,
+    nBuckets: Int,
+    complete: Boolean,
+    compactEvery: Option[Int]) extends Sink {
+
+  private def markerFile = new java.io.File(path, ".graft_sink_batch")
+
+  private def lastBatch: Long =
+    if (markerFile.isFile)
+      new String(java.nio.file.Files.readAllBytes(markerFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (batchId <= lastBatch) return // redelivered, already committed
+    // v1-sink contract: re-plan the incoming frame as a batch frame
+    // before handing it to the writer (the engine's frame must not be
+    // re-planned by a second query)
+    val batchDf = org.apache.spark.sql.GraftColumnBridge
+      .batchDataFrame(sqlContext, data.queryExecution.toRdd, data.schema)
+    if (complete)
+      PoolJsonSink.overwritePartitioned(
+        sqlContext.sparkSession, path, batchDf, col(keyCol), nBuckets)
+    else
+      PoolJsonSink.upsertPartitioned(
+        sqlContext.sparkSession, path, batchDf, col(keyCol), nBuckets)
+    compactEvery.foreach { n =>
+      if ((batchId + 1) % n == 0) {
+        PoolJsonSink.compactPartitions(sqlContext.sparkSession, path,
+          maxFilesPerPartition = 2)
+        PoolJsonSink.vacuum(path)
+        ()
+      }
+    }
+    val tmp = new java.io.File(path, ".graft_sink_batch.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"$batchId\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, markerFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+}
 
 /** `spark.read.format("graft")` — SQL/DataFrame access to a
   * manifest-committed table that can NEVER observe torn state.
@@ -36,8 +92,79 @@ import graft.pol.PoolJsonSink
   * pruning here is a pure optimization, never a semantics bet.
   */
 class GraftTableSource extends RelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with CreatableRelationProvider
+    with StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  // ---- batch write face: df.write.format("graft") = keyed MERGE ----
+
+  /** `df.write.format("graft").option("key", "k").mode(m).save(dir)`:
+    * Append = the keyed upsert (MERGE overwrite-by-key — the table's
+    * native write), Overwrite = atomic whole-table replace,
+    * ErrorIfExists/Ignore = the usual existence gates. `nBuckets`
+    * only applies at table creation (the manifest's recorded count
+    * wins after that); `statsCols` opts columns into zone maps.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val path = parameters.getOrElse("path",
+      sys.error("graft source requires a 'path' option"))
+    val key = parameters.getOrElse("key", sys.error(
+      "graft writes require a 'key' option (the table's merge key)"))
+    val nBuckets = parameters.get("nBuckets").map(_.toInt).getOrElse(64)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val spark = sqlContext.sparkSession
+    val exists = PoolJsonSink.readManifest(path).isDefined
+    mode match {
+      case Append =>
+        PoolJsonSink.upsertPartitioned(spark, path, data, col(key),
+          nBuckets, statsCols = statsCols)
+      case Overwrite =>
+        PoolJsonSink.overwritePartitioned(spark, path, data, col(key),
+          nBuckets, statsCols = statsCols)
+      case ErrorIfExists if exists =>
+        sys.error(s"graft table already exists at $path " +
+          "(mode ErrorIfExists)")
+      case Ignore if exists => // no-op
+      case _ => // ErrorIfExists/Ignore on a fresh table: create it
+        PoolJsonSink.upsertPartitioned(spark, path, data, col(key),
+          nBuckets, statsCols = statsCols)
+    }
+    GraftTableRelation(path, None)(sqlContext)
+  }
+
+  // ---- streaming write face: writeStream.format("graft") ----
+
+  /** `stream.writeStream.format("graft").option("key", "k")...` — the
+    * t6 foreachBatch recipe packaged as a first-class sink: every
+    * micro-batch keyed-upserts into the manifest table (Complete mode
+    * replaces the table — the streaming-aggregation shape), with
+    * batch-id idempotence persisted IN the table directory so a
+    * restarted query re-delivering a committed batch is a no-op.
+    * Optional `compactEvery` = N runs compactPartitions + vacuum
+    * after every Nth batch (t6's small-files maintenance).
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): Sink = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft sink requires a 'path' option"))
+    val key = parameters.getOrElse("key", sys.error(
+      "graft sink requires a 'key' option (the table's merge key)"))
+    new GraftTableSink(sqlContext, path, key,
+      parameters.get("nBuckets").map(_.toInt).getOrElse(64),
+      complete = outputMode ==
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+      compactEvery = parameters.get("compactEvery").map(_.toInt))
+  }
 
   // ---- streaming face: the change feed as a Source (readStream) ----
 

@@ -37,4 +37,16 @@ object GraftColumnBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     sqlContext.asInstanceOf[classic.SQLContext]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Batch re-plan of a v1 Sink's incoming micro-batch frame (the
+    * addBatch contract: don't re-execute the engine's streaming plan
+    * through a second query — lift its InternalRow RDD into a plain
+    * batch frame first).
+    */
+  def batchDataFrame(
+      sqlContext: SQLContext,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    sqlContext.asInstanceOf[classic.SQLContext]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

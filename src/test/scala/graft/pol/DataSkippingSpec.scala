@@ -130,6 +130,34 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(got == Set("a"))
   }
 
+  test("clustered compaction tightens zone maps so range reads skip") {
+    val dir = table()
+    // rows arrive shuffled: every file's seq zone map spans ~the whole
+    // domain, so a narrow range read must open everything
+    val base = scala.util.Random.shuffle((0L until 4000L).toVector)
+      .map(i => (s"k$i", i)).toDF("k", "seq")
+      .repartition(8)
+    PoolJsonSink.upsertPartitioned(spark, dir, base, col("k"),
+      nBuckets = 2, statsCols = Seq("seq"))
+    val m0 = PoolJsonSink.readManifest(dir).get
+    val before = PoolJsonSink.pruneFilesLongRange(m0, "seq", 100, 150)
+    assert(before.size == m0.files.size) // nothing skippable
+
+    // OPTIMIZE layout pass: range-sort each bucket on seq, split into
+    // ~500-row files — per-file zone maps now cover narrow ranges
+    PoolJsonSink.compactPartitions(spark, dir,
+      clusterBy = Seq("seq"), targetRecordsPerFile = 500L)
+    val m1 = PoolJsonSink.readManifest(dir).get
+    val after = PoolJsonSink.pruneFilesLongRange(m1, "seq", 100, 150)
+    assert(m1.files.size >= 8) // clustering kept multiple files
+    assert(after.size <= 2, // one narrow file per touched bucket
+      s"expected <=2 files for a 50-wide range, got ${after.size} " +
+        s"of ${m1.files.size}")
+    // and the clustered read returns exactly the range
+    assert(PoolJsonSink.readTableLongRange(spark, dir, "seq", 100, 150)
+      .count() == 51)
+  }
+
   test("tableRowCount answers count(*) from the manifest alone") {
     val dir = table()
     val base = (0 until 100).map(i => (s"k$i", i.toLong)).toDF("k", "seq")
