@@ -175,6 +175,41 @@ object ParseQueries {
           count(col("game_win")).as("n_valid"),
           sum(when(col("game_win").isNull, 1L).otherwise(0L)).as("n_errors"))
         .orderBy("l_returnflag")
+    }),
+
+    // S3b — permissive JSONL ingestion with corrupt-record accounting:
+    // the documents table is staged as JSON Lines with every 37th
+    // line deterministically truncated mid-record, then ingested
+    // through Spark's json source in PERMISSIVE mode — broken lines
+    // land in `_corrupt_record` (nothing is dropped silently, the A8
+    // discipline applied to the jsonl corpora LLM pipelines actually
+    // ingest) and the query accounts both populations per source.
+    // Scale: the json source splits files across tasks like any text
+    // scan; PERMISSIVE keeps a bad line a ROW, not a job failure —
+    // at 100 TB a fail-fast parse on web-crawl jsonl is a non-starter.
+    "s3_jsonl_ingest" -> ((s, d) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_s3_").toString + "/docs"
+      documents(s, d)
+        .select(to_json(struct(col("doc_id"), col("source"),
+          col("n_chars"))).as("line"), col("doc_id"))
+        .withColumn("line",
+          when(col("doc_id") % 37 === 0, expr("substring(line, 1, 10)"))
+            .otherwise(col("line")))
+        .select("line").coalesce(4)
+        .write.mode("overwrite").text(stage)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("source", "string")
+        .add("n_chars", "long").add("_corrupt_record", "string")
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+        .groupBy(when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
+          .otherwise(col("source")).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
     })
   )
 
@@ -294,6 +329,13 @@ object ParseQueries {
       """SELECT l_returnflag, count(*) AS n_lines,
         |  CAST(sum(CASE WHEN l_partkey % 11 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
         |  CAST(sum(CASE WHEN l_partkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s3_jsonl_ingest" ->
+      """SELECT CASE WHEN doc_id % 37 = 0 THEN '__corrupt__'
+        |            ELSE source END AS source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 37 = 0 THEN NULL ELSE n_chars END)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
