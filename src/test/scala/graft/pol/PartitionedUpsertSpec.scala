@@ -341,6 +341,37 @@ class PartitionedUpsertSpec extends AnyFunSuite {
       s"retry must recompute the combine: $finalGot")
   }
 
+  test("true concurrent mergers all land through the CAS retry loop") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_race")
+      .resolve("table").toString
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      Seq(("hot", 0L)).toDF("k", "n"), col("k"), nBuckets = 2)
+    // 2 OS threads × 3 merges each, ALL incrementing the same hot key
+    // concurrently — every CAS loser must recompute via the retry
+    // loop, and no increment may be lost (sum is the serial total)
+    val writers = Seq(1L, 10L).map { inc =>
+      Future {
+        (0 until 3).foreach { _ =>
+          PoolJsonSink.withCommitRetry(maxRetries = 30) { () =>
+            PoolJsonSink.mergeDelta(spark, dir,
+              Seq(("hot", inc)).toDF("k", "n"), col("k"), nBuckets = 2)(
+              _.groupBy("k").agg(sum(col("n")).as("n")))
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 5.minutes)
+    val got = PoolJsonSink.readTable(spark, dir)
+      .select("k", "n").as[(String, Long)].collect().toMap
+    assert(got == Map("hot" -> 33L), s"lost increments: $got")
+    // version count = 1 base + exactly 6 successful commits
+    assert(PoolJsonSink.readManifest(dir).get.version == 7L)
+  }
+
   test("additive schema evolution: new column null-fills old rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve")
