@@ -709,6 +709,33 @@ object PoolJsonSink {
     readFiles(spark, tableDir,
       buckets.flatMap(b => m.buckets.getOrElse(b, Nil)), m)
 
+  /** Write-time expectations — the Delta CHECK-constraint contract: a
+    * batch violating ANY named predicate is rejected WHOLLY, before a
+    * single file is staged, so the table never holds a partially-valid
+    * commit and the version line never advances on bad data. SQL
+    * semantics: a NULL predicate result passes (violation = explicit
+    * false), matching CHECK. All expectations are evaluated in ONE
+    * aggregate pass over the incoming batch; the error carries the
+    * per-expectation violation counts a pipeline operator needs to
+    * route the batch to quarantine.
+    */
+  private def checkExpectations(
+      incoming: DataFrame,
+      expectations: Seq[(String, org.apache.spark.sql.Column)]): Unit =
+    if (expectations.nonEmpty) {
+      val aggs = expectations.map { case (name, p) =>
+        sum(when(p.isNull || p, 0L).otherwise(1L)).as(name)
+      }
+      val row = incoming.agg(aggs.head, aggs.drop(1): _*).head()
+      val violated = expectations.zipWithIndex.collect {
+        case ((name, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          s"$name (${row.getLong(i)} rows)"
+      }
+      if (violated.nonEmpty) throw new IllegalArgumentException(
+        "expectation(s) violated, commit rejected: " +
+          violated.mkString(", "))
+    }
+
   /** S6's executable scale path: the MERGE-shaped keyed upsert against
     * a manifest-committed parquet table hash-bucketed on the upsert
     * key (`__pt = pmod(xxhash64(key), nBuckets)`) — the same plan a
@@ -739,7 +766,10 @@ object PoolJsonSink {
       key: org.apache.spark.sql.Column,
       nBuckets: Int = 64,
       onBeforeCommit: () => Unit = () => (),
-      statsCols: Seq[String] = Nil): Seq[Long] = {
+      statsCols: Seq[String] = Nil,
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : Seq[Long] = {
+    checkExpectations(incoming, expectations)
     new java.io.File(tableDir).mkdirs()
     upsertPartitionedFrom(spark, tableDir, incoming, key, nBuckets,
       onBeforeCommit, statsCols, readManifest(tableDir))
@@ -844,7 +874,10 @@ object PoolJsonSink {
       incoming: DataFrame,
       key: org.apache.spark.sql.Column,
       nBuckets: Int = 64,
-      statsCols: Seq[String] = Nil): Seq[Long] = {
+      statsCols: Seq[String] = Nil,
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : Seq[Long] = {
+    checkExpectations(incoming, expectations)
     new java.io.File(tableDir).mkdirs()
     val prev = readManifest(tableDir)
     val n = prev.flatMap(_.nBuckets).getOrElse(nBuckets)

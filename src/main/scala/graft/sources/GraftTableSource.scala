@@ -119,22 +119,28 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // CHECK-constraint options: .option("expect.<name>", "<sql bool>")
+    // — a batch violating any rejects the whole write (no new version)
+    val expectations = parameters.collect {
+      case (k, sql) if k.startsWith("expect.") =>
+        k.stripPrefix("expect.") -> org.apache.spark.sql.functions.expr(sql)
+    }.toSeq.sortBy(_._1)
     val spark = sqlContext.sparkSession
     val exists = PoolJsonSink.readManifest(path).isDefined
     mode match {
       case Append =>
         PoolJsonSink.upsertPartitioned(spark, path, data, col(key),
-          nBuckets, statsCols = statsCols)
+          nBuckets, statsCols = statsCols, expectations = expectations)
       case Overwrite =>
         PoolJsonSink.overwritePartitioned(spark, path, data, col(key),
-          nBuckets, statsCols = statsCols)
+          nBuckets, statsCols = statsCols, expectations = expectations)
       case ErrorIfExists if exists =>
         sys.error(s"graft table already exists at $path " +
           "(mode ErrorIfExists)")
       case Ignore if exists => // no-op
       case _ => // ErrorIfExists/Ignore on a fresh table: create it
         PoolJsonSink.upsertPartitioned(spark, path, data, col(key),
-          nBuckets, statsCols = statsCols)
+          nBuckets, statsCols = statsCols, expectations = expectations)
     }
     GraftTableRelation(path, None)(sqlContext)
   }

@@ -55,6 +55,34 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(tableRows(dir) == Map("z" -> "v3z")) // Ignore was a no-op
   }
 
+  test("write expectations reject a violating batch wholly (CHECK)") {
+    val dir = freshDir("graft_expect") + "/tbl"
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .write.format("graft").option("key", "k")
+      .option("expect.positive", "v >= 0")
+      .mode(SaveMode.Append).save(dir)
+    val v1 = PoolJsonSink.readManifest(dir).get.version
+
+    // one bad row poisons the batch: NOTHING commits, version frozen
+    val e = intercept[IllegalArgumentException] {
+      Seq(("c", 3L), ("d", -7L), ("e", -1L)).toDF("k", "v")
+        .write.format("graft").option("key", "k")
+        .option("expect.positive", "v >= 0")
+        .mode(SaveMode.Append).save(dir)
+    }
+    assert(e.getMessage.contains("positive") &&
+      e.getMessage.contains("2 rows"))
+    assert(PoolJsonSink.readManifest(dir).get.version == v1)
+    assert(PoolJsonSink.readTable(spark, dir).count() == 2)
+
+    // SQL CHECK semantics: a NULL predicate result PASSES
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      Seq(("f", Option.empty[java.lang.Long])).toDF("k", "v"),
+      col("k"), nBuckets = 2,
+      expectations = Seq("positive" -> (col("v") >= 0)))
+    assert(PoolJsonSink.readTable(spark, dir).count() == 3)
+  }
+
   test("streaming sink: per-batch keyed upsert with idempotent restart") {
     val stage = freshDir("graft_ws_stage")
     val ckpt = freshDir("graft_ws_ckpt")
