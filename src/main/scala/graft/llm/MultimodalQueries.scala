@@ -74,6 +74,43 @@ object MultimodalQueries {
           expr("frames[0]").as("first_frame"))
         .orderBy("doc_id")),
 
+    // M4 — cross-media frame-level dedup: the x11 span-mining shape
+    // applied to the BINARY frame axis — every sampled frame (m3's
+    // stride/pad contract) is digested, frames appearing in MORE THAN
+    // ONE document are the duplicate set (near-identical intros,
+    // watermarks, silence padding — what video/audio dedup actually
+    // hunts), and each doc reports its shared-frame fraction. Scale:
+    // frame explode is map-side (factor len/64); the only shuffles
+    // are digest-keyed (16-byte BINARY keys, the d1 discipline) and
+    // the dup set re-join is shuffle-hash — frames of a 100 TB video
+    // corpus never broadcast.
+    "m4_frame_dedup" -> ((s, d) => {
+      val frames = documents(s, d)
+        .withColumn("frame", explode(expr(
+          """transform(sequence(0, CAST(greatest(length(text) - 1, 0) / 64 AS INT)),
+            |  i -> rpad(substring(text, i * 64 + 1, 16), 16, '.'))"""
+            .stripMargin)))
+        .select(col("doc_id"), unhex(md5(col("frame"))).as("fh"))
+      val dup = frames.groupBy("fh")
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .where(col("mn") =!= col("mx")).select("fh")
+      val perDoc = frames.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"))
+      val shared = frames.hint("shuffle_hash")
+        .join(dup.hint("shuffle_hash"), Seq("fh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_frames"))
+      // per-doc sides are corpus-sized: the stats roll-up join is
+      // shuffle-hash pinned like the dup-set join above (the audit
+      // rejects broadcasting anything containing the frame explode)
+      perDoc.hint("shuffle_hash")
+        .join(shared.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_dup_frames"), lit(0L)).as("n_dup_frames"),
+          round(coalesce(col("n_dup_frames"), lit(0L)) / col("n_frames"), 4)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // M2 — partition-wise feature extraction through the stub decoder:
     // the mapPartitions batch shape of a media pipeline (real plumbing,
     // fake decode).
@@ -110,6 +147,27 @@ object MultimodalQueries {
         |  md5(list_reduce(frames, (a, b) -> a || b)) AS frames_digest,
         |  frames[1] AS first_frame
         |FROM f ORDER BY doc_id""".stripMargin,
+    "m4_frame_dedup" ->
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |    md5(rpad(substr(text, CAST(i * 64 + 1 AS INT), 16), 16, '.'))
+        |      AS fh
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(CAST(greatest(length(text) - 1, 0) // 64
+        |        AS BIGINT) + 1)) AS i
+        |    FROM documents)),
+        |dup AS (
+        |  SELECT fh FROM fr GROUP BY fh HAVING min(doc_id) <> max(doc_id)),
+        |per AS (SELECT doc_id, count(*) AS n_frames FROM fr GROUP BY 1),
+        |sh AS (
+        |  SELECT doc_id, count(*) AS n_dup_frames FROM fr
+        |  WHERE fh IN (SELECT fh FROM dup) GROUP BY 1)
+        |SELECT p.doc_id, p.n_frames,
+        |  CAST(coalesce(s.n_dup_frames, 0) AS BIGINT) AS n_dup_frames,
+        |  round(CAST(coalesce(s.n_dup_frames, 0) AS DOUBLE) / p.n_frames, 4)
+        |    AS dup_frac
+        |FROM per p LEFT JOIN sh s USING (doc_id) ORDER BY p.doc_id""".stripMargin,
     // ASCII text: bytes == chars, so the stubbed byte features are
     // recomputable from the text column.
     "m2_multimodal_features" ->
