@@ -526,6 +526,43 @@ object CurationQueries {
           sum(col("n_chars")).as("n_chars"),
           min(col("doc_id")).as("first_doc"))
         .orderBy("split")
+    }),
+
+    // C10 — quality-tiered epoch upsampling (the data-mixing step a
+    // training run does LAST: sources the pipeline trusts more are
+    // repeated for more epochs, then the whole epoch-expanded corpus
+    // is shuffled deterministically for the loader). Tiers come from
+    // per-source mean document length in integer PPM (sum·1e6 DIV
+    // count — the x13 discipline: no float reduction, so both engines
+    // agree bit-exactly) compared against the global mean: ≥105% ⇒ 3
+    // epochs, ≥95% ⇒ 2, else 1. Each doc then explodes map-side into
+    // one row per epoch with a shuffle key md5(doc_id:epoch) — a
+    // reproducible global shuffle order with no RNG, so any re-run
+    // emits byte-identical training order. Scale: the epoch config is
+    // source-keyed (bounded by governance, not by the corpus —
+    // broadcast by contract, same as c6's mixture weights); the
+    // explode multiplies rows map-side with NO shuffle; the only
+    // exchange is the final order the loader wants anyway. Upsampling
+    // by replication is the one mixing op filtering cannot express.
+    "c10_epoch_mix" -> ((s, d) => {
+      val perSrc = documents(s, d)
+        .groupBy("source")
+        .agg(expr("sum(n_chars) * 1000000L DIV count(1)").as("ml_ppm"))
+      val gl = documents(s, d)
+        .agg(expr("sum(n_chars) * 1000000L DIV count(1)").as("g_ppm"))
+      val epochs = perSrc.crossJoin(broadcast(gl))
+        .select(col("source"),
+          when(col("ml_ppm") * 100 >= col("g_ppm") * 105, 3L)
+            .when(col("ml_ppm") * 100 >= col("g_ppm") * 95, 2L)
+            .otherwise(1L).as("epochs"))
+      documents(s, d)
+        .join(broadcast(epochs), Seq("source"))
+        .select(col("doc_id"), col("source"), col("epochs"),
+          explode(expr("sequence(1L, epochs)")).as("epoch"))
+        .select(col("doc_id"), col("source"), col("epochs"), col("epoch"),
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string"))).as("shuffle_key"))
+        .orderBy("shuffle_key")
     })
   )
 
@@ -648,6 +685,26 @@ object CurationQueries {
         |      AS rk
         |  FROM documents)
         |SELECT source, rk, doc_id FROM r WHERE rk <= 5
-        |ORDER BY source, rk""".stripMargin
+        |ORDER BY source, rk""".stripMargin,
+    "c10_epoch_mix" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS ml_ppm
+        |  FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS g_ppm
+        |  FROM documents),
+        |e AS (
+        |  SELECT source,
+        |    CASE WHEN ml_ppm * 100 >= g_ppm * 105 THEN 3
+        |         WHEN ml_ppm * 100 >= g_ppm * 95 THEN 2
+        |         ELSE 1 END AS epochs
+        |  FROM m, g)
+        |SELECT d.doc_id AS doc_id, d.source AS source,
+        |  CAST(e.epochs AS BIGINT) AS epochs, CAST(i AS BIGINT) AS epoch,
+        |  md5(d.doc_id || ':' || i) AS shuffle_key
+        |FROM documents d JOIN e USING (source),
+        |  UNNEST(range(1, e.epochs + 1)) AS t(i)
+        |ORDER BY shuffle_key""".stripMargin
   )
 }

@@ -444,6 +444,89 @@ object StreamingQueries {
           col("sum_val").cast("double").as("sum_val"),
           col("_change_type"), col("_commit_version"))
         .orderBy("_commit_version", "_change_type", "user_id")
+    }),
+
+    // T11 — STREAMING incremental materialized-view maintenance: the
+    // platform loop closed end-to-end. A keyed table takes three
+    // committed versions (upsert / MERGE / delete — j3's staging);
+    // its change feed streams through the engine (t10's source, one
+    // version per micro-batch); and each micro-batch folds its
+    // changes into a SECOND keyed manifest table holding a per-group
+    // rollup, by retraction algebra (insert/update_postimage +1,
+    // delete/update_preimage −1 — j4's algebra, but applied
+    // incrementally under streaming offsets instead of in one batch
+    // expression). Groups whose membership nets to zero are DELETED
+    // from the MV with the tombstone arm — a retraction MV emits
+    // deletes, it doesn't keep zombie zero-rows — and the GC check
+    // reads ONLY the groups this batch touched (left-semi on the
+    // delta), so maintenance cost per batch is O(changes), never
+    // O(MV). The final MV table must equal the direct aggregate of
+    // the table's final version computed from first principles —
+    // which is what the oracle does. At 100 TB this is the shape of
+    // every always-fresh dashboard over a mutating corpus: feed in,
+    // delta-sized merges out, no re-aggregation anywhere.
+    "t11_stream_incremental_mv" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_t11_").toString
+      val table = s"$base/tbl"
+      val mv = s"$base/mv"
+      val ev = graft.Tables.events(s, d).select(col("user_id"),
+        col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+      def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("v")).cast("decimal(38,2)").as("sum_val"))
+      graft.pol.PoolJsonSink.upsertPartitioned(s, table,
+        agg(ev.where(col("event_id") % 2 === 0)), col("user_id"),
+        nBuckets = 16)
+      graft.pol.PoolJsonSink.mergeDelta(s, table,
+        agg(ev.where(col("event_id") % 2 === 1)), col("user_id"),
+        nBuckets = 16)(
+        _.groupBy("user_id").agg(
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_val")).cast("decimal(38,2)").as("sum_val")))
+      graft.pol.PoolJsonSink.deletePartitioned(s, table,
+        ev.where(col("user_id") % 7 === 0).select("user_id").distinct(),
+        col("user_id"), nBuckets = 16)
+      runToCompletion(s)(
+        s.readStream.format("graft")
+          .option("changeKey", "user_id")
+          .option("maxVersionsPerTrigger", "1") // one version per batch
+          .load(table)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val signed = batch
+              .withColumn("sign",
+                when(col("_change_type")
+                  .isin("insert", "update_postimage"), 1L)
+                  .otherwise(-1L))
+              .groupBy((col("user_id") % 10).as("grp"))
+              .agg(sum(col("sign")).as("n_users"),
+                sum(col("sign") * col("n_events")).as("n_events"),
+                sum(col("sign") * col("sum_val")).cast("decimal(38,2)")
+                  .as("sum_val"))
+              .localCheckpoint() // one evaluation: merge + GC probe
+            graft.pol.PoolJsonSink.mergeDelta(s, mv, signed,
+              col("grp"), nBuckets = 8)(
+              _.groupBy("grp").agg(
+                sum(col("n_users")).as("n_users"),
+                sum(col("n_events")).as("n_events"),
+                sum(col("sum_val")).cast("decimal(38,2)").as("sum_val")))
+            // GC pass over ONLY this batch's groups: zero-membership
+            // groups leave the view via the tombstone arm
+            val dead = graft.pol.PoolJsonSink.readTable(s, mv)
+              .join(signed.select("grp"), Seq("grp"), "left_semi")
+              .where(col("n_users") <= 0)
+              .select("grp")
+            if (!dead.isEmpty)
+              graft.pol.PoolJsonSink.deletePartitioned(s, mv, dead,
+                col("grp"), nBuckets = 8)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()))
+      graft.pol.PoolJsonSink.readTable(s, mv)
+        .select(col("grp"), col("n_users"), col("n_events"),
+          col("sum_val").cast("double").as("sum_val"))
+        .orderBy("grp")
     })
   )
 
@@ -592,6 +675,21 @@ object StreamingQueries {
         |  UNION ALL
         |  SELECT user_id, n_events, sum_val, 'delete', CAST(3 AS BIGINT)
         |  FROM v2 WHERE user_id % 7 = 0)
-        |ORDER BY _commit_version, _change_type, user_id""".stripMargin
+        |ORDER BY _commit_version, _change_type, user_id""".stripMargin,
+    // the streamed retraction MV must equal the direct aggregate of
+    // the table's final version, computed from first principles
+    "t11_stream_incremental_mv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |v2 AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+        |  FROM ev GROUP BY 1),
+        |final AS (SELECT * FROM v2 WHERE user_id % 7 <> 0)
+        |SELECT user_id % 10 AS grp, count(*) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(sum_val) AS DOUBLE) AS sum_val
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
