@@ -71,10 +71,18 @@ object KMeans {
     * cid (struct ordering = field order). Input needs `e` and `ee`.
     */
   def assignCol(cents: Seq[(Long, Array[Double])]): Column =
+    assignColOn(cents, col("e"), col("ee"))
+
+  /** [[assignCol]] against explicit vector/self-dot columns — what
+    * lets the SAME argmin kernel serve full-vector assignment (n7)
+    * and per-subspace assignment over slices (PQ).
+    */
+  def assignColOn(cents: Seq[(Long, Array[Double])], e: Column,
+      ee: Column): Column =
     array_min(array(cents.map { case (cid, c) =>
       struct(
-        (col("ee") - lit(2.0) * graft.functions.DotProduct(
-          col("e"), typedlit(c.toSeq)) + lit(dotSelf(c))).as("d2"),
+        (ee - lit(2.0) * graft.functions.DotProduct(
+          e, typedlit(c.toSeq)) + lit(dotSelf(c))).as("d2"),
         lit(cid).as("cid"))
     }: _*))
 
@@ -91,12 +99,20 @@ object KMeans {
   def fit(s: SparkSession, d: String): Model =
     cache.computeIfAbsent(d, _ => fitImpl(s, d))
 
-  private def fitImpl(s: SparkSession, d: String): Model = {
-    val t = corpus(s, d)
+  private def fitImpl(s: SparkSession, d: String): Model =
+    fitOn(corpus(s, d), K)
+
+  /** Lloyd-to-fixpoint over an arbitrary (vec_id, e, ee) relation —
+    * the corpus may be the full embedding table (n7) or a SUBSPACE
+    * slice of it (PQ trains one independent codebook per slice).
+    * Same determinism contract as [[fit]]: md5 seeds, tie-broken
+    * argmin, DECIMAL means, exact bit-for-bit fixpoint stop.
+    */
+  private[llm] def fitOn(t: DataFrame, k: Int): Model = {
     val seeds = t
       .select(col("vec_id"), col("e"),
         md5(col("vec_id").cast("string")).as("hk"))
-      .orderBy("hk", "vec_id").limit(K)
+      .orderBy("hk", "vec_id").limit(k)
       .select("e").collect()
       .zipWithIndex.map { case (r, i) =>
         i.toLong -> r.getSeq[Double](0).toArray

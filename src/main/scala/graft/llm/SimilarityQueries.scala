@@ -296,7 +296,72 @@ object SimilarityQueries {
     // pair join. The k-row size relation is broadcast — never a
     // window over the corpus.
     "d12_semantic_dedup" -> ((s, d) =>
-      semanticDedup(s, d, cap = D12ClusterCap))
+      semanticDedup(s, d, cap = D12ClusterCap)),
+
+    // N9 — product-quantization ENCODE (the FAISS recipe that makes
+    // billion-vector ANN affordable): 4 independent 16-dim codebooks
+    // (PQ.fit — md5 seeds, DECIMAL means, exact fixpoint/cap stop),
+    // each vector represented by its 4 nearest-centroid codes plus
+    // its reconstruction error Σ_j d²_j. The encode itself is ONE
+    // map-only projection — 4 literal-centroid argmins inside
+    // whole-stage codegen, no join, no shuffle — which is the whole
+    // point: at 100 TB the quantizer is a pass over the corpus at
+    // scan speed, and downstream ANN works on 4 BIGINT codes instead
+    // of 64 doubles (128× less memory bandwidth).
+    "n9_pq_encode" -> ((s, d) => {
+      val cb = PQ.fit(s, d)
+      val base = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+      val withSubs = (0 until PQ.M).foldLeft(base) { (df, j) =>
+        val ej = PQ.subVec(col("e"), j)
+        df.withColumn(s"m$j", KMeans.assignColOn(
+          cb.books(j).centroids, ej,
+          graft.functions.DotProduct(ej, ej)))
+      }
+      withSubs.select(col("vec_id"),
+        array((0 until PQ.M).map(j => col(s"m$j.cid")): _*).as("codes"),
+        round((0 until PQ.M).map(j => col(s"m$j.d2"))
+          .reduce(_ + _), 6).as("err"))
+        .orderBy("vec_id")
+    }),
+
+    // N10 — ADC search over the PQ codes (asymmetric distance
+    // computation, the serving half of PQ): the probe precomputes a
+    // 4×8 table of subspace distances to every codebook centroid
+    // DRIVER-side (M·K doubles — literal-sized by construction), and
+    // every corpus vector's approximate distance is 4 array lookups
+    // + 3 adds over its codes. The scan side never touches a float
+    // vector: this is the query shape that turns ANN over a 100 TB
+    // corpus into integer-keyed table lookups at memory-bandwidth
+    // speed. Top-10 by (rounded) approximate distance, probe
+    // excluded; ties broken by vec_id in both engines.
+    "n10_pq_adc" -> ((s, d) => {
+      val cb = PQ.fit(s, d)
+      val probe = graft.Tables.embeddings(s, d)
+        .where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      val luts = PQ.adcTable(probe, cb)
+      val base = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+      val withSubs = (0 until PQ.M).foldLeft(base) { (df, j) =>
+        val ej = PQ.subVec(col("e"), j)
+        df.withColumn(s"m$j", KMeans.assignColOn(
+          cb.books(j).centroids, ej,
+          graft.functions.DotProduct(ej, ej)))
+      }
+      withSubs
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round((0 until PQ.M).map(j =>
+            element_at(typedlit(luts(j)),
+              col(s"m$j.cid").cast("int") + 1))
+            .reduce(_ + _), 6).as("ad2"))
+        .orderBy("ad2", "vec_id")
+        .limit(10)
+    })
   )
 
   /** Per-label decimal-exact centroids, ranked against the probe: the
@@ -670,24 +735,68 @@ object SimilarityQueries {
          |SELECT s0.vec_id, CAST(s0.cid AS BIGINT) AS cid,
          |  (rem.vec_id IS NOT NULL) AS removed
          |FROM s0 LEFT JOIN rem USING (vec_id)
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+    // n9/n10: four independent subspace Lloyd chains (each unrolled
+    // to exactly the Scala round cap — see PQ.OracleRounds) recompute
+    // the codebooks; codes, reconstruction error and ADC distances
+    // then follow from the same d² expression shape
+    "n9_pq_encode" ->
+      s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |$sqlPqChains
+         |SELECT t.vec_id AS vec_id,
+         |  [${(0 until PQ.M)
+              .map(j => s"CAST(af_s$j.cid AS BIGINT)").mkString(", ")}]
+         |    AS codes,
+         |  round(${(0 until PQ.M)
+              .map(j => s"af_s$j.d2").mkString(" + ")}, 6) AS err
+         |FROM t ${(0 until PQ.M)
+              .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+         |ORDER BY vec_id""".stripMargin,
+    "n10_pq_adc" ->
+      s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |$sqlPqChains,
+         |q AS (SELECT e AS qe FROM t WHERE vec_id = 0),
+         |${(0 until PQ.M).map { j =>
+              val a = j * PQ.SubDim + 1
+              val b = (j + 1) * PQ.SubDim
+              s"""l$j AS (
+                 |  SELECT cid,
+                 |    list_inner_product(qe[$a:$b], qe[$a:$b])
+                 |      - 2 * list_inner_product(qe[$a:$b], ce)
+                 |      + list_inner_product(ce, ce) AS d2
+                 |  FROM c${PQ.OracleRounds}_s$j, q)""".stripMargin
+            }.mkString(",\n")}
+         |SELECT vec_id, round(${(0 until PQ.M)
+              .map(j => s"l$j.d2").mkString(" + ")}, 6) AS ad2
+         |FROM af_s0 ${(1 until PQ.M)
+              .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+         |${(0 until PQ.M)
+              .map(j => s"JOIN l$j ON l$j.cid = af_s$j.cid").mkString(" ")}
+         |WHERE vec_id <> 0
+         |ORDER BY ad2, vec_id LIMIT 10""".stripMargin
   )
 
   /** One Lloyd assignment CTE against centroid set `prev` (dist² =
     * ee − 2·e·c + c·c, ties to the smaller cid via row_number).
+    * `sfx` selects which `tt` relation feeds it (full vectors for
+    * n7/n6/n8/d12, a PQ subspace slice for n9/n10).
     */
   private def sqlKmeansAssign(
-      cte: String, prev: String, withD2: Boolean): String = {
+      cte: String, prev: String, withD2: Boolean,
+      sfx: String = ""): String = {
     val cols = if (withD2) "vec_id, cid, d2" else "vec_id, cid"
+    val tt = s"tt$sfx"
     s"""$cte AS MATERIALIZED (
        |  SELECT $cols FROM (
-       |    SELECT tt.vec_id, $prev.cid,
-       |      tt.ee - 2 * list_inner_product(tt.e, $prev.ce)
+       |    SELECT $tt.vec_id, $prev.cid,
+       |      $tt.ee - 2 * list_inner_product($tt.e, $prev.ce)
        |        + list_inner_product($prev.ce, $prev.ce) AS d2,
-       |      row_number() OVER (PARTITION BY tt.vec_id ORDER BY
-       |        tt.ee - 2 * list_inner_product(tt.e, $prev.ce)
+       |      row_number() OVER (PARTITION BY $tt.vec_id ORDER BY
+       |        $tt.ee - 2 * list_inner_product($tt.e, $prev.ce)
        |          + list_inner_product($prev.ce, $prev.ce), $prev.cid) AS rk
-       |    FROM tt, $prev) WHERE rk = 1)""".stripMargin
+       |    FROM $tt, $prev) WHERE rk = 1)""".stripMargin
   }
 
   /** The unrolled Lloyd chain: tt, md5-seeded c0, then `rounds` ×
@@ -697,31 +806,52 @@ object SimilarityQueries {
     * aggregates explodes planning (measured: un-materialized R=24
     * never finished; materialized runs in under a second).
     */
-  private def sqlKmeansCtes(rounds: Int): String = {
+  private def sqlKmeansCtes(rounds: Int, sfx: String = "",
+      src: String = "t", dim: Int = 64, k: Int = 8): String = {
     val head = Seq(
-      "tt AS (SELECT vec_id, e, list_inner_product(e, e) AS ee FROM t)",
-      """c0 AS (
-        |  SELECT row_number() OVER (
-        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
-        |    e AS ce
-        |  FROM t ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)"""
-        .stripMargin)
+      s"tt$sfx AS (SELECT vec_id, e, list_inner_product(e, e) AS ee " +
+        s"FROM $src)",
+      s"""c0$sfx AS (
+         |  SELECT row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         |    e AS ce
+         |  FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT $k)""".stripMargin)
     val perRound = (1 to rounds).flatMap { r =>
       Seq(
-        sqlKmeansAssign(s"a$r", s"c${r - 1}", withD2 = false),
-        s"""dims$r AS MATERIALIZED (
-           |  SELECT a$r.cid, i.range AS pos,
-           |    CAST(sum(CAST(t.e[i.range + 1] AS DECIMAL(25,10)))
+        sqlKmeansAssign(s"a$r$sfx", s"c${r - 1}$sfx", withD2 = false, sfx),
+        s"""dims$r$sfx AS MATERIALIZED (
+           |  SELECT a$r$sfx.cid, i.range AS pos,
+           |    CAST(sum(CAST($src.e[i.range + 1] AS DECIMAL(25,10)))
            |      / count(*) AS DOUBLE) AS m
-           |  FROM a$r JOIN t USING (vec_id), range(64) i GROUP BY 1, 2)"""
-          .stripMargin,
-        s"""c$r AS MATERIALIZED (
+           |  FROM a$r$sfx JOIN $src USING (vec_id), range($dim) i
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""c$r$sfx AS MATERIALIZED (
            |  SELECT cid, list_transform(
            |    list_sort(list(struct_pack(pos := pos, m := m))), x -> x.m)
            |    AS ce
-           |  FROM dims$r GROUP BY cid)""".stripMargin)
+           |  FROM dims$r$sfx GROUP BY cid)""".stripMargin)
     }
     (head ++ perRound).mkString(",\n")
+  }
+
+  /** The PQ oracle scaffold: M subspace slices of `t`, one unrolled
+    * Lloyd chain per slice (EXACTLY MaxRounds rounds — see
+    * [[PQ.OracleRounds]]), and a final withD2 assignment per slice.
+    */
+  private def sqlPqChains: String = {
+    val r = PQ.OracleRounds
+    val slices = (0 until PQ.M).map { j =>
+      s"t_s$j AS (SELECT vec_id, " +
+        s"e[${j * PQ.SubDim + 1}:${(j + 1) * PQ.SubDim}] AS e FROM t)"
+    }
+    val chains = (0 until PQ.M).map { j =>
+      sqlKmeansCtes(r, s"_s$j", s"t_s$j", PQ.SubDim, PQ.K)
+    }
+    val finals = (0 until PQ.M).map { j =>
+      sqlKmeansAssign(s"af_s$j", s"c${r}_s$j", withD2 = true, s"_s$j")
+    }
+    (slices ++ chains ++ finals).mkString(",\n")
   }
 
   private lazy val sqlIvf =

@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryHarness.{spark, sf0001}
+
+/** PQ (n9/n10): the oracle pins codes, reconstruction errors and ADC
+  * distances bit-for-bit; these specs pin the structural claims the
+  * oracle can't see — codebook shape, the map-only (join-free) encode
+  * plan, and the ADC result's basic geometry.
+  */
+class PqSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("codebooks: M books of K centroids, each SubDim wide") {
+    val cb = PQ.fit(spark, sf0001)
+    assert(cb.books.size == PQ.M)
+    cb.books.foreach { m =>
+      assert(m.centroids.size == PQ.K)
+      assert(m.centroids.map(_._1) == (0L until PQ.K.toLong))
+      m.centroids.foreach { case (_, c) => assert(c.length == PQ.SubDim) }
+    }
+  }
+
+  test("n9 emits M codes in [0, K) per vector") {
+    val out = graft.SparkEntry.queries("n9_pq_encode")(spark, sf0001)
+      .select(col("vec_id"), col("codes"), col("err")).localCheckpoint()
+    assert(out.where(size(col("codes")) =!= PQ.M).isEmpty)
+    assert(out.where(expr(
+      s"exists(codes, c -> c < 0 OR c >= ${PQ.K})")).isEmpty)
+    // quantization error is a sum of squared distances: never negative
+    assert(out.where(col("err") < 0).isEmpty)
+  }
+
+  test("n9 encode plan is join-free (a map-only pass over the corpus)") {
+    val plan = graft.SparkEntry.queries("n9_pq_encode")(spark, sf0001)
+      .queryExecution.executedPlan
+    val joins = plan.collect {
+      case j if j.nodeName.contains("Join") => j.nodeName
+    }
+    assert(joins.isEmpty, s"encode should not join: $joins")
+  }
+
+  test("n10 ADC top-10 excludes the probe and is sorted nonnegative") {
+    val rows = graft.SparkEntry.queries("n10_pq_adc")(spark, sf0001)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_._1 != 0L))
+    assert(rows.forall(_._2 >= 0.0))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+  }
+}
