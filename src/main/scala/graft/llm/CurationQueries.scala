@@ -563,7 +563,32 @@ object CurationQueries {
           md5(concat(col("doc_id").cast("string"), lit(":"),
             col("epoch").cast("string"))).as("shuffle_key"))
         .orderBy("shuffle_key")
-    })
+    }),
+
+    // C11 — per-source duplication OBSERVABILITY: the accounting
+    // report a curation pipeline publishes after every crawl — how
+    // duplicated is each source, exactly (full-text digest) and at
+    // prefix level (c8's 64-char key, which catches boilerplate-
+    // header families exact hashing misses). One grouped aggregate
+    // with two exact distincts over 16-byte BINARY digests (the d1
+    // discipline — the shuffle carries digests, never text); Spark
+    // plans the multi-distinct via Expand into the standard two-phase
+    // partial agg, so at 100 TB this is two digest-keyed exchanges of
+    // the corpus' keys and nothing else. Rates in integer PPM (x13).
+    "c11_source_dup_stats" -> ((s, d) =>
+      documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(unhex(md5(col("text")))).as("n_uniq"),
+          countDistinct(unhex(md5(substring(col("text"), 1, 64))))
+            .as("n_prefix_uniq"))
+        .select(col("source"), col("n_docs"), col("n_uniq"),
+          col("n_prefix_uniq"),
+          expr("(n_docs - n_uniq) * 1000000 div n_docs")
+            .as("exact_dup_ppm"),
+          expr("(n_docs - n_prefix_uniq) * 1000000 div n_docs")
+            .as("prefix_dup_ppm"))
+        .orderBy("source"))
   )
 
   private val sqlPairs =
@@ -705,6 +730,15 @@ object CurationQueries {
         |  md5(d.doc_id || ':' || i) AS shuffle_key
         |FROM documents d JOIN e USING (source),
         |  UNNEST(range(1, e.epochs + 1)) AS t(i)
-        |ORDER BY shuffle_key""".stripMargin
+        |ORDER BY shuffle_key""".stripMargin,
+    "c11_source_dup_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_uniq,
+        |  count(DISTINCT md5(substr(text, 1, 64))) AS n_prefix_uniq,
+        |  (count(*) - count(DISTINCT md5(text))) * 1000000 // count(*)
+        |    AS exact_dup_ppm,
+        |  (count(*) - count(DISTINCT md5(substr(text, 1, 64)))) * 1000000
+        |    // count(*) AS prefix_dup_ppm
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -361,6 +361,84 @@ object SimilarityQueries {
             .reduce(_ + _), 6).as("ad2"))
         .orderBy("ad2", "vec_id")
         .limit(10)
+    }),
+
+    // N11 — BINARY (sign-bit) quantization + Hamming-distance ANN:
+    // the most aggressive quantization tier (below n4's int8 and
+    // n9's PQ codes) — each 64-dim vector becomes 64 sign bits
+    // packed into two 32-bit halves of BIGINTs, a 32× size cut
+    // (512 B → 16 B), and distance is `bit_count(xor)` — pure
+    // integer ALU work at memory-bandwidth speed, the exact shape
+    // modern vector stores run as their first-pass filter. The
+    // encode is ONE map-only codegen projection (the n9 argument);
+    // the probe is a 1-row broadcast; top-10 is TakeOrdered, no
+    // global sort. Two 32-bit halves rather than one 64-bit word
+    // keep `shiftleft(1L, 63)` sign-wrap semantics out of the
+    // cross-engine contract. Ties broken by vec_id in both engines.
+    "n11_binary_hamming" -> ((s, d) => {
+      val sig = embeddings(s, d)
+        .select(col("vec_id"), vecd(col("embedding")).as("e"))
+        .withColumn("sig_lo", expr(
+          "aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+            "acc + IF(element_at(e, i + 1) >= 0D, shiftleft(1L, i), 0L))"))
+        .withColumn("sig_hi", expr(
+          "aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+            "acc + IF(element_at(e, i + 33) >= 0D, shiftleft(1L, i), 0L))"))
+        .select(col("vec_id"), col("sig_lo"), col("sig_hi"))
+      val q = sig.where(col("vec_id") === 0)
+        .select(col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+      sig.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr("CAST(bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi)" +
+            " AS BIGINT)").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // N12 — IVF-PQ: the FULL FAISS serving recipe, composed from the
+    // pieces n6 and n10 proved separately — the coarse quantizer
+    // (n7's trained k-means, stored as the index's PARTITION column)
+    // prunes to the probe's 2 nearest clusters at PLANNING time, and
+    // within the surviving ~25% of the corpus distance runs in code
+    // space via PQ ADC (4 literal-centroid argmins + 4 table lookups
+    // per vector — no float-vector math at query time). This is THE
+    // billion-vector index layout: at 100 TB the coarse index decides
+    // which files exist for the query, and the fine index decides how
+    // cheap each surviving row is. Both models are driver-held
+    // literals (k·dim + M·K doubles); the plan is a pruned scan +
+    // map-only projection + TakeOrdered — no join, no shuffle.
+    "n12_ivf_pq" -> ((s, d) => {
+      val model = KMeans.fit(s, d)
+      val cb = PQ.fit(s, d)
+      val probeVec = graft.Tables.embeddings(s, d)
+        .where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      val probed = model.centroids
+        .map { case (cid, ce) =>
+          (cid, ce.zip(probeVec).foldLeft(0.0) {
+            case (acc, (a, b)) => acc + a * b })
+        }
+        .sortBy { case (cid, score) => (-score, cid) }
+        .take(2).map(_._1)
+      val luts = PQ.adcTable(probeVec, cb)
+      val idx = s.read.parquet(trainedIndexDir(s, d))
+        .where(col("cid").isin(probed: _*))
+        .where(col("vec_id") =!= 0)
+      val withSubs = (0 until PQ.M).foldLeft(idx) { (df, j) =>
+        val ej = PQ.subVec(col("e"), j)
+        df.withColumn(s"m$j", KMeans.assignColOn(
+          cb.books(j).centroids, ej,
+          graft.functions.DotProduct(ej, ej)))
+      }
+      withSubs.select(col("vec_id"), col("cid").cast("long").as("cid"),
+        round((0 until PQ.M).map(j =>
+          element_at(typedlit(luts(j)),
+            col(s"m$j.cid").cast("int") + 1))
+          .reduce(_ + _), 6).as("ad2"))
+        .orderBy("ad2", "vec_id")
+        .limit(10)
     })
   )
 
@@ -775,6 +853,59 @@ object SimilarityQueries {
          |${(0 until PQ.M)
               .map(j => s"JOIN l$j ON l$j.cid = af_s$j.cid").mkString(" ")}
          |WHERE vec_id <> 0
+         |ORDER BY ad2, vec_id LIMIT 10""".stripMargin,
+    "n11_binary_hamming" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(32), i ->
+        |    CASE WHEN e[i + 1] >= 0 THEN (1::BIGINT << i)
+        |         ELSE 0::BIGINT END)) AS BIGINT) AS sig_lo,
+        |  CAST(list_sum(list_transform(range(32), i ->
+        |    CASE WHEN e[i + 33] >= 0 THEN (1::BIGINT << i)
+        |         ELSE 0::BIGINT END)) AS BIGINT) AS sig_hi
+        |  FROM t),
+        |q AS (SELECT sig_lo AS q_lo, sig_hi AS q_hi FROM s
+        |      WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(bit_count(xor(sig_lo, q_lo)) + bit_count(xor(sig_hi, q_hi))
+        |    AS BIGINT) AS hamming
+        |FROM s, q WHERE vec_id <> 0
+        |ORDER BY hamming, vec_id LIMIT 10""".stripMargin,
+    // n12: the n6 coarse chain (full-vector unrolled Lloyd → 2
+    // nearest trained centroids) gates which vec_ids exist for the
+    // query; the n10 fine chains (4 subspace Lloyd unrolls + ADC
+    // lookup CTEs) price the survivors.
+    "n12_ivf_pq" ->
+      s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |${sqlKmeansCtes(KMeans.OracleRounds)},
+         |${sqlKmeansAssign("af", s"c${KMeans.OracleRounds}",
+            withD2 = false)},
+         |q AS (SELECT e AS qe FROM t WHERE vec_id = 0),
+         |nearest AS (
+         |  SELECT cid FROM c${KMeans.OracleRounds}, q
+         |  ORDER BY list_inner_product(ce, qe) DESC, cid LIMIT 2),
+         |$sqlPqChains,
+         |${(0 until PQ.M).map { j =>
+              val a = j * PQ.SubDim + 1
+              val b = (j + 1) * PQ.SubDim
+              s"""l$j AS (
+                 |  SELECT cid,
+                 |    list_inner_product(qe[$a:$b], qe[$a:$b])
+                 |      - 2 * list_inner_product(qe[$a:$b], ce)
+                 |      + list_inner_product(ce, ce) AS d2
+                 |  FROM c${PQ.OracleRounds}_s$j, q)""".stripMargin
+            }.mkString(",\n")}
+         |SELECT t.vec_id, CAST(af.cid AS BIGINT) AS cid,
+         |  round(${(0 until PQ.M)
+              .map(j => s"l$j.d2").mkString(" + ")}, 6) AS ad2
+         |FROM t JOIN af USING (vec_id)
+         |${(0 until PQ.M)
+              .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+         |${(0 until PQ.M)
+              .map(j => s"JOIN l$j ON l$j.cid = af_s$j.cid").mkString(" ")}
+         |WHERE af.cid IN (SELECT cid FROM nearest) AND t.vec_id <> 0
          |ORDER BY ad2, vec_id LIMIT 10""".stripMargin
   )
 

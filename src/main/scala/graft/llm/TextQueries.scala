@@ -496,6 +496,58 @@ object TextQueries {
           expr("sum(21 - length(bin(cppm))) * 1000 DIV count(1)")
             .as("milli_bits"))
         .orderBy("doc_id")
+    }),
+
+    // X16 — BPE MERGE-RULE TRAINING (the iterative half of the
+    // tokenizer x12 only ranked): 3 rounds of "count adjacent symbol
+    // pairs, merge the most frequent" over space-separated character
+    // sequences — the textbook byte-pair-encoding trainer. The scale
+    // shape is what makes this Spark-viable: the CORPUS is touched
+    // exactly once (the word-frequency aggregate — BPE statistics
+    // only ever depend on (word, count)); every Lloyd-style round
+    // after that iterates the VOCABULARY table (bounded, like x12's
+    // rank domain, localCheckpoint'd like c1's frontier), and the
+    // learned state is 1 row per round — driver-held for the same
+    // reason k-means centroids are. Merge application is literal
+    // `replace` of ' l r ' → ' lr ' iterated 4× to a fixpoint (a
+    // single pass misses occurrences that share a separator space
+    // with a replaced one; BpeSpec pins pass 5 as a no-op), with
+    // space-wrapped patterns so a symbol can never match inside a
+    // longer symbol. Ties break (freq DESC, lhs, rhs) in both
+    // engines.
+    "x16_bpe_train" -> ((s, d) => {
+      val wf = documents(s, d)
+        .select(explode(
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          .as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(concat(lit(" "),
+          regexp_replace(col("word"), "(.)", "$1 ")).as("seq"), col("cnt"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      var cur = wf
+      for (r <- 1 to 3) {
+        val top = cur
+          .select(expr("split(trim(seq), ' ')").as("tk"), col("cnt"))
+          .select(col("cnt"), col("tk"),
+            explode(expr("slice(sequence(1, size(tk)), 1, size(tk) - 1)"))
+              .as("i"))
+          .select(expr("element_at(tk, i)").as("lhs"),
+            expr("element_at(tk, i + 1)").as("rhs"), col("cnt"))
+          .groupBy("lhs", "rhs").agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+          .limit(1).head()
+        val (l, rr, f) =
+          (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((r.toLong, l, rr, f))
+        val (pat, rep) = (lit(s" $l $rr "), lit(s" $l$rr "))
+        cur = cur.select(
+          (1 to 4).foldLeft(col("seq"))((c, _) => replace(c, pat, rep))
+            .as("seq"), col("cnt"))
+          .localCheckpoint()
+      }
+      import s.implicits._
+      merges.result().toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
     })
   )
 
@@ -524,8 +576,47 @@ object TextQueries {
          |FROM hs h LEFT JOIN ov USING (doc_id)
          |WHERE NOT (h.doc_id % 97 = 0 AND h.doc_id < $BenchBudget)
          |ORDER BY doc_id""".stripMargin
+    // One BPE round over the seq relation `prev`: pair counts from
+    // adjacent tokens, top-1 by (freq DESC, lhs, rhs), 4-pass
+    // space-wrapped replace — the exact mirror of the Scala loop.
+    def bpeRound(prev: String, r: Int): String =
+      s"""px$r AS (
+         |  SELECT tk, cnt, unnest(range(len(tk) - 1)) AS i
+         |  FROM (SELECT string_split(trim(seq), ' ') AS tk, cnt
+         |        FROM $prev)),
+         |p$r AS (
+         |  SELECT tk[i + 1] AS lhs, tk[i + 2] AS rhs,
+         |    CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM px$r GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, freq FROM p$r
+         |        ORDER BY freq DESC, lhs, rhs LIMIT 1),
+         |s$r AS (
+         |  SELECT replace(replace(replace(replace(seq,
+         |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+         |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+         |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+         |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')
+         |    AS seq, cnt
+         |  FROM $prev, b$r)""".stripMargin
     Map(
       "x9_decontaminate_bloom" -> decontamSql,
+      "x16_bpe_train" ->
+        s"""WITH wf AS (
+           |  SELECT w AS word, count(*) AS cnt FROM (
+           |    SELECT unnest(list_filter(
+           |      regexp_split_to_array(lower(text), '\\s+'),
+           |      x -> x <> '')) AS w
+           |    FROM documents) GROUP BY 1),
+           |s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+           |         AS seq, cnt FROM wf),
+           |${bpeRound("s0", 1)},
+           |${bpeRound("s1", 2)},
+           |${bpeRound("s2", 3)}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS rank, lhs, rhs, freq FROM b1
+           |  UNION ALL SELECT 2, lhs, rhs, freq FROM b2
+           |  UNION ALL SELECT 3, lhs, rhs, freq FROM b3)
+           |ORDER BY rank""".stripMargin,
       "x1_langid" ->
         s"""WITH t AS (
            |  SELECT doc_id,

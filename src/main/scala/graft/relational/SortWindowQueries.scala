@@ -123,6 +123,72 @@ object SortWindowQueries {
             .over(w.rowsBetween(-3, Window.currentRow))
             .cast("double").as("mov_sum"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // W3 — ordered conversion FUNNEL (view → click → purchase, each
+    // stage strictly after the previous one's FIRST occurrence): the
+    // canonical product-analytics query. The sequential dependency
+    // (first qualifying click needs the first view's time) is three
+    // chained whole-partition window minima over ONE user_id
+    // partitioning — a single exchange, three Window nodes, then a
+    // same-key groupBy that reuses the partitioning (no second
+    // shuffle; .explain-audited). This is the shape that survives
+    // 100 TB: the naive per-stage aggregate-and-join-back plan
+    // shuffles the event log once per stage and carries a user-level
+    // relation that may not broadcast; here per-user event width is
+    // bounded and nothing user-level ever ships. Conversion rates are
+    // integer PPM (x13 discipline) so no float crosses the engines.
+    "w3_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      val staged = events(s, d)
+        .withColumn("us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("event_type"), col("us"))
+        .withColumn("tv",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("tc",
+          min(when(col("event_type") === "click" &&
+            col("us") > col("tv"), col("us"))).over(w))
+        .withColumn("tp",
+          min(when(col("event_type") === "purchase" &&
+            col("us") > col("tc"), col("us"))).over(w))
+      staged.groupBy("user_id")
+        .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"),
+          max(col("tp")).as("tp"))
+        .agg(count(col("tv")).as("users_view"),
+          count(col("tc")).as("users_click"),
+          count(col("tp")).as("users_purchase"))
+        .select(col("users_view"), col("users_click"),
+          col("users_purchase"),
+          expr("users_click * 1000000 div users_view").as("click_ppm"),
+          expr("users_purchase * 1000000 div users_view")
+            .as("purchase_ppm"))
+    }),
+
+    // W4 — retention COHORT matrix: users bucketed by signup week,
+    // activity counted per week offset since each user's own signup
+    // day — the second canonical product-analytics query. Time is
+    // exact integer day numbers (`ts_ns div ns-per-day`), offsets are
+    // integer `div 7`, so the matrix is engine-exact with no calendar
+    // functions in the hot path. Plan shape: ONE user_id window
+    // (bounded per-user width) tags every event with its user's
+    // cohort day map-side after the single exchange; the final agg is
+    // keyed on (cohort_week, week_offset) — a bounded matrix, with
+    // the exact distinct-user count expanding to the standard
+    // two-phase partial agg. Pre-signup events are excluded (a user
+    // is not retained before existing).
+    "w4_retention_cohort" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      events(s, d)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .select(col("user_id"), col("event_type"), col("day"))
+        .withColumn("cohort_day",
+          min(when(col("event_type") === "signup", col("day"))).over(w))
+        .where(col("cohort_day").isNotNull &&
+          col("day") >= col("cohort_day"))
+        .groupBy(expr("cohort_day div 7").as("cohort_week"),
+          expr("(day - cohort_day) div 7").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -184,6 +250,51 @@ object SortWindowQueries {
         |    AS mov_sum
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w3_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |tv AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS tv
+        |  FROM e GROUP BY 1),
+        |tc AS (
+        |  SELECT e.user_id, min(us) AS tc
+        |  FROM e JOIN tv USING (user_id)
+        |  WHERE event_type = 'click' AND us > tv GROUP BY 1),
+        |tp AS (
+        |  SELECT e.user_id, min(us) AS tp
+        |  FROM e JOIN tc USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > tc GROUP BY 1),
+        |f AS (
+        |  SELECT
+        |    (SELECT count(*) FROM tv WHERE tv IS NOT NULL) AS users_view,
+        |    (SELECT count(*) FROM tc) AS users_click,
+        |    (SELECT count(*) FROM tp) AS users_purchase)
+        |SELECT users_view, users_click, users_purchase,
+        |  CASE WHEN users_view = 0 THEN NULL
+        |       ELSE users_click * 1000000 // users_view END AS click_ppm,
+        |  CASE WHEN users_view = 0 THEN NULL
+        |       ELSE users_purchase * 1000000 // users_view END
+        |    AS purchase_ppm
+        |FROM f""".stripMargin,
+    "w4_retention_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN day END) AS cohort_day
+        |  FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT e.user_id, cohort_day, day
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE cohort_day IS NOT NULL AND day >= cohort_day)
+        |SELECT cohort_day // 7 AS cohort_week,
+        |  (day - cohort_day) // 7 AS week_offset,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

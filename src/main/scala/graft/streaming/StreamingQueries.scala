@@ -409,25 +409,10 @@ object StreamingQueries {
     // side of the platform loop t6 writes: table in, feed out, both
     // under the streaming engine's exactly-once offsets.
     "t10_stream_change_feed" -> ((s, d) => {
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_t10_table_").toString + "/tbl"
-      val ev = graft.Tables.events(s, d).select(col("user_id"),
-        col("event_id"), col("value").cast("decimal(18,2)").as("v"))
-      def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
-        count(lit(1)).as("n_events"),
-        sum(col("v")).cast("decimal(38,2)").as("sum_val"))
-      graft.pol.PoolJsonSink.upsertPartitioned(s, table,
-        agg(ev.where(col("event_id") % 2 === 0)), col("user_id"),
-        nBuckets = 16)
-      graft.pol.PoolJsonSink.mergeDelta(s, table,
-        agg(ev.where(col("event_id") % 2 === 1)), col("user_id"),
-        nBuckets = 16)(
-        _.groupBy("user_id").agg(
-          sum(col("n_events")).as("n_events"),
-          sum(col("sum_val")).cast("decimal(38,2)").as("sum_val")))
-      graft.pol.PoolJsonSink.deletePartitioned(s, table,
-        ev.where(col("user_id") % 7 === 0).select("user_id").distinct(),
-        col("user_id"), nBuckets = 16)
+      // the staged three-version history is SHARED with j3/j4/t11
+      // (the table exists in production; the measured operator is the
+      // streamed feed) — see JoinQueries.stagedChangeTable
+      val table = graft.relational.JoinQueries.stagedChangeTable(s, d)
       val name = s"graft_stream_${sinkId.incrementAndGet()}"
       runToCompletion(s)(
         s.readStream.format("graft")
@@ -466,27 +451,11 @@ object StreamingQueries {
     // every always-fresh dashboard over a mutating corpus: feed in,
     // delta-sized merges out, no re-aggregation anywhere.
     "t11_stream_incremental_mv" -> ((s, d) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_t11_").toString
-      val table = s"$base/tbl"
-      val mv = s"$base/mv"
-      val ev = graft.Tables.events(s, d).select(col("user_id"),
-        col("event_id"), col("value").cast("decimal(18,2)").as("v"))
-      def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
-        count(lit(1)).as("n_events"),
-        sum(col("v")).cast("decimal(38,2)").as("sum_val"))
-      graft.pol.PoolJsonSink.upsertPartitioned(s, table,
-        agg(ev.where(col("event_id") % 2 === 0)), col("user_id"),
-        nBuckets = 16)
-      graft.pol.PoolJsonSink.mergeDelta(s, table,
-        agg(ev.where(col("event_id") % 2 === 1)), col("user_id"),
-        nBuckets = 16)(
-        _.groupBy("user_id").agg(
-          sum(col("n_events")).as("n_events"),
-          sum(col("sum_val")).cast("decimal(38,2)").as("sum_val")))
-      graft.pol.PoolJsonSink.deletePartitioned(s, table,
-        ev.where(col("user_id") % 7 === 0).select("user_id").distinct(),
-        col("user_id"), nBuckets = 16)
+      // source history shared with j3/j4/t10 (read-only); the MV
+      // table this stream MAINTAINS is per-run scratch
+      val table = graft.relational.JoinQueries.stagedChangeTable(s, d)
+      val mv = java.nio.file.Files
+        .createTempDirectory("graft_t11_").toString + "/mv"
       runToCompletion(s)(
         s.readStream.format("graft")
           .option("changeKey", "user_id")

@@ -42,8 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "n7_kmeans", // k-row centroid broadcast: assign is map-side by design
     "n8_ann_recall", // composes n1 + n6, so it inherits their 1-row
                      // probe broadcasts; its own semi-join is 10×10
-    "c10_epoch_mix") // 1-row global-mean broadcast against the
+    "c10_epoch_mix", // 1-row global-mean broadcast against the
                      // source-keyed epoch config (config-sized)
+    "n11_binary_hamming") // 1-row packed-signature probe broadcast
   // x8/x9 explode AND broadcast the benchmark shingle set on purpose
   // (benchmarks are MBs by contract; the corpus is the probe side);
   // c9 embeds x8's plan wholesale for its quarantine flags.
