@@ -96,8 +96,68 @@ object KMeans {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Model]()
 
+  /** Corpus cache key: path + the embeddings file's (mtime, size)
+    * fingerprint, so a REGENERATED corpus (the round-5 testdata
+    * migration made this a real event) can never serve a stale
+    * trained model or index.
+    */
+  private[llm] def corpusKey(d: String): String = {
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val fp = s"$d:${src.lastModified}:${src.length}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+  }
+
+  /** The model REGISTRY: trained models persist as bit-exact text
+    * (Double.toString/parseDouble round-trips exactly in Java) keyed
+    * by corpus fingerprint, so a fresh process SERVING the index
+    * loads the model instead of retraining it — at 400k vectors
+    * training is minutes, loading is milliseconds, and a production
+    * query path must never pay the former. Write is tmp+rename
+    * (atomic publish; a crashed writer leaves no partial file).
+    */
+  private[llm] def modelFile(name: String, d: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_model_${name}_${corpusKey(d)}.txt")
+
+  private[llm] def saveModel(m: Model, f: java.io.File): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"rounds ${m.rounds}\n")
+    m.centroids.foreach { case (cid, c) =>
+      sb.append(cid).append(' ')
+        .append(c.map(java.lang.Double.toString).mkString(" "))
+        .append('\n')
+    }
+    val tmp = java.io.File.createTempFile(
+      f.getName, ".tmp", f.getParentFile)
+    java.nio.file.Files.write(
+      tmp.toPath, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    tmp.renameTo(f); ()
+  }
+
+  private[llm] def loadModel(f: java.io.File): Option[Model] =
+    if (!f.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try {
+        val lines = src.getLines().toSeq
+        val rounds = lines.head.stripPrefix("rounds ").trim.toInt
+        val cents = lines.tail.filter(_.nonEmpty).map { l =>
+          val parts = l.split(' ')
+          parts.head.toLong ->
+            parts.tail.map(java.lang.Double.parseDouble)
+        }
+        Some(Model(cents, rounds))
+      } finally src.close()
+    }
+
   def fit(s: SparkSession, d: String): Model =
-    cache.computeIfAbsent(d, _ => fitImpl(s, d))
+    cache.computeIfAbsent(d, _ => {
+      val f = modelFile("kmeans", d)
+      loadModel(f).getOrElse {
+        val m = fitImpl(s, d); saveModel(m, f); m
+      }
+    })
 
   private def fitImpl(s: SparkSession, d: String): Model =
     fitOn(corpus(s, d), K)

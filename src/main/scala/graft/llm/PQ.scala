@@ -63,16 +63,27 @@ object PQ {
 
   def fit(s: SparkSession, d: String): Codebooks =
     cache.computeIfAbsent(d, _ => {
-      val t = graft.Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("full"))
-        .localCheckpoint()
-      Codebooks((0 until M).map { j =>
-        val ej = subVec(col("full"), j)
-        KMeans.fitOn(
-          t.select(col("vec_id"), ej.as("e"),
-            graft.functions.DotProduct(ej, ej).as("ee")), K)
-      })
+      // the KMeans model-registry contract applied per subspace:
+      // serving processes load the trained codebooks from disk
+      // instead of re-running M Lloyd chains
+      val files = (0 until M).map(j => KMeans.modelFile(s"pq$j", d))
+      val loaded = files.map(KMeans.loadModel)
+      if (loaded.forall(_.isDefined)) Codebooks(loaded.map(_.get))
+      else {
+        val t = graft.Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("full"))
+          .localCheckpoint()
+        val books = (0 until M).map { j =>
+          val ej = subVec(col("full"), j)
+          val m = KMeans.fitOn(
+            t.select(col("vec_id"), ej.as("e"),
+              graft.functions.DotProduct(ej, ej).as("ee")), K)
+          KMeans.saveModel(m, files(j))
+          m
+        }
+        Codebooks(books)
+      }
     })
 
   /** Sequential left-fold dot — the same reduction order as

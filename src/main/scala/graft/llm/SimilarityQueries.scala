@@ -401,13 +401,17 @@ object SimilarityQueries {
     // (n7's trained k-means, stored as the index's PARTITION column)
     // prunes to the probe's 2 nearest clusters at PLANNING time, and
     // within the surviving ~25% of the corpus distance runs in code
-    // space via PQ ADC (4 literal-centroid argmins + 4 table lookups
-    // per vector — no float-vector math at query time). This is THE
-    // billion-vector index layout: at 100 TB the coarse index decides
-    // which files exist for the query, and the fine index decides how
-    // cheap each surviving row is. Both models are driver-held
-    // literals (k·dim + M·K doubles); the plan is a pruned scan +
-    // map-only projection + TakeOrdered — no join, no shuffle.
+    // space via PQ ADC (4 table lookups + 3 adds per vector). The
+    // index stores CODES, not vectors — PQ encoding happened once at
+    // index-build ([[trainedPqIndexDir]]), so the serving scan's
+    // ReadSchema is (vec_id, codes): the 64-double embedding column
+    // does not exist in the index at all, and the per-row query cost
+    // is integer lookups over 32 bytes instead of float math over
+    // 512. This is THE billion-vector layout: the coarse index
+    // decides which FILES exist for the query, the code column
+    // decides how cheap each surviving row is. Both models are
+    // driver-held literals; the plan is a pruned scan + map-only
+    // projection + TakeOrdered — no join, no shuffle (spec-pinned).
     "n12_ivf_pq" -> ((s, d) => {
       val model = KMeans.fit(s, d)
       val cb = PQ.fit(s, d)
@@ -423,20 +427,14 @@ object SimilarityQueries {
         .sortBy { case (cid, score) => (-score, cid) }
         .take(2).map(_._1)
       val luts = PQ.adcTable(probeVec, cb)
-      val idx = s.read.parquet(trainedIndexDir(s, d))
+      s.read.parquet(trainedPqIndexDir(s, d))
         .where(col("cid").isin(probed: _*))
         .where(col("vec_id") =!= 0)
-      val withSubs = (0 until PQ.M).foldLeft(idx) { (df, j) =>
-        val ej = PQ.subVec(col("e"), j)
-        df.withColumn(s"m$j", KMeans.assignColOn(
-          cb.books(j).centroids, ej,
-          graft.functions.DotProduct(ej, ej)))
-      }
-      withSubs.select(col("vec_id"), col("cid").cast("long").as("cid"),
-        round((0 until PQ.M).map(j =>
-          element_at(typedlit(luts(j)),
-            col(s"m$j.cid").cast("int") + 1))
-          .reduce(_ + _), 6).as("ad2"))
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          round((0 until PQ.M).map(j =>
+            element_at(typedlit(luts(j)),
+              element_at(col("codes"), j + 1).cast("int") + 1))
+            .reduce(_ + _), 6).as("ad2"))
         .orderBy("ad2", "vec_id")
         .limit(10)
     })
@@ -513,10 +511,8 @@ object SimilarityQueries {
     * concurrent/repeated queries reuse it.
     */
   private def trainedIndexDir(s: SparkSession, d: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_ivf_trained_$key")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_trained_${KMeans.corpusKey(d)}")
     val ready = new java.io.File(dir, "_INDEX_READY")
     if (!ready.exists()) {
       val model = KMeans.fit(s, d)
@@ -524,6 +520,41 @@ object SimilarityQueries {
         .withColumn("ee", dot("e", "e"))
         .withColumn("cid", KMeans.assignCol(model.centroids).getField("cid"))
         .select(col("vec_id"), col("e"), col("norm"), col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(dir.toString)
+      ready.createNewFile()
+    }
+    dir.toString
+  }
+
+  /** Build (once per corpus dir) the IVF-PQ serving index: every
+    * vector assigned to its trained coarse cluster (the partition
+    * column) AND PQ-encoded (the M-code column) in ONE map-only
+    * pass — both models enter as literals. The written files carry
+    * (vec_id, codes) only: the float vectors are consumed at build
+    * time and never stored, which is the whole IVF-PQ storage story
+    * (16 B of codes + key per vector instead of 512 B of floats).
+    */
+  private def trainedPqIndexDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfpq_trained_${KMeans.corpusKey(d)}")
+    val ready = new java.io.File(dir, "_INDEX_READY")
+    if (!ready.exists()) {
+      val model = KMeans.fit(s, d)
+      val cb = PQ.fit(s, d)
+      val b = base(s, d).withColumn("ee", dot("e", "e"))
+        .withColumn("cid",
+          KMeans.assignCol(model.centroids).getField("cid"))
+      val withSubs = (0 until PQ.M).foldLeft(b) { (df, j) =>
+        val ej = PQ.subVec(col("e"), j)
+        df.withColumn(s"m$j", KMeans.assignColOn(
+          cb.books(j).centroids, ej,
+          graft.functions.DotProduct(ej, ej)))
+      }
+      withSubs
+        .select(col("vec_id"),
+          array((0 until PQ.M).map(j => col(s"m$j.cid")): _*).as("codes"),
+          col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(dir.toString)
       ready.createNewFile()

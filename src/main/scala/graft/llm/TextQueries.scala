@@ -548,6 +548,42 @@ object TextQueries {
       }
       import s.implicits._
       merges.result().toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
+    }),
+
+    // X17 — heavy hitters under a COUNT-MIN SKETCH, delivering x7's
+    // own scale note ("for unbounded vocabularies the same shape runs
+    // under a count-min sketch"): one pass folds every token into a
+    // fixed-size CMS (eps 1e-4 × depth 10 — ~1.6 MB regardless of
+    // corpus size, merged order-independently like o5's HLL), and the
+    // exact top-20 counts are then checked against the sketch's
+    // estimates — CMS guarantees est >= exact, and the within_tol
+    // flag pins the overestimate under max(5%, 1). The o5/r20
+    // exact-vs-approx substitution pattern applied to frequency: the
+    // oracle states the exact counts and the invariant, the sketch
+    // earns its place by passing it. Driver state is the sketch (1
+    // row, constant size) + the 20-row top-k — the ANN-probe/model-
+    // state collect class, never corpus-sized.
+    "x17_topk_sketch" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(explode(
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          .as("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok"))
+        .limit(20)
+      val skRow = toks.agg(
+        expr("count_min_sketch(tok, 0.0001d, 0.999d, 42)").as("sk"))
+        .head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+      val rows = exact.collect().toSeq.map { r =>
+        val (tok, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(tok)
+        (tok, n, est >= n && est <= n + math.max(1L, n / 20))
+      }
+      import s.implicits._
+      rows.toDF("tok", "n_exact", "within_tol")
+        .orderBy(col("n_exact").desc, col("tok"))
     })
   )
 
@@ -711,6 +747,14 @@ object TextQueries {
           |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
           |  FROM documents)
           |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+      // x17: the oracle is the exact top-20 plus the invariant the
+      // sketch must satisfy (o5's TRUE-flag pattern)
+      "x17_topk_sketch" ->
+        """SELECT tok, count(*) AS n_exact, TRUE AS within_tol FROM (
+          |  SELECT unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+          |  FROM documents)
+          |GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20""".stripMargin,
       "x8_decontaminate" -> decontamSql,
       "x10_gopher_rules" ->
         """WITH t AS (

@@ -42,6 +42,12 @@ object ScaleProbe {
     */
   private def generate(spark: SparkSession, nDocs: Long, dir: String): Unit = {
     import spark.implicits._
+    // generation is deterministic per (nDocs), so an existing corpus
+    // of the same size is bit-identical — skip the rewrite. Keeping
+    // file mtimes stable is also what lets the KMeans/PQ model
+    // registry (fingerprint-keyed) serve across probe invocations.
+    val marker = new java.io.File(dir, s"_GEN_$nDocs")
+    if (marker.isFile) return
     val docs = spark.range(nDocs).map { jid =>
       val id: Long = jid
       // a planted near-dup every 50 docs: doc 50k+1 = doc 50k with one
@@ -77,6 +83,7 @@ object ScaleProbe {
         types(((st >>> 3) % types.length).toInt.abs), value, """{"k": 1}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    marker.createNewFile(); ()
   }
 
   def main(args: Array[String]): Unit = {

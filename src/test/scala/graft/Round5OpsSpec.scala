@@ -108,12 +108,17 @@ class Round5OpsSpec extends AnyFunSuite {
       val scans = plan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
             if f.metadata.get("Location")
-              .exists(_.contains("graft_ivf_trained")) => f
+              .exists(_.contains("graft_ivfpq_trained")) => f
       }
       assert(scans.nonEmpty, "no trained-index scan in the n12 plan")
       val pf = scans.head.metadata("PartitionFilters")
       assert("cid#\\d+ IN \\(\\d+,\\d+\\)".r.findFirstIn(pf).isDefined,
         s"expected a 2-cluster literal partition filter, got: $pf")
+      // the index stores codes, not vectors: the serving scan reads
+      // 32 B of codes per row, never a float embedding
+      val readSchema = scans.head.metadata("ReadSchema")
+      assert(readSchema.contains("codes") && !readSchema.contains("e:"),
+        s"serving must read codes only, got: $readSchema")
       // ADC is literal-table arithmetic: the whole query is join-free
       val joins = plan.collect {
         case j if j.nodeName.contains("Join") => j.nodeName

@@ -13,6 +13,38 @@ import graft.QueryHarness.{spark, sf0001, sf001}
   */
 class KMeansSpec extends AnyFunSuite {
 
+  test("model registry: save/load round-trips the model bit-for-bit") {
+    val m = KMeans.fit(spark, sf0001)
+    val f = java.io.File.createTempFile("graft_model_rt", ".txt")
+    try {
+      KMeans.saveModel(m, f)
+      val back = KMeans.loadModel(f).get
+      assert(back.rounds == m.rounds)
+      assert(back.centroids.size == m.centroids.size)
+      back.centroids.zip(m.centroids).foreach {
+        case ((ci, ca), (pi, pa)) =>
+          assert(ci == pi)
+          // bit-for-bit, not approximate: the serving process must
+          // produce the identical literals the trainer would
+          assert(java.util.Arrays.equals(ca, pa))
+      }
+    } finally { f.delete(); () }
+  }
+
+  test("fit serves from the registry: a cleared in-memory cache " +
+    "still yields the identical model without retraining") {
+    val m1 = KMeans.fit(spark, sf0001)
+    // the registry file exists after the first fit; loading it
+    // directly is what a fresh JVM's fit() resolves to
+    val loaded = KMeans.loadModel(
+      KMeans.modelFile("kmeans", sf0001)).get
+    assert(loaded.rounds == m1.rounds)
+    loaded.centroids.zip(m1.centroids).foreach {
+      case ((ci, ca), (pi, pa)) =>
+        assert(ci == pi && java.util.Arrays.equals(ca, pa))
+    }
+  }
+
   test("fit converges to an exact fixpoint within the cap") {
     val m1 = KMeans.fit(spark, sf0001)
     val m2 = KMeans.fit(spark, sf001)
