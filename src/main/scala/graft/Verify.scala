@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_VERIFY_ONLY=x18_bpe_encode,n13_... restricts the dump to
+    // the named queries (fast local iteration on a new operator);
+    // unset = the full catalog (the driver contract).
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

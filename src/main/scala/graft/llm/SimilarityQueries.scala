@@ -281,6 +281,24 @@ object SimilarityQueries {
           (count(lit(1)).cast("double") / lit(10)).as("recall_at_10"))
     }),
 
+    // N13 — cosine RANGE search (all vectors with cos ≥ τ of the
+    // probe — the radius-query sibling of top-k, what dedup-by-
+    // threshold and recommendation cutoffs actually run) over the
+    // trained partitioned index, with EXACT metric-tree pruning: the
+    // index stores one extra statistic per cluster — the max member
+    // angle δ_c = acos(min cos(x, μ_c)), harvested at build time like
+    // a zone map — and a cluster can be skipped iff
+    // angle(q, μ_c) − δ_c > acos(τ), a sound triangle-inequality
+    // bound, so the pruned result is BIT-IDENTICAL to brute force
+    // (oracle-checked), never approximate. On tight clusters (real
+    // embedding corpora; RangeSearchSpec's fixture) this prunes most
+    // partitions at planning time via the literal IN — on diffuse
+    // corpora (this synthetic testdata: δ_c ≈ 100°) the bound keeps
+    // every cluster and the query degrades to n1's one-scan shape,
+    // which is the correct failure mode for an EXACT index: never
+    // wrong, pruning proportional to how clustered the data really is.
+    "n13_range_search" -> ((s, d) => rangeSearch(s, d, RangeTau)),
+
     // D12 — SemDeDup-style SEMANTIC dedup (public recipe: cluster the
     // embedding space, then dedup only WITHIN clusters — the cluster
     // assignment replaces d9's hyperplane buckets as the blocking
@@ -502,6 +520,106 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** n13's range-search threshold on the testdata corpora (~30–110
+    * matches across sf0.001–0.1). */
+  private[llm] val RangeTau = 0.2
+
+  private def clamp1(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+
+  /** Sequential left-fold dot — same order as the native expression
+    * and DuckDB, so driver-side centroid math is engine-identical. */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** n13's index statistic: per-cluster MIN cosine-to-own-centroid
+    * (equivalently the max member angle δ_c) — harvested in one scan
+    * of the trained index and persisted beside it (atomic tmp+rename,
+    * the zone-map movement applied to vector space). Computed at
+    * build time because it is a property of the INDEX, not of any
+    * query; a serving process reads k numbers, never the vectors.
+    */
+  private[llm] def clusterMinCos(s: SparkSession, d: String): Map[Long, Double] = {
+    val dir = trainedIndexDir(s, d)
+    val f = new java.io.File(dir, "_CLUSTER_STATS")
+    if (!f.isFile) {
+      val model = KMeans.fit(s, d)
+      val cosToOwn = model.centroids.foldLeft(lit(Double.NaN)) {
+        case (acc, (cid, ce)) =>
+          val cn = math.sqrt(dotSeq(ce, ce))
+          when(col("cid") === cid,
+            graft.functions.DotProduct(col("e"), typedlit(ce.toSeq)) /
+              (col("norm") * lit(cn))).otherwise(acc)
+      }
+      val rows = s.read.parquet(dir)
+        .select(col("cid").cast("long").as("cid"), cosToOwn.as("c"))
+        .groupBy("cid").agg(min(col("c")).as("mn"))
+        .collect() // k rows — the index statistic, not data
+      val sb = new StringBuilder
+      rows.sortBy(_.getLong(0)).foreach(r =>
+        sb.append(r.getLong(0)).append(' ')
+          .append(java.lang.Double.toString(r.getDouble(1))).append('\n'))
+      val tmp = java.io.File.createTempFile(f.getName, ".tmp", f.getParentFile)
+      java.nio.file.Files.write(tmp.toPath,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      tmp.renameTo(f); ()
+    }
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val a = l.split(' ')
+      a(0).toLong -> java.lang.Double.parseDouble(a(1))
+    }.toMap
+    finally src.close()
+  }
+
+  /** The sound cluster-pruning bound: keep cluster c iff
+    * angle(q, μ_c) − δ_c ≤ acos(τ) (+1e-9 slack for acos rounding).
+    * Any member x has angle(q, x) ≥ angle(q, μ_c) − angle(x, μ_c) ≥
+    * angle(q, μ_c) − δ_c, so a pruned cluster provably contains no
+    * vector with cos ≥ τ. A cid missing from the stats map is kept
+    * (conservative — never skip blind, the zone-map contract).
+    */
+  private[llm] def rangeSurvivors(
+      cents: Seq[(Long, Array[Double])], minCos: Map[Long, Double],
+      qe: Array[Double], qnorm: Double, tau: Double): Seq[Long] = {
+    val thTau = math.acos(clamp1(tau))
+    cents.collect {
+      case (cid, ce) if {
+        val cn = math.sqrt(dotSeq(ce, ce))
+        val angQ = math.acos(clamp1(dotSeq(ce, qe) / (qnorm * cn)))
+        val delta = math.acos(clamp1(minCos.getOrElse(cid, -1.0)))
+        angQ - delta <= thTau + 1e-9
+      } => cid
+    }
+  }
+
+  /** n13's plan: prune clusters driver-side via [[rangeSurvivors]]
+    * (k angle comparisons), then one literal-IN partition-pruned scan
+    * of the index with the exact cosine filter — n1's arithmetic on
+    * the survivors, so the result hash-matches brute force.
+    */
+  private[llm] def rangeSearch(
+      s: SparkSession, d: String, tau: Double): DataFrame = {
+    val model = KMeans.fit(s, d)
+    val stats = clusterMinCos(s, d)
+    val t = base(s, d)
+    val q = t.where(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("norm").as("qnorm"))
+    val qr = q.head
+    val (qe, qn) = (qr.getSeq[Double](0).toArray, qr.getDouble(1))
+    val cids = rangeSurvivors(model.centroids, stats, qe, qn, tau)
+    s.read.parquet(trainedIndexDir(s, d))
+      .where(col("cid").isin(cids: _*))
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("c", dot("e", "qe") / (col("norm") * col("qnorm")))
+      .where(col("c") >= tau)
+      .select(col("vec_id"), round(col("c"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
   /** Build (once per corpus dir, under java.io.tmpdir) n6's
     * cid-partitioned ANN index from the TRAINED k-means model: assign
     * every vector map-side (the model enters as literals), write
@@ -510,7 +628,7 @@ object SimilarityQueries {
     * is keyed by corpus path and completion-markered so
     * concurrent/repeated queries reuse it.
     */
-  private def trainedIndexDir(s: SparkSession, d: String): String = {
+  private[llm] def trainedIndexDir(s: SparkSession, d: String): String = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ivf_trained_${KMeans.corpusKey(d)}")
     val ready = new java.io.File(dir, "_INDEX_READY")
@@ -751,6 +869,17 @@ object SimilarityQueries {
          |  round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
          |FROM t, q WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // n13: brute-force range search — the pruned index plan must
+    // reproduce this exactly (the bound is sound, never lossy).
+    // Threshold compared on the UNROUNDED cosine in both engines.
+    "n13_range_search" ->
+      s"""WITH t AS ($sqlBase),
+         |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  round(list_inner_product(e, qe) / (norm * qnorm), 6) AS cos
+         |FROM t, q WHERE vec_id <> 0
+         |  AND list_inner_product(e, qe) / (norm * qnorm) >= $RangeTau
+         |ORDER BY vec_id""".stripMargin,
     "n4_embedding_quantize" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |           FROM embeddings),

@@ -67,6 +67,49 @@ object TextQueries {
       .drop("toks")
   }
 
+  /** x16/x18's shared BPE trainer: 3 rounds of "count adjacent symbol
+    * pairs over the (word, count) vocabulary, merge the most
+    * frequent". The corpus is touched once (the word-frequency
+    * aggregate); each round iterates the bounded vocabulary relation
+    * (localCheckpoint'd, the c1 frontier recipe) and yields ONE
+    * driver-held row — (rank, lhs, rhs, freq) — the learned model.
+    * Ties break (freq DESC, lhs, rhs) in both engines.
+    */
+  private[llm] def trainMerges(
+      s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+    val wf = documents(s, d)
+      .select(explode(
+        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 ")).as("seq"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var cur = wf
+    for (r <- 1 to 3) {
+      val top = cur
+        .select(expr("split(trim(seq), ' ')").as("tk"), col("cnt"))
+        .select(col("cnt"), col("tk"),
+          explode(expr("slice(sequence(1, size(tk)), 1, size(tk) - 1)"))
+            .as("i"))
+        .select(expr("element_at(tk, i)").as("lhs"),
+          expr("element_at(tk, i + 1)").as("rhs"), col("cnt"))
+        .groupBy("lhs", "rhs").agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+        .limit(1).head()
+      val (l, rr, f) =
+        (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, l, rr, f))
+      val (pat, rep) = (lit(s" $l $rr "), lit(s" $l$rr "))
+      cur = cur.select(
+        (1 to 4).foldLeft(col("seq"))((c, _) => replace(c, pat, rep))
+          .as("seq"), col("cnt"))
+        .localCheckpoint()
+    }
+    merges.result()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1 — language ID heuristic: stopword-list hit ratios, argmax of
     // two profiles with a deterministic tie rule.
@@ -516,38 +559,49 @@ object TextQueries {
     // longer symbol. Ties break (freq DESC, lhs, rhs) in both
     // engines.
     "x16_bpe_train" -> ((s, d) => {
-      val wf = documents(s, d)
-        .select(explode(
+      import s.implicits._
+      trainMerges(s, d).toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
+    }),
+
+    // X18 — BPE ENCODE with the TRAINED merges (the apply half of
+    // x16, closing the tokenizer train→apply loop exactly the way
+    // n7→n6 closed k-means train→index→serve): the 3 learned merge
+    // rules re-enter the plan as LITERALS inside nested `replace`
+    // chains, so encoding the corpus is ONE map-side explode
+    // (words) + a codegen'd projection + one bounded per-doc
+    // aggregate — the corpus is touched once, and a 1000-executor
+    // run is byte-identical to the oracle because token counts are
+    // integers end to end (compression reported as floor-ppm, the
+    // x12/x13 integer discipline). Merge application is rank-order
+    // sequential — the textbook BPE encoder — with the same 4-pass
+    // space-wrapped replace-to-fixpoint x16 trains with. At 100 TB
+    // the merges come off the model registry (the KMeans.saveModel
+    // movement) instead of being retrained in-session; either way
+    // they are driver-held rows, never a join side.
+    "x18_bpe_encode" -> ((s, d) => {
+      val merges = trainMerges(s, d)
+      val words = documents(s, d)
+        .select(col("doc_id"), explode(
           expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
           .as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(concat(lit(" "),
-          regexp_replace(col("word"), "(.)", "$1 ")).as("seq"), col("cnt"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      var cur = wf
-      for (r <- 1 to 3) {
-        val top = cur
-          .select(expr("split(trim(seq), ' ')").as("tk"), col("cnt"))
-          .select(col("cnt"), col("tk"),
-            explode(expr("slice(sequence(1, size(tk)), 1, size(tk) - 1)"))
-              .as("i"))
-          .select(expr("element_at(tk, i)").as("lhs"),
-            expr("element_at(tk, i + 1)").as("rhs"), col("cnt"))
-          .groupBy("lhs", "rhs").agg(sum(col("cnt")).as("freq"))
-          .orderBy(col("freq").desc, col("lhs"), col("rhs"))
-          .limit(1).head()
-        val (l, rr, f) =
-          (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((r.toLong, l, rr, f))
-        val (pat, rep) = (lit(s" $l $rr "), lit(s" $l$rr "))
-        cur = cur.select(
-          (1 to 4).foldLeft(col("seq"))((c, _) => replace(c, pat, rep))
-            .as("seq"), col("cnt"))
-          .localCheckpoint()
+        .select(col("doc_id"),
+          concat(lit(" "),
+            regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
+          length(col("word")).cast("long").as("n_chars"))
+      val encoded = merges.foldLeft(col("seq")) {
+        case (c, (_, l, r, _)) =>
+          (1 to 4).foldLeft(c)((cc, _) =>
+            replace(cc, lit(s" $l $r "), lit(s" $l$r ")))
       }
-      import s.implicits._
-      merges.result().toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
+      words
+        .select(col("doc_id"), col("n_chars"),
+          size(split(trim(encoded), " ")).cast("long").as("n_toks"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_chars")).as("n_char_tokens"),
+          sum(col("n_toks")).as("n_bpe_tokens"),
+          expr("sum(n_toks) * 1000000L DIV sum(n_chars)").as("bpe_ppm"))
+        .orderBy("doc_id")
     }),
 
     // X17 — heavy hitters under a COUNT-MIN SKETCH, delivering x7's
@@ -653,6 +707,49 @@ object TextQueries {
            |  UNION ALL SELECT 2, lhs, rhs, freq FROM b2
            |  UNION ALL SELECT 3, lhs, rhs, freq FROM b3)
            |ORDER BY rank""".stripMargin,
+      // x18: the same training CTE chain yields b1..b3; the doc-side
+      // encode applies each merge with the identical 4-pass
+      // space-wrapped replace (cross join against the 1-row b$r).
+      "x18_bpe_encode" -> {
+        def rep4(prev: String, b: String, out: String): String =
+          s"""$out AS (
+             |  SELECT doc_id, replace(replace(replace(replace(seq,
+             |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+             |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+             |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+             |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')
+             |    AS seq, n_chars
+             |  FROM $prev, $b)""".stripMargin
+        s"""WITH wf AS (
+           |  SELECT w AS word, count(*) AS cnt FROM (
+           |    SELECT unnest(list_filter(
+           |      regexp_split_to_array(lower(text), '\\s+'),
+           |      x -> x <> '')) AS w
+           |    FROM documents) GROUP BY 1),
+           |s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+           |         AS seq, cnt FROM wf),
+           |${bpeRound("s0", 1)},
+           |${bpeRound("s1", 2)},
+           |${bpeRound("s2", 3)},
+           |dw AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '\\s+'),
+           |    x -> x <> '')) AS word
+           |  FROM documents),
+           |d0 AS (SELECT doc_id,
+           |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
+           |    length(word) AS n_chars FROM dw),
+           |${rep4("d0", "b1", "d1")},
+           |${rep4("d1", "b2", "d2")},
+           |${rep4("d2", "b3", "d3")}
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_char_tokens,
+           |  CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT)
+           |    AS n_bpe_tokens,
+           |  CAST(sum(len(string_split(trim(seq), ' '))) * 1000000
+           |    // sum(n_chars) AS BIGINT) AS bpe_ppm
+           |FROM d3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
       "x1_langid" ->
         s"""WITH t AS (
            |  SELECT doc_id,

@@ -293,7 +293,8 @@ object PoolJsonSink {
       buckets: Map[Long, Seq[String]],
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       schemaJson: Option[String] = None,
-      nBuckets: Option[Int] = None) {
+      nBuckets: Option[Int] = None,
+      bloomCols: Seq[String] = Nil) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -337,8 +338,14 @@ object PoolJsonSink {
     val nBuckets = lines.tail
       .find(_.startsWith("nbuckets "))
       .map(_.stripPrefix("nbuckets ").trim.toInt)
+    val bloomCols = lines.tail
+      .find(_.startsWith("bloomcols "))
+      .map(_.stripPrefix("bloomcols ").trim.split(',').toSeq
+        .filter(_.nonEmpty))
+      .getOrElse(Nil)
     val dataLines = lines.tail
-      .filterNot(l => l.startsWith("schema ") || l.startsWith("nbuckets "))
+      .filterNot(l => l.startsWith("schema ") || l.startsWith("nbuckets ") ||
+        l.startsWith("bloomcols "))
     val entries = dataLines.filter(_.nonEmpty).map { l =>
       val parts = l.split(' ')
       val stats = if (parts.length < 3) Map.empty[String, ColStat]
@@ -356,7 +363,7 @@ object PoolJsonSink {
     TableManifest(version,
       entries.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
       entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap,
-      schemaJson, nBuckets)
+      schemaJson, nBuckets, bloomCols)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -391,6 +398,8 @@ object PoolJsonSink {
   private def commitManifest(tableDir: String, m: TableManifest): Unit = {
     val header = Seq(s"graft-manifest 1 ${m.version}") ++
       m.nBuckets.map(n => s"nbuckets $n") ++
+      (if (m.bloomCols.nonEmpty)
+        Seq(s"bloomcols ${m.bloomCols.mkString(",")}") else Nil) ++
       m.schemaJson.map(j => s"schema $j")
     val body = (header ++
       m.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
@@ -570,6 +579,123 @@ object PoolJsonSink {
         })
       if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
     }
+
+  /** The engine-wide key hash (xxhash64 seed 42 — what [[bucketExpr]]
+    * rides), computed driver-side on a string value for bloom probes.
+    */
+  private def xxh64String(value: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(value),
+        org.apache.spark.sql.types.StringType)), 42L).eval()
+      .asInstanceOf[Long]
+
+  /** A data file's bloom sidecar for one indexed column. Sidecars are
+    * immutable like the data files they describe (unique names), live
+    * beside them under `data/`, and are reclaimed with them by
+    * [[vacuum]]. A MISSING sidecar is never an error — the file just
+    * can't be skipped (the zone-map contract).
+    */
+  private def bloomSidecar(tableDir: String, rel: String,
+      colName: String): java.io.File =
+    new java.io.File(tableDir, s"$rel.bloom-$colName")
+
+  /** Build per-file bloom-filter sidecars over `cols` for the freshly
+    * staged files — the Delta bloom-filter index movement: a point
+    * lookup on a high-cardinality column (hex digest, URL, source id)
+    * gets FILE-level skipping that min/max zone maps cannot give
+    * (uniformly distributed values span every file's byte range).
+    *
+    * The filters are built DISTRIBUTED — one Spark pass per file-size
+    * class grouping by `input_file_name()`, values hashed with the
+    * engine-wide xxhash64 so the driver-side probe ([[xxh64String]])
+    * and any plan-side `might_contain` agree — and each lands as a
+    * few-KB immutable sidecar via tmp+move before the manifest commit
+    * (a crash strands only invisible orphans for vacuum). Size classes
+    * (pow-2 row-count ceilings from the just-harvested footer counts)
+    * keep every filter sized to ITS file: one global expectedItems
+    * would give a 1M-row file's ~900 KB filter to every 1k-row file.
+    */
+  private def buildBloomSidecars(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      relRows: Map[String, Long],
+      cols: Seq[String]): Unit =
+    if (cols.nonEmpty && relRows.nonEmpty) {
+      val classes = relRows.groupBy { case (_, rows) =>
+        math.max(1024L, java.lang.Long.highestOneBit(
+          math.max(rows, 1L) * 2 - 1))
+      }
+      classes.foreach { case (expectedItems, rels) =>
+        val paths = rels.keys.toSeq.sorted
+        val aggs = cols.map(c => graft.functions.BloomSketch.build(
+          xxhash64(col(c).cast("string")), expectedItems).as(s"__bf_$c"))
+        val rows = spark.read
+          .parquet(paths.map(r => s"$tableDir/$r"): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.drop(1): _*)
+          .collect() // one row per staged file: (path, sketch bytes…)
+        val byName = paths.map(r => r.split('/').last -> r).toMap
+        rows.foreach { row =>
+          val rel = byName(row.getString(0).split('/').last)
+          cols.zipWithIndex.foreach { case (c, i) =>
+            Option(row.getAs[Array[Byte]](i + 1)).foreach { bytes =>
+              val f = bloomSidecar(tableDir, rel, c)
+              val tmp = java.io.File.createTempFile(
+                s".${f.getName}", ".tmp", f.getParentFile)
+              Files.write(tmp.toPath, bytes)
+              Files.move(tmp.toPath, f.toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        }
+      }
+    }
+
+  /** The files a `colName = value` point lookup must open once bloom
+    * sidecars have voted: the zone-map candidates ([[pruneFilesBinaryEq]])
+    * minus files whose sidecar filter rejects the value's hash. False
+    * negatives are impossible (bloom contract), so the pruned read is
+    * EXACT; files without a sidecar are kept (conservative).
+    */
+  def pruneFilesBloomEq(
+      tableDir: String, m: TableManifest,
+      colName: String, value: String): Seq[String] = {
+    val zoned = pruneFilesBinaryEq(m, colName,
+      value.getBytes(StandardCharsets.UTF_8))
+    if (!m.bloomCols.contains(colName)) zoned
+    else {
+      val h = xxh64String(value)
+      zoned.filter { rel =>
+        val sc = bloomSidecar(tableDir, rel, colName)
+        if (!sc.isFile) true
+        else {
+          val in = new java.io.BufferedInputStream(
+            new java.io.FileInputStream(sc))
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            .mightContainLong(h)
+          finally in.close()
+        }
+      }
+    }
+  }
+
+  /** Point lookup with bloom + zone-map file skipping: the
+    * `WHERE digest = '…'` read a dedup/provenance pipeline runs
+    * constantly. On a bloom-indexed column (`bloomCols` at write
+    * time) the expected cost is O(sidecar probes) + ONE data file
+    * opened — at any table size — versus opening every candidate the
+    * byte-range zone map can't reject (nearly all of them, for
+    * uniformly distributed digests).
+    */
+  def readTableStringEqBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, colName: String, value: String): DataFrame = {
+    val m = readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    readFiles(spark, tableDir, pruneFilesBloomEq(tableDir, m, colName, value), m)
+      .where(col(colName) === value)
+  }
 
   private def readFiles(
       spark: org.apache.spark.sql.SparkSession,
@@ -767,12 +893,13 @@ object PoolJsonSink {
       nBuckets: Int = 64,
       onBeforeCommit: () => Unit = () => (),
       statsCols: Seq[String] = Nil,
-      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      bloomCols: Seq[String] = Nil)
       : Seq[Long] = {
     checkExpectations(incoming, expectations)
     new java.io.File(tableDir).mkdirs()
     upsertPartitionedFrom(spark, tableDir, incoming, key, nBuckets,
-      onBeforeCommit, statsCols, readManifest(tableDir))
+      onBeforeCommit, statsCols, readManifest(tableDir), bloomCols)
   }
 
   /** [[upsertPartitioned]] against an ALREADY-RESOLVED snapshot
@@ -794,7 +921,8 @@ object PoolJsonSink {
       nBuckets: Int,
       onBeforeCommit: () => Unit,
       statsCols: Seq[String],
-      prev: Option[TableManifest]): Seq[Long] = {
+      prev: Option[TableManifest],
+      bloomCols: Seq[String] = Nil): Seq[Long] = {
     // the manifest's recorded bucket count ALWAYS wins over the
     // caller's parameter: bucket placement is a physical property of
     // the table, and a caller passing a different n would read the
@@ -819,7 +947,7 @@ object PoolJsonSink {
         (keep.unionByName(withPt, allowMissingColumns = true), touched)
     }
     stageAndCommit(spark, tableDir, prev, merged, touched, statsCols,
-      onBeforeCommit, n)
+      onBeforeCommit, n, bloomCols)
   }
 
   /** Stage `content` (the complete NEW state of `replaceTouched`'s
@@ -837,7 +965,8 @@ object PoolJsonSink {
       replaceTouched: Seq[Long],
       statsCols: Seq[String],
       onBeforeCommit: () => Unit,
-      nBuckets: Int): Seq[Long] = {
+      nBuckets: Int,
+      bloomCols: Seq[String] = Nil): Seq[Long] = {
     val newFiles = stageDataFiles(tableDir, content)
     val prevStats = prev.map(_.stats).getOrElse(Map.empty)
     val cols = (statsCols ++
@@ -846,6 +975,16 @@ object PoolJsonSink {
     // file at least records its row count for [[tableRowCount]]
     val newStats = footerStats(spark, tableDir,
       newFiles.valuesIterator.flatten.toSeq, cols)
+    // bloom indexing, like zone-map columns, is a TABLE property once
+    // requested: maintenance writers (merge/delete/compact/split) pass
+    // Nil and still sidecar their new files on the recorded columns
+    val effBloom = (bloomCols ++ prev.map(_.bloomCols).getOrElse(Nil))
+      .distinct.filter(content.columns.contains)
+    buildBloomSidecars(spark, tableDir,
+      newStats.view.mapValues(_.get(RowsStatCol).collect {
+        case LongStat(r, _) => r
+      }.getOrElse(1L << 20)).toMap,
+      effBloom)
     val allBuckets =
       (prev.map(_.buckets).getOrElse(Map.empty) -- replaceTouched) ++
         newFiles
@@ -856,7 +995,8 @@ object PoolJsonSink {
       allBuckets,
       (prevStats ++ newStats).filter(kv => live(kv._1)),
       Some(content.schema.json),
-      Some(nBuckets)))
+      Some(nBuckets),
+      effBloom))
     newFiles.keys.toSeq.sorted
   }
 
@@ -1036,12 +1176,17 @@ object PoolJsonSink {
           val cols = m.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
           val newStats = footerStats(spark, tableDir,
             newFiles.valuesIterator.flatten.toSeq, cols)
+          buildBloomSidecars(spark, tableDir,
+            newStats.view.mapValues(_.get(RowsStatCol).collect {
+              case LongStat(r, _) => r
+            }.getOrElse(1L << 20)).toMap,
+            m.bloomCols)
           val allBuckets = m.buckets ++ newFiles
           val live = allBuckets.valuesIterator.flatten.toSet
           commitManifest(tableDir,
             TableManifest(m.version + 1, allBuckets,
               (m.stats ++ newStats).filter(kv => live(kv._1)),
-              m.schemaJson, m.nBuckets))
+              m.schemaJson, m.nBuckets, m.bloomCols))
         }
         fat
     }
@@ -1124,11 +1269,19 @@ object PoolJsonSink {
       val referenced = listVersions(tableDir)
         .flatMap(v => readManifestAt(tableDir, v).files).toSet
       // 2. data files referenced by no surviving manifest (replaced by
-      //    later versions, or orphaned by a crashed/lost-race write)
+      //    later versions, or orphaned by a crashed/lost-race write).
+      //    A bloom SIDECAR lives and dies with its data file: it is
+      //    "referenced" exactly when the parquet it describes is (and
+      //    a sidecar whose data file is already gone is an orphan).
       Option(new java.io.File(tableDir, "data").listFiles())
         .getOrElse(Array.empty)
         .foreach { f =>
-          if (!referenced.contains(s"data/${f.getName}") && oldEnough(f)) {
+          val name = f.getName
+          val owner = name.indexOf(".parquet.bloom-") match {
+            case -1 => name
+            case i => name.substring(0, i + ".parquet".length)
+          }
+          if (!referenced.contains(s"data/$owner") && oldEnough(f)) {
             f.delete(); n += 1
           }
         }
