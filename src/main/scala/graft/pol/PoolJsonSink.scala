@@ -1015,7 +1015,8 @@ object PoolJsonSink {
       key: org.apache.spark.sql.Column,
       nBuckets: Int = 64,
       statsCols: Seq[String] = Nil,
-      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      bloomCols: Seq[String] = Nil)
       : Seq[Long] = {
     checkExpectations(incoming, expectations)
     new java.io.File(tableDir).mkdirs()
@@ -1024,7 +1025,7 @@ object PoolJsonSink {
     val withPt = incoming.withColumn("__pt", bucketExpr(key, n))
     stageAndCommit(spark, tableDir, prev, withPt,
       prev.map(_.buckets.keys.toSeq).getOrElse(Nil), statsCols,
-      () => (), n)
+      () => (), n, bloomCols)
   }
 
   /** Delta-driven MERGE maintenance — the streaming foreachBatch

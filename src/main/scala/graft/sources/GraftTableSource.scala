@@ -119,6 +119,12 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // bloomCols opts columns into per-file bloom sidecars (point-
+    // lookup file skipping); like nBuckets/statsCols it is a table
+    // property — recorded in the manifest, carried by every writer
+    val bloomCols = parameters.get("bloomCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     // CHECK-constraint options: .option("expect.<name>", "<sql bool>")
     // — a batch violating any rejects the whole write (no new version)
     val expectations = parameters.collect {
@@ -130,17 +136,20 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
     mode match {
       case Append =>
         PoolJsonSink.upsertPartitioned(spark, path, data, col(key),
-          nBuckets, statsCols = statsCols, expectations = expectations)
+          nBuckets, statsCols = statsCols, expectations = expectations,
+          bloomCols = bloomCols)
       case Overwrite =>
         PoolJsonSink.overwritePartitioned(spark, path, data, col(key),
-          nBuckets, statsCols = statsCols, expectations = expectations)
+          nBuckets, statsCols = statsCols, expectations = expectations,
+          bloomCols = bloomCols)
       case ErrorIfExists if exists =>
         sys.error(s"graft table already exists at $path " +
           "(mode ErrorIfExists)")
       case Ignore if exists => // no-op
       case _ => // ErrorIfExists/Ignore on a fresh table: create it
         PoolJsonSink.upsertPartitioned(spark, path, data, col(key),
-          nBuckets, statsCols = statsCols, expectations = expectations)
+          nBuckets, statsCols = statsCols, expectations = expectations,
+          bloomCols = bloomCols)
     }
     GraftTableRelation(path, None)(sqlContext)
   }
@@ -278,7 +287,12 @@ case class GraftTableRelation(path: String, versionAsOf: Option[Long])(
   private def stringEqPruned(filters: Array[Filter]): Option[DataFrame] =
     filters.collectFirst {
       case EqualTo(a, v: String) =>
-        PoolJsonSink.readTableStringEq(spark, path, a, v)
+        // zone-map + bloom-sidecar composed pruning: on a bloom-indexed
+        // column (bloomCols at write time) a SQL `WHERE digest = '…'`
+        // opens ~1 file; on any other column this degrades to the plain
+        // byte-range zone-map read (pruneFilesBloomEq keeps the zoned
+        // candidates when no sidecar vote exists)
+        PoolJsonSink.readTableStringEqBloom(spark, path, a, v)
     }
 
   /** Fold per-column bounds from long-valued comparison filters; the

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 import graft.QueryHarness.spark
@@ -78,5 +79,39 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM graft_zm WHERE source = 'zzz'")
       .head.getLong(0) == 0)
+  }
+
+  test("SQL point lookup on a bloom-indexed column prunes through " +
+    "the sidecars where zone maps are blind") {
+    def digest(i: Int): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"row$i".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_bloom")
+      .resolve("table").toString
+    // 3 commits of uniform digests: zone maps can't separate them
+    (0 until 3).foreach { b =>
+      (b * 100 until (b + 1) * 100).map(i => (digest(i), i.toLong))
+        .toDF("k", "v")
+        .write.format("graft").mode(SaveMode.Append)
+        .option("key", "k").option("nBuckets", "2")
+        .option("bloomCols", "k").save(dir)
+    }
+    val m = PoolJsonSink.readManifest(dir).get
+    assert(m.bloomCols == Seq("k"))
+    // the pruning the SQL path rides: bloom keeps ~1 file where the
+    // byte-range candidates are (nearly) everything
+    val probe = digest(57)
+    val zoned = PoolJsonSink.pruneFilesBinaryEq(m, "k",
+      probe.getBytes("UTF-8"))
+    val bloomed = PoolJsonSink.pruneFilesBloomEq(dir, m, "k", probe)
+    assert(bloomed.size < zoned.size && bloomed.size <= 2)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_bloom " +
+      s"USING graft OPTIONS (path '$dir')")
+    assert(spark.sql(
+      s"SELECT v FROM graft_bloom WHERE k = '$probe'")
+      .head.getLong(0) == 57L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_bloom WHERE k = '${digest(9999)}'")
+      .head.getLong(0) == 0L)
   }
 }
