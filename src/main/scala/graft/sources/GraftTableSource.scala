@@ -125,6 +125,11 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
     val bloomCols = parameters.get("bloomCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // optimizedWrite=false lets a pre-clustered writer keep its task
+    // layout in the staged files (zone-map discipline); default true
+    // = one file per touched bucket per commit
+    val optimizedWrite = parameters.get("optimizedWrite")
+      .forall(_.toBoolean)
     // CHECK-constraint options: .option("expect.<name>", "<sql bool>")
     // — a batch violating any rejects the whole write (no new version)
     val expectations = parameters.collect {
@@ -137,7 +142,7 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
       case Append =>
         PoolJsonSink.upsertPartitioned(spark, path, data, col(key),
           nBuckets, statsCols = statsCols, expectations = expectations,
-          bloomCols = bloomCols)
+          bloomCols = bloomCols, optimizedWrite = optimizedWrite)
       case Overwrite =>
         PoolJsonSink.overwritePartitioned(spark, path, data, col(key),
           nBuckets, statsCols = statsCols, expectations = expectations,
@@ -149,7 +154,7 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
       case _ => // ErrorIfExists/Ignore on a fresh table: create it
         PoolJsonSink.upsertPartitioned(spark, path, data, col(key),
           nBuckets, statsCols = statsCols, expectations = expectations,
-          bloomCols = bloomCols)
+          bloomCols = bloomCols, optimizedWrite = optimizedWrite)
     }
     GraftTableRelation(path, None)(sqlContext)
   }
@@ -219,7 +224,9 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       sys.error("graft source requires a 'path' option"))
-    parameters.get("changesFrom") match {
+    if (parameters.get("history").exists(_.toBoolean))
+      GraftHistoryRelation(path)(sqlContext)
+    else parameters.get("changesFrom") match {
       case Some(from) =>
         val key = parameters.getOrElse("changeKey", sys.error(
           "graft change-feed reads require a 'changeKey' option " +
@@ -231,6 +238,24 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
           parameters.get("versionAsOf").map(_.toLong))(sqlContext)
     }
   }
+}
+
+/** `spark.read.format("graft").option("history", "true").load(dir)`
+  * — DESCRIBE HISTORY as a relation: one row per retained version
+  * with operation, commit time, snapshot row count and file churn
+  * ([[graft.pol.PoolJsonSink.tableHistory]]). O(manifests), no data
+  * file opened.
+  */
+case class GraftHistoryRelation(path: String)(
+    @transient val sqlContext: SQLContext)
+  extends BaseRelation with TableScan {
+
+  private def resolve: DataFrame =
+    PoolJsonSink.tableHistory(sqlContext.sparkSession, path)
+
+  override val schema: StructType = resolve.schema
+
+  override def buildScan(): RDD[Row] = resolve.rdd
 }
 
 /** `spark.read.format("graft").option("changesFrom", 2).option(

@@ -75,7 +75,7 @@ object BloomProbe {
         val (_, tf) = time(
           PoolJsonSink.readTable(spark, bloomDir)
             .where(col("k") === k).count())
-        println(f"[$tag] lookup $k%.12s… rows=$rows files=${cand.size}/" +
+        println(f"[$tag] lookup ${k.take(12)}… rows=$rows files=${cand.size}/" +
           f"${mm.files.size} bloom $tb%.2f s vs full-scan $tf%.2f s")
       }
     }

@@ -35,8 +35,10 @@ class BloomSkippingSpec extends AnyFunSuite {
     (0 until 3).foreach { b =>
       val rows = (b * 200 until (b + 1) * 200)
         .map(i => (digest(i), s"payload_$i")).toDF("k", "payload")
+      // non-optimized writer: accumulates several files per bucket,
+      // the layout bloom pruning has to win against
       PoolJsonSink.upsertPartitioned(spark, dir, rows, col("k"),
-        nBuckets = 4, bloomCols = Seq("k"))
+        nBuckets = 4, bloomCols = Seq("k"), optimizedWrite = false)
     }
     dir
   }

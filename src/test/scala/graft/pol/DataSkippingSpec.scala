@@ -27,8 +27,11 @@ class DataSkippingSpec extends AnyFunSuite {
       val rows = (0 until 100)
         .map(i => (s"k${b * 100 + i}", (b * 100 + i).toLong))
         .toDF("k", "seq")
+      // a writer relying on zone-map layout OPTS OUT of the optimized
+      // write: the bucket-repartition would merge every batch's range
+      // into one file per bucket and leave min/max spanning everything
       PoolJsonSink.upsertPartitioned(spark, dir, rows, col("k"),
-        nBuckets = 4, statsCols = Seq("seq"))
+        nBuckets = 4, statsCols = Seq("seq"), optimizedWrite = false)
     }
     val m = PoolJsonSink.readManifest(dir).get
     assert(m.stats.nonEmpty, "footer stats must land in the manifest")
@@ -86,8 +89,10 @@ class DataSkippingSpec extends AnyFunSuite {
       src <- Seq("arxiv", "github", "wiki"); i <- 0 until 100
     } yield (s"${src}_doc$i", src)).toDF("k", "source")
       .repartition(3, col("source"))
+    // clustered-writer discipline: optimizedWrite = false keeps the
+    // caller's source-clustered task layout in the staged files
     PoolJsonSink.upsertPartitioned(spark, dir, rows, col("k"),
-      nBuckets = 4, statsCols = Seq("source"))
+      nBuckets = 4, statsCols = Seq("source"), optimizedWrite = false)
     val m = PoolJsonSink.readManifest(dir).get
     // string stats landed as byte-range zone maps
     assert(m.files.exists(f =>

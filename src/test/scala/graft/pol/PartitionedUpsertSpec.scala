@@ -158,8 +158,11 @@ class PartitionedUpsertSpec extends AnyFunSuite {
     val hot = base
       .where(pmod(xxhash64(col("k")), lit(4L)) === 1)
       .withColumn("payload", concat(col("payload"), lit("_u")))
+    // optimizedWrite = false simulates a non-optimized writer (the
+    // per-task file explosion the optimized default exists to avoid)
     val touched = PoolJsonSink.upsertPartitioned(spark, dir,
-      hot.repartition(12), col("k"), nBuckets = 4)
+      hot.repartition(12), col("k"), nBuckets = 4,
+      optimizedWrite = false)
     assert(touched == Seq(1L))
     val before = manifest(dir)
     val beforeFp = fingerprint(dir)
@@ -228,6 +231,38 @@ class PartitionedUpsertSpec extends AnyFunSuite {
     val got = PoolJsonSink.readTable(spark, dir)
       .select("k", "payload").as[(String, String)].collect().toMap
     assert(got("key1") == "A" && got("key2") == "B" && got.size == 20)
+  }
+
+  test("OPTIMIZE racing a merge: compaction retries against the " +
+    "winner and the merge's rows survive the relayout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_opt_race")
+      .resolve("table").toString
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      (0 until 40).map(i => (s"key$i", i.toLong)).toDF("k", "v"),
+      col("k"), nBuckets = 4)
+    // a merge lands in compaction's staging window: the stale
+    // relayout must CAS-fail, re-read, and recompact the winner's
+    // state — never resurrect pre-merge rows
+    var raced = false
+    PoolJsonSink.compactPartitions(spark, dir, clusterBy = Seq("v"),
+      onBeforeCommit = () =>
+        if (!raced) {
+          raced = true
+          PoolJsonSink.upsertPartitioned(spark, dir,
+            Seq(("key7", 777L), ("key_mid", 1000L)).toDF("k", "v"),
+            col("k"))
+          ()
+        })
+    assert(raced)
+    val got = PoolJsonSink.readTable(spark, dir)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(got("key7") == 777L && got("key_mid") == 1000L &&
+      got.size == 41)
+    // the surviving commit line: UPSERT, UPSERT(race), OPTIMIZE
+    val ops = PoolJsonSink.tableHistory(spark, dir).orderBy("version")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("UPSERT", "UPSERT", "OPTIMIZE"))
   }
 
   test("delete removes keys, leaves untouched buckets byte-identical, " +
