@@ -588,7 +588,45 @@ object CurationQueries {
             .as("exact_dup_ppm"),
           expr("(n_docs - n_prefix_uniq) * 1000000 div n_docs")
             .as("prefix_dup_ppm"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // C12 — language rebalancing: downsample every language to the
+    // smallest language's volume (the standard move against English
+    // swamping a multilingual pretraining mix). Two-pass, both cheap:
+    // (1) a tiny per-lang count aggregate → per-lang keep-rate in
+    // integer PPM (min-count is a max(struct) over the handful of
+    // lang rows — no second corpus pass, no window); (2) a map-only
+    // hash gate — the same md5-bucket discipline as c2, keyed on
+    // doc_id alone so the SELECTION is reproducible across engines,
+    // epochs and cluster sizes. Nothing corpus-sized ever shuffles:
+    // the corpus is touched once, the broadcast side is |langs| rows.
+    // Rate-based (not exact-quota) on purpose: an exact per-stratum
+    // quota needs a global rank per language (c3's bounded top-k
+    // covers small quotas); at petabyte strata a ±hash-noise PPM gate
+    // is the plan that scales, and it composes with c2's splits.
+    "c12_language_rebalance" -> ((s, d) => {
+      val counts = documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      // min over the |langs|-row relation without a window or a
+      // second aggregate over the corpus: max(struct(-n)) trick
+      val minN = counts
+        .agg(max(struct((-col("n")).as("neg"), col("lang"))).as("m"))
+        .select((-col("m.neg")).as("min_n"))
+      val rates = counts.crossJoin(broadcast(minN))
+        .select(col("lang"),
+          least(lit(1000000L), expr("min_n * 1000000 div n"))
+            .as("rate_ppm"))
+      documents(s, d)
+        .withColumn("bkt",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 1000000"))
+        .join(broadcast(rates), "lang")
+        .where(col("bkt") < col("rate_ppm"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
+    })
   )
 
   private val sqlPairs =
@@ -739,6 +777,21 @@ object CurationQueries {
         |    AS exact_dup_ppm,
         |  (count(*) - count(DISTINCT md5(substr(text, 1, 64)))) * 1000000
         |    // count(*) AS prefix_dup_ppm
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c12_language_rebalance" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |rates AS (
+        |  SELECT lang,
+        |    least(1000000, (SELECT min(n) FROM counts) * 1000000 // n)
+        |      AS rate_ppm
+        |  FROM counts),
+        |gated AS (
+        |  SELECT d.lang, d.n_chars, d.doc_id
+        |  FROM documents d JOIN rates r USING (lang)
+        |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)
+        |          AS BIGINT) % 1000000 < r.rate_ppm)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS first_doc
+        |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -106,8 +106,12 @@ object DedupQueries {
     */
   private[llm] val BlockCap = 1000
 
-  /** The d4 plan with an explicit block cap (see the catalog entry). */
-  private[llm] def ngramJaccard(
+  /** Shared scaffold for the exact pairwise shingle-overlap family
+    * (d4 resemblance, d13 containment): block-capped self-join on
+    * shingle hashes → (doc_a, doc_b, shared, na, nb). The metric on
+    * top is a per-pair projection; the expensive plan is identical.
+    */
+  private[llm] def sharedShinglePairs(
       s: SparkSession, d: String, cap: Int): DataFrame = {
     val withHs = documents(s, d)
       .select(col("doc_id"), col("source"),
@@ -138,12 +142,34 @@ object DedupQueries {
         .withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n", "nb"), "doc_b")
+  }
+
+  /** The d4 plan with an explicit block cap (see the catalog entry). */
+  private[llm] def ngramJaccard(
+      s: SparkSession, d: String, cap: Int): DataFrame =
+    sharedShinglePairs(s, d, cap)
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** The d13 plan: same pair scaffold, containment metric (Broder's
+    * |A∩B| / min(|A|,|B|)) — catches subset duplicates (a short doc
+    * embedded verbatim in a longer one) that resemblance misses: a
+    * 200-shingle doc inside a 4000-shingle page has jaccard ≈ 0.05
+    * but containment 1.0. Jaccard rides along for the contrast.
+    */
+  private[llm] def ngramContainment(
+      s: SparkSession, d: String, cap: Int): DataFrame =
+    sharedShinglePairs(s, d, cap)
+      .withColumn("containment",
+        round(col("shared") / least(col("na"), col("nb")), 4))
+      .where(col("containment") >= 0.5)
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .select("doc_a", "doc_b", "containment", "jaccard")
+      .orderBy("doc_a", "doc_b")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1 — exact dedup: survivors = min doc_id per content digest.
@@ -280,6 +306,13 @@ object DedupQueries {
     // d7 (capped LSH) → d8 (exact verify on candidates); d4's role is
     // the oracle-checkable exact ground truth on bounded blocks.
     "d4_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d, BlockCap)),
+
+    // D13 — containment dedup: the production policy for "this doc is
+    // a verbatim SUBSET of that one" (boilerplate wrappers, quoted
+    // articles, page templates). Same block-capped pair scaffold as
+    // d4; at scale the production path is the same d7 LSH candidate
+    // generation with this metric in the verify stage.
+    "d13_containment" -> ((s, d) => ngramContainment(s, d, BlockCap)),
 
     // D5 — simhash (28-bit) over distinct word tokens: majority vote
     // per bit position, computed entirely inside one projection
@@ -486,6 +519,27 @@ object DedupQueries {
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d13_containment" ->
+      s"""WITH narrow AS (
+         |  SELECT source FROM documents GROUP BY source
+         |  HAVING count(*) <= $BlockCap),
+         |sh AS (
+         |  SELECT doc_id, d.source, unnest($sqlShingleHashes) AS h
+         |  FROM documents d JOIN narrow USING (source)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b
+         |    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) AS containment,
+         |  round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+         |FROM shared
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d5_simhash" ->
       s"""WITH toks AS (

@@ -110,6 +110,19 @@ object TextQueries {
     merges.result()
   }
 
+  /** x19's linear model: token weights + bias, decimal STRINGS so the
+    * Spark plan and the DuckDB oracle parse the identical literals.
+    * In production these come from the model registry (a trained
+    * fastText-style quality classifier exported as a weight table);
+    * the literal list here is the bounded-vocabulary stand-in.
+    */
+  private[llm] val ClassifierWeights: Seq[(String, String)] = Seq(
+    "error" -> "-2.5", "slow" -> "-1.5", "the" -> "-0.25",
+    "a" -> "-0.25", "fast" -> "1.0", "spark" -> "1.5",
+    "query" -> "0.5", "merge" -> "0.75", "stream" -> "0.75",
+    "vector" -> "1.25")
+  private[llm] val ClassifierBias = "-1.0"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1 — language ID heuristic: stopword-list hit ratios, argmax of
     // two profiles with a deterministic tie rule.
@@ -638,6 +651,41 @@ object TextQueries {
       import s.implicits._
       rows.toDF("tok", "n_exact", "within_tol")
         .orderBy(col("n_exact").desc, col("tok"))
+    }),
+
+    // X19 — linear quality classifier (the fastText-style scorer every
+    // production curation stack runs between heuristic gates (x10) and
+    // expensive model scoring): logit = bias + Σ weight(tok)·count(tok),
+    // keep = logit > 0. All math in DECIMAL — a double Σ would be
+    // partition-order-dependent and 1000-executor runs would disagree
+    // with the oracle in the last ulp; the decimal sum is exact, and
+    // only the final already-exact value is cast to double. Plan: one
+    // token explode → broadcast join against the (bounded-vocabulary)
+    // weight table → partial-agg decimal sum keyed on doc_id → left
+    // join back so zero-hit docs still score bias-only. The weight
+    // table is a model artifact: at scale it loads from the model
+    // registry and stays broadcast-size by construction (a hashed
+    // vocabulary caps it), so nothing here is corpus-sized.
+    "x19_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val w = broadcast(ClassifierWeights.toDF("tok", "w")
+        .select(col("tok"), col("w").cast("decimal(9,4)").as("wt")))
+      val bias = lit(ClassifierBias).cast("decimal(9,4)")
+      val hits = documents(s, d)
+        .select(col("doc_id"), explode(
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          .as("tok"))
+        .join(w, "tok")
+        .groupBy("doc_id")
+        .agg(sum(col("wt")).cast("decimal(18,4)").as("hit_sum"))
+      documents(s, d).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("hit_sum"), lit(0).cast("decimal(18,4)")) + bias)
+            .cast("double").as("logit"),
+          ((coalesce(col("hit_sum"), lit(0).cast("decimal(18,4)")) + bias)
+            > lit(0)).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -852,6 +900,27 @@ object TextQueries {
           |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
           |  FROM documents)
           |GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20""".stripMargin,
+      "x19_quality_classifier" -> {
+        val vals = ClassifierWeights
+          .map { case (t, w) => s"('$t', CAST($w AS DECIMAL(9,4)))" }
+          .mkString(",\n        |  ")
+        s"""WITH w(tok, wt) AS (VALUES
+        |  $vals),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, CAST(sum(wt) AS DECIMAL(18,4)) AS hit_sum
+        |  FROM toks JOIN w USING (tok) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(hit_sum, 0) + CAST($ClassifierBias AS DECIMAL(9,4))
+        |    AS DOUBLE) AS logit,
+        |  (coalesce(hit_sum, 0) + CAST($ClassifierBias AS DECIMAL(9,4))) > 0
+        |    AS keep
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+      },
       "x8_decontaminate" -> decontamSql,
       "x10_gopher_rules" ->
         """WITH t AS (

@@ -189,6 +189,44 @@ object SortWindowQueries {
           expr("(day - cohort_day) div 7").as("week_offset"))
         .agg(countDistinct(col("user_id")).as("active_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // W5 — batch sessionization: the gap-based session assignment
+    // (30-min inactivity closes a session) that t8 runs under
+    // streaming state, expressed as the classic lag → gap-flag →
+    // running-sum window pair over ONE user_id partitioning. The
+    // whole query is a single exchange: both windows and the
+    // follow-on (user_id, session_seq) aggregate are satisfied by
+    // the same hash(user_id) distribution (grouping on a superset of
+    // the partitioning keys never re-shuffles), so at 100 TB the
+    // event log ships exactly once and per-user width stays bounded
+    // by that user's events. Time is exact integer micros
+    // (ts_ns div 1000 — the w2/w4 discipline); (us, event_id) breaks
+    // same-instant ties so session numbering is total and
+    // engine-exact; money-style decimal sum keeps the per-session
+    // value reduction order-independent.
+    "w5_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      events(s, d)
+        .withColumn("us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("event_id"), col("value"), col("us"))
+        .withColumn("is_new",
+          when(lag(col("us"), 1).over(byUser).isNull ||
+            col("us") - lag(col("us"), 1).over(byUser) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_seq")
     })
   )
 
@@ -295,6 +333,26 @@ object SortWindowQueries {
         |SELECT cohort_day // 7 AS cohort_week,
         |  (day - cohort_day) // 7 AS week_offset,
         |  count(DISTINCT user_id) AS active_users
-        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w5_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                  OR us - lag(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(is_new) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  max(us) - min(us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

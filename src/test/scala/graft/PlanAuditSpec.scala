@@ -45,7 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "c10_epoch_mix", // 1-row global-mean broadcast against the
                      // source-keyed epoch config (config-sized)
     "n11_binary_hamming", // 1-row packed-signature probe broadcast
-    "n13_range_search") // 1-row probe broadcast against the pruned index
+    "n13_range_search", // 1-row probe broadcast against the pruned index
+    "c12_language_rebalance") // 1-row min-lang-count scalar broadcast
+                              // against the |langs|-row rate table
   // x8/x9 explode AND broadcast the benchmark shingle set on purpose
   // (benchmarks are MBs by contract; the corpus is the probe side);
   // c9 embeds x8's plan wholesale for its quarantine flags.
