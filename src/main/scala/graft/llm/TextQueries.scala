@@ -678,8 +678,11 @@ object TextQueries {
         .join(w, "tok")
         .groupBy("doc_id")
         .agg(sum(col("wt")).cast("decimal(18,4)").as("hit_sum"))
+      // hits is DOC-keyed — corpus-sized at scale. The hint keeps the
+      // planner from broadcasting it just because the test corpus is
+      // small (the plan-audit ban this query first tripped).
       documents(s, d).select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
+        .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (coalesce(col("hit_sum"), lit(0).cast("decimal(18,4)")) + bias)
             .cast("double").as("logit"),

@@ -363,8 +363,53 @@ object JoinQueries {
           "user_id", "s_user_id", "event_id", "asof_signup")
         .select(col("event_id"), col("user_id"), col("asof_signup"))
         .orderBy("event_id")
+    }),
+
+    // R21 — storage-partitioned fact⋈fact join: two keyed graft
+    // tables (orders; per-order lineitem revenue) sharing nBuckets
+    // join through format("graft-spj") with ZERO exchange of either
+    // side — the scan reports its bucket layout as
+    // KeyGroupedPartitioning and EnsureRequirements pairs the buckets
+    // 1:1 (GraftSpjJoinSpec pins the no-shuffle plan). This is the
+    // 100 TB shape the salted/broadcast answers don't cover: both
+    // sides too big to broadcast, both already clustered on the key
+    // by the store that maintains them — re-shuffling them every
+    // query is pure waste. Tables are staged once per corpus dir
+    // (ready-markered); production tables already exist.
+    "r21_spj_join" -> ((s, d) => {
+      val (ordDir, revDir) = spjTables(s, d)
+      graft.sources.GraftSpj.join(s, ordDir, revDir,
+          "o_orderkey", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("revenue")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
     })
   )
+
+  /** Stage the two SPJ demo tables — once per corpus dir. */
+  private def spjTables(s: SparkSession, d: String): (String, String) = {
+    val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_spj_$slug")
+    val (ordDir, revDir) =
+      (new java.io.File(root, "orders"), new java.io.File(root, "revenue"))
+    val ready = new java.io.File(root, "_SPJ_READY")
+    if (!ready.exists()) {
+      PoolJsonSink.overwritePartitioned(s, ordDir.toString,
+        orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority"),
+        col("o_orderkey"), 16)
+      PoolJsonSink.overwritePartitioned(s, revDir.toString,
+        lineitem(s, d).groupBy("l_orderkey")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(30,4)").as("revenue"),
+            count(lit(1)).as("n_items")),
+        col("l_orderkey"), 16)
+      ready.createNewFile()
+    }
+    (ordDir.toString, revDir.toString)
+  }
 
   val oracle: Map[String, String] = Map(
     "j1_lookup_join" ->
@@ -534,6 +579,17 @@ object JoinQueries {
         |      OVER (PARTITION BY user_id ORDER BY event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
         |  FROM events)
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "r21_spj_join" ->
+      """WITH r AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4))
+        |      AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(revenue) AS DOUBLE) AS revenue
+        |FROM orders o JOIN r ON o.o_orderkey = r.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,258 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.pol.PoolJsonSink
+
+/** `spark.read.format("graft-spj")` — the manifest table as a DSv2
+  * scan that REPORTS its physical layout, so Catalyst can plan a
+  * storage-partitioned join (SPJ): two graft tables bucketed with the
+  * same `nBuckets` join with ZERO shuffle of either side.
+  *
+  * Why this exists: every graft table is already hash-clustered on its
+  * merge key (`__pt = pmod(xxhash64(key), nBuckets)`, stored IN the
+  * data — PoolJsonSink.stageFiles), and the manifest knows exactly
+  * which files belong to which bucket. The v1 `format("graft")`
+  * relation hides that from the planner, so a fact⋈fact join of two
+  * keyed tables shuffles BOTH — at 100 TB the exchange IS the query.
+  * This scan surfaces the layout the Iceberg/Delta way:
+  *
+  *  - one [[InputPartition]] per bucket (empty buckets included, so
+  *    two tables' partition values always align — Spark pads nothing),
+  *    each declaring its bucket id via [[HasPartitionKey]];
+  *  - [[SupportsReportPartitioning]] announcing
+  *    `KeyGroupedPartitioning(identity(__pt), nBuckets)`. The IDENTITY
+  *    transform over the stored bucket column (rather than a
+  *    `bucket(n, key)` function transform) is deliberate: identity
+  *    resolves without a V2 FunctionCatalog, which a path-based
+  *    (non-catalog) table has no way to provide.
+  *
+  * Contract for the shuffle-free plan (see GraftSpjJoinSpec): both
+  * tables written with the same `nBuckets`, the session flag
+  * `spark.sql.sources.v2.bucketing.enabled=true`, and the join
+  * condition includes `a.__pt = b.__pt` alongside the key equality
+  * (the bucket column is a pure function of the key, so the extra
+  * conjunct never changes the result — it is how the planner learns
+  * the co-clustering; [[GraftSpj.join]] adds it for you). Grouped
+  * aggregation gets the same elision by grouping on `(__pt, key)`.
+  *
+  * Reads resolve through the CURRENT committed manifest (torn state
+  * remains unobservable); column pruning reaches the parquet reader.
+  * Filter pushdown and versionAsOf stay with `format("graft")` — this
+  * scan is the JOIN-layout face of the same table, not a replacement.
+  */
+class GraftSpjSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-spj"
+
+  private def path(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      sys.error("graft-spj requires a 'path' option"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSpjTable.tableSchema(path(options))
+
+  override def inferPartitioning(
+      options: CaseInsensitiveStringMap): Array[Transform] =
+    Array(Expressions.identity(GraftSpjTable.BucketCol))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftSpjTable(Option(properties.get("path")).getOrElse(
+      sys.error("graft-spj requires a 'path' option")), schema)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftSpjTable {
+  /** The stored bucket column every graft table carries. */
+  val BucketCol = "__pt"
+
+  /** Schema straight from a committed data file (the `__pt` column is
+    * stored, so it is already part of the parquet schema).
+    */
+  def tableSchema(tableDir: String): StructType = {
+    val m = PoolJsonSink.readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    val head = m.files.headOption.getOrElse(
+      sys.error(s"empty table (no committed files): $tableDir"))
+    SparkSession.active.read
+      .parquet(new java.io.File(tableDir, head).toString).schema
+  }
+}
+
+class GraftSpjTable(tableDir: String, declared: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-spj `$tableDir`"
+
+  override def schema(): StructType = declared
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(GraftSpjTable.BucketCol))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSpjScanBuilder(tableDir, declared)
+}
+
+class GraftSpjScanBuilder(tableDir: String, fileSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fileSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the FILE's field order/instances for the parquet reader
+    required = StructType(
+      fileSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new GraftSpjScan(tableDir, fileSchema, required)
+}
+
+class GraftSpjScan(
+    tableDir: String, fileSchema: StructType, required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-spj $tableDir (bucket-aligned)"
+
+  // resolve the committed manifest ONCE per scan (snapshot semantics)
+  private lazy val manifest = PoolJsonSink.readManifest(tableDir).getOrElse(
+    sys.error(s"not a manifest table: $tableDir"))
+
+  private lazy val nBuckets: Int = manifest.nBuckets.getOrElse(
+    sys.error(s"manifest records no bucket count: $tableDir " +
+      "(re-commit with a current writer)"))
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity(GraftSpjTable.BucketCol)), nBuckets)
+
+  /** One partition per bucket, 0 .. nBuckets-1. Buckets with no files
+    * still get an (empty) partition: partition VALUES are then
+    * identical for any two tables sharing nBuckets, which is what lets
+    * EnsureRequirements pair them 1:1 without shuffling either side.
+    */
+  override def planInputPartitions(): Array[InputPartition] =
+    (0L until nBuckets.toLong).map { b =>
+      val files = manifest.buckets.getOrElse(b, Nil).map { rel =>
+        val f = new java.io.File(tableDir, rel)
+        (f.toString, f.length())
+      }
+      GraftBucketPartition(b, files): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // force the ROW-based parquet reader for the closure we ship: the
+    // vectorized path hands back ColumnarBatch-as-InternalRow, a
+    // contract only FileSourceScanExec's columnar plumbing understands
+    val k = "spark.sql.parquet.enableVectorizedReader"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    val readFunc =
+      try new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        .buildReaderWithPartitionValues(
+          sparkSession = spark,
+          dataSchema = fileSchema,
+          partitionSchema = new StructType(),
+          requiredSchema = required,
+          filters = Nil,
+          options = Map.empty,
+          hadoopConf =
+            spark.sessionState.newHadoopConfWithOptions(Map.empty))
+      finally prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    GraftSpjReaderFactory(readFunc)
+  }
+}
+
+/** A bucket's worth of committed files. `partitionKey` is the bucket
+  * id — the value Spark groups and aligns storage partitions by.
+  */
+case class GraftBucketPartition(bucketId: Long, files: Seq[(String, Long)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
+case class GraftSpjReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftBucketPartition]
+    val it = part.files.iterator.flatMap { case (path, len) =>
+      readFunc(PartitionedFile(
+        InternalRow.empty, SparkPath.fromPathString(path), 0, len))
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Driver-facing sugar for the storage-partitioned join. */
+object GraftSpj {
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.format("graft-spj").load(tableDir)
+
+  /** Join two same-nBuckets graft tables on key equality with the
+    * bucket-alignment conjunct added (semantics-neutral: `__pt` is a
+    * pure function of the key) and the SPJ flag enabled. With both in
+    * place the planner elides BOTH exchanges.
+    */
+  def join(
+      spark: SparkSession, leftDir: String, rightDir: String,
+      leftKey: String, rightKey: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the join clusters on (__pt, key) but the tables partition on
+    // __pt alone — subset-key co-partitioning must be allowed, or
+    // EnsureRequirements re-shuffles both sides anyway
+    spark.conf.set(
+      "spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val l = read(spark, leftDir)
+    val r = read(spark, rightDir)
+    if (leftKey == rightKey)
+      // USING-join on (bucket, key): one surviving column per key
+      l.join(r, Seq(GraftSpjTable.BucketCol, leftKey))
+        .drop(GraftSpjTable.BucketCol)
+    else {
+      val cond: Column =
+        l(GraftSpjTable.BucketCol) === r(GraftSpjTable.BucketCol) &&
+          l(leftKey) === r(rightKey)
+      l.join(r, cond).drop(r(GraftSpjTable.BucketCol))
+        .drop(l(GraftSpjTable.BucketCol))
+    }
+  }
+}
