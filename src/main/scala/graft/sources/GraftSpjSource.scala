@@ -128,7 +128,8 @@ class GraftSpjScanBuilder(tableDir: String, fileSchema: StructType)
 
 class GraftSpjScan(
     tableDir: String, fileSchema: StructType, required: StructType)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
 
@@ -136,6 +137,62 @@ class GraftSpjScan(
 
   override def description(): String =
     s"graft-spj $tableDir (bucket-aligned)"
+
+  // ---- runtime bucket pruning (DPP for the bucket column) ----
+
+  /** Buckets that survived a runtime filter; None = no filter arrived. */
+  @volatile private var runtimeBuckets: Option[Set[Long]] = None
+
+  /** Observability hook for specs/probes: buckets whose files were
+    * dropped by the last runtime filter.
+    */
+  @volatile var lastRuntimePruned: Int = 0
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftSpjTable.BucketCol))
+
+  /** Accept IN/= predicates on `__pt` delivered at runtime (dynamic
+    * partition pruning: the joined side's surviving bucket ids). The
+    * pruned buckets KEEP their input partitions — emptied of files —
+    * so the partition values the SPJ alignment was planned against
+    * never change; the win is every data file of a pruned bucket goes
+    * unopened.
+    */
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def isBucketRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference =>
+          f.fieldNames.sameElements(Array(GraftSpjTable.BucketCol))
+        case _ => false
+      }
+    def asLong(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: Literal[_] => l.value match {
+        case v: java.lang.Long => Some(v.longValue())
+        case v: java.lang.Integer => Some(v.longValue())
+        case _ => None
+      }
+      case _ => None
+    }
+    val keeps: Seq[Set[Long]] = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && isBucketRef(kids.head) =>
+          Some(kids.tail.flatMap(asLong).toSet)
+        case "=" if kids.length == 2 && isBucketRef(kids.head) =>
+          asLong(kids(1)).map(Set(_))
+        case _ => None
+      }
+    }
+    if (keeps.nonEmpty) {
+      val kept = keeps.reduce(_ intersect _)
+      runtimeBuckets = Some(kept)
+      lastRuntimePruned = nBuckets - kept.count(b => b >= 0 && b < nBuckets)
+    }
+  }
 
   // resolve the committed manifest ONCE per scan (snapshot semantics)
   private lazy val manifest = PoolJsonSink.readManifest(tableDir).getOrElse(
@@ -156,10 +213,12 @@ class GraftSpjScan(
     */
   override def planInputPartitions(): Array[InputPartition] =
     (0L until nBuckets.toLong).map { b =>
-      val files = manifest.buckets.getOrElse(b, Nil).map { rel =>
-        val f = new java.io.File(tableDir, rel)
-        (f.toString, f.length())
-      }
+      val files =
+        if (runtimeBuckets.exists(!_.contains(b))) Nil
+        else manifest.buckets.getOrElse(b, Nil).map { rel =>
+          val f = new java.io.File(tableDir, rel)
+          (f.toString, f.length())
+        }
       GraftBucketPartition(b, files): InputPartition
     }.toArray
 

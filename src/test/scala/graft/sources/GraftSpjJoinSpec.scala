@@ -66,6 +66,51 @@ class GraftSpjJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("runtime IN filter on __pt empties pruned buckets' partitions") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val (la, _) = mkTables()
+    val schema = GraftSpjTable.tableSchema(la)
+    val scan = new GraftSpjScanBuilder(la, schema).build()
+      .asInstanceOf[GraftSpjScan]
+    val before = scan.planInputPartitions()
+      .map(_.asInstanceOf[GraftBucketPartition]).count(_.files.nonEmpty)
+    assert(before == n, "500 spread keys touch every bucket")
+    scan.filter(Array(new Predicate("IN",
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("__pt"),
+        Expressions.literal(2L), Expressions.literal(5L)))))
+    val after = scan.planInputPartitions()
+      .map(_.asInstanceOf[GraftBucketPartition])
+    assert(after.length == n,
+      "pruning must never change the partition-value set (SPJ alignment)")
+    assert(after.count(_.files.nonEmpty) == 2)
+    assert(scan.lastRuntimePruned == n - 2)
+  }
+
+  test("a selective dim join prunes fact buckets at runtime (DPP)") {
+    val (la, lb) = mkTables()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // dim side filtered to 3 keys -> at most 3 of 8 fact buckets
+      // can match; the rest must go unopened
+      val l = GraftSpj.read(spark, la)
+      val r = GraftSpj.read(spark, lb).where(col("k").isin(7L, 8L, 9L))
+      val j = l.join(r.hint("broadcast"),
+        l("__pt") === r("__pt") && l("k") === r("k"))
+        .select(l("k"), col("av"), col("bv"))
+      val got = j.collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(7L, 8L))  // 9 % 3 == 0: absent right-side
+      val scans = j.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[GraftSpjScan] => b.scan.asInstanceOf[GraftSpjScan]
+      }
+      val pruned = scans.map(_.lastRuntimePruned)
+      assert(pruned.exists(_ >= n - 3),
+        s"expected a runtime-pruned fact scan, got pruned counts $pruned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("column pruning reaches the spj parquet reader") {
     val (la, _) = mkTables()
     val one = GraftSpj.read(spark, la).select("av")
