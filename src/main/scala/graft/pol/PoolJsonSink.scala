@@ -296,7 +296,11 @@ object PoolJsonSink {
       nBuckets: Option[Int] = None,
       bloomCols: Seq[String] = Nil,
       op: Option[String] = None,
-      commitTimeMs: Option[Long] = None) {
+      commitTimeMs: Option[Long] = None,
+      // the table's merge-key column — recorded at write time so
+      // consumers (change feed, SQL faces) need not re-state it;
+      // absent on manifests from older writers
+      keyCol: Option[String] = None) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -340,6 +344,10 @@ object PoolJsonSink {
     val nBuckets = lines.tail
       .find(_.startsWith("nbuckets "))
       .map(_.stripPrefix("nbuckets ").trim.toInt)
+    val keyCol = lines.tail
+      .find(_.startsWith("keycol "))
+      .map(_.stripPrefix("keycol ").trim)
+      .filter(_.nonEmpty)
     val bloomCols = lines.tail
       .find(_.startsWith("bloomcols "))
       .map(_.stripPrefix("bloomcols ").trim.split(',').toSeq
@@ -351,7 +359,8 @@ object PoolJsonSink {
       .map(_.stripPrefix("op ").trim.split(' '))
     val dataLines = lines.tail
       .filterNot(l => l.startsWith("schema ") || l.startsWith("nbuckets ") ||
-        l.startsWith("bloomcols ") || l.startsWith("op "))
+        l.startsWith("bloomcols ") || l.startsWith("op ") ||
+        l.startsWith("keycol "))
     val entries = dataLines.filter(_.nonEmpty).map { l =>
       val parts = l.split(' ')
       val stats = if (parts.length < 3) Map.empty[String, ColStat]
@@ -370,7 +379,8 @@ object PoolJsonSink {
       entries.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
       entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap,
       schemaJson, nBuckets, bloomCols,
-      opMeta.map(_.head), opMeta.flatMap(_.lift(1)).map(_.toLong))
+      opMeta.map(_.head), opMeta.flatMap(_.lift(1)).map(_.toLong),
+      keyCol)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -405,6 +415,7 @@ object PoolJsonSink {
   private def commitManifest(tableDir: String, m: TableManifest): Unit = {
     val header = Seq(s"graft-manifest 1 ${m.version}") ++
       m.nBuckets.map(n => s"nbuckets $n") ++
+      m.keyCol.map(k => s"keycol $k") ++
       (if (m.bloomCols.nonEmpty)
         Seq(s"bloomcols ${m.bloomCols.mkString(",")}") else Nil) ++
       m.op.map(o =>
@@ -1012,7 +1023,8 @@ object PoolJsonSink {
         (keep.unionByName(withPt, allowMissingColumns = true), touched)
     }
     stageAndCommit(spark, tableDir, prev, merged, touched, statsCols,
-      onBeforeCommit, n, bloomCols, optimizedWrite, opName = "UPSERT")
+      onBeforeCommit, n, bloomCols, optimizedWrite, opName = "UPSERT",
+      keyColName = keyName(key))
   }
 
   /** Stage `content` (the complete NEW state of `replaceTouched`'s
@@ -1033,7 +1045,8 @@ object PoolJsonSink {
       nBuckets: Int,
       bloomCols: Seq[String] = Nil,
       optimizedWrite: Boolean = true,
-      opName: String = "WRITE"): Seq[Long] = {
+      opName: String = "WRITE",
+      keyColName: Option[String] = None): Seq[Long] = {
     // Optimized write (the Delta optimizeWrite movement): without it,
     // the partitioned staging write emits one file per (task, bucket)
     // — a 32-task batch over 64 buckets lands up to 2,048 files PER
@@ -1079,9 +1092,17 @@ object PoolJsonSink {
       Some(content.schema.json),
       Some(nBuckets),
       effBloom,
-      Some(opName)))
+      Some(opName),
+      keyCol = keyColName.orElse(prev.flatMap(_.keyCol))))
     newFiles.keys.toSeq.sorted
   }
+
+  /** Best-effort name of the merge-key column (a plain `col("k")` or
+    * dotted path); a computed key expression records nothing.
+    */
+  private def keyName(key: org.apache.spark.sql.Column): Option[String] =
+    org.apache.spark.sql.GraftColumnBridge.namePath(key)
+      .map(_.mkString("."))
 
   /** Replace the ENTIRE table content with `incoming` in one commit —
     * SaveMode.Overwrite / streaming Complete-mode semantics. Every
@@ -1108,7 +1129,8 @@ object PoolJsonSink {
     val withPt = incoming.withColumn("__pt", bucketExpr(key, n))
     stageAndCommit(spark, tableDir, prev, withPt,
       prev.map(_.buckets.keys.toSeq).getOrElse(Nil), statsCols,
-      () => (), n, bloomCols, opName = "OVERWRITE")
+      () => (), n, bloomCols, opName = "OVERWRITE",
+      keyColName = keyName(key))
   }
 
   /** Delta-driven MERGE maintenance — the streaming foreachBatch
@@ -1169,7 +1191,7 @@ object PoolJsonSink {
         }
     }
     stageAndCommit(spark, tableDir, prev, content, touchedAll, Nil,
-      () => (), n, opName = "MERGE")
+      () => (), n, opName = "MERGE", keyColName = keyName(key))
   }
 
   /** The MERGE's WHEN-MATCHED-DELETE arm: remove every row whose key
@@ -1212,7 +1234,7 @@ object PoolJsonSink {
         .join(keys.select(col(keyCol).as("__k")).distinct(),
           key === col("__k"), "left_anti")
       stageAndCommit(spark, tableDir, Some(prev), kept, touched, Nil,
-        onBeforeCommit, n, opName = "DELETE")
+        onBeforeCommit, n, opName = "DELETE", keyColName = keyName(key))
       touched.sorted
     }
   }
@@ -1289,7 +1311,7 @@ object PoolJsonSink {
             TableManifest(m.version + 1, allBuckets,
               (m.stats ++ newStats).filter(kv => live(kv._1)),
               m.schemaJson, m.nBuckets, m.bloomCols,
-              Some("OPTIMIZE")))
+              Some("OPTIMIZE"), keyCol = m.keyCol))
         }
         fat
     }
@@ -1338,7 +1360,7 @@ object PoolJsonSink {
       .withColumn("__pt", bucketExpr(key, newN))
     stageAndCommit(spark, tableDir, Some(prev), content,
       prev.buckets.keys.toSeq, Nil, () => (), newN,
-      opName = "SPLITBUCKETS")
+      opName = "SPLITBUCKETS", keyColName = keyName(key))
     newN
   }
 

@@ -113,8 +113,11 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
     import org.apache.spark.sql.SaveMode._
     val path = parameters.getOrElse("path",
       sys.error("graft source requires a 'path' option"))
-    val key = parameters.getOrElse("key", sys.error(
-      "graft writes require a 'key' option (the table's merge key)"))
+    val key = parameters.get("key")
+      .orElse(PoolJsonSink.readManifest(path).flatMap(_.keyCol))
+      .getOrElse(sys.error(
+        "graft writes require a 'key' option (the table's merge key; " +
+          "existing tables record it in the manifest)"))
     val nBuckets = parameters.get("nBuckets").map(_.toInt).getOrElse(64)
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -177,8 +180,11 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
       outputMode: org.apache.spark.sql.streaming.OutputMode): Sink = {
     val path = parameters.getOrElse("path",
       sys.error("graft sink requires a 'path' option"))
-    val key = parameters.getOrElse("key", sys.error(
-      "graft sink requires a 'key' option (the table's merge key)"))
+    val key = parameters.get("key")
+      .orElse(PoolJsonSink.readManifest(path).flatMap(_.keyCol))
+      .getOrElse(sys.error(
+        "graft sink requires a 'key' option (the table's merge key; " +
+          "existing tables record it in the manifest)"))
     new GraftTableSink(sqlContext, path, key,
       parameters.get("nBuckets").map(_.toInt).getOrElse(64),
       complete = outputMode ==
@@ -189,13 +195,19 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
   // ---- streaming face: the change feed as a Source (readStream) ----
 
   private def streamParams(
-      parameters: Map[String, String]): (String, String, Long) = (
-    parameters.getOrElse("path",
-      sys.error("graft source requires a 'path' option")),
-    parameters.getOrElse("changeKey", sys.error(
-      "graft change-feed stream requires a 'changeKey' option " +
-        "(the table's merge key column)")),
-    parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters: Map[String, String]): (String, String, Long) = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft source requires a 'path' option"))
+    // the manifest records the merge key since the keycol change;
+    // the option remains an override for older tables
+    val key = parameters.get("changeKey")
+      .orElse(PoolJsonSink.readManifest(path).flatMap(_.keyCol))
+      .getOrElse(sys.error(
+        "graft change-feed stream requires a 'changeKey' option " +
+          "(the table's manifest records no merge key)"))
+    (path, key,
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+  }
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -228,9 +240,11 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
       GraftHistoryRelation(path)(sqlContext)
     else parameters.get("changesFrom") match {
       case Some(from) =>
-        val key = parameters.getOrElse("changeKey", sys.error(
-          "graft change-feed reads require a 'changeKey' option " +
-            "(the table's merge key column)"))
+        val key = parameters.get("changeKey")
+          .orElse(PoolJsonSink.readManifest(path).flatMap(_.keyCol))
+          .getOrElse(sys.error(
+            "graft change-feed reads require a 'changeKey' option " +
+              "(the table's manifest records no merge key)"))
         GraftChangesRelation(path, from.toLong,
           parameters.get("changesTo").map(_.toLong), key)(sqlContext)
       case None =>

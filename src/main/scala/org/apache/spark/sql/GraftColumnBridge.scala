@@ -13,6 +13,15 @@ object GraftColumnBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The dotted name path of a plain column reference (`col("k")`,
+    * `col("metadata.source_file")`); None for computed expressions.
+    */
+  def namePath(c: Column): Option[Seq[String]] = c.node match {
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
+      Some(a.nameParts)
+    case _ => None
+  }
+
   /** DataFrame from a custom logical plan (Dataset.ofRows is
     * private[sql]) — used by graft's custom operators (as-of join).
     */

@@ -111,6 +111,27 @@ class GraftSpjJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("the manifest records the merge key; maintenance preserves it; " +
+      "the change feed defaults to it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_keycol")
+      .toString + "/t"
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+    PoolJsonSink.upsertPartitioned(spark, dir, df, col("k"), n)
+    assert(PoolJsonSink.readManifest(dir).flatMap(_.keyCol)
+      == Some("k"))
+    // delete + compaction must carry the recorded key forward
+    PoolJsonSink.deletePartitioned(spark, dir,
+      Seq(3L).toDF("k"), col("k"))
+    PoolJsonSink.compactPartitions(spark, dir, maxFilesPerPartition = 1)
+    assert(PoolJsonSink.readManifest(dir).flatMap(_.keyCol)
+      == Some("k"))
+    // change-feed read WITHOUT the changeKey option
+    val changes = spark.read.format("graft")
+      .option("changesFrom", 1).load(dir)
+    assert(changes.where(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("column pruning reaches the spj parquet reader") {
     val (la, _) = mkTables()
     val one = GraftSpj.read(spark, la).select("av")
