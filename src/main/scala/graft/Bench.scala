@@ -91,8 +91,21 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, outPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // The driver keeps a bounded TAIL of stdout, and `spark.stop()`
+    // emits multi-KB state-store-unload stack traces ("Could not
+    // unload state store provider ... RpcEnv already stopped") that
+    // in rounds 2-5 evicted the JSON line from that tail. So: first
+    // stop any streaming queries left active by the t-family (their
+    // maintenance threads are what throws at shutdown), then stop the
+    // session, and print the JSON as the TRUE last line — after every
+    // source of shutdown noise has already run.
+    try {
+      spark.streams.active.foreach { q =>
+        try q.stop() catch { case _: Throwable => }
+      }
+      spark.stop()
+    } catch { case _: Throwable => }
     println(json)
     System.out.flush()
-    spark.stop()
   }
 }

@@ -337,10 +337,16 @@ object SimilarityQueries {
           cb.books(j).centroids, ej,
           graft.functions.DotProduct(ej, ej)))
       }
-      withSubs.select(col("vec_id"),
-        array((0 until PQ.M).map(j => col(s"m$j.cid")): _*).as("codes"),
-        round((0 until PQ.M).map(j => col(s"m$j.d2"))
-          .reduce(_ + _), 6).as("err"))
+      // Codes emit as four scalar BIGINT columns (code0..code3), not
+      // ARRAY<BIGINT>: the oracle comparator hash-sorts column values
+      // and arrays aren't hashable there — and scalar codes are also
+      // what a serving table stores (n10 reads them back as integers).
+      withSubs.select(
+        Seq(col("vec_id")) ++
+          (0 until PQ.M).map(j =>
+            col(s"m$j.cid").cast("long").as(s"code$j")) ++
+          Seq(round((0 until PQ.M).map(j => col(s"m$j.d2"))
+            .reduce(_ + _), 6).as("err")): _*)
         .orderBy("vec_id")
     }),
 
@@ -983,9 +989,9 @@ object SimilarityQueries {
          |           FROM embeddings),
          |$sqlPqChains
          |SELECT t.vec_id AS vec_id,
-         |  [${(0 until PQ.M)
-              .map(j => s"CAST(af_s$j.cid AS BIGINT)").mkString(", ")}]
-         |    AS codes,
+         |  ${(0 until PQ.M)
+              .map(j => s"CAST(af_s$j.cid AS BIGINT) AS code$j")
+              .mkString(",\n|  ")},
          |  round(${(0 until PQ.M)
               .map(j => s"af_s$j.d2").mkString(" + ")}, 6) AS err
          |FROM t ${(0 until PQ.M)

@@ -24,12 +24,16 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
-  test("n9 emits M codes in [0, K) per vector") {
+  test("n9 emits M scalar codes in [0, K) per vector") {
     val out = graft.SparkEntry.queries("n9_pq_encode")(spark, sf0001)
-      .select(col("vec_id"), col("codes"), col("err")).localCheckpoint()
-    assert(out.where(size(col("codes")) =!= PQ.M).isEmpty)
-    assert(out.where(expr(
-      s"exists(codes, c -> c < 0 OR c >= ${PQ.K})")).isEmpty)
+      .localCheckpoint()
+    // scalar BIGINT code columns (not ARRAY) — the serving/storage
+    // shape, and the shape the oracle comparator can hash-sort
+    val codeCols = (0 until PQ.M).map(j => s"code$j")
+    assert(codeCols.forall(out.columns.contains))
+    codeCols.foreach { c =>
+      assert(out.where(col(c) < 0 || col(c) >= PQ.K).isEmpty)
+    }
     // quantization error is a sum of squared distances: never negative
     assert(out.where(col("err") < 0).isEmpty)
   }
