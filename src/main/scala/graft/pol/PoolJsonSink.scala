@@ -357,11 +357,15 @@ object PoolJsonSink {
     // absent on manifests from older writers (both fields null there)
     val opMeta = lines.tail.find(_.startsWith("op "))
       .map(_.stripPrefix("op ").trim.split(' '))
+    // Data lines start with a numeric bucket id; header lines start
+    // with a keyword. Discriminating on the leading digit (rather
+    // than an allowlist of known keywords) means a manifest written
+    // by a FUTURE writer with additional header lines still parses
+    // here — format additions degrade gracefully instead of throwing
+    // NumberFormatException on the unknown keyword.
     val dataLines = lines.tail
-      .filterNot(l => l.startsWith("schema ") || l.startsWith("nbuckets ") ||
-        l.startsWith("bloomcols ") || l.startsWith("op ") ||
-        l.startsWith("keycol "))
-    val entries = dataLines.filter(_.nonEmpty).map { l =>
+      .filter(l => l.nonEmpty && l.head.isDigit)
+    val entries = dataLines.map { l =>
       val parts = l.split(' ')
       val stats = if (parts.length < 3) Map.empty[String, ColStat]
         else parts(2).split(';').flatMap { s =>

@@ -387,26 +387,49 @@ object JoinQueries {
     })
   )
 
-  /** Stage the two SPJ demo tables — once per corpus dir. */
+  /** Stage the two SPJ demo tables — once per corpus CONTENT.
+    *
+    * The cache key includes a fingerprint (mtime+size) of the two
+    * source parquet inputs, not just the corpus path: a regenerated
+    * corpus at the same path gets freshly staged tables instead of
+    * stale ones. Staging goes through a process-unique temp dir
+    * followed by an atomic rename, so two concurrent processes that
+    * both find the fingerprinted dir missing each build privately and
+    * exactly one publishes — the loser's rename fails and it reads
+    * the winner's (identical) tables.
+    */
   private def spjTables(s: SparkSession, d: String): (String, String) = {
+    def fp(name: String): String = {
+      val f = new java.io.File(d, name)
+      s"${f.lastModified()}_${f.length()}"
+    }
     val slug = d.replaceAll("[^A-Za-z0-9]", "_")
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_spj_$slug")
+      sys.props("java.io.tmpdir"),
+      s"graft_spj_${slug}_${fp("orders.parquet")}_${fp("lineitem.parquet")}")
     val (ordDir, revDir) =
       (new java.io.File(root, "orders"), new java.io.File(root, "revenue"))
-    val ready = new java.io.File(root, "_SPJ_READY")
-    if (!ready.exists()) {
-      PoolJsonSink.overwritePartitioned(s, ordDir.toString,
+    if (!root.isDirectory) {
+      val staging = new java.io.File(root.getParentFile,
+        s"${root.getName}.staging_${java.util.UUID.randomUUID()}")
+      PoolJsonSink.overwritePartitioned(s,
+        new java.io.File(staging, "orders").toString,
         orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority"),
         col("o_orderkey"), 16)
-      PoolJsonSink.overwritePartitioned(s, revDir.toString,
+      PoolJsonSink.overwritePartitioned(s,
+        new java.io.File(staging, "revenue").toString,
         lineitem(s, d).groupBy("l_orderkey")
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
             .cast("decimal(30,4)").as("revenue"),
             count(lit(1)).as("n_items")),
         col("l_orderkey"), 16)
-      ready.createNewFile()
+      if (!staging.renameTo(root)) { // lost the publish race: clean up
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        if (!root.isDirectory)
+          sys.error(s"SPJ staging failed for $d: rename to $root failed " +
+            "and no winner published")
+      }
     }
     (ordDir.toString, revDir.toString)
   }

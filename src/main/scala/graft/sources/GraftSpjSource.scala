@@ -82,16 +82,29 @@ object GraftSpjTable {
   /** The stored bucket column every graft table carries. */
   val BucketCol = "__pt"
 
-  /** Schema straight from a committed data file (the `__pt` column is
-    * stored, so it is already part of the parquet schema).
+  /** Table schema from the manifest's RECORDED schemaJson (the commit
+    * protocol persists `content.schema.json` on every commit, `__pt`
+    * included). Sniffing an arbitrary data file instead would be
+    * nondeterministic on a schema-evolved table: `upsertPartitioned`
+    * unions with allowMissingColumns, so different buckets can hold
+    * files with different physical schemas, and `m.files` iterates a
+    * HashMap in arbitrary order — newly added columns could silently
+    * vanish from one run to the next. Footer sniffing remains only as
+    * the fallback for pre-schema manifests from older writers.
     */
   def tableSchema(tableDir: String): StructType = {
     val m = PoolJsonSink.readManifest(tableDir).getOrElse(
       sys.error(s"not a manifest table: $tableDir"))
-    val head = m.files.headOption.getOrElse(
-      sys.error(s"empty table (no committed files): $tableDir"))
-    SparkSession.active.read
-      .parquet(new java.io.File(tableDir, head).toString).schema
+    m.schemaJson match {
+      case Some(j) =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]
+      case None =>
+        val head = m.files.headOption.getOrElse(
+          sys.error(s"empty table (no committed files): $tableDir"))
+        SparkSession.active.read
+          .parquet(new java.io.File(tableDir, head).toString).schema
+    }
   }
 }
 
@@ -224,28 +237,52 @@ class GraftSpjScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    // force the ROW-based parquet reader for the closure we ship: the
-    // vectorized path hands back ColumnarBatch-as-InternalRow, a
-    // contract only FileSourceScanExec's columnar plumbing understands
-    val k = "spark.sql.parquet.enableVectorizedReader"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, "false")
+    // Columnar when the projected schema is flat-atomic (the shape the
+    // vectorized parquet reader returns whole ColumnarBatches for) and
+    // the session hasn't disabled vectorization. Matching the builder's
+    // own returningBatch decision exactly matters: we pin the builder
+    // session's confs below so both sides agree.
+    val vectorized =
+      spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
+        .toBoolean &&
+        required.fields.nonEmpty && required.fields.forall(_.dataType match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.UserDefinedType[_] => false
+          case _ => true
+        })
+    // Build the reader closure against a CHILD session (same
+    // SparkContext, private SQLConf) instead of toggling the
+    // session-global vectorized flag around the call: a concurrently
+    // planned query in the same session could otherwise capture the
+    // temporary setting or race the restore. Runtime confs are copied
+    // over so the closure sees the user's parquet/codegen settings.
+    val buildSession = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try buildSession.conf.set(k, v) catch { case _: Throwable => () }
+    }
+    buildSession.conf.set("spark.sql.parquet.enableVectorizedReader",
+      vectorized.toString)
+    // nested-column vectorization returns rows-from-batches, which
+    // would break the batch cast below — pin it off for this closure
+    buildSession.conf.set(
+      "spark.sql.parquet.enableNestedColumnVectorizedReader", "false")
     val readFunc =
-      try new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
         .buildReaderWithPartitionValues(
-          sparkSession = spark,
+          sparkSession = buildSession,
           dataSchema = fileSchema,
           partitionSchema = new StructType(),
           requiredSchema = required,
           filters = Nil,
-          options = Map.empty,
+          // FileFormat.OPTION_RETURNING_BATCH: the caller (us) states
+          // whether it consumes whole ColumnarBatches — mandatory for
+          // the vectorized parquet path since Spark 3.3
+          options = Map("returning_batch" -> vectorized.toString),
           hadoopConf =
             spark.sessionState.newHadoopConfWithOptions(Map.empty))
-      finally prev match {
-        case Some(v) => spark.conf.set(k, v)
-        case None => spark.conf.unset(k)
-      }
-    GraftSpjReaderFactory(readFunc)
+    GraftSpjReaderFactory(readFunc, vectorized)
   }
 }
 
@@ -258,22 +295,61 @@ case class GraftBucketPartition(bucketId: Long, files: Seq[(String, Long)])
     new GenericInternalRow(Array[Any](bucketId))
 }
 
+/** Ships the parquet read closure to executors. When `vectorized`,
+  * the closure's iterator elements ARE `ColumnarBatch`es (the
+  * vectorized parquet reader's returning-batch contract — the same
+  * InternalRow-typed handoff FileSourceScanExec's columnar path
+  * uses), surfaced here through the DSv2 columnar read API so
+  * BatchScanExec plans the scan columnar and whole-stage codegen
+  * consumes batches directly. Scan-heavy SPJ queries then read at
+  * the same vectorized speed as `format("graft")`/plain parquet
+  * instead of paying a per-row materialization tax. Per-file reader
+  * cleanup is the builder's own task-completion listener (SPARK-23457
+  * registers it inside the closure), so early termination (limits)
+  * leaks nothing.
+  */
 case class GraftSpjReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    vectorized: Boolean)
     extends PartitionReaderFactory {
 
-  override def createReader(
-      p: InputPartition): PartitionReader[InternalRow] = {
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    vectorized
+
+  private def fileIter(p: InputPartition): Iterator[InternalRow] = {
     val part = p.asInstanceOf[GraftBucketPartition]
-    val it = part.files.iterator.flatMap { case (path, len) =>
+    part.files.iterator.flatMap { case (path, len) =>
       readFunc(PartitionedFile(
         InternalRow.empty, SparkPath.fromPathString(path), 0, len))
     }
+  }
+
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    require(!vectorized,
+      "columnar scan asked for a row reader; planner contract violated")
+    val it = fileIter(p)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false
       override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val it = fileIter(p)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          cur = it.next()
+            .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+          true
+        } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur
       override def close(): Unit = ()
     }
   }
@@ -290,6 +366,16 @@ object GraftSpj {
     * bucket-alignment conjunct added (semantics-neutral: `__pt` is a
     * pure function of the key) and the SPJ flag enabled. With both in
     * place the planner elides BOTH exchanges.
+    *
+    * NOTE: the two session confs set here intentionally REMAIN set —
+    * the returned DataFrame plans lazily, so restoring them on return
+    * would defeat the SPJ. Both are benign session-wide:
+    * `v2.bucketing.enabled` only affects DSv2 scans that report a
+    * partitioning (exactly the tables that want it), and relaxing
+    * `requireAllClusterKeysForCoPartition` lets the planner keep an
+    * existing co-partitioning when the join clusters on a superset of
+    * the partition keys — a pure shuffle elision, never a semantics
+    * change.
     */
   def join(
       spark: SparkSession, leftDir: String, rightDir: String,

@@ -118,6 +118,15 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
       .getOrElse(sys.error(
         "graft writes require a 'key' option (the table's merge key; " +
           "existing tables record it in the manifest)"))
+    // The manifest fallback must name a column of THIS batch — fail
+    // here with the fallback's provenance spelled out, rather than as
+    // a late unresolved-column error deep in the write. Catches the
+    // re-keying Overwrite that forgot its 'key' option.
+    if (!parameters.contains("key") && !data.columns.contains(key))
+      sys.error(s"graft write: key column '$key' (from the manifest " +
+        s"at $path; no 'key' option given) is not in the incoming " +
+        s"schema [${data.columns.mkString(", ")}] — pass " +
+        "an explicit .option(\"key\", ...) to re-key the table")
     val nBuckets = parameters.get("nBuckets").map(_.toInt).getOrElse(64)
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
