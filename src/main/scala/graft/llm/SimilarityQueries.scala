@@ -461,8 +461,75 @@ object SimilarityQueries {
             .reduce(_ + _), 6).as("ad2"))
         .orderBy("ad2", "vec_id")
         .limit(10)
+    }),
+
+    // N14 — IVF-PQ RECALL + EXACT RE-RANK: the serving chain FAISS
+    // actually ships — ADC prices every survivor cheaply, the top-C
+    // shortlist (C=50, [[RerankC]]) is re-ranked by the TRUE metric
+    // against the real vectors, and both stages are measured against
+    // n1's exact top-10 in one query. The re-rank is why PQ's lossy
+    // compression is acceptable at all: codes mis-rank near-ties
+    // (recall_pq < 1), but as long as the true top-10 lands in the
+    // ADC top-50 the re-rank recovers it (recall_rerank ≥ recall_pq
+    // — the lift this query quantifies). Cost shape at 100 TB: the
+    // ADC pass is the pruned codes-only scan n12 proved; the re-rank
+    // touches exactly C true vectors (a C-row broadcast semi-join —
+    // the corpus's float vectors are read for 50 rows, not 25%); the
+    // recall eval adds one brute-force pass, the same recurring
+    // index-quality job as n8. This is the n8 pattern applied to the
+    // composed index — without it the PQ compression/recall trade is
+    // unquantified (and retrains fly blind).
+    "n14_pq_rerank_recall" -> ((s, d) => {
+      val model = KMeans.fit(s, d)
+      val cb = PQ.fit(s, d)
+      val t = base(s, d)
+      val q = t.where(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("norm").as("qnorm"))
+      val probeVec = q.head.getSeq[Double](0).toArray
+      val probed = model.centroids
+        .map { case (cid, ce) =>
+          (cid, ce.zip(probeVec).foldLeft(0.0) {
+            case (acc, (a, b)) => acc + a * b })
+        }
+        .sortBy { case (cid, score) => (-score, cid) }
+        .take(2).map(_._1)
+      val luts = PQ.adcTable(probeVec, cb)
+      val adc = s.read.parquet(trainedPqIndexDir(s, d))
+        .where(col("cid").isin(probed: _*))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round((0 until PQ.M).map(j =>
+            element_at(typedlit(luts(j)),
+              element_at(col("codes"), j + 1).cast("int") + 1))
+            .reduce(_ + _), 6).as("ad2"))
+      val pq10 = adc.orderBy("ad2", "vec_id").limit(10).select("vec_id")
+      val shortlist = adc.orderBy("ad2", "vec_id").limit(RerankC)
+        .select("vec_id")
+      val rerank10 = t.where(col("vec_id") =!= 0)
+        .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).select("vec_id")
+      val exact = bruteTop10(s, d).select("vec_id")
+      val hitsPq = exact.join(pq10, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_pq"))
+      val hitsRr = exact.join(rerank10, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_rerank"))
+      hitsPq.crossJoin(hitsRr)
+        .select(col("hits_pq"),
+          (col("hits_pq").cast("double") / lit(10))
+            .as("recall_pq_at_10"),
+          col("hits_rerank"),
+          (col("hits_rerank").cast("double") / lit(10))
+            .as("recall_rerank_at_10"))
     })
   )
+
+  /** n14's ADC shortlist width: the standard FAISS serving dial — the
+    * re-rank reads exactly this many true vectors per query. */
+  private[llm] val RerankC = 50
 
   /** Per-label decimal-exact centroids, ranked against the probe: the
     * 2 nearest cluster labels (shared by n2 and n6).
@@ -1072,7 +1139,64 @@ object SimilarityQueries {
          |${(0 until PQ.M)
               .map(j => s"JOIN l$j ON l$j.cid = af_s$j.cid").mkString(" ")}
          |WHERE af.cid IN (SELECT cid FROM nearest) AND t.vec_id <> 0
-         |ORDER BY ad2, vec_id LIMIT 10""".stripMargin
+         |ORDER BY ad2, vec_id LIMIT 10""".stripMargin,
+    // n14: n12's ADC distances over the probed clusters feed both the
+    // raw PQ top-10 and the top-C shortlist; the shortlist re-ranks
+    // by exact cosine; both stages score against the exact top-10
+    "n14_pq_rerank_recall" ->
+      s"""WITH t AS ($sqlBase),
+         |${sqlKmeansCtes(KMeans.OracleRounds)},
+         |${sqlKmeansAssign("af", s"c${KMeans.OracleRounds}",
+            withD2 = false)},
+         |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0),
+         |nearest AS (
+         |  SELECT cid FROM c${KMeans.OracleRounds}, q
+         |  ORDER BY list_inner_product(ce, qe) DESC, cid LIMIT 2),
+         |$sqlPqChains,
+         |${(0 until PQ.M).map { j =>
+              val a = j * PQ.SubDim + 1
+              val b = (j + 1) * PQ.SubDim
+              s"""l$j AS (
+                 |  SELECT cid,
+                 |    list_inner_product(qe[$a:$b], qe[$a:$b])
+                 |      - 2 * list_inner_product(qe[$a:$b], ce)
+                 |      + list_inner_product(ce, ce) AS d2
+                 |  FROM c${PQ.OracleRounds}_s$j, q)""".stripMargin
+            }.mkString(",\n")},
+         |adc AS MATERIALIZED (
+         |  SELECT t.vec_id,
+         |    round(${(0 until PQ.M)
+              .map(j => s"l$j.d2").mkString(" + ")}, 6) AS ad2
+         |  FROM t JOIN af USING (vec_id)
+         |  ${(0 until PQ.M)
+              .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+         |  ${(0 until PQ.M)
+              .map(j => s"JOIN l$j ON l$j.cid = af_s$j.cid").mkString(" ")}
+         |  WHERE af.cid IN (SELECT cid FROM nearest) AND t.vec_id <> 0),
+         |pq10 AS MATERIALIZED (
+         |  SELECT vec_id FROM adc ORDER BY ad2, vec_id LIMIT 10),
+         |shortlist AS MATERIALIZED (
+         |  SELECT vec_id FROM adc ORDER BY ad2, vec_id LIMIT $RerankC),
+         |rerank10 AS MATERIALIZED (
+         |  SELECT t.vec_id FROM t, q
+         |  WHERE t.vec_id <> 0
+         |    AND t.vec_id IN (SELECT vec_id FROM shortlist)
+         |  ORDER BY round(list_inner_product(t.e, q.qe)
+         |    / (t.norm * q.qnorm), 6) DESC, t.vec_id LIMIT 10),
+         |exact AS MATERIALIZED (
+         |  SELECT vec_id FROM t, q WHERE vec_id <> 0
+         |  ORDER BY round(list_inner_product(e, qe) / (norm * qnorm), 6)
+         |    DESC, vec_id LIMIT 10)
+         |SELECT CAST(hp AS BIGINT) AS hits_pq,
+         |  CAST(hp AS DOUBLE) / 10 AS recall_pq_at_10,
+         |  CAST(hr AS BIGINT) AS hits_rerank,
+         |  CAST(hr AS DOUBLE) / 10 AS recall_rerank_at_10
+         |FROM (SELECT
+         |  (SELECT count(*) FROM exact
+         |   WHERE vec_id IN (SELECT vec_id FROM pq10)) AS hp,
+         |  (SELECT count(*) FROM exact
+         |   WHERE vec_id IN (SELECT vec_id FROM rerank10)) AS hr)"""
+        .stripMargin
   )
 
   /** One Lloyd assignment CTE against centroid set `prev` (dist² =

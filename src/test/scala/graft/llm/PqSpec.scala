@@ -47,6 +47,19 @@ class PqSpec extends AnyFunSuite {
     assert(joins.isEmpty, s"encode should not join: $joins")
   }
 
+  test("n14 re-rank never loses recall vs raw PQ top-10") {
+    val row = graft.SparkEntry.queries("n14_pq_rerank_recall")(
+      spark, sf0001).head
+    val (hitsPq, hitsRr) = (row.getLong(0), row.getLong(2))
+    assert(hitsPq >= 0 && hitsPq <= 10 && hitsRr >= 0 && hitsRr <= 10)
+    // the exact re-rank re-orders the ADC top-C by the true metric:
+    // it can only recover true neighbors the codes mis-ranked, never
+    // drop ones the codes already placed in the top-10... unless a
+    // true neighbor sat in ADC positions 11..C, which is the lift.
+    assert(hitsRr >= hitsPq,
+      s"re-rank lost recall: pq=$hitsPq rerank=$hitsRr")
+  }
+
   test("n10 ADC top-10 excludes the probe and is sorted nonnegative") {
     val rows = graft.SparkEntry.queries("n10_pq_adc")(spark, sf0001)
       .as[(Long, Double)].collect()
