@@ -384,6 +384,40 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("revenue")).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // J5 — the V2 TABLE CATALOG face, oracle-gated end to end: the
+    // whole lifecycle a SQL/BI user runs — CREATE TABLE ... USING
+    // graft, INSERT INTO (= keyed MERGE), a second INSERT that
+    // replaces overlapping keys, SELECT by NAME — with not one path
+    // or Scala call in the statements (the warehouse is wired once
+    // via session conf, exactly how a cluster admin registers a
+    // catalog). The oracle recomputes the upsert algebra (old rows
+    // minus re-inserted keys, plus new) relationally in DuckDB, so
+    // this row certifies the catalog's name resolution, the SQL
+    // write path's merge semantics, AND the catalog scan's
+    // correctness in one go. DROP+CREATE each run keeps the query
+    // deterministic and re-runnable.
+    "j5_sql_catalog" -> ((s, d) => {
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val wh = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_cat_wh_$slug")
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", wh.toString)
+      s.sql("DROP TABLE IF EXISTS gq.default.ordsum")
+      s.sql("""CREATE TABLE gq.default.ordsum (
+        o_orderkey BIGINT, o_orderpriority STRING, price DOUBLE)
+        USING graft TBLPROPERTIES ('key'='o_orderkey','nbuckets'='16')""")
+      s.sql(s"""INSERT INTO gq.default.ordsum
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1""")
+      s.sql(s"""INSERT INTO gq.default.ordsum
+        SELECT o_orderkey, o_orderpriority, o_totalprice * 2
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0""")
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM gq.default.ordsum
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     })
   )
 
@@ -492,6 +526,20 @@ object JoinQueries {
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
         |  CAST(sum(sum_val) AS DOUBLE) AS sum_val
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // j5: the upsert algebra the two INSERTs produce — odd keys keep
+    // their price unless re-inserted by the %3 batch at double price
+    "j5_sql_catalog" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     "r1_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -1,0 +1,342 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.pol.PoolJsonSink
+
+/** A Spark V2 [[TableCatalog]] over graft manifest tables — the last
+  * step from "a Scala API over a path" to "a TABLE": register with
+  *
+  * {{{
+  * spark.sql.catalog.graft          = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.warehouse= /data/graft
+  * }}}
+  *
+  * and the whole lifecycle is pure SQL, no paths or Scala in sight:
+  *
+  * {{{
+  * CREATE TABLE graft.default.games (k BIGINT, v STRING)
+  *   USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='32')
+  * INSERT INTO graft.default.games VALUES (1, 'a')   -- keyed MERGE
+  * INSERT OVERWRITE graft.default.games ...           -- atomic replace
+  * SELECT * FROM graft.default.games VERSION AS OF 1  -- time travel
+  * DROP TABLE graft.default.games
+  * }}}
+  *
+  * Design decisions, each load-bearing at scale:
+  *
+  *  - The table DIRECTORY stays the source of truth (schema, merge
+  *    key, bucket count all live in the committed manifest — written
+  *    once, read by every engine face). The catalog persists only
+  *    name→directory: a managed table IS `<warehouse>/<ns>/<name>`,
+  *    an external one (`LOCATION` / 'location' property) is a one-line
+  *    `_LOCATION` pointer file. No second metastore to drift.
+  *  - Reads reuse the `graft-spj` scan (columnar vectorized batches,
+  *    snapshot manifest resolution, per-bucket input partitions), so
+  *    SQL users get the same scan the engine face gets.
+  *  - The SQL face exposes the LOGICAL schema — the stored `__pt`
+  *    bucket column is subtracted — so `INSERT INTO ... VALUES` takes
+  *    exactly the user's columns and `SELECT *` returns them.
+  *  - Writes bridge through [[V1Write]] to the transactional sink:
+  *    append = the table's native keyed MERGE, truncate+append =
+  *    atomic whole-table replace. The CAS manifest commit (hard-link
+  *    put-if-absent) is what makes concurrent SQL writers safe — the
+  *    catalog adds no second commit protocol on top.
+  *  - `VERSION AS OF v` / `TIMESTAMP AS OF t` resolve through
+  *    [[TableCatalog.loadTable]]'s time-travel overloads to the exact
+  *    committed manifest (timestamps bisect commit times, Delta-style:
+  *    the latest version committed at-or-before t).
+  *
+  * DROP of a managed table deletes its directory; DROP of an external
+  * table removes the pointer only (the standard external-table
+  * contract — the data outlives the name).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: java.io.File = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = new java.io.File(Option(options.get("warehouse")).getOrElse(
+      sys.error(s"catalog $name requires option " +
+        s"spark.sql.catalog.$name.warehouse")))
+    warehouse.mkdirs()
+    new java.io.File(warehouse, "default").mkdirs()
+  }
+
+  override def name(): String = catalogName
+
+  // ---- layout ----
+
+  private def nsDir(namespace: Array[String]): java.io.File =
+    namespace.foldLeft(warehouse)(new java.io.File(_, _))
+
+  private def tableEntry(ident: Identifier): java.io.File =
+    new java.io.File(nsDir(ident.namespace), ident.name)
+
+  /** Resolve an identifier to the directory holding the table data:
+    * the entry dir itself (managed) or the `_LOCATION` pointer's
+    * target (external).
+    */
+  private def dataDir(ident: Identifier): java.io.File = {
+    val entry = tableEntry(ident)
+    val ptr = new java.io.File(entry, "_LOCATION")
+    if (ptr.isFile)
+      new java.io.File(java.nio.file.Files.readString(ptr.toPath).trim)
+    else entry
+  }
+
+  private def exists(ident: Identifier): Boolean =
+    tableEntry(ident).isDirectory &&
+      PoolJsonSink.readManifest(dataDir(ident).toString).isDefined
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => exists(Identifier.of(namespace, f.getName)))
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = exists(ident)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new GraftCatalogTable(fullName(ident), dataDir(ident).toString, None)
+  }
+
+  /** `VERSION AS OF <v>` */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        sys.error(s"graft time travel expects a numeric version, " +
+          s"got '$version'")
+    }
+    new GraftCatalogTable(
+      s"${fullName(ident)}@v$v", dataDir(ident).toString, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — latest version committed at or before t
+    * (micros since epoch, per the DSv2 contract).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = dataDir(ident).toString
+    val tsMs = timestampMicros / 1000L
+    val v = PoolJsonSink.listVersions(dir).reverse
+      .find { vv =>
+        PoolJsonSink.readManifestAt(dir, vv).commitTimeMs
+          .forall(_ <= tsMs)
+      }
+      .getOrElse(sys.error(
+        s"${fullName(ident)}: no version committed at or before " +
+          s"timestamp ${tsMs}ms"))
+    new GraftCatalogTable(
+      s"${fullName(ident)}@v$v", dir, Some(v))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft tables cluster on their merge key (TBLPROPERTIES key=...); " +
+        "PARTITIONED BY is not supported")
+    val props = properties.asScala
+    val entry = tableEntry(ident)
+    if (!entry.getParentFile.isDirectory)
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace)
+    entry.mkdirs()
+    // Spark normalizes LOCATION to a URI ("file:/tmp/t"); store the
+    // local path form the sink understands
+    val external = props.get(TableCatalog.PROP_LOCATION).map { loc =>
+      val u = java.net.URI.create(loc)
+      if (u.getScheme == "file" || u.getScheme == null)
+        Option(u.getPath).getOrElse(loc)
+      else loc
+    }
+    external.foreach { loc =>
+      java.nio.file.Files.writeString(
+        new java.io.File(entry, "_LOCATION").toPath, loc)
+    }
+    val dir = dataDir(ident).toString
+    // an external LOCATION pointing at an EXISTING graft table is a
+    // pure registration — adopt its manifest as-is (schema argument
+    // may be empty in that case)
+    if (PoolJsonSink.readManifest(dir).isEmpty) {
+      require(schema.nonEmpty,
+        s"${fullName(ident)}: CREATE TABLE needs a schema (or a " +
+          "LOCATION holding an existing graft table)")
+      val key = props.getOrElse("key", schema.fields.head.name)
+      require(schema.fieldNames.contains(key),
+        s"${fullName(ident)}: merge key '$key' is not a table column")
+      val nBuckets = props.get("nbuckets").map(_.toInt).getOrElse(64)
+      val spark = SparkSession.active
+      // first commit: zero data files, but the manifest records the
+      // schema, key and bucket count — the table reads back empty
+      // with the right columns and every later INSERT merges on key
+      PoolJsonSink.overwritePartitioned(spark, dir,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        org.apache.spark.sql.functions.col(key), nBuckets)
+    }
+    new GraftCatalogTable(fullName(ident), dir, None)
+  }
+
+  override def alterTable(
+      ident: Identifier, changes: TableChange*): Table =
+    sys.error("graft: ALTER TABLE is not supported (schema evolves " +
+      "additively through writes; properties are fixed at CREATE)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val entry = tableEntry(ident)
+    if (!entry.isDirectory) return false
+    val managed = !new java.io.File(entry, "_LOCATION").isFile
+    if (managed || true) // external: drop the pointer dir only
+      org.apache.commons.io.FileUtils.deleteDirectory(entry)
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!exists(from)) throw new NoSuchTableException(from)
+    if (exists(to)) throw new TableAlreadyExistsException(to)
+    if (!tableEntry(from).renameTo(tableEntry(to)))
+      sys.error(s"rename ${fullName(from)} -> ${fullName(to)} failed")
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  // ---- SupportsNamespaces ----
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(warehouse.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(f => Array(f.getName))
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (!nsDir(namespace).isDirectory)
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    else Array.empty // single-level namespaces
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || nsDir(namespace).isDirectory
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    nsDir(namespace).mkdirs()
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    sys.error("graft: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) return false
+    if (!cascade && Option(d.listFiles()).exists(_.nonEmpty))
+      sys.error(s"namespace ${namespace.mkString(".")} is not empty")
+    org.apache.commons.io.FileUtils.deleteDirectory(d)
+    true
+  }
+}
+
+/** A named graft table: SQL-facing schema (the stored `__pt` bucket
+  * column subtracted), reads through the columnar `graft-spj` scan
+  * pinned to `version` when time-travelling, writes bridged to the
+  * transactional keyed sink.
+  */
+class GraftCatalogTable(
+    ident: String, tableDir: String, version: Option[Long])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private lazy val manifest = version match {
+    case Some(v) => PoolJsonSink.readManifestAt(tableDir, v)
+    case None => PoolJsonSink.readManifest(tableDir).getOrElse(
+      sys.error(s"not a graft table: $tableDir"))
+  }
+
+  /** Physical schema (manifest-recorded, `__pt` included). */
+  private lazy val fileSchema: StructType = manifest.schemaJson match {
+    case Some(j) => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[StructType]
+    case None => GraftSpjTable.tableSchema(tableDir)
+  }
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    StructType(fileSchema.fields.filterNot(
+      _.name == GraftSpjTable.BucketCol))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def properties(): java.util.Map[String, String] =
+    (Map("provider" -> "graft", "location" -> tableDir) ++
+      manifest.keyCol.map("key" -> _) ++
+      manifest.nBuckets.map("nbuckets" -> _.toString) ++
+      Map("version" -> manifest.version.toString)).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSpjScanBuilder(tableDir, fileSchema, version)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      s"$ident: cannot write to a time-travelled table")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            val spark = data.sparkSession
+            val key = manifest.keyCol.getOrElse(sys.error(
+              s"$ident: manifest records no merge key; " +
+                "re-create the table with TBLPROPERTIES ('key'=...)"))
+            val kc = org.apache.spark.sql.functions.col(key)
+            val n = manifest.nBuckets.getOrElse(64)
+            if (replace)
+              PoolJsonSink.overwritePartitioned(
+                spark, tableDir, data, kc, n)
+            else
+              PoolJsonSink.upsertPartitioned(
+                spark, tableDir, data, kc, n)
+          }
+      }
+    }
+  }
+}

@@ -126,7 +126,9 @@ class GraftSpjTable(tableDir: String, declared: StructType)
     new GraftSpjScanBuilder(tableDir, declared)
 }
 
-class GraftSpjScanBuilder(tableDir: String, fileSchema: StructType)
+class GraftSpjScanBuilder(
+    tableDir: String, fileSchema: StructType,
+    version: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fileSchema
@@ -136,11 +138,13 @@ class GraftSpjScanBuilder(tableDir: String, fileSchema: StructType)
     required = StructType(
       fileSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new GraftSpjScan(tableDir, fileSchema, required)
+  override def build(): Scan =
+    new GraftSpjScan(tableDir, fileSchema, required, version)
 }
 
 class GraftSpjScan(
-    tableDir: String, fileSchema: StructType, required: StructType)
+    tableDir: String, fileSchema: StructType, required: StructType,
+    version: Option[Long] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
 
@@ -163,7 +167,12 @@ class GraftSpjScan(
 
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(GraftSpjTable.BucketCol))
+    // like outputPartitioning: only advertise the runtime-filterable
+    // bucket column while it survives pruning — PartitionPruning
+    // resolves these refs against the scan OUTPUT and fails otherwise
+    if (required.fieldNames.contains(GraftSpjTable.BucketCol))
+      Array(Expressions.column(GraftSpjTable.BucketCol))
+    else Array.empty
 
   /** Accept IN/= predicates on `__pt` delivered at runtime (dynamic
     * partition pruning: the joined side's surviving bucket ids). The
@@ -207,17 +216,33 @@ class GraftSpjScan(
     }
   }
 
-  // resolve the committed manifest ONCE per scan (snapshot semantics)
-  private lazy val manifest = PoolJsonSink.readManifest(tableDir).getOrElse(
-    sys.error(s"not a manifest table: $tableDir"))
+  // resolve the committed manifest ONCE per scan (snapshot semantics);
+  // a pinned version (SQL time travel through the catalog) reads that
+  // exact committed manifest instead of the current one
+  private lazy val manifest = version match {
+    case Some(v) => PoolJsonSink.readManifestAt(tableDir, v)
+    case None => PoolJsonSink.readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+  }
 
   private lazy val nBuckets: Int = manifest.nBuckets.getOrElse(
     sys.error(s"manifest records no bucket count: $tableDir " +
       "(re-commit with a current writer)"))
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(Expressions.identity(GraftSpjTable.BucketCol)), nBuckets)
+    // The key-grouped layout is only announceable when the bucket
+    // column SURVIVES column pruning: Catalyst resolves the
+    // partitioning's references against the scan output and fails on
+    // a pruned `__pt` (the catalog's SQL face subtracts it from the
+    // logical schema). A projection that drops the key column gives
+    // up the co-partitioning info — exactly the Iceberg bucket-scan
+    // behavior.
+    if (required.fieldNames.contains(GraftSpjTable.BucketCol))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity(GraftSpjTable.BucketCol)), nBuckets)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(nBuckets)
 
   /** One partition per bucket, 0 .. nBuckets-1. Buckets with no files
     * still get an (empty) partition: partition VALUES are then
