@@ -31,6 +31,12 @@ object TextQueries {
     */
   private[llm] val BenchBudget = 50000L
 
+  /** x20's merge depth: deep enough to be past anything the 3-round
+    * Spark loop covers, shallow enough for the DuckDB oracle to
+    * unroll (the corpus supports ~89 merges before exhaustion).
+    */
+  private[llm] val X20Merges = 12
+
   /** The benchmark-membership predicate (Spark side). */
   private[llm] def isBenchDoc: org.apache.spark.sql.Column =
     col("doc_id") % 97 === 0 && col("doc_id") < BenchBudget
@@ -617,6 +623,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // X20 — BPE at DEPTH: the [[Bpe]] driver-loop trainer (one corpus
+    // scan for (word, count), then Sennrich-style incremental merge
+    // rounds on the bounded vocabulary — the x16 3-round Spark loop
+    // does not survive realistic merge counts, one job per merge) run
+    // to 12 rounds here so DuckDB can still unroll and certify the
+    // WHOLE chain cross-engine; BpeFullSpec exercises 1024 rounds on
+    // a realistic synthetic vocabulary. The encode side is the other
+    // scale fix: the trained vocabulary's final symbol sequences ARE
+    // the tokenization, so applying the model is a broadcast
+    // vocab→n_tokens lookup (model-sized literal, no corpus lineage)
+    // instead of 12×4 nested replace calls per row.
+    "x20_bpe_full" -> ((s, d) => {
+      val (_, vocab) = Bpe.train(s, d, X20Merges)
+      Bpe.encodeCorpus(s, d, vocab)
+    }),
+
     // X17 — heavy hitters under a COUNT-MIN SKETCH, delivering x7's
     // own scale note ("for unbounded vocabularies the same shape runs
     // under a count-min sketch"): one pass folds every token into a
@@ -800,6 +822,48 @@ object TextQueries {
            |  CAST(sum(len(string_split(trim(seq), ' '))) * 1000000
            |    // sum(n_chars) AS BIGINT) AS bpe_ppm
            |FROM d3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      // x20: the x18 chain unrolled to X20Merges rounds — certifying
+      // the DRIVER-loop trainer + broadcast-vocab encoder against the
+      // relational formulation at a depth the Spark per-round loop
+      // would never run
+      "x20_bpe_full" -> {
+        def rep4(prev: String, b: String, out: String): String =
+          s"""$out AS (
+             |  SELECT doc_id, replace(replace(replace(replace(seq,
+             |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+             |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+             |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+             |      ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')
+             |    AS seq, n_chars
+             |  FROM $prev, $b)""".stripMargin
+        val n = X20Merges
+        s"""WITH wf AS (
+           |  SELECT w AS word, count(*) AS cnt FROM (
+           |    SELECT unnest(list_filter(
+           |      regexp_split_to_array(lower(text), '\\s+'),
+           |      x -> x <> '')) AS w
+           |    FROM documents) GROUP BY 1),
+           |s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+           |         AS seq, cnt FROM wf),
+           |${(1 to n).map(r => bpeRound(s"s${r - 1}", r)).mkString(",\n")},
+           |dw AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '\\s+'),
+           |    x -> x <> '')) AS word
+           |  FROM documents),
+           |d0 AS (SELECT doc_id,
+           |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
+           |    length(word) AS n_chars FROM dw),
+           |${(1 to n).map(r => rep4(s"d${r - 1}", s"b$r", s"d$r"))
+              .mkString(",\n")}
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_char_tokens,
+           |  CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT)
+           |    AS n_bpe_tokens,
+           |  CAST(sum(len(string_split(trim(seq), ' '))) * 1000000
+           |    // sum(n_chars) AS BIGINT) AS bpe_ppm
+           |FROM d$n GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
       "x1_langid" ->
         s"""WITH t AS (
