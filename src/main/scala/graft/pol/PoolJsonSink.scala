@@ -1116,6 +1116,60 @@ object PoolJsonSink {
     * replaced versions until vacuum. Keeps the table's recorded
     * bucket count.
     */
+  /** Commit a FULL-REPLACEMENT file set whose data files are ALREADY
+    * staged under `tableDir` (table-relative paths) — the driver half
+    * of the V2 executor-side write (graft.sources.GraftBatchWrite):
+    * executors wrote bucketed parquet directly, this publishes them
+    * as the next version atomically. Table properties ride along the
+    * way every other maintenance writer carries them: zone-map
+    * columns re-harvested from the new footers, bloom sidecars
+    * rebuilt on the recorded columns, the merge key preserved.
+    */
+  private[graft] def commitStagedReplace(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      newFiles: Map[Long, Seq[String]],
+      schemaJson: String,
+      nBuckets: Int,
+      opName: String,
+      replaceBuckets: Option[Set[Long]] = None): Unit = {
+    val prev = readManifest(tableDir)
+    val cols = prev.map(_.stats.valuesIterator.flatMap(_.keys)
+      .filterNot(_ == RowsStatCol).toSeq.distinct).getOrElse(Nil)
+    val rels = newFiles.valuesIterator.flatten.toSeq
+    val newStats = footerStats(spark, tableDir, rels, cols)
+    val effBloom = prev.map(_.bloomCols).getOrElse(Nil)
+    buildBloomSidecars(spark, tableDir,
+      newStats.view.mapValues(_.get(RowsStatCol).collect {
+        case LongStat(r, _) => r
+      }.getOrElse(1L << 20)).toMap,
+      effBloom)
+    // Bucket-level copy-on-write: buckets in `replaceBuckets` (the
+    // SCANNED groups — their surviving rows were fully re-emitted)
+    // drop their old files; every other bucket KEEPS its files and
+    // merely appends any new ones (rows INSERTED into groups the
+    // statement never read). None = the full-rewrite case.
+    val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty)
+    val kept = replaceBuckets match {
+      case Some(scanned) => prevBuckets -- scanned
+      case None => Map.empty[Long, Seq[String]]
+    }
+    val allBuckets = (kept.keySet ++ newFiles.keySet).map { b =>
+      b -> (kept.getOrElse(b, Nil) ++ newFiles.getOrElse(b, Nil))
+    }.toMap
+    val live = allBuckets.valuesIterator.flatten.toSet
+    val prevStats = prev.map(_.stats).getOrElse(Map.empty)
+    commitManifest(tableDir, TableManifest(
+      prev.map(_.version + 1).getOrElse(1L),
+      allBuckets,
+      (prevStats ++ newStats).filter(kv => live(kv._1)),
+      Some(schemaJson),
+      Some(nBuckets),
+      effBloom,
+      Some(opName),
+      keyCol = prev.flatMap(_.keyCol)))
+  }
+
   def overwritePartitioned(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String,

@@ -1,0 +1,177 @@
+package graft.sources
+
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal, Pmod, UnsafeProjection, XxHash64}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.pol.PoolJsonSink
+
+/** A REAL DSv2 executor-side write for graft tables — the path SQL
+  * row-level operations (MERGE INTO / UPDATE / DELETE) require, since
+  * `ReplaceData` has no V1 fallback.
+  *
+  * Shape: each task computes every row's bucket with the table's own
+  * placement function (`pmod(xxhash64(key), nBuckets)` — the same
+  * Catalyst expressions the sink uses, so placement can never drift
+  * between the two write paths), appends `__pt`, and streams the row
+  * into a per-bucket parquet [[org.apache.spark.sql.execution
+  * .datasources.OutputWriter]] under a hidden staging directory.
+  * Commit messages carry (bucket, staged file); the driver moves the
+  * files into `data/` and publishes them through the SAME CAS
+  * manifest commit every other writer uses
+  * ([[PoolJsonSink.commitStagedReplace]]) — one commit protocol, two
+  * producers.
+  *
+  * File-count trade, stated: tasks are not bucket-clustered (the
+  * bucket function is not expressible as a connector distribution
+  * without a FunctionCatalog), so a statement can produce up to
+  * tasks×buckets files. Row-level statements are the occasional
+  * surgical path — bulk loads go through INSERT's optimized write
+  * (one exchange, one file per bucket), and OPTIMIZE compacts what
+  * accumulates. At 100 TB this is the same trade Iceberg's
+  * fanout-writer COW path takes.
+  */
+class GraftBatchWrite(
+    tableDir: String, logicalSchema: StructType, incoming: StructType,
+    keyCol: String, nBuckets: Int, opName: String,
+    scannedBuckets: () => Option[Set[Long]] = () => None)
+    extends BatchWrite {
+
+  private val stageRel =
+    s".v2stage-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    // files store the logical columns + __pt, like every graft file
+    val fileSchema = StructType(
+      logicalSchema.fields.filterNot(_.name == GraftSpjTable.BucketCol)
+        :+ StructField(GraftSpjTable.BucketCol, LongType, nullable = false))
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf: OutputWriterFactory = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, fileSchema)
+    new java.io.File(tableDir, stageRel).mkdirs()
+    GraftDataWriterFactory(
+      tableDir, stageRel, incoming, fileSchema, keyCol, nBuckets,
+      owf, new SerializableConfiguration(job.getConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.flatMap {
+      case GraftWriteCommit(files) => files
+    }
+    val dataDir = new java.io.File(tableDir, "data")
+    dataDir.mkdirs()
+    val newFiles = staged.toSeq.map { case (bucket, name) =>
+      val rel = s"data/$name"
+      java.nio.file.Files.move(
+        new java.io.File(tableDir, s"$stageRel/$name").toPath,
+        new java.io.File(tableDir, rel).toPath)
+      bucket -> rel
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val fileSchema = StructType(
+      logicalSchema.fields.filterNot(_.name == GraftSpjTable.BucketCol)
+        :+ StructField(GraftSpjTable.BucketCol, LongType, nullable = false))
+    // If the row-level scan was runtime-group-filtered, the
+    // replacement data covers only the SCANNED buckets — commit
+    // bucket-level COW (replace those, append elsewhere). A filter
+    // that never arrived means the whole table was read → replace
+    // everything. Evaluated here, after execution, when the scan's
+    // filter state is final.
+    PoolJsonSink.commitStagedReplace(SparkSession.active, tableDir,
+      newFiles, fileSchema.json, nBuckets, opName,
+      replaceBuckets = scannedBuckets())
+    cleanupStage()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStage()
+
+  private def cleanupStage(): Unit = {
+    val d = new java.io.File(tableDir, stageRel)
+    Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    d.delete(); ()
+  }
+}
+
+case class GraftWriteCommit(files: Seq[(Long, String)])
+    extends WriterCommitMessage
+
+case class GraftDataWriterFactory(
+    tableDir: String, stageRel: String,
+    incoming: StructType, fileSchema: StructType,
+    keyCol: String, nBuckets: Int,
+    owf: OutputWriterFactory, conf: SerializableConfiguration)
+    extends DataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(this, partitionId, taskId)
+}
+
+class GraftDataWriter(
+    f: GraftDataWriterFactory, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val inAttrs = f.incoming.fields.toSeq.map(s =>
+    AttributeReference(s.name, s.dataType, s.nullable)())
+  private val byName = inAttrs.map(a => a.name -> a).toMap
+  private val keyAttr = byName.getOrElse(f.keyCol,
+    sys.error(s"write schema ${f.incoming.fieldNames.mkString(",")} " +
+      s"lacks merge key ${f.keyCol}"))
+  private val bucketExpr =
+    Pmod(XxHash64(Seq(keyAttr), 42L), Literal(f.nBuckets.toLong))
+  // output = the file columns in file order (sourced by NAME from the
+  // incoming row — robust to engine-side column reordering) + __pt
+  private val outExprs = f.fileSchema.fields.toSeq.map { s0 =>
+    if (s0.name == GraftSpjTable.BucketCol) bucketExpr
+    else byName.getOrElse(s0.name,
+      sys.error(s"incoming row lacks table column ${s0.name}"))
+  }
+  private val proj = UnsafeProjection.create(outExprs, inAttrs)
+  private val bucketProj = UnsafeProjection.create(Seq(bucketExpr), inAttrs)
+
+  private val writers =
+    scala.collection.mutable.HashMap.empty[Long,
+      (org.apache.spark.sql.execution.datasources.OutputWriter, String)]
+  private val ctx = {
+    val attempt = new TaskAttemptID(
+      new TaskID(new org.apache.hadoop.mapreduce.JobID("graft", 0),
+        TaskType.MAP, partitionId), taskId.toInt)
+    new TaskAttemptContextImpl(f.conf.value, attempt)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val bucket = bucketProj(row).getLong(0)
+    val (w, _) = writers.getOrElseUpdate(bucket, {
+      val name = s"pt$bucket-${java.util.UUID.randomUUID()}.parquet"
+      val path = new java.io.File(
+        new java.io.File(f.tableDir, f.stageRel), name).toString
+      (f.owf.newInstance(path, f.fileSchema, ctx), name)
+    })
+    w.write(proj(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    GraftWriteCommit(writers.toSeq.map { case (b, (_, name)) =>
+      (b, name)
+    })
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { case (w, _) =>
+      try w.close() catch { case _: Throwable => }
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.pol.PoolJsonSink
@@ -279,7 +279,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 class GraftCatalogTable(
     ident: String, tableDir: String, version: Option[Long])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private lazy val manifest = version match {
     case Some(v) => PoolJsonSink.readManifestAt(tableDir, v)
@@ -313,6 +315,90 @@ class GraftCatalogTable(
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSpjScanBuilder(tableDir, fileSchema, version)
+
+  /** The stored bucket column, surfaced as a METADATA column (hidden
+    * from `SELECT *`, addressable by name — the Iceberg `_partition`
+    * pattern): what row-level operations anchor on, and what lets a
+    * curious SQL user inspect placement.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftSpjTable.BucketCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "storage bucket: pmod(xxhash64(key), nbuckets)"
+    })
+
+  /** SQL `MERGE INTO` / `UPDATE` / `DELETE FROM` — the group-based
+    * copy-on-write recipe (the Iceberg COW path, public): Spark's
+    * rewrite rules turn the statement into "scan the affected groups,
+    * recompute their surviving + changed rows, hand the replacement
+    * set to the operation's write". This implementation deliberately
+    * does NOT advertise runtime group filtering on the row-level scan
+    * (the logical schema carries no `__pt`, so no dynamic bucket
+    * filter can arrive): the affected-group set is therefore always
+    * THE WHOLE TABLE, the replacement data is the complete post-
+    * statement content, and the write is the atomic whole-table
+    * replace — the unpartitioned-Iceberg behavior. Correct under the
+    * CAS commit for concurrent writers; the bucket-pruned variant
+    * (replace only touched buckets) is the upgrade path and requires
+    * an append-preserving commit for insert-only buckets.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"$ident: cannot modify a time-travelled table")
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command()
+          : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+
+      /** The scan this operation's physical plan executes — its
+        * runtime-filter state (which buckets Spark's group-filter
+        * subquery kept) is what the write's commit consults to
+        * replace exactly the scanned groups.
+        */
+      @volatile private var opScan: GraftSpjScan = _
+
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder =
+        new GraftSpjScanBuilder(tableDir, fileSchema, version,
+          onBuild = s => opScan = s)
+
+      /** Requiring the bucket metadata column is ALSO what makes
+        * Spark apply the ReplaceData row projection before handing
+        * rows to the writer: with no metadata projection the plain
+        * writing task ships the raw MergeRows output (operation
+        * column included) straight through — the writer would see a
+        * different physical layout than LogicalWriteInfo.schema
+        * declares.
+        */
+      override def requiredMetadataAttributes(): Array[
+          org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(GraftSpjTable.BucketCol))
+
+      override def newWriteBuilder(
+          wInfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = new Write {
+            override def toBatch: BatchWrite = {
+              val key = manifest.keyCol.getOrElse(sys.error(
+                s"$ident: manifest records no merge key"))
+              new GraftBatchWrite(tableDir, schema(), wInfo.schema(),
+                key, manifest.nBuckets.getOrElse(64),
+                info.command().toString,
+                scannedBuckets =
+                  () => Option(opScan).flatMap(_.runtimeBuckets))
+            }
+          }
+        }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,

@@ -128,7 +128,8 @@ class GraftSpjTable(tableDir: String, declared: StructType)
 
 class GraftSpjScanBuilder(
     tableDir: String, fileSchema: StructType,
-    version: Option[Long] = None)
+    version: Option[Long] = None,
+    onBuild: GraftSpjScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fileSchema
@@ -138,8 +139,11 @@ class GraftSpjScanBuilder(
     required = StructType(
       fileSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
-    new GraftSpjScan(tableDir, fileSchema, required, version)
+  override def build(): Scan = {
+    val s = new GraftSpjScan(tableDir, fileSchema, required, version)
+    onBuild(s)
+    s
+  }
 }
 
 class GraftSpjScan(
@@ -157,8 +161,11 @@ class GraftSpjScan(
 
   // ---- runtime bucket pruning (DPP for the bucket column) ----
 
-  /** Buckets that survived a runtime filter; None = no filter arrived. */
-  @volatile private var runtimeBuckets: Option[Set[Long]] = None
+  /** Buckets that survived a runtime filter; None = no filter arrived.
+    * Read by the row-level write path to commit bucket-level
+    * copy-on-write: the replacement data covers exactly these buckets.
+    */
+  @volatile private[sources] var runtimeBuckets: Option[Set[Long]] = None
 
   /** Observability hook for specs/probes: buckets whose files were
     * dropped by the last runtime filter.

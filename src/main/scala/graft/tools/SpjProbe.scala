@@ -77,10 +77,23 @@ object SpjProbe {
     val tSpj = best3(spjJoin().agg(count(lit(1)), sum(col("bv"))).head())
     val tPlain = best3(plainJoin().agg(count(lit(1)), sum(col("bv"))).head())
 
+    // --- scan-bound case: no join, pure read + aggregate — the shape
+    // where the reader implementation IS the cost. With the round-6
+    // columnar path the graft-spj scan must track the vectorized
+    // format("graft") scan (within ~1.2×), not pay a per-row
+    // materialization tax.
+    def spjScan() = GraftSpj.read(spark, la)
+      .agg(sum(col("k")), sum(col("ag")), count(lit(1))).head()
+    def graftScan() = PoolJsonSink.readTable(spark, la)
+      .agg(sum(col("k")), sum(col("ag")), count(lit(1))).head()
+    val tScanSpj = best3(spjScan())
+    val tScanGraft = best3(graftScan())
+
     println(f"""{"probe":"spj","rows":$nRows,"buckets":$nBuckets,""" +
       f""""load_s":$tLoad%.1f,"exchanges_spj":$exSpj,""" +
       f""""exchanges_plain":$exPlain,"join_spj_s":$tSpj%.2f,""" +
-      f""""join_plain_s":$tPlain%.2f}""")
+      f""""join_plain_s":$tPlain%.2f,"scan_spj_s":$tScanSpj%.2f,""" +
+      f""""scan_graft_s":$tScanGraft%.2f}""")
     spark.stop()
   }
 }
