@@ -113,17 +113,29 @@ object DedupQueries {
     */
   private[llm] def sharedShinglePairs(
       s: SparkSession, d: String, cap: Int): DataFrame = {
-    val withHs = documents(s, d)
-      .select(col("doc_id"), col("source"),
-        graft.functions.ShingleHashes(col("text")).as("hs"))
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
     // skip over-cap blocks BEFORE the shingle explode: the width check
     // is one tiny aggregate over (source, count), and dropped sources
     // never produce shuffle rows at all
-    val narrow = withHs.groupBy("source")
+    val narrow = docs.groupBy("source")
       .agg(count(lit(1)).as("w"))
       .where(col("w") <= cap)
       .select("source")
-    val capped = withHs.join(narrow, "source")
+    // ShingleHashes projects AFTER the cap join, not before: Catalyst
+    // prunes columns but never pushes expressions down through joins,
+    // so hashing placed here runs only on cap-SURVIVING docs. The 4M
+    // ScaleProbe measured the difference — with every source over the
+    // cap, the old plan still shingle-hashed the whole corpus on both
+    // self-join sides (d13 59.9 s of pure discarded projection work);
+    // this shape makes the all-capped case cost one width aggregate.
+    // narrow is a SOURCE-NAME list (bounded by the catalog of
+    // sources, never by corpus rows) — broadcast it so the text-
+    // bearing side never shuffles; a source-keyed SMJ here would
+    // move every document's text bytes through one skewed exchange
+    val capped = docs.join(broadcast(narrow), "source")
+      .select(col("doc_id"), col("source"),
+        graft.functions.ShingleHashes(col("text")).as("hs"))
     // per-doc set size straight from the array — no explode/shuffle
     val sizes = capped.select(col("doc_id"), size(col("hs")).as("n"))
     val sh = capped
