@@ -130,17 +130,37 @@ class GraftSpjScanBuilder(
     tableDir: String, fileSchema: StructType,
     version: Option[Long] = None,
     onBuild: GraftSpjScan => Unit = _ => ())
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = fileSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the FILE's field order/instances for the parquet reader
     required = StructType(
       fileSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
+  /** Accept every filter for manifest-level skipping but report ALL
+    * of them unhandled: pruning through zone maps / blooms / the key
+    * hash is a pure optimization and Spark re-applies the predicates
+    * above the scan — the same never-a-semantics-bet contract the v1
+    * face keeps (GraftTableSource scaladoc).
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
   override def build(): Scan = {
-    val s = new GraftSpjScan(tableDir, fileSchema, required, version)
+    val s = new GraftSpjScan(tableDir, fileSchema, required, version,
+      pushed)
     onBuild(s)
     s
   }
@@ -148,7 +168,9 @@ class GraftSpjScanBuilder(
 
 class GraftSpjScan(
     tableDir: String, fileSchema: StructType, required: StructType,
-    version: Option[Long] = None)
+    version: Option[Long] = None,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
 
@@ -251,19 +273,96 @@ class GraftSpjScan(
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(nBuckets)
 
+  // ---- planning-time pruning from pushed filters (zone maps, bloom
+  // sidecars, and the key hash), all against the snapshot manifest.
+  // Every pushed predicate is ALSO re-applied above the scan, so this
+  // can only skip work, never rows.
+
+  /** Buckets a key-equality predicate allows: the key hashes to
+    * exactly one bucket, computed with the SAME Catalyst expressions
+    * the writer places rows with (`pmod(xxhash64(key), n)`) — a
+    * `WHERE k = v` point lookup by table name opens one bucket of
+    * files at any table size.
+    */
+  private lazy val keyEqBuckets: Option[Set[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    import org.apache.spark.sql.sources.EqualTo
+    val keyCol = manifest.keyCol
+    val sets = pushedFilters.toSeq.collect {
+      case EqualTo(c, v) if keyCol.contains(c) &&
+          fileSchema.fieldNames.contains(c) =>
+        val dt = fileSchema(c).dataType
+        val b = Pmod(
+          XxHash64(Seq(Literal.create(v, dt)), 42L),
+          Literal(nBuckets.toLong)).eval(null).asInstanceOf[Long]
+        Set(b)
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** Files the zone-map / bloom skipping keeps, per conjunct; None =
+    * no skippable predicate arrived. Conservative by construction:
+    * the helpers keep any file without stats for the column.
+    */
+  private lazy val filterFiles: Option[Set[String]] = {
+    import org.apache.spark.sql.sources._
+    def longRange(c: String, lo: Long, hi: Long): Set[String] =
+      PoolJsonSink.pruneFilesLongRange(manifest, c, lo, hi).toSet
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    val sets = pushedFilters.toSeq.flatMap {
+      case EqualTo(c, v: String) if fileSchema.fieldNames.contains(c) =>
+        Some(PoolJsonSink.pruneFilesBloomEq(
+          tableDir, manifest, c, v).toSet)
+      case EqualTo(c, v) => num(v).map(l => longRange(c, l, l))
+      case GreaterThan(c, v) =>
+        num(v).map(l => longRange(c, l + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) =>
+        num(v).map(l => longRange(c, l, Long.MaxValue))
+      case LessThan(c, v) =>
+        num(v).map(l => longRange(c, Long.MinValue, l - 1))
+      case LessThanOrEqual(c, v) =>
+        num(v).map(l => longRange(c, Long.MinValue, l))
+      case In(c, vs) if vs.nonEmpty &&
+          fileSchema.fieldNames.contains(c) =>
+        val perValue = vs.toSeq.map {
+          case s: String =>
+            Some(PoolJsonSink.pruneFilesBloomEq(
+              tableDir, manifest, c, s).toSet)
+          case v => num(v).map(l => longRange(c, l, l))
+        }
+        if (perValue.forall(_.isDefined))
+          Some(perValue.flatten.reduce(_ union _))
+        else None
+      case _ => None
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   /** One partition per bucket, 0 .. nBuckets-1. Buckets with no files
     * still get an (empty) partition: partition VALUES are then
     * identical for any two tables sharing nBuckets, which is what lets
     * EnsureRequirements pair them 1:1 without shuffling either side.
+    * Pruning (runtime buckets, key-hash buckets, zone-map/bloom file
+    * skipping) EMPTIES partitions rather than dropping them, so the
+    * alignment contract survives every filter.
     */
   override def planInputPartitions(): Array[InputPartition] =
     (0L until nBuckets.toLong).map { b =>
       val files =
         if (runtimeBuckets.exists(!_.contains(b))) Nil
-        else manifest.buckets.getOrElse(b, Nil).map { rel =>
-          val f = new java.io.File(tableDir, rel)
-          (f.toString, f.length())
-        }
+        else if (keyEqBuckets.exists(!_.contains(b))) Nil
+        else manifest.buckets.getOrElse(b, Nil)
+          .filter(rel => filterFiles.forall(_.contains(rel)))
+          .map { rel =>
+            val f = new java.io.File(tableDir, rel)
+            (f.toString, f.length())
+          }
       GraftBucketPartition(b, files): InputPartition
     }.toArray
 
