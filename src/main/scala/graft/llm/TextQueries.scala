@@ -689,27 +689,34 @@ object TextQueries {
     // registry and stays broadcast-size by construction (a hashed
     // vocabulary caps it), so nothing here is corpus-sized.
     "x19_quality_classifier" -> ((s, d) => {
-      import s.implicits._
-      val w = broadcast(ClassifierWeights.toDF("tok", "w")
-        .select(col("tok"), col("w").cast("decimal(9,4)").as("wt")))
-      val bias = lit(ClassifierBias).cast("decimal(9,4)")
-      val hits = documents(s, d)
-        .select(col("doc_id"), explode(
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
-          .as("tok"))
-        .join(w, "tok")
-        .groupBy("doc_id")
-        .agg(sum(col("wt")).cast("decimal(18,4)").as("hit_sum"))
-      // hits is DOC-keyed — corpus-sized at scale. The hint keeps the
-      // planner from broadcasting it just because the test corpus is
-      // small (the plan-audit ban this query first tripped).
-      documents(s, d).select("doc_id")
-        .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
+      // The weight table is a TRAINED MODEL — it enters the plan as
+      // LITERALS (the k-means/BPE/PQ design rule applied to the
+      // classifier): one map-only token fold per document, logit
+      // accumulated in DECIMAL (exact, order-independent — a double
+      // fold would be partition-order-dependent). Round 5 shipped
+      // this as explode → broadcast join → doc agg → join-back: two
+      // doc-keyed exchanges and a tokens-sized (60× corpus)
+      // intermediate, which the 4M probe priced at 25 s. The fold is
+      // a single HOF projection — no explode, no shuffle; the d5
+      // lesson (NESTED HOFs fall out of codegen) doesn't bite at one
+      // level. At a realistic vocabulary the CASE becomes a literal
+      // map lookup or the registry-backed broadcast join — the
+      // explode never returns either way.
+      val caseArms = ClassifierWeights.map { case (t, w) =>
+        s"WHEN '$t' THEN CAST('$w' AS DECIMAL(18,4))"
+      }.mkString(" ")
+      val logit = expr(
+        s"""aggregate(
+           |  filter(split(lower(text), '\\\\s+'), x -> x <> ''),
+           |  CAST('$ClassifierBias' AS DECIMAL(18,4)),
+           |  (acc, x) -> CAST(acc + CASE x $caseArms
+           |    ELSE CAST(0 AS DECIMAL(18,4)) END AS DECIMAL(18,4)))"""
+          .stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), logit.as("l"))
         .select(col("doc_id"),
-          (coalesce(col("hit_sum"), lit(0).cast("decimal(18,4)")) + bias)
-            .cast("double").as("logit"),
-          ((coalesce(col("hit_sum"), lit(0).cast("decimal(18,4)")) + bias)
-            > lit(0)).as("keep"))
+          col("l").cast("double").as("logit"),
+          (col("l") > lit(0)).as("keep"))
         .orderBy("doc_id")
     })
   )

@@ -46,8 +46,12 @@ class PlanAuditSpec extends AnyFunSuite {
                      // source-keyed epoch config (config-sized)
     "n11_binary_hamming", // 1-row packed-signature probe broadcast
     "n13_range_search", // 1-row probe broadcast against the pruned index
-    "c12_language_rebalance") // 1-row min-lang-count scalar broadcast
+    "c12_language_rebalance", // 1-row min-lang-count scalar broadcast
                               // against the |langs|-row rate table
+    "n14_pq_rerank_recall") // n8's pattern twice over: 1-row probe
+                            // broadcasts from the composed n1/n12
+                            // sides, plus the two 1-row recall
+                            // aggregates cross-joined into one row
   // x8/x9 explode AND broadcast the benchmark shingle set on purpose
   // (benchmarks are MBs by contract; the corpus is the probe side);
   // c9 embeds x8's plan wholesale for its quarantine flags.
