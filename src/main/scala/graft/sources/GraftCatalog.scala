@@ -61,7 +61,8 @@ import graft.pol.PoolJsonSink
   * table removes the pointer only (the standard external-table
   * contract — the data outlives the name).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.io.File = _
@@ -224,6 +225,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  // ---- ProcedureCatalog (CALL gcat.system.<proc>(...)) ----
+
+  /** Resolve a procedure's 'tbl' argument ("ns.name" or bare "name",
+    * default namespace assumed) to the table's data directory.
+    */
+  private[sources] def resolveDataDir(tbl: String): String = {
+    val parts = tbl.split('.')
+    val ident =
+      if (parts.length >= 2)
+        Identifier.of(parts.dropRight(1), parts.last)
+      else Identifier.of(Array("default"), tbl)
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    dataDir(ident).toString
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace, got " +
+        ident.namespace.mkString("."))
+    GraftProcedures.load(this, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.Names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ---- SupportsNamespaces ----
 

@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pol.PoolJsonSink
+
+/** SQL `CALL` maintenance for graft tables — the Iceberg procedure
+  * pattern on Spark 4's ProcedureCatalog API, so the lifecycle a
+  * table OPERATOR runs (compaction, retention, provenance) is SQL
+  * like everything else:
+  *
+  * {{{
+  * CALL gcat.system.optimize(tbl => 'default.games')
+  * CALL gcat.system.vacuum(tbl => 'default.games', retain => 3)
+  * CALL gcat.system.history(tbl => 'default.games')
+  * }}}
+  *
+  * Each procedure resolves the table name through the SAME catalog
+  * entry (namespace-qualified, `_LOCATION` pointers honored) and
+  * delegates to the sink's maintenance entry points — the CAS-retry
+  * compaction, retention-windowed vacuum, and O(manifests) history
+  * the Scala face already proves. Results come back as LocalScan
+  * rows, so `CALL` output is queryable like any result set.
+  */
+object GraftProcedures {
+
+  val Names: Seq[String] = Seq("optimize", "vacuum", "history")
+
+  private def str(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** Rows + schema as a LocalScan (the driver-side result contract). */
+  private case class Result(schema: StructType, out: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = schema
+  }
+
+  private def one(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](Result(schema,
+      Array(InternalRow.fromSeq(values)))).iterator()
+
+  def load(catalog: GraftCatalog, name: String): UnboundProcedure =
+    name.toLowerCase match {
+      case "optimize" => new UnboundProcedure {
+        override def name(): String = "optimize"
+        override def description(): String =
+          "compact a graft table's buckets (clustered OPTIMIZE)"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "optimize"
+            override def description(): String = "graft OPTIMIZE"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType)
+                .comment("table as '<namespace>.<name>'").build(),
+              ProcedureParameter.in("max_files", IntegerType)
+                .defaultValue("4")
+                .comment("max data files per bucket before rewrite")
+                .build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val maxFiles = if (in.isNullAt(1)) 4 else in.getInt(1)
+              val touched = PoolJsonSink.compactPartitions(
+                SparkSession.active, dir,
+                maxFilesPerPartition = maxFiles)
+              one(StructType(Seq(
+                StructField("compacted_buckets", IntegerType, false),
+                StructField("version", LongType, true))),
+                touched.size,
+                PoolJsonSink.readManifest(dir).map(_.version).orNull)
+            }
+          }
+      }
+      case "vacuum" => new UnboundProcedure {
+        override def name(): String = "vacuum"
+        override def description(): String =
+          "reclaim unreferenced files + expired versions"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "vacuum"
+            override def description(): String = "graft VACUUM"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("retain", IntegerType)
+                .defaultValue("1")
+                .comment("committed versions to keep").build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val retain = if (in.isNullAt(1)) 1 else in.getInt(1)
+              val removed = PoolJsonSink.vacuum(dir,
+                retainVersions = retain)
+              one(StructType(Seq(
+                StructField("removed_files", IntegerType, false))),
+                removed)
+            }
+          }
+      }
+      case "history" => new UnboundProcedure {
+        override def name(): String = "history"
+        override def description(): String =
+          "DESCRIBE HISTORY: one row per retained version, O(manifests)"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "history"
+            override def description(): String = "graft HISTORY"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] =
+              Array(ProcedureParameter.in("tbl", StringType).build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val df = PoolJsonSink.tableHistory(SparkSession.active, dir)
+              java.util.List.of[Scan](Result(df.schema,
+                df.queryExecution.executedPlan.executeCollect()))
+                .iterator()
+            }
+          }
+      }
+      case other =>
+        throw new RuntimeException(
+          s"graft: no such procedure system.$other " +
+            s"(have: ${Names.mkString(", ")})")
+    }
+}

@@ -156,6 +156,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.default.acct")
   }
 
+  test("CALL procedures: optimize, vacuum, history") {
+    spark.sql("CREATE TABLE gcat.default.m (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k','nbuckets'='4')")
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO gcat.default.m VALUES ($i, 'v$i')")
+    }
+
+    val hist = spark.sql("CALL gcat.system.history(tbl => 'default.m')")
+    assert(hist.count() == 4) // create + 3 inserts
+    assert(hist.columns.contains("operation"))
+
+    val opt = spark.sql("CALL gcat.system.optimize(" +
+      "tbl => 'default.m', max_files => 1)")
+    assert(opt.columns.toSeq ==
+      Seq("compacted_buckets", "version"))
+    // SQL INSERTs leave one file per touched bucket (the optimized
+    // write), so there is nothing to compact — 0 is the CORRECT
+    // answer here; compaction mechanics have their own sink specs
+    assert(opt.head.getInt(0) == 0)
+
+    val vac = spark.sql("CALL gcat.system.vacuum(" +
+      "tbl => 'default.m', retain => 1)")
+    assert(vac.head.getInt(0) >= 1) // old versions + files reclaimed
+    // data intact after maintenance
+    assert(spark.sql("SELECT count(*) FROM gcat.default.m")
+      .head.getLong(0) == 3)
+    spark.sql("DROP TABLE gcat.default.m")
+  }
+
   test("catalog scans stay columnar") {
     spark.sql("CREATE TABLE gcat.default.colspec (k BIGINT, x DOUBLE) " +
       "USING graft TBLPROPERTIES ('key'='k')")
