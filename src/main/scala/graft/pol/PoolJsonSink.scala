@@ -1132,8 +1132,49 @@ object PoolJsonSink {
       schemaJson: String,
       nBuckets: Int,
       opName: String,
-      replaceBuckets: Option[Set[Long]] = None): Unit = {
+      replaceBuckets: Option[Set[Long]] = None,
+      expectedPrevVersion: Option[Long] = None): Unit = {
     val prev = readManifest(tableDir)
+    // Optimistic conflict validation (the Iceberg/Delta COW rule):
+    // the replacement rows were computed against `expectedPrevVersion`.
+    // If other writers committed since, find which buckets THEY
+    // touched by diffing the interleaved manifests; disjoint from the
+    // buckets we replace/append → our computation is still exact and
+    // we REBASE onto the current manifest (which `prev` already is).
+    // Overlapping — or any interleaved manifest already vacuumed, so
+    // unverifiable — → throw, and the STATEMENT retries against the
+    // new snapshot. Without this check two racing full-rewrites
+    // silently drop each other's rows (caught by
+    // RowLevelConcurrencySpec before this existed).
+    expectedPrevVersion.foreach { v0 =>
+      val cur = prev.map(_.version).getOrElse(0L)
+      if (cur != v0) {
+        val ours = replaceBuckets.getOrElse(
+          prev.map(_.buckets.keySet).getOrElse(Set.empty)) ++
+          newFiles.keySet
+        val changed: Set[Long] =
+          try {
+            ((v0 + 1L) to cur).flatMap { v =>
+              val m = parseManifest(manifestFile(tableDir, v))
+              val p = parseManifest(manifestFile(tableDir, v - 1))
+              (m.buckets.keySet ++ p.buckets.keySet).filter(b =>
+                m.buckets.getOrElse(b, Nil) != p.buckets.getOrElse(b, Nil))
+            }.toSet
+          } catch {
+            case _: Throwable => // vacuumed history: can't validate
+              throw new java.util.ConcurrentModificationException(
+                s"$tableDir: table advanced v$v0 -> v$cur and the " +
+                  "interleaved history is no longer on disk; retry " +
+                  "the statement")
+          }
+        if ((changed intersect ours).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"$tableDir: concurrent commit(s) v${v0 + 1}..v$cur " +
+              s"touched buckets ${(changed intersect ours).toSeq.sorted
+                .mkString(",")} this statement also writes; retry " +
+              "the statement")
+      }
+    }
     val cols = prev.map(_.stats.valuesIterator.flatMap(_.keys)
       .filterNot(_ == RowsStatCol).toSeq.distinct).getOrElse(Nil)
     val rels = newFiles.valuesIterator.flatten.toSeq

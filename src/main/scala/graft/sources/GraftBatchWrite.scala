@@ -42,7 +42,8 @@ import graft.pol.PoolJsonSink
 class GraftBatchWrite(
     tableDir: String, logicalSchema: StructType, incoming: StructType,
     keyCol: String, nBuckets: Int, opName: String,
-    scannedBuckets: () => Option[Set[Long]] = () => None)
+    scannedBuckets: () => Option[Set[Long]] = () => None,
+    expectedVersion: () => Option[Long] = () => None)
     extends BatchWrite {
 
   private val stageRel =
@@ -88,7 +89,8 @@ class GraftBatchWrite(
     // filter state is final.
     PoolJsonSink.commitStagedReplace(SparkSession.active, tableDir,
       newFiles, fileSchema.json, nBuckets, opName,
-      replaceBuckets = scannedBuckets())
+      replaceBuckets = scannedBuckets(),
+      expectedPrevVersion = expectedVersion())
     cleanupStage()
   }
 

@@ -424,7 +424,9 @@ class GraftCatalogTable(
                 key, manifest.nBuckets.getOrElse(64),
                 info.command().toString,
                 scannedBuckets =
-                  () => Option(opScan).flatMap(_.runtimeBuckets))
+                  () => Option(opScan).flatMap(_.runtimeBuckets),
+                expectedVersion =
+                  () => Option(opScan).map(_.snapshotVersion))
             }
           }
         }

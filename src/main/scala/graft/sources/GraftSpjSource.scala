@@ -61,8 +61,12 @@ class GraftSpjSource extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       sys.error("graft-spj requires a 'path' option"))
 
+  private def versionOf(
+      options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.trim.toLong)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftSpjTable.tableSchema(path(options))
+    GraftSpjTable.tableSchema(path(options), versionOf(options))
 
   override def inferPartitioning(
       options: CaseInsensitiveStringMap): Array[Transform] =
@@ -71,9 +75,10 @@ class GraftSpjSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GraftSpjTable(Option(properties.get("path")).getOrElse(
-      sys.error("graft-spj requires a 'path' option")), schema)
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftSpjTable(path(opts), schema, versionOf(opts))
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -92,9 +97,13 @@ object GraftSpjTable {
     * vanish from one run to the next. Footer sniffing remains only as
     * the fallback for pre-schema manifests from older writers.
     */
-  def tableSchema(tableDir: String): StructType = {
-    val m = PoolJsonSink.readManifest(tableDir).getOrElse(
-      sys.error(s"not a manifest table: $tableDir"))
+  def tableSchema(
+      tableDir: String, version: Option[Long] = None): StructType = {
+    val m = version match {
+      case Some(v) => PoolJsonSink.readManifestAt(tableDir, v)
+      case None => PoolJsonSink.readManifest(tableDir).getOrElse(
+        sys.error(s"not a manifest table: $tableDir"))
+    }
     m.schemaJson match {
       case Some(j) =>
         org.apache.spark.sql.types.DataType.fromJson(j)
@@ -108,10 +117,13 @@ object GraftSpjTable {
   }
 }
 
-class GraftSpjTable(tableDir: String, declared: StructType)
+class GraftSpjTable(
+    tableDir: String, declared: StructType,
+    version: Option[Long] = None)
     extends Table with SupportsRead {
 
-  override def name(): String = s"graft-spj `$tableDir`"
+  override def name(): String =
+    s"graft-spj `$tableDir`" + version.fold("")(v => s"@v$v")
 
   override def schema(): StructType = declared
 
@@ -123,7 +135,7 @@ class GraftSpjTable(tableDir: String, declared: StructType)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSpjScanBuilder(tableDir, declared)
+    new GraftSpjScanBuilder(tableDir, declared, version)
 }
 
 class GraftSpjScanBuilder(
@@ -244,6 +256,12 @@ class GraftSpjScan(
       lastRuntimePruned = nBuckets - kept.count(b => b >= 0 && b < nBuckets)
     }
   }
+
+  /** The committed version this scan's data was read from — what the
+    * row-level write validates its commit against (stale-snapshot
+    * conflict detection).
+    */
+  private[sources] lazy val snapshotVersion: Long = manifest.version
 
   // resolve the committed manifest ONCE per scan (snapshot semantics);
   // a pinned version (SQL time travel through the catalog) reads that

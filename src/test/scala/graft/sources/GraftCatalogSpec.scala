@@ -156,6 +156,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.default.acct")
   }
 
+  test("DataFrameWriterV2: writeTo(...).append() is the keyed merge") {
+    spark.sql("CREATE TABLE gcat.default.w2 (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k')")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .writeTo("gcat.default.w2").append()
+    Seq((2L, "B")).toDF("k", "v")
+      .writeTo("gcat.default.w2").append()
+    assert(spark.table("gcat.default.w2").orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+    spark.sql("DROP TABLE gcat.default.w2")
+  }
+
   test("CALL procedures: optimize, vacuum, history") {
     spark.sql("CREATE TABLE gcat.default.m (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k','nbuckets'='4')")

@@ -57,6 +57,22 @@ class GraftSpjPruningSpec extends AnyFunSuite {
     assert(q.count() == 1000L)
   }
 
+  test("graft-spj versionAsOf reads the pinned snapshot") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("spj_tt").toString
+    PoolJsonSink.overwritePartitioned(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), col("k"), 8)
+    PoolJsonSink.upsertPartitioned(spark, dir,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), col("k"), 8)
+    val now = spark.read.format("graft-spj").load(dir)
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(now.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    val v1 = spark.read.format("graft-spj")
+      .option("versionAsOf", "1").load(dir)
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(v1.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("catalog point lookup by name is bucket-pruned") {
     val wh = java.nio.file.Files
       .createTempDirectory("spj_prune_wh").toString
