@@ -312,6 +312,7 @@ class GraftCatalogTable(
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private lazy val manifest = version match {
@@ -362,6 +363,24 @@ class GraftCatalogTable(
       override def comment(): String =
         "storage bucket: pmod(xxhash64(key), nbuckets)"
     })
+
+  /** SQL `TRUNCATE TABLE`: commit an empty replacement version —
+    * schema/key/buckets survive in the manifest, every row is gone,
+    * history (and time travel back to the data) remains until vacuum.
+    */
+  override def truncateTable(): Boolean = {
+    require(version.isEmpty,
+      s"$ident: cannot truncate a time-travelled table")
+    val spark = SparkSession.active
+    val key = manifest.keyCol.getOrElse(sys.error(
+      s"$ident: manifest records no merge key"))
+    PoolJsonSink.overwritePartitioned(spark, tableDir,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema()),
+      org.apache.spark.sql.functions.col(key),
+      manifest.nBuckets.getOrElse(64))
+    true
+  }
 
   /** SQL `MERGE INTO` / `UPDATE` / `DELETE FROM` — the group-based
     * copy-on-write recipe (the Iceberg COW path, public): Spark's

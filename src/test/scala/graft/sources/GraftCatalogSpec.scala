@@ -156,6 +156,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.default.acct")
   }
 
+  test("TRUNCATE TABLE empties the table; history keeps the data") {
+    spark.sql("CREATE TABLE gcat.default.tr (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gcat.default.tr VALUES (1, 'a'), (2, 'b')")
+    spark.sql("TRUNCATE TABLE gcat.default.tr")
+    assert(spark.table("gcat.default.tr").isEmpty)
+    assert(spark.table("gcat.default.tr").columns.toSeq ==
+      Seq("k", "v"))
+    // the truncate is a VERSION, not an erasure
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat.default.tr VERSION AS OF 2")
+      .head.getLong(0) == 2)
+    // and the table still takes keyed inserts
+    spark.sql("INSERT INTO gcat.default.tr VALUES (9, 'z')")
+    assert(spark.table("gcat.default.tr").count() == 1)
+    spark.sql("DROP TABLE gcat.default.tr")
+  }
+
   test("DataFrameWriterV2: writeTo(...).append() is the keyed merge") {
     spark.sql("CREATE TABLE gcat.default.w2 (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k')")
