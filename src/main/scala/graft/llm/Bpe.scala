@@ -95,7 +95,6 @@ object Bpe {
       else {
         val ((l, rh), f) = best
         merges += ((r.toLong, l, rh, f))
-        val merged = l + rh
         val affected = pairWords.getOrElse((l, rh), mutable.BitSet.empty)
         affected.foreach { wi =>
           val s = syms(wi)
@@ -109,16 +108,22 @@ object Bpe {
           }
           if (has) {
             addWordPairs(wi, -1L)
-            // left-to-right non-overlapping merge (the replace-to-
-            // fixpoint semantics of the Spark twin)
-            val out = mutable.ArrayBuffer.empty[String]
-            var k = 0
-            while (k < s.length) {
-              if (k < s.length - 1 && s(k) == l && s(k + 1) == rh) {
-                out += merged; k += 2
-              } else { out += s(k); k += 1 }
-            }
-            syms(wi) = out
+            // merge application MUST be the twins' exact semantics:
+            // 4 passes of literal leftmost-non-overlapping string
+            // replace on the space-wrapped sequence (Java, Spark and
+            // DuckDB `replace` all agree). A plain left-to-right
+            // array merge is NOT equivalent on runs of a repeated
+            // symbol — replace consumes the trailing space of a
+            // match, so the immediately following pair is skipped
+            // within a pass ("aaaaaa" → [aa,a,aa,a] under replace,
+            // [aa,aa,aa] under naive LTR; BpeFullSpec pins the
+            // repeated-run case).
+            var str = s.mkString(" ", " ", " ")
+            val (pat, rep) = (s" $l $rh ", s" $l$rh ")
+            var p = 0
+            while (p < 4) { str = str.replace(pat, rep); p += 1 }
+            syms(wi) = mutable.ArrayBuffer.from(
+              str.trim.split(' ').filter(_.nonEmpty))
             addWordPairs(wi, +1L)
           }
         }

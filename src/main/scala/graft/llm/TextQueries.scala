@@ -705,12 +705,16 @@ object TextQueries {
       val caseArms = ClassifierWeights.map { case (t, w) =>
         s"WHEN '$t' THEN CAST('$w' AS DECIMAL(18,4))"
       }.mkString(" ")
+      // coalesce: a NULL text must score the bare bias (what the
+      // join-back shape and the oracle's LEFT JOIN + coalesce both
+      // produce), not propagate NULL through the fold
       val logit = expr(
-        s"""aggregate(
+        s"""coalesce(aggregate(
            |  filter(split(lower(text), '\\\\s+'), x -> x <> ''),
            |  CAST('$ClassifierBias' AS DECIMAL(18,4)),
            |  (acc, x) -> CAST(acc + CASE x $caseArms
-           |    ELSE CAST(0 AS DECIMAL(18,4)) END AS DECIMAL(18,4)))"""
+           |    ELSE CAST(0 AS DECIMAL(18,4)) END AS DECIMAL(18,4))),
+           |  CAST('$ClassifierBias' AS DECIMAL(18,4)))"""
           .stripMargin)
       documents(s, d)
         .select(col("doc_id"), logit.as("l"))

@@ -757,6 +757,42 @@ object PoolJsonSink {
     }
   }
 
+  /** Batched IN-list variant of [[pruneFilesBloomEq]]: each file's
+    * sidecar is read and deserialized ONCE and probed with every
+    * value, instead of once per value — `WHERE digest IN (<hundreds>)`
+    * costs one sidecar pass, not |values| passes. A file survives iff
+    * some value is both zone-possible and bloom-possible for it.
+    */
+  def pruneFilesBloomIn(
+      tableDir: String, m: TableManifest,
+      colName: String, values: Seq[String]): Seq[String] = {
+    val asBytes = values.map(_.getBytes(StandardCharsets.UTF_8))
+    def zonePossible(f: String, v: Array[Byte]): Boolean =
+      m.stats.get(f).flatMap(_.get(colName)) match {
+        case Some(BinStat(mn, mx)) =>
+          unsignedCompare(v, mn) >= 0 && unsignedCompare(v, mx) <= 0
+        case _ => true
+      }
+    val zoned = m.files.filter(f => asBytes.exists(zonePossible(f, _)))
+    if (!m.bloomCols.contains(colName)) zoned
+    else {
+      val hashes = values.map(xxh64String)
+      zoned.filter { rel =>
+        val sc = bloomSidecar(tableDir, rel, colName)
+        if (!sc.isFile) true
+        else {
+          val in = new java.io.BufferedInputStream(
+            new java.io.FileInputStream(sc))
+          try {
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            hashes.indices.exists(i =>
+              zonePossible(rel, asBytes(i)) && bf.mightContainLong(hashes(i)))
+          } finally in.close()
+        }
+      }
+    }
+  }
+
   /** Point lookup with bloom + zone-map file skipping: the
     * `WHERE digest = '…'` read a dedup/provenance pipeline runs
     * constantly. On a bloom-indexed column (`bloomCols` at write
@@ -1516,8 +1552,13 @@ object PoolJsonSink {
       //    (a commitManifest that died between write and link leaks
       //    its .tmp- file — non-EEXIST failures never reach the
       //    deleteIfExists cleanup)
+      // both staging flavors: the DataFrame writer's ".stage-" and the
+      // V2 row-level executor write's ".v2stage-" (a kill -9 mid-MERGE
+      // leaks the latter past its in-process abort hook)
       Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith(".stage-") &&
+        .filter(d => d.isDirectory &&
+          (d.getName.startsWith(".stage-") ||
+            d.getName.startsWith(".v2stage-")) &&
           oldEnough(d))
         .foreach { d => deleteRecursively(d); n += 1 }
       Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)

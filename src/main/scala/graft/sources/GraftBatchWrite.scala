@@ -49,13 +49,16 @@ class GraftBatchWrite(
   private val stageRel =
     s".v2stage-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  // files store the logical columns + __pt, like every graft file —
+  // the single definition both the writer factory and the manifest
+  // commit use, so footers and schemaJson can never disagree
+  private val fileSchema = StructType(
+    logicalSchema.fields.filterNot(_.name == GraftSpjTable.BucketCol)
+      :+ StructField(GraftSpjTable.BucketCol, LongType, nullable = false))
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
-    // files store the logical columns + __pt, like every graft file
-    val fileSchema = StructType(
-      logicalSchema.fields.filterNot(_.name == GraftSpjTable.BucketCol)
-        :+ StructField(GraftSpjTable.BucketCol, LongType, nullable = false))
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf: OutputWriterFactory = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, fileSchema)
@@ -78,9 +81,6 @@ class GraftBatchWrite(
         new java.io.File(tableDir, rel).toPath)
       bucket -> rel
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val fileSchema = StructType(
-      logicalSchema.fields.filterNot(_.name == GraftSpjTable.BucketCol)
-        :+ StructField(GraftSpjTable.BucketCol, LongType, nullable = false))
     // If the row-level scan was runtime-group-filtered, the
     // replacement data covers only the SCANNED buckets — commit
     // bucket-level COW (replace those, append elsewhere). A filter

@@ -210,9 +210,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val entry = tableEntry(ident)
     if (!entry.isDirectory) return false
-    val managed = !new java.io.File(entry, "_LOCATION").isFile
-    if (managed || true) // external: drop the pointer dir only
-      org.apache.commons.io.FileUtils.deleteDirectory(entry)
+    // deleting the ENTRY dir covers both cases: for a managed table
+    // it IS the data dir; for an external table it holds only the
+    // `_LOCATION` pointer, so the external data outlives the name
+    // (the standard external-table contract)
+    org.apache.commons.io.FileUtils.deleteDirectory(entry)
     true
   }
 
@@ -386,16 +388,21 @@ class GraftCatalogTable(
     * copy-on-write recipe (the Iceberg COW path, public): Spark's
     * rewrite rules turn the statement into "scan the affected groups,
     * recompute their surviving + changed rows, hand the replacement
-    * set to the operation's write". This implementation deliberately
-    * does NOT advertise runtime group filtering on the row-level scan
-    * (the logical schema carries no `__pt`, so no dynamic bucket
-    * filter can arrive): the affected-group set is therefore always
-    * THE WHOLE TABLE, the replacement data is the complete post-
-    * statement content, and the write is the atomic whole-table
-    * replace — the unpartitioned-Iceberg behavior. Correct under the
-    * CAS commit for concurrent writers; the bucket-pruned variant
-    * (replace only touched buckets) is the upgrade path and requires
-    * an append-preserving commit for insert-only buckets.
+    * set to the operation's write". Groups here are BUCKETS: the
+    * required `__pt` metadata column anchors Spark's runtime group
+    * filter (a subquery collects the buckets holding matches and
+    * delivers them to the scan as a dynamic IN), the commit replaces
+    * exactly the buckets the scan read, appends inserts into unread
+    * buckets, and carries every untouched bucket's files forward by
+    * reference. When no runtime filter arrives (filter disabled, or a
+    * condition matching everywhere) the whole table was read and the
+    * commit degenerates to the full replace. Two safety rules keep
+    * this sound: the row-level SCAN never applies planning-time
+    * file/bucket pruning (a pruned row would be silently deleted by
+    * the bucket replace — `allowFilterPruning = false` below), and
+    * the commit validates its snapshot against interleaved commits
+    * (bucket-disjoint → rebase; overlapping → conflict, statement
+    * retries; see PoolJsonSink.commitStagedReplace).
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -417,7 +424,11 @@ class GraftCatalogTable(
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
         new GraftSpjScanBuilder(tableDir, fileSchema, version,
-          onBuild = s => opScan = s)
+          onBuild = s => opScan = s,
+          // COW safety: the commit replaces whole buckets, so the
+          // scan must read every surviving row of them — no
+          // planning-time file/bucket pruning on this scan
+          allowFilterPruning = false)
 
       /** Requiring the bucket metadata column is ALSO what makes
         * Spark apply the ReplaceData row projection before handing

@@ -141,7 +141,8 @@ class GraftSpjTable(
 class GraftSpjScanBuilder(
     tableDir: String, fileSchema: StructType,
     version: Option[Long] = None,
-    onBuild: GraftSpjScan => Unit = _ => ())
+    onBuild: GraftSpjScan => Unit = _ => (),
+    allowFilterPruning: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -171,8 +172,18 @@ class GraftSpjScanBuilder(
     pushed
 
   override def build(): Scan = {
+    // A ROW-LEVEL operation's scan must never apply planning-time
+    // filter pruning: the COW commit replaces whole buckets on the
+    // assumption that every surviving row of a scanned bucket was
+    // re-emitted. A zone-map/bloom-pruned FILE inside a replaced
+    // bucket — or a key-hash-pruned BUCKET the commit doesn't know
+    // about — would silently delete the rows the pruning skipped.
+    // Runtime group filtering stays: the commit consumes exactly that
+    // bucket set. (Caught in review; RowLevelPruningSafetySpec pins
+    // both scenarios.)
     val s = new GraftSpjScan(tableDir, fileSchema, required, version,
-      pushed)
+      if (allowFilterPruning) pushed
+      else Array.empty[org.apache.spark.sql.sources.Filter])
     onBuild(s)
     s
   }
@@ -348,15 +359,16 @@ class GraftSpjScan(
         num(v).map(l => longRange(c, Long.MinValue, l))
       case In(c, vs) if vs.nonEmpty &&
           fileSchema.fieldNames.contains(c) =>
-        val perValue = vs.toSeq.map {
-          case s: String =>
-            Some(PoolJsonSink.pruneFilesBloomEq(
-              tableDir, manifest, c, s).toSet)
-          case v => num(v).map(l => longRange(c, l, l))
+        if (vs.forall(_.isInstanceOf[String]))
+          // batched: each sidecar read once, probed with every value
+          Some(PoolJsonSink.pruneFilesBloomIn(tableDir, manifest, c,
+            vs.toSeq.map(_.asInstanceOf[String])).toSet)
+        else {
+          val perValue = vs.toSeq.map(v => num(v).map(l => longRange(c, l, l)))
+          if (perValue.forall(_.isDefined))
+            Some(perValue.flatten.reduce(_ union _))
+          else None
         }
-        if (perValue.forall(_.isDefined))
-          Some(perValue.flatten.reduce(_ union _))
-        else None
       case _ => None
     }
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))

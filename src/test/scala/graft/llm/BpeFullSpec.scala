@@ -75,24 +75,39 @@ class BpeFullSpec extends AnyFunSuite {
     assert(enc("aa") == 1 && enc("ab") == 1)
   }
 
+  /** The twins' merge application: 4 passes of literal leftmost-
+    * non-overlapping replace on the space-wrapped sequence — the
+    * reference for the spot check below.
+    */
+  private def replaceApply(
+      w: String, merges: Seq[(Long, String, String, Long)]): Int = {
+    var str = w.map(_.toString).mkString(" ", " ", " ")
+    merges.foreach { case (_, l, r, _) =>
+      val (pat, rep) = (s" $l $r ", s" $l$r ")
+      (1 to 4).foreach(_ => str = str.replace(pat, rep))
+    }
+    str.trim.split(' ').count(_.nonEmpty)
+  }
+
+  test("repeated-symbol runs follow the replace semantics, not naive LTR") {
+    // "aaaaaa" under replace-merge of (a,a) is [aa, a, aa, a]: the
+    // replacement consumes the trailing separator, so the straddling
+    // pair is skipped — the detail that makes the driver trainer
+    // byte-equal to the Spark/DuckDB string-replace twins
+    val (m, enc) = Bpe.trainFromCounts(Seq(("aaaaaa", 7L)), 1)
+    assert(m.head._2 == "a" && m.head._3 == "a")
+    assert(enc("aaaaaa") == 4,
+      s"expected replace semantics (4 tokens), got ${enc("aaaaaa")}")
+    assert(enc("aaaaaa") == replaceApply("aaaaaa", m))
+  }
+
   test("x20 encode equals per-word rule application (spot check)") {
     val (merges, vocab) = Bpe.train(spark, sf0001, 12)
     assert(merges.size == 12)
-    // apply the rules sequentially to a few words the slow way
     vocab.keys.toSeq.sorted.take(10).foreach { w =>
-      var seq = w.map(_.toString).toVector
-      merges.foreach { case (_, l, r, _) =>
-        val out = Vector.newBuilder[String]
-        var k = 0
-        while (k < seq.length) {
-          if (k < seq.length - 1 && seq(k) == l && seq(k + 1) == r) {
-            out += (l + r); k += 2
-          } else { out += seq(k); k += 1 }
-        }
-        seq = out.result()
-      }
-      assert(seq.length == vocab(w),
-        s"word '$w': sequential=${seq.length} trainer=${vocab(w)}")
+      assert(replaceApply(w, merges) == vocab(w),
+        s"word '$w': replace=${replaceApply(w, merges)} " +
+          s"trainer=${vocab(w)}")
     }
   }
 }
