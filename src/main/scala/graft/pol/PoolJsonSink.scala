@@ -1247,6 +1247,35 @@ object PoolJsonSink {
       keyCol = prev.flatMap(_.keyCol)))
   }
 
+  /** ALTER TABLE ADD COLUMN: commit a new version whose ONLY change
+    * is the recorded schema — same files, same stats, no data
+    * movement. Old files simply lack the new column and every reader
+    * nulls it (the parquet requested-schema contract); later writes
+    * carry it. The additive-only rule is what keeps this a metadata
+    * operation.
+    */
+  private[graft] def commitSchemaChange(
+      tableDir: String, newSchema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val m = readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    val old = m.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    old.foreach { o =>
+      o.fields.foreach { f =>
+        require(newSchema.fieldNames.contains(f.name),
+          s"$tableDir: schema change must be additive; column " +
+            s"'${f.name}' missing from the new schema")
+      }
+    }
+    commitManifest(tableDir, m.copy(
+      version = m.version + 1,
+      schemaJson = Some(newSchema.json),
+      op = Some("ALTER"),
+      commitTimeMs = Some(System.currentTimeMillis())))
+  }
+
   def overwritePartitioned(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String,

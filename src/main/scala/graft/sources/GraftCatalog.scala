@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.pol.PoolJsonSink
@@ -202,10 +202,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftCatalogTable(fullName(ident), dir, None)
   }
 
+  /** `ALTER TABLE ... ADD COLUMN(S)` — additive evolution as a pure
+    * metadata commit (same files, new recorded schema; old rows read
+    * the new column as NULL). Everything else stays unsupported:
+    * drops/renames/type changes would need a rewrite, and physical
+    * properties (key, buckets) are placement, fixed at CREATE.
+    */
   override def alterTable(
-      ident: Identifier, changes: TableChange*): Table =
-    sys.error("graft: ALTER TABLE is not supported (schema evolves " +
-      "additively through writes; properties are fixed at CREATE)")
+      ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"${fullName(ident)}: nested ADD COLUMN is not supported")
+        StructField(a.fieldNames.head, a.dataType, a.isNullable)
+      case other => sys.error(
+        s"${fullName(ident)}: only ADD COLUMN is supported, got " +
+          other.getClass.getSimpleName)
+    }
+    val dir = dataDir(ident).toString
+    val current = GraftSpjTable.tableSchema(dir)
+    adds.foreach(f => require(!current.fieldNames.contains(f.name),
+      s"${fullName(ident)}: column '${f.name}' already exists"))
+    // keep __pt physically LAST (the write paths append it there)
+    val (data, pt) = current.fields.partition(
+      _.name != GraftSpjTable.BucketCol)
+    PoolJsonSink.commitSchemaChange(dir,
+      StructType(data ++ adds ++ pt))
+    new GraftCatalogTable(fullName(ident), dir, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val entry = tableEntry(ident)

@@ -156,6 +156,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.default.acct")
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only additive evolution") {
+    spark.sql("CREATE TABLE gcat.default.ev (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gcat.default.ev VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gcat.default.ev ADD COLUMN score DOUBLE")
+
+    // old rows read the new column as NULL; no files were rewritten
+    val rows = spark.sql("SELECT k, v, score FROM gcat.default.ev " +
+      "ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(rows.forall(_.isNullAt(2)))
+
+    // writes carry the new column; merge semantics intact
+    spark.sql("INSERT INTO gcat.default.ev VALUES (2, 'B', 0.9), " +
+      "(3, 'c', 0.5)")
+    val after = spark.sql(
+      "SELECT k, v, score FROM gcat.default.ev ORDER BY k").collect()
+    assert(after.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(after(0).isNullAt(2) && after(1).getDouble(2) == 0.9)
+
+    // time travel still serves the pre-ALTER schema
+    assert(spark.sql(
+      "SELECT * FROM gcat.default.ev VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "v"))
+    // non-additive changes refuse clearly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.default.ev DROP COLUMN v")
+    }
+    spark.sql("DROP TABLE gcat.default.ev")
+  }
+
   test("TRUNCATE TABLE empties the table; history keeps the data") {
     spark.sql("CREATE TABLE gcat.default.tr (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k')")
