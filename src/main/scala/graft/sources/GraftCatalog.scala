@@ -62,7 +62,7 @@ import graft.pol.PoolJsonSink
   * contract — the data outlives the name).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.io.File = _
@@ -283,6 +283,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
 
+  // ---- FunctionCatalog: the bucket placement function, so a
+  // `bucket(n, key)` table partitioning resolves and name-based
+  // joins storage-partition (see GraftBucketFunction) ----
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
   // ---- SupportsNamespaces ----
 
   override def defaultNamespace(): Array[String] = Array("default")
@@ -360,6 +374,17 @@ class GraftCatalogTable(
   override def schema(): StructType =
     StructType(fileSchema.fields.filterNot(
       _.name == GraftSpjTable.BucketCol))
+
+  /** The stored layout as a RESOLVABLE transform: `bucket(n, key)`
+    * binds to this catalog's [[GraftBucketFunction]], so two catalog
+    * tables sharing a bucket count storage-partition-join by NAME —
+    * plain `a JOIN b USING (key)` SQL, no `__pt` conjunct.
+    */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    (for (k <- manifest.keyCol; n <- manifest.nBuckets) yield
+      org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(n, k)).toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

@@ -288,19 +288,29 @@ class GraftSpjScan(
       "(re-commit with a current writer)"))
 
   override def outputPartitioning(): Partitioning =
-    // The key-grouped layout is only announceable when the bucket
-    // column SURVIVES column pruning: Catalyst resolves the
-    // partitioning's references against the scan output and fails on
-    // a pruned `__pt` (the catalog's SQL face subtracts it from the
-    // logical schema). A projection that drops the key column gives
-    // up the co-partitioning info — exactly the Iceberg bucket-scan
-    // behavior.
+    // The key-grouped layout is only announceable over columns that
+    // SURVIVE pruning: Catalyst resolves the partitioning's
+    // references against the scan output and fails on a pruned
+    // column. Two faces:
+    //  - engine (path) reads carry `__pt` → identity transform, the
+    //    no-FunctionCatalog formulation;
+    //  - catalog (name) reads subtract `__pt` but keep the MERGE KEY
+    //    → `bucket(n, key)`, which resolves through the owning
+    //    catalog's GraftBucketFunction and gives plain SQL joins the
+    //    same zero-shuffle SPJ. Without a catalog in the relation the
+    //    bucket transform simply fails to resolve and Spark keeps
+    //    UnknownPartitioning — degraded, never wrong.
     if (required.fieldNames.contains(GraftSpjTable.BucketCol))
       new KeyGroupedPartitioning(
         Array(Expressions.identity(GraftSpjTable.BucketCol)), nBuckets)
-    else
-      new org.apache.spark.sql.connector.read.partitioning
-        .UnknownPartitioning(nBuckets)
+    else manifest.keyCol.filter(required.fieldNames.contains) match {
+      case Some(k) =>
+        new KeyGroupedPartitioning(
+          Array(Expressions.bucket(nBuckets, k)), nBuckets)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(nBuckets)
+    }
 
   // ---- planning-time pruning from pushed filters (zone maps, bloom
   // sidecars, and the key hash), all against the snapshot manifest.
