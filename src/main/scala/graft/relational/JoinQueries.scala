@@ -386,6 +386,34 @@ object JoinQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // R22 — the NAME-BASED storage-partitioned join, oracle-gated:
+    // r21's fact⋈fact zero-shuffle join re-expressed as the SQL a BI
+    // user would actually write — two catalog tables (the same
+    // staged, co-bucketed stores, adopted via LOCATION) joined with
+    // plain `JOIN ... ON` syntax. The bucket(n, key) partitioning
+    // resolves through the catalog's own placement function
+    // (GraftBucketFunction), so the planner elides both exchanges
+    // with no `__pt` conjunct and no helper (CatalogSpjSpec pins the
+    // plan; this row pins the VALUES cross-engine). The warehouse
+    // derives from the fingerprinted staging root, so a regenerated
+    // corpus re-registers fresh tables.
+    "r22_catalog_spj" -> ((s, d) => {
+      val (ordDir, revDir) = spjTables(s, d)
+      val wh = new java.io.File(ordDir).getParent + "_wh"
+      s.conf.set("spark.sql.catalog.gq2", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq2.warehouse", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql("CREATE TABLE IF NOT EXISTS gq2.default.ord " +
+        s"USING graft LOCATION '$ordDir'")
+      s.sql("CREATE TABLE IF NOT EXISTS gq2.default.rev " +
+        s"USING graft LOCATION '$revDir'")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+        CAST(sum(revenue) AS DOUBLE) AS revenue
+        FROM gq2.default.ord o JOIN gq2.default.rev r
+          ON o.o_orderkey = r.l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // J5 — the V2 TABLE CATALOG face, oracle-gated end to end: the
     // whole lifecycle a SQL/BI user runs — CREATE TABLE ... USING
     // graft, INSERT INTO (= keyed MERGE), a second INSERT that
@@ -652,6 +680,18 @@ object JoinQueries {
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "r21_spj_join" ->
+      """WITH r AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4))
+        |      AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(revenue) AS DOUBLE) AS revenue
+        |FROM orders o JOIN r ON o.o_orderkey = r.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // r22 computes the same answer as r21 through the catalog face
+    "r22_catalog_spj" ->
       """WITH r AS (
         |  SELECT l_orderkey,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
