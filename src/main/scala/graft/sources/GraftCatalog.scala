@@ -496,18 +496,43 @@ class GraftCatalogTable(
       override def newWriteBuilder(
           wInfo: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
-          override def build(): Write = new Write {
-            override def toBatch: BatchWrite = {
-              val key = manifest.keyCol.getOrElse(sys.error(
-                s"$ident: manifest records no merge key"))
+          override def build(): Write = new Write
+              with org.apache.spark.sql.connector.write
+                .RequiresDistributionAndOrdering {
+            private val key = manifest.keyCol.getOrElse(sys.error(
+              s"$ident: manifest records no merge key"))
+            private val n = manifest.nBuckets.getOrElse(64)
+
+            /** Cluster replacement rows by the PLACEMENT function
+              * before writing: each task then owns whole buckets and
+              * the fanout writer emits one file per bucket per
+              * statement instead of (tasks × buckets) worst-case.
+              * The transform resolves through this catalog's bucket
+              * function, and when the scan's per-bucket partitioning
+              * already flows through the plan the exchange is elided
+              * — the aligned case pays nothing.
+              */
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions
+                  .Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .bucket(n, key)))
+
+            override def distributionStrictlyRequired(): Boolean = false
+
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions
+                  .SortOrder] = Array.empty
+
+            override def toBatch: BatchWrite =
               new GraftBatchWrite(tableDir, schema(), wInfo.schema(),
-                key, manifest.nBuckets.getOrElse(64),
-                info.command().toString,
+                key, n, info.command().toString,
                 scannedBuckets =
                   () => Option(opScan).flatMap(_.runtimeBuckets),
                 expectedVersion =
                   () => Option(opScan).map(_.snapshotVersion))
-            }
           }
         }
     }
