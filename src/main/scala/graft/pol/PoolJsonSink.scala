@@ -737,25 +737,10 @@ object PoolJsonSink {
     */
   def pruneFilesBloomEq(
       tableDir: String, m: TableManifest,
-      colName: String, value: String): Seq[String] = {
-    val zoned = pruneFilesBinaryEq(m, colName,
-      value.getBytes(StandardCharsets.UTF_8))
-    if (!m.bloomCols.contains(colName)) zoned
-    else {
-      val h = xxh64String(value)
-      zoned.filter { rel =>
-        val sc = bloomSidecar(tableDir, rel, colName)
-        if (!sc.isFile) true
-        else {
-          val in = new java.io.BufferedInputStream(
-            new java.io.FileInputStream(sc))
-          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-            .mightContainLong(h)
-          finally in.close()
-        }
-      }
-    }
-  }
+      colName: String, value: String): Seq[String] =
+    // equality IS the one-element IN — single sidecar-probing loop
+    // to maintain
+    pruneFilesBloomIn(tableDir, m, colName, Seq(value))
 
   /** Batched IN-list variant of [[pruneFilesBloomEq]]: each file's
     * sidecar is read and deserialized ONCE and probed with every

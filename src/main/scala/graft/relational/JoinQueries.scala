@@ -399,17 +399,23 @@ object JoinQueries {
     // corpus re-registers fresh tables.
     "r22_catalog_spj" -> ((s, d) => {
       val (ordDir, revDir) = spjTables(s, d)
-      val wh = new java.io.File(ordDir).getParent + "_wh"
-      s.conf.set("spark.sql.catalog.gq2", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gq2.warehouse", wh)
+      // the CATALOG NAME carries the staging fingerprint:
+      // CatalogManager caches catalog instances by name and never
+      // re-initializes on conf change, so a fixed name would pin the
+      // first warehouse forever and a regenerated corpus would read
+      // stale tables — a fresh fingerprint means a fresh catalog
+      val root = new java.io.File(ordDir).getParentFile
+      val cat = ("gq2_" + root.getName).replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"${root}_wh")
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.sql("CREATE TABLE IF NOT EXISTS gq2.default.ord " +
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.default.ord " +
         s"USING graft LOCATION '$ordDir'")
-      s.sql("CREATE TABLE IF NOT EXISTS gq2.default.rev " +
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.default.rev " +
         s"USING graft LOCATION '$revDir'")
-      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
         CAST(sum(revenue) AS DOUBLE) AS revenue
-        FROM gq2.default.ord o JOIN gq2.default.rev r
+        FROM $cat.default.ord o JOIN $cat.default.rev r
           ON o.o_orderkey = r.l_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),

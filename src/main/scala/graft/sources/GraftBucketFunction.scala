@@ -58,10 +58,15 @@ class GraftBoundBucket(keyType: DataType)
 
   /** Same hash as Spark's `xxhash64(...)` expression at seed 42 —
     * evaluated through the identical interpreted path so the function
-    * value always equals the stored `__pt`.
+    * value always equals the stored `__pt`. A NULL key matches the
+    * Catalyst hash contract too: hash expressions SKIP null children,
+    * leaving the seed — so NULL buckets at pmod(42, n), exactly where
+    * the writer's bucketExpr places it.
     */
   override def produceResult(input: InternalRow): java.lang.Long = {
     val n = input.getInt(0)
+    if (input.isNullAt(1))
+      return java.lang.Long.valueOf(java.lang.Math.floorMod(42L, n.toLong))
     val key: Any = keyType match {
       case LongType => input.getLong(1)
       case IntegerType => input.getInt(1)
@@ -71,4 +76,19 @@ class GraftBoundBucket(keyType: DataType)
       .hash(key, keyType, 42L)
     java.lang.Long.valueOf(java.lang.Math.floorMod(h, n.toLong))
   }
+
+  // ScalarFunction "magic" overloads: codegen calls these primitive
+  // entry points directly (no boxing, no InternalRow accessor per
+  // row) on the distribution exchange's hot path; produceResult
+  // remains the null-capable fallback.
+  def invoke(n: Int, key: Long): Long = java.lang.Math.floorMod(
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(key, LongType, 42L), n.toLong)
+  def invoke(n: Int, key: Int): Long = java.lang.Math.floorMod(
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(key, IntegerType, 42L), n.toLong)
+  def invoke(n: Int, key: org.apache.spark.unsafe.types.UTF8String)
+      : Long = java.lang.Math.floorMod(
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(key, StringType, 42L), n.toLong)
 }

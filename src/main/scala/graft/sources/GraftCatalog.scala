@@ -215,7 +215,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"${fullName(ident)}: nested ADD COLUMN is not supported")
-        StructField(a.fieldNames.head, a.dataType, a.isNullable)
+        // NOT NULL would make the recorded schema LIE about old rows
+        // (they null-fill the new column), and Catalyst folds
+        // IsNull(non-nullable) to false — Iceberg rejects required
+        // adds for the same reason
+        require(a.isNullable,
+          s"${fullName(ident)}: added column '${a.fieldNames.head}' " +
+            "must be nullable (existing rows read it as NULL)")
+        // FIRST/AFTER would be silently discarded — refuse instead
+        require(a.position() == null,
+          s"${fullName(ident)}: ADD COLUMN position (FIRST/AFTER) is " +
+            "not supported; new columns append")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
       case other => sys.error(
         s"${fullName(ident)}: only ADD COLUMN is supported, got " +
           other.getClass.getSimpleName)

@@ -29,6 +29,10 @@ class CatalogSpjSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gsp.default.b " +
       "SELECT id, id * 2.0 FROM range(0, 4000) WHERE id % 3 != 0")
 
+    // save/restore: QueryHarness.spark is shared across suites
+    val prevBucketing =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -50,8 +54,14 @@ class CatalogSpjSpec extends AnyFunSuite {
         .map(i => (i, i * 2.0))
       assert(got.toSeq == want)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      prevBucketing match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
     }
     spark.sql("DROP TABLE gsp.default.a")
     spark.sql("DROP TABLE gsp.default.b")
