@@ -67,6 +67,29 @@ class CatalogSpjSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gsp.default.b")
   }
 
+  test("bucket function: magic invokes equal produceResult; NULL keys match the writer") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val fL = new GraftBoundBucket(LongType)
+    Seq(0L, 1L, 42L, -7L, 1234567890123L).foreach { k =>
+      assert(fL.invoke(16, k) ==
+        fL.produceResult(org.apache.spark.sql.catalyst.InternalRow(16, k)))
+    }
+    val fS = new GraftBoundBucket(StringType)
+    Seq("", "a", "digest-abc").map(UTF8String.fromString).foreach { k =>
+      assert(fS.invoke(16, k) ==
+        fS.produceResult(org.apache.spark.sql.catalyst.InternalRow(16, k)))
+    }
+    // NULL key: hash expressions skip null children, leaving the
+    // seed — the function must agree with the writer's xxhash64
+    val nullBucket = fL.produceResult(
+      org.apache.spark.sql.catalyst.InternalRow(16, null))
+    val writerNull = spark.sql(
+      "SELECT pmod(xxhash64(CAST(NULL AS BIGINT)), 16L)").head.getLong(0)
+    assert(nullBucket == writerNull,
+      s"NULL placement drift: function=$nullBucket writer=$writerNull")
+  }
+
   test("the bucket function itself matches stored placement") {
     spark.sql("CREATE TABLE gsp.default.c (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k','nbuckets'='16')")

@@ -186,6 +186,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE gcat.default.ev DROP COLUMN v")
     }
+    // a required (NOT NULL) add would make the schema lie about
+    // null-filled old rows — refused
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gcat.default.ev ADD COLUMN req INT NOT NULL")
+    }
     spark.sql("DROP TABLE gcat.default.ev")
   }
 
