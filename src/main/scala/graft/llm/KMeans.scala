@@ -78,13 +78,44 @@ object KMeans {
     * and per-subspace assignment over slices (PQ).
     */
   def assignColOn(cents: Seq[(Long, Array[Double])], e: Column,
-      ee: Column): Column =
-    array_min(array(cents.map { case (cid, c) =>
-      struct(
-        (ee - lit(2.0) * graft.functions.DotProduct(
-          e, typedlit(c.toSeq)) + lit(dotSelf(c))).as("d2"),
-        lit(cid).as("cid"))
-    }: _*))
+      ee: Column): Column = {
+    // Native [[graft.functions.CentroidScan]] kernel: one tight
+    // k·dim loop per row instead of the composed-builtins tree, which
+    // after optimizer collapse exploded to ~3000 expression nodes per
+    // subspace and ran interpreted/un-JIT-able at ~17 µs/row (N9Probe,
+    // 400k vectors). Arithmetic and tie/NaN/null semantics are pinned
+    // bit-identical to [[assignColOnBuiltins]] by CentroidArgminSpec;
+    // struct() of the two scalar outputs (not an opaque struct
+    // expression) lets `.getField("cid")` consumers — IVF index
+    // build, SemDeDup, Lloyd training — prune the d² output entirely.
+    val (minD2, cid) = graft.functions.CentroidScan.exprs(cents, e, ee)
+    struct(minD2.as("d2"), cid.as("cid"))
+  }
+
+  /** The composed-builtins twin of [[assignColOn]] — `least` over the
+    * k literal-centroid d² columns plus a first-match CASE (ascending
+    * cid, so ties resolve to the smaller cid, `least`'s equal-keys
+    * first-wins). Not on any query path: it exists to PIN the native
+    * kernel's semantics (CentroidArgminSpec proves bitwise equality,
+    * including null/mis-sized vectors and NaN corpora) — the same
+    * native-vs-builtins contract every graft expression carries.
+    */
+  private[graft] def assignColOnBuiltins(
+      cents: Seq[(Long, Array[Double])], e: Column, ee: Column): Column = {
+    val byCid = cents.sortBy(_._1)
+    val d2s = byCid.map { case (cid, c) =>
+      (cid,
+        ee - lit(2.0) * graft.functions.DotProduct(
+          e, typedlit(c.toSeq)) + lit(dotSelf(c)))
+    }
+    val minD2 =
+      if (d2s.size == 1) d2s.head._2
+      else least(d2s.map(_._2): _*)
+    val cid = d2s.foldRight(lit(-1L)) { case ((id, d2), acc) =>
+      when(d2 === minD2, lit(id)).otherwise(acc)
+    }
+    struct(minD2.as("d2"), cid.as("cid"))
+  }
 
   /** vectors → (vec_id, e, ee), checkpointed once for the R scans. */
   private def corpus(s: SparkSession, d: String): DataFrame =

@@ -331,12 +331,7 @@ object SimilarityQueries {
       val base = graft.Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("e"))
-      val withSubs = (0 until PQ.M).foldLeft(base) { (df, j) =>
-        val ej = PQ.subVec(col("e"), j)
-        df.withColumn(s"m$j", KMeans.assignColOn(
-          cb.books(j).centroids, ej,
-          graft.functions.DotProduct(ej, ej)))
-      }
+      val withSubs = pqAssignments(base, cb)
       // Codes emit as four scalar BIGINT columns (code0..code3), not
       // ARRAY<BIGINT>: the oracle comparator hash-sorts column values
       // and arrays aren't hashable there — and scalar codes are also
@@ -370,12 +365,7 @@ object SimilarityQueries {
       val base = graft.Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("e"))
-      val withSubs = (0 until PQ.M).foldLeft(base) { (df, j) =>
-        val ej = PQ.subVec(col("e"), j)
-        df.withColumn(s"m$j", KMeans.assignColOn(
-          cb.books(j).centroids, ej,
-          graft.functions.DotProduct(ej, ej)))
-      }
+      val withSubs = pqAssignments(base, cb)
       withSubs
         .where(col("vec_id") =!= 0)
         .select(col("vec_id"),
@@ -530,6 +520,30 @@ object SimilarityQueries {
   /** n14's ADC shortlist width: the standard FAISS serving dial — the
     * re-rank reads exactly this many true vectors per query. */
   private[llm] val RerankC = 50
+
+  /** The M per-subspace nearest-centroid assignments (m0..m{M-1}),
+    * with each subspace SLICE and its self-dot materialized ONCE per
+    * row in dedicated projections. The inlined formulation recomputed
+    * `slice(e, j·16, 16)` TWICE PER CENTROID (64 interpreted array
+    * allocations per row — the whole expression tree was too big for
+    * whole-stage codegen, N9Probe measured 0 codegen spans and
+    * ~70 µs/row at the 400k-vector probe). CollapseProject keeps the
+    * staging projections separate (it refuses to inline a non-cheap
+    * expression referenced many times), so the shared slices really
+    * are computed once. Arithmetic is untouched — same DotProduct
+    * fold over the same values, same d² shape, same argmin ties —
+    * which is why the n9/n10/n12/n14 oracles stay bit-green.
+    */
+  private def pqAssignments(base: DataFrame, cb: PQ.Codebooks): DataFrame = {
+    val withSlices = (0 until PQ.M).foldLeft(base)((df, j) =>
+      df.withColumn(s"__e$j", PQ.subVec(col("e"), j)))
+    val withEe = (0 until PQ.M).foldLeft(withSlices)((df, j) =>
+      df.withColumn(s"__ee$j",
+        graft.functions.DotProduct(col(s"__e$j"), col(s"__e$j"))))
+    (0 until PQ.M).foldLeft(withEe)((df, j) =>
+      df.withColumn(s"m$j", KMeans.assignColOn(
+        cb.books(j).centroids, col(s"__e$j"), col(s"__ee$j"))))
+  }
 
   /** Per-label decimal-exact centroids, ranked against the probe: the
     * 2 nearest cluster labels (shared by n2 and n6).
@@ -736,12 +750,7 @@ object SimilarityQueries {
       val b = base(s, d).withColumn("ee", dot("e", "e"))
         .withColumn("cid",
           KMeans.assignCol(model.centroids).getField("cid"))
-      val withSubs = (0 until PQ.M).foldLeft(b) { (df, j) =>
-        val ej = PQ.subVec(col("e"), j)
-        df.withColumn(s"m$j", KMeans.assignColOn(
-          cb.books(j).centroids, ej,
-          graft.functions.DotProduct(ej, ej)))
-      }
+      val withSubs = pqAssignments(b, cb)
       withSubs
         .select(col("vec_id"),
           array((0 until PQ.M).map(j => col(s"m$j.cid")): _*).as("codes"),
