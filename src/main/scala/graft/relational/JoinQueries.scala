@@ -420,6 +420,39 @@ object JoinQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // J6 — J3's change feed through the NAME face: the staged keyed
+    // table registers as an external catalog table and the feed reads
+    // as the `.changes` SUB-TABLE (`<cat>.default.cdc.changes`, the
+    // Iceberg metadata-table addressing) — a DSv2 batch scan whose
+    // input partitions are per-changed-bucket hash-diff readers
+    // (GraftChangesSource), not the v1 driver-assembled join plan.
+    // Same oracle as J3: one derived feed, two engine faces, both
+    // row-identical to the relational recomputation — and the v2
+    // face is the one `readStream.table` serves, so this row also
+    // oracle-gates the streaming-by-name read path's diff kernel.
+    "j6_changes_by_name" -> ((s, d) => {
+      val table = stagedChangeTable(s, d)
+      val root = new java.io.File(table).getParentFile
+      // catalog name carries the staging fingerprint (the r22
+      // lesson: CatalogManager caches instances by name forever)
+      val cat = ("gq6_" + root.getName).replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$root/wh6")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.default.cdc " +
+        s"USING graft LOCATION '$table'")
+      s.read
+        .option("startingVersion", "1").option("endingVersion", "3")
+        // staged by mergeDelta, whose manifests may predate the
+        // recorded-keycol header — state the key like the v1 face does
+        .option("changeKey", "user_id")
+        .table(s"$cat.default.cdc.changes")
+        .select(col("user_id"), col("n_events"),
+          col("sum_val").cast("double").as("sum_val"),
+          col(graft.pol.ChangeFeed.ChangeTypeCol),
+          col(graft.pol.ChangeFeed.CommitVersionCol))
+        .orderBy("_commit_version", "_change_type", "user_id")
+    }),
+
     // J5 — the V2 TABLE CATALOG face, oracle-gated end to end: the
     // whole lifecycle a SQL/BI user runs — CREATE TABLE ... USING
     // graft, INSERT INTO (= keyed MERGE), a second INSERT that
@@ -502,6 +535,42 @@ object JoinQueries {
     (ordDir.toString, revDir.toString)
   }
 
+  /** The staged keyed table's (1,3] change-range recomputed from
+    * first principles — shared by j3 (path face) and j6 (name face).
+    */
+  private val j3OracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |v1 AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+      |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+      |v2 AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+      |  FROM ev GROUP BY 1),
+      |changed AS (
+      |  SELECT v2.user_id FROM v2 JOIN v1 USING (user_id)
+      |  WHERE v1.n_events <> v2.n_events OR v1.sum_val <> v2.sum_val)
+      |SELECT user_id, n_events, CAST(sum_val AS DOUBLE) AS sum_val,
+      |  _change_type, _commit_version FROM (
+      |  SELECT user_id, n_events, sum_val, 'insert' AS _change_type,
+      |    CAST(2 AS BIGINT) AS _commit_version
+      |  FROM v2 WHERE user_id NOT IN (SELECT user_id FROM v1)
+      |  UNION ALL
+      |  SELECT user_id, n_events, sum_val, 'update_preimage',
+      |    CAST(2 AS BIGINT)
+      |  FROM v1 WHERE user_id IN (SELECT user_id FROM changed)
+      |  UNION ALL
+      |  SELECT user_id, n_events, sum_val, 'update_postimage',
+      |    CAST(2 AS BIGINT)
+      |  FROM v2 WHERE user_id IN (SELECT user_id FROM changed)
+      |  UNION ALL
+      |  SELECT user_id, n_events, sum_val, 'delete', CAST(3 AS BIGINT)
+      |  FROM v2 WHERE user_id % 7 = 0)
+      |ORDER BY _commit_version, _change_type, user_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "j1_lookup_join" ->
       """SELECT l_partkey, count(*) AS n, sum(l_quantity) AS sum_qty,
@@ -515,38 +584,10 @@ object JoinQueries {
         |UNION ALL
         |SELECT o_orderkey, 'new' AS src FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY o_orderkey""".stripMargin,
-    "j3_change_feed" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v
-        |  FROM events),
-        |v1 AS (
-        |  SELECT user_id, count(*) AS n_events,
-        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
-        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
-        |v2 AS (
-        |  SELECT user_id, count(*) AS n_events,
-        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
-        |  FROM ev GROUP BY 1),
-        |changed AS (
-        |  SELECT v2.user_id FROM v2 JOIN v1 USING (user_id)
-        |  WHERE v1.n_events <> v2.n_events OR v1.sum_val <> v2.sum_val)
-        |SELECT user_id, n_events, CAST(sum_val AS DOUBLE) AS sum_val,
-        |  _change_type, _commit_version FROM (
-        |  SELECT user_id, n_events, sum_val, 'insert' AS _change_type,
-        |    CAST(2 AS BIGINT) AS _commit_version
-        |  FROM v2 WHERE user_id NOT IN (SELECT user_id FROM v1)
-        |  UNION ALL
-        |  SELECT user_id, n_events, sum_val, 'update_preimage',
-        |    CAST(2 AS BIGINT)
-        |  FROM v1 WHERE user_id IN (SELECT user_id FROM changed)
-        |  UNION ALL
-        |  SELECT user_id, n_events, sum_val, 'update_postimage',
-        |    CAST(2 AS BIGINT)
-        |  FROM v2 WHERE user_id IN (SELECT user_id FROM changed)
-        |  UNION ALL
-        |  SELECT user_id, n_events, sum_val, 'delete', CAST(3 AS BIGINT)
-        |  FROM v2 WHERE user_id % 7 = 0)
-        |ORDER BY _commit_version, _change_type, user_id""".stripMargin,
+    // j6 = j3 through the catalog-name face; one semantic contract,
+    // one oracle text, two scan implementations under it
+    "j6_changes_by_name" -> j3OracleSql,
+    "j3_change_feed" -> j3OracleSql,
     "j4_incremental_mv" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v

@@ -117,6 +117,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean = exists(ident)
 
   override def loadTable(ident: Identifier): Table = {
+    // `<ns>.<table>.changes` — the change-feed SUB-TABLE (the Iceberg
+    // metadata-table addressing pattern): `SELECT * FROM
+    // gcat.default.t.changes` is the batch history, `spark.readStream
+    // .table("gcat.default.t.changes")` the CDC stream. Safe to probe
+    // first: namespaces are single-level, so ns=["default","t"] can
+    // never hold a real table, and a real table always wins below.
+    if (!exists(ident) && ident.name == "changes" &&
+        ident.namespace.length >= 2) {
+      val parent = Identifier.of(
+        ident.namespace.dropRight(1), ident.namespace.last)
+      if (exists(parent))
+        return new GraftChangesTable(
+          s"${fullName(parent)}.changes", dataDir(parent).toString)
+    }
     if (!exists(ident)) throw new NoSuchTableException(ident)
     new GraftCatalogTable(fullName(ident), dataDir(ident).toString, None)
   }
@@ -399,7 +413,14 @@ class GraftCatalogTable(
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      // streaming BY NAME: readStream.table = the append face
+      // (GraftSpjScan.toMicroBatchStream); writeStream.toTable = the
+      // per-epoch keyed merge (GraftStreamingWrite); Update mode rides
+      // the merge semantics (STREAMING_WRITE alone gates Append,
+      // ACCEPT_ANY_SCHEMA is not wanted — schema stays validated)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def properties(): java.util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> tableDir) ++
@@ -409,7 +430,8 @@ class GraftCatalogTable(
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSpjScanBuilder(tableDir, fileSchema, version)
+    new GraftSpjScanBuilder(tableDir, fileSchema, version,
+      streamOptions = options.asScala.toMap)
 
   /** The stored bucket column, surfaced as a METADATA column (hidden
     * from `SELECT *`, addressable by name — the Iceberg `_partition`
@@ -556,12 +578,12 @@ class GraftCatalogTable(
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new V1Write {
+        private def key = manifest.keyCol.getOrElse(sys.error(
+          s"$ident: manifest records no merge key; " +
+            "re-create the table with TBLPROPERTIES ('key'=...)"))
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
             val spark = data.sparkSession
-            val key = manifest.keyCol.getOrElse(sys.error(
-              s"$ident: manifest records no merge key; " +
-                "re-create the table with TBLPROPERTIES ('key'=...)"))
             val kc = org.apache.spark.sql.functions.col(key)
             val n = manifest.nBuckets.getOrElse(64)
             if (replace)
@@ -571,6 +593,16 @@ class GraftCatalogTable(
               PoolJsonSink.upsertPartitioned(
                 spark, tableDir, data, kc, n)
           }
+        /** `writeStream.toTable(name)`: each epoch commits ONE keyed
+          * merge (Complete mode: one whole-table replace) — the t6
+          * foreachBatch recipe promoted to a first-class streaming
+          * sink, epoch-marker idempotent across recovery retries.
+          */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(ident, tableDir, schema(),
+            info.schema(), key, manifest.nBuckets.getOrElse(64),
+            replace, info.queryId())
       }
     }
   }

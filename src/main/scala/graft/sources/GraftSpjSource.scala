@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -142,7 +143,8 @@ class GraftSpjScanBuilder(
     tableDir: String, fileSchema: StructType,
     version: Option[Long] = None,
     onBuild: GraftSpjScan => Unit = _ => (),
-    allowFilterPruning: Boolean = true)
+    allowFilterPruning: Boolean = true,
+    streamOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -183,7 +185,8 @@ class GraftSpjScanBuilder(
     // both scenarios.)
     val s = new GraftSpjScan(tableDir, fileSchema, required, version,
       if (allowFilterPruning) pushed
-      else Array.empty[org.apache.spark.sql.sources.Filter])
+      else Array.empty[org.apache.spark.sql.sources.Filter],
+      streamOptions)
     onBuild(s)
     s
   }
@@ -193,13 +196,46 @@ class GraftSpjScan(
     tableDir: String, fileSchema: StructType, required: StructType,
     version: Option[Long] = None,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
-      Array.empty)
+      Array.empty,
+    streamOptions: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table("gcat.default.t")` — the APPEND face of
+    * the keyed table: each micro-batch is the ENDPOINT-COLLAPSED diff
+    * of its version range (post-image rows only, at most one row per
+    * key per batch — what lets `.toTable` replication merge a batch
+    * without breaking the destination's key invariant), offsets = the
+    * manifest version line, first batch = the current snapshot (pass
+    * `startingVersion` = current to start "latest"). A DELETE in the
+    * feed fails the stream unless `ignoreDeletes=true` — an append
+    * consumer that silently missed one would diverge from the table;
+    * the `.changes` sub-table carries the full per-version CDC for
+    * consumers that can retract. Backed by the same per-changed-bucket
+    * partition readers as the `.changes` stream
+    * ([[GraftChangesMicroBatchStream]]).
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream = {
+    require(version.isEmpty,
+      s"cannot stream a time-travelled table: $tableDir")
+    val data = GraftChanges.dataSchema(manifest, tableDir)
+    val key = streamOptions.get("changekey")
+      .orElse(manifest.keyCol).getOrElse(sys.error(
+        s"streaming read of $tableDir needs the table's merge key " +
+          "(manifest records none; pass option 'changeKey')"))
+    val rows = StructType(required.fields.filterNot(
+      _.name == GraftSpjTable.BucketCol))
+    rows.fields.foreach(f => require(data.fieldNames.contains(f.name),
+      s"streaming read cannot serve column '${f.name}' " +
+        "(metadata columns are batch-only)"))
+    new GraftChangesMicroBatchStream(s"graft `$tableDir`", tableDir,
+      data, key, streamOptions, GraftChanges.RowsMode, rows)
+  }
 
   override def description(): String =
     s"graft-spj $tableDir (bucket-aligned)"
