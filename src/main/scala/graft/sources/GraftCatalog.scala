@@ -218,42 +218,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `ALTER TABLE ... ADD COLUMN(S)` — additive evolution as a pure
     * metadata commit (same files, new recorded schema; old rows read
-    * the new column as NULL). Everything else stays unsupported:
-    * drops/renames/type changes would need a rewrite, and physical
-    * properties (key, buckets) are placement, fixed at CREATE.
+    * the new column as NULL). Nested adds (`ADD COLUMN s.x TYPE`)
+    * append a field inside an existing struct column — the parquet
+    * requested-schema contract null-fills missing nested fields the
+    * same way it does top-level ones, and `unionByName(
+    * allowMissingColumns)` on the merge path carries them. Everything
+    * else stays unsupported: drops/renames/type changes would need a
+    * rewrite, and physical properties (key, buckets) are placement,
+    * fixed at CREATE.
     */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"${fullName(ident)}: nested ADD COLUMN is not supported")
-        // NOT NULL would make the recorded schema LIE about old rows
-        // (they null-fill the new column), and Catalyst folds
-        // IsNull(non-nullable) to false — Iceberg rejects required
-        // adds for the same reason
-        require(a.isNullable,
-          s"${fullName(ident)}: added column '${a.fieldNames.head}' " +
-            "must be nullable (existing rows read it as NULL)")
-        // FIRST/AFTER would be silently discarded — refuse instead
-        require(a.position() == null,
-          s"${fullName(ident)}: ADD COLUMN position (FIRST/AFTER) is " +
-            "not supported; new columns append")
-        StructField(a.fieldNames.head, a.dataType, nullable = true)
-      case other => sys.error(
-        s"${fullName(ident)}: only ADD COLUMN is supported, got " +
-          other.getClass.getSimpleName)
-    }
     val dir = dataDir(ident).toString
     val current = GraftSpjTable.tableSchema(dir)
-    adds.foreach(f => require(!current.fieldNames.contains(f.name),
-      s"${fullName(ident)}: column '${f.name}' already exists"))
+
+    /** Appends `field` at struct path `parents` inside `st`. */
+    def addAt(st: StructType, parents: Seq[String],
+        field: StructField, full: String): StructType =
+      parents match {
+        case Seq() =>
+          require(!st.fieldNames.contains(field.name),
+            s"${fullName(ident)}: column '$full' already exists")
+          StructType(st.fields :+ field)
+        case head +: rest =>
+          val i = st.fieldNames.indexOf(head)
+          require(i >= 0,
+            s"${fullName(ident)}: no such column '$head' (adding '$full')")
+          st.fields(i).dataType match {
+            case inner: StructType =>
+              StructType(st.fields.updated(i, st.fields(i).copy(
+                dataType = addAt(inner, rest, field, full))))
+            case other => sys.error(
+              s"${fullName(ident)}: '$head' is ${other.simpleString}, " +
+                s"not a struct — cannot add nested column '$full'")
+          }
+      }
+
+    val next = changes.foldLeft(current) { (schema, c) =>
+      c match {
+        case a: TableChange.AddColumn =>
+          val full = a.fieldNames.mkString(".")
+          // NOT NULL would make the recorded schema LIE about old rows
+          // (they null-fill the new column), and Catalyst folds
+          // IsNull(non-nullable) to false — Iceberg rejects required
+          // adds for the same reason
+          require(a.isNullable,
+            s"${fullName(ident)}: added column '$full' " +
+              "must be nullable (existing rows read it as NULL)")
+          // FIRST/AFTER would be silently discarded — refuse instead
+          require(a.position() == null,
+            s"${fullName(ident)}: ADD COLUMN position (FIRST/AFTER) is " +
+              "not supported; new columns append")
+          require(a.fieldNames.init.isEmpty ||
+            a.fieldNames.head != GraftSpjTable.BucketCol,
+            s"${fullName(ident)}: '${GraftSpjTable.BucketCol}' is internal")
+          addAt(schema, a.fieldNames.init.toSeq,
+            StructField(a.fieldNames.last, a.dataType, nullable = true),
+            full)
+        case other => sys.error(
+          s"${fullName(ident)}: only ADD COLUMN is supported, got " +
+            other.getClass.getSimpleName)
+      }
+    }
     // keep __pt physically LAST (the write paths append it there)
-    val (data, pt) = current.fields.partition(
+    val (data, pt) = next.fields.partition(
       _.name != GraftSpjTable.BucketCol)
-    PoolJsonSink.commitSchemaChange(dir,
-      StructType(data ++ adds ++ pt))
+    PoolJsonSink.commitSchemaChange(dir, StructType(data ++ pt))
     new GraftCatalogTable(fullName(ident), dir, None)
   }
 
@@ -322,24 +353,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : Array[Identifier] =
     Array(Identifier.of(namespace, "bucket"))
 
-  // ---- SupportsNamespaces ----
+  // ---- SupportsNamespaces (nested: a namespace is any warehouse
+  // directory that is not a TABLE dir — no manifest, no _LOCATION
+  // pointer — so `a.b.c` namespaces nest arbitrarily and
+  // `CREATE NAMESPACE gcat.a.b` is just mkdirs) ----
+
+  /** A directory is a TABLE entry (not a namespace) when it holds a
+    * committed manifest or an external-location pointer.
+    */
+  private def isTableDir(f: java.io.File): Boolean =
+    new java.io.File(f, "_LOCATION").isFile ||
+      Option(f.list()).exists(_.exists(_.startsWith(
+        PoolJsonSink.ManifestName)))
 
   override def defaultNamespace(): Array[String] = Array("default")
 
   override def listNamespaces(): Array[Array[String]] =
-    Option(warehouse.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(f => Array(f.getName))
+    listNamespaces(Array.empty)
 
   override def listNamespaces(
       namespace: Array[String]): Array[Array[String]] = {
-    if (namespace.isEmpty) listNamespaces()
-    else if (!nsDir(namespace).isDirectory)
+    val d = nsDir(namespace)
+    if (namespace.nonEmpty && !d.isDirectory)
       throw new NoSuchNamespaceException(catalogName +: namespace)
-    else Array.empty // single-level namespaces
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !isTableDir(f))
+      .map(f => namespace :+ f.getName)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || nsDir(namespace).isDirectory
+    namespace.isEmpty ||
+      (nsDir(namespace).isDirectory && !isTableDir(nsDir(namespace)))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): java.util.Map[String, String] = {
