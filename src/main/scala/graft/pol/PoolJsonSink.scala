@@ -1566,15 +1566,26 @@ object PoolJsonSink {
       //    (a commitManifest that died between write and link leaks
       //    its .tmp- file — non-EEXIST failures never reach the
       //    deleteIfExists cleanup)
-      // both staging flavors: the DataFrame writer's ".stage-" and the
-      // V2 row-level executor write's ".v2stage-" (a kill -9 mid-MERGE
-      // leaks the latter past its in-process abort hook)
+      // all three staging flavors: the DataFrame writer's ".stage-",
+      // the V2 row-level executor write's ".v2stage-", and the
+      // streaming toTable sink's ".v2stream-" (a kill -9 mid-commit
+      // leaks any of them past their in-process abort hooks)
       Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory &&
           (d.getName.startsWith(".stage-") ||
-            d.getName.startsWith(".v2stage-")) &&
+            d.getName.startsWith(".v2stage-") ||
+            d.getName.startsWith(".v2stream-")) &&
           oldEnough(d))
         .foreach { d => deleteRecursively(d); n += 1 }
+      // streaming epoch markers older than the age gate: a marker
+      // only matters while its epoch could still be re-committed by a
+      // recovering query, which the retention window bounds — GC'd
+      // here so a long-lived streamed table never accumulates one
+      // tiny file per epoch forever
+      Option(new java.io.File(tableDir, "_stream_epochs").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && minAgeMs > 0L && oldEnough(f))
+        .foreach { f => if (f.delete()) n += 1 }
       Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile &&
           f.getName.startsWith(s".$ManifestName.tmp-") && oldEnough(f))

@@ -117,6 +117,20 @@ class StreamingByNameSpec extends AnyFunSuite {
       == before)
   }
 
+  test("epoch markers are retention-gated: vacuum with no age never " +
+    "touches them, an aged vacuum reclaims them") {
+    val dir = s"$wh/default/dst" // written by the toTable test
+    val markers = new java.io.File(dir, "_stream_epochs")
+    assume(markers.isDirectory && markers.listFiles().nonEmpty)
+    val before = markers.listFiles().length
+    PoolJsonSink.vacuum(dir, retainVersions = 100, minAgeMs = 0L)
+    // minAge 0 = the aggressive test default: markers survive — a
+    // LIVE query could still re-commit those epochs
+    assert(markers.listFiles().length == before)
+    PoolJsonSink.vacuum(dir, retainVersions = 100, minAgeMs = 1L)
+    assert(Option(markers.listFiles()).getOrElse(Array.empty).isEmpty)
+  }
+
   test("read and write by name compose: table-to-table streaming " +
     "replication through the changes feed") {
     spark.sql("CREATE TABLE gsn.default.rsrc (k STRING, v STRING) " +
