@@ -84,7 +84,14 @@ object KMeans {
     // after optimizer collapse exploded to ~3000 expression nodes per
     // subspace and ran interpreted/un-JIT-able at ~17 µs/row (N9Probe,
     // 400k vectors). Arithmetic and tie/NaN/null semantics are pinned
-    // bit-identical to [[assignColOnBuiltins]] by CentroidArgminSpec;
+    // bit-identical to [[assignColOnBuiltins]] by CentroidArgminSpec.
+    // One DELIBERATE semantics change vs the round-5 array_min-over-
+    // structs formulation: a null/mis-sized vector now assigns the
+    // SENTINEL cid −1 (d2 null) where struct ordering's nulls-first
+    // rule used to silently hand it cluster 0 — a corrupt embedding
+    // should be visible, not filed under the first centroid. The
+    // embeddings contract (non-null, fixed dim) means no oracle-
+    // checked corpus ever exercises the difference.
     // struct() of the two scalar outputs (not an opaque struct
     // expression) lets `.getField("cid")` consumers — IVF index
     // build, SemDeDup, Lloyd training — prune the d² output entirely.

@@ -120,9 +120,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // `<ns>.<table>.changes` — the change-feed SUB-TABLE (the Iceberg
     // metadata-table addressing pattern): `SELECT * FROM
     // gcat.default.t.changes` is the batch history, `spark.readStream
-    // .table("gcat.default.t.changes")` the CDC stream. Safe to probe
-    // first: namespaces are single-level, so ns=["default","t"] can
-    // never hold a real table, and a real table always wins below.
+    // .table("gcat.default.t.changes")` the CDC stream. The rule that
+    // keeps this sound: an EXISTING table always wins — the probe
+    // fires only when no real table resolves at the identifier, so a
+    // genuine table named `changes` under a nested namespace shadows
+    // the sub-table rather than the reverse.
     if (!exists(ident) && ident.name == "changes" &&
         ident.namespace.length >= 2) {
       val parent = Identifier.of(
@@ -618,7 +620,14 @@ class GraftCatalogTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       s"$ident: cannot write to a time-travelled table")
-    new WriteBuilder with SupportsTruncate {
+    // SupportsStreamingUpdateAsAppend: streaming Update output mode
+    // (the natural mode for an aggregation into this sink) delivers
+    // updated rows as appends — which IS this table's append
+    // semantics, a keyed MERGE; without the marker StreamExecution
+    // refuses Update mode at query start
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.internal.connector
+          .SupportsStreamingUpdateAsAppend {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new V1Write {

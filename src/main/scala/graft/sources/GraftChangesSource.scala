@@ -341,24 +341,10 @@ object GraftChanges {
       tableDir: String, dataSchema: StructType, keyCol: String,
       mode: String, rowsSchema: StructType,
       ignoreDeletes: Boolean = false): PartitionReaderFactory = {
-    val spark = SparkSession.active
-    val buildSession = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try buildSession.conf.set(k, v) catch { case _: Throwable => () }
-    }
-    buildSession.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
-    val readFunc =
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-        .buildReaderWithPartitionValues(
-          sparkSession = buildSession,
-          dataSchema = dataSchema,
-          partitionSchema = new StructType(),
-          requiredSchema = dataSchema,
-          filters = Nil,
-          options = Map("returning_batch" -> "false"),
-          hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
-    GraftChangesReaderFactory(readFunc, dataSchema, keyCol, mode,
-      rowsSchema, ignoreDeletes)
+    GraftChangesReaderFactory(
+      GraftParquetRead.readFunc(SparkSession.active, dataSchema,
+        dataSchema, vectorized = false),
+      dataSchema, keyCol, mode, rowsSchema, ignoreDeletes)
   }
 }
 
@@ -402,6 +388,10 @@ case class GraftChangesReaderFactory(
       override def next(): Boolean =
         if (out.hasNext) { cur = out.next(); true } else false
       override def get(): InternalRow = cur
+      // per-file reader cleanup is the parquet builder's own
+      // task-completion listener (SPARK-23457, registered inside the
+      // closure) — early termination (LIMIT) closes at task end, the
+      // same contract GraftSpjReaderFactory documents
       override def close(): Unit = ()
     }
   }
@@ -430,20 +420,43 @@ class GraftChangesDiffIterator(
   require(keyIdx >= 0, s"change feed key '$keyCol' is not a table column")
   private val keyType = dataSchema(keyCol).dataType
 
+  /** Raw file rows projected to sorted order — TRANSIENT (the
+    * projection's buffer is reused); callers copy() what they keep.
+    */
   private def rows(files: Seq[(String, Long)]): Iterator[UnsafeRow] =
     files.iterator.flatMap { case (path, len) =>
       readFunc(PartitionedFile(
         InternalRow.empty, SparkPath.fromPathString(path), 0, len))
-    }.map(r => toSorted(r).copy())
+    }.map(toSorted(_))
 
-  // old side: bucket-bounded by the writer's file sizing
+  /** Map key under SQL equality, not JVM equals: BINARY keys get
+    * content comparison (Array[Byte] is identity-equal — every
+    * carried row in a changed bucket would otherwise restate as
+    * delete+insert), and float keys normalize −0.0 to 0.0 the way
+    * Spark's join normalization does (boxed Double.equals
+    * distinguishes them; boxed NaN.equals(NaN) is already true,
+    * matching Spark's NaN=NaN join semantics).
+    */
+  private def mapKey(v: Any): Any = v match {
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case d: java.lang.Double if d.doubleValue() == 0.0 =>
+      java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+
+  // old side: bucket-bounded by the writer's file sizing. Keys
+  // extract from the OWNED copy (a ByteBuffer map key must not wrap
+  // a reused buffer).
   private val oldMap =
     new java.util.HashMap[Any, UnsafeRow]()
   private val oldNullKeyed =
     scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-  rows(part.oldFiles).foreach { r =>
+  rows(part.oldFiles).foreach { t =>
+    val r = t.copy()
     if (r.isNullAt(keyIdx)) oldNullKeyed += r
-    else oldMap.put(r.get(keyIdx, keyType), r)
+    else oldMap.put(mapKey(r.get(keyIdx, keyType)), r)
   }
 
   private def meta(ct: String): InternalRow =
@@ -454,17 +467,21 @@ class GraftChangesDiffIterator(
   private val preMeta = meta("update_preimage")
   private val postMeta = meta("update_postimage")
 
+  // new side probes and compares against the TRANSIENT projection and
+  // copies only rows it actually emits — carried-unchanged rows (the
+  // common case in a trickle-updated bucket) allocate nothing
   private val newSide: Iterator[InternalRow] =
-    rows(part.newFiles).flatMap { r =>
-      if (r.isNullAt(keyIdx)) Iterator.single(new JoinedRow(r, insertMeta))
+    rows(part.newFiles).flatMap { t =>
+      if (t.isNullAt(keyIdx))
+        Iterator.single(new JoinedRow(t.copy(), insertMeta))
       else {
-        val k = r.get(keyIdx, keyType)
+        val k = mapKey(t.get(keyIdx, keyType))
         oldMap.remove(k) match {
-          case null => Iterator.single(new JoinedRow(r, insertMeta))
-          case o if o == r => Iterator.empty // unchanged row, carried
+          case null => Iterator.single(new JoinedRow(t.copy(), insertMeta))
+          case o if o == t => Iterator.empty // unchanged row, carried
           case o => Iterator(
             new JoinedRow(o, preMeta): InternalRow,
-            new JoinedRow(r, postMeta): InternalRow)
+            new JoinedRow(t.copy(), postMeta): InternalRow)
         }
       }
     }

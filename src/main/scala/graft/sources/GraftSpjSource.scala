@@ -447,8 +447,8 @@ class GraftSpjScan(
     // Columnar when the projected schema is flat-atomic (the shape the
     // vectorized parquet reader returns whole ColumnarBatches for) and
     // the session hasn't disabled vectorization. Matching the builder's
-    // own returningBatch decision exactly matters: we pin the builder
-    // session's confs below so both sides agree.
+    // own returningBatch decision exactly matters: the shared closure
+    // builder pins the build session's confs so both sides agree.
     val vectorized =
       spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
         .toBoolean &&
@@ -459,12 +459,32 @@ class GraftSpjScan(
                _: org.apache.spark.sql.types.UserDefinedType[_] => false
           case _ => true
         })
-    // Build the reader closure against a CHILD session (same
-    // SparkContext, private SQLConf) instead of toggling the
-    // session-global vectorized flag around the call: a concurrently
-    // planned query in the same session could otherwise capture the
-    // temporary setting or race the restore. Runtime confs are copied
-    // over so the closure sees the user's parquet/codegen settings.
+    GraftSpjReaderFactory(
+      GraftParquetRead.readFunc(spark, fileSchema, required, vectorized),
+      vectorized)
+  }
+}
+
+/** The ONE copy of the parquet read-closure recipe every graft DSv2
+  * scan shares (SPJ/catalog batch scans and the change-feed diff
+  * readers) — subtle enough that two drifting copies bit in review.
+  */
+private[sources] object GraftParquetRead {
+  /** A serializable `PartitionedFile => Iterator[InternalRow]` (the
+    * iterator elements are `ColumnarBatch`es when `vectorized`).
+    *
+    * Built against a CHILD session (same SparkContext, private
+    * SQLConf) instead of toggling the session-global vectorized flag
+    * around the call: a concurrently planned query in the same
+    * session could otherwise capture the temporary setting or race
+    * the restore. Runtime confs are copied over so the closure sees
+    * the user's parquet/codegen settings.
+    */
+  def readFunc(
+      spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType, vectorized: Boolean)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] = {
     val buildSession = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       try buildSession.conf.set(k, v) catch { case _: Throwable => () }
@@ -472,24 +492,22 @@ class GraftSpjScan(
     buildSession.conf.set("spark.sql.parquet.enableVectorizedReader",
       vectorized.toString)
     // nested-column vectorization returns rows-from-batches, which
-    // would break the batch cast below — pin it off for this closure
+    // would break the consumers' batch/row expectations — pinned off
     buildSession.conf.set(
       "spark.sql.parquet.enableNestedColumnVectorizedReader", "false")
-    val readFunc =
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-        .buildReaderWithPartitionValues(
-          sparkSession = buildSession,
-          dataSchema = fileSchema,
-          partitionSchema = new StructType(),
-          requiredSchema = required,
-          filters = Nil,
-          // FileFormat.OPTION_RETURNING_BATCH: the caller (us) states
-          // whether it consumes whole ColumnarBatches — mandatory for
-          // the vectorized parquet path since Spark 3.3
-          options = Map("returning_batch" -> vectorized.toString),
-          hadoopConf =
-            spark.sessionState.newHadoopConfWithOptions(Map.empty))
-    GraftSpjReaderFactory(readFunc, vectorized)
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        sparkSession = buildSession,
+        dataSchema = dataSchema,
+        partitionSchema = new StructType(),
+        requiredSchema = requiredSchema,
+        filters = Nil,
+        // FileFormat.OPTION_RETURNING_BATCH: the caller states
+        // whether it consumes whole ColumnarBatches — mandatory for
+        // the vectorized parquet path since Spark 3.3
+        options = Map("returning_batch" -> vectorized.toString),
+        hadoopConf =
+          spark.sessionState.newHadoopConfWithOptions(Map.empty))
   }
 }
 

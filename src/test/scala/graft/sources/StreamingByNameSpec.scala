@@ -117,6 +117,33 @@ class StreamingByNameSpec extends AnyFunSuite {
       == before)
   }
 
+  test("Update output mode: a streaming aggregation merges its " +
+    "updated groups into the keyed table") {
+    spark.sql("CREATE TABLE gsn.default.agg (k STRING, n BIGINT) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='2')")
+    val src = freshDir("graft_sbn_upd")
+    Seq("a", "a", "b").toDF("k").write.mode("append").json(src)
+    val ckpt = freshDir("graft_sbn_upd_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.schema("k STRING").json(src)
+        .groupBy("k").count().withColumnRenamed("count", "n")
+        .writeStream
+        .outputMode("update") // update-as-append = the keyed MERGE
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gsn.default.agg")
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.table("gsn.default.agg").as[(String, Long)]
+      .collect().toSet == Set(("a", 2L), ("b", 1L)))
+    // more input: only the UPDATED groups re-emit and merge in place
+    Seq("a", "c").toDF("k").write.mode("append").json(src)
+    drain()
+    assert(spark.table("gsn.default.agg").as[(String, Long)]
+      .collect().toSet == Set(("a", 3L), ("b", 1L), ("c", 1L)))
+  }
+
   test("epoch markers are retention-gated: vacuum with no age never " +
     "touches them, an aged vacuum reclaims them") {
     val dir = s"$wh/default/dst" // written by the toTable test
