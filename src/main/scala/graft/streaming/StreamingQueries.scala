@@ -431,6 +431,42 @@ object StreamingQueries {
         .orderBy("_commit_version", "_change_type", "user_id")
     }),
 
+    // T12 — t10's streamed CDC through the NAME face: the same
+    // staged history, read as `spark.readStream.table(
+    // "<cat>.default.cdc.changes")` — the v2 MicroBatchStream whose
+    // batches are per-changed-bucket hash-diff partition readers
+    // (GraftChangesSource), not the v1 driver-assembled plan.
+    // Shares t10's oracle verbatim: one streamed-feed contract, two
+    // source implementations, both row-identical to the relational
+    // recomputation (and ChangesProbe prices the v2 readers at ~4x
+    // less per batch at the 4M-row probe).
+    "t12_stream_changes_by_name" -> ((s, d) => {
+      val table = graft.relational.JoinQueries.stagedChangeTable(s, d)
+      val root = new java.io.File(table).getParentFile
+      // catalog name carries the staging fingerprint (the r22 lesson)
+      val cat = ("gt12_" + root.getName).replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$root/wh12")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.default.cdc " +
+        s"USING graft LOCATION '$table'")
+      val name = s"graft_stream_${sinkId.incrementAndGet()}"
+      runToCompletion(s)(
+        s.readStream
+          .option("changeKey", "user_id")
+          .option("maxVersionsPerTrigger", "1") // one version per batch
+          .table(s"$cat.default.cdc.changes")
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow()))
+      s.table(name)
+        .select(col("user_id"), col("n_events"),
+          col("sum_val").cast("double").as("sum_val"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "user_id")
+    }),
+
     // T11 — STREAMING incremental materialized-view maintenance: the
     // platform loop closed end-to-end. A keyed table takes three
     // committed versions (upsert / MERGE / delete — j3's staging);
@@ -498,6 +534,46 @@ object StreamingQueries {
         .orderBy("grp")
     })
   )
+
+  /** The staged history's streamed feed from genesis, recomputed
+    * from first principles — shared by t10 (v1 source) and t12 (v2
+    * name-based source).
+    */
+  private val t10OracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |v1 AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+      |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+      |v2 AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
+      |  FROM ev GROUP BY 1),
+      |changed AS (
+      |  SELECT v2.user_id FROM v2 JOIN v1 USING (user_id)
+      |  WHERE v1.n_events <> v2.n_events OR v1.sum_val <> v2.sum_val)
+      |SELECT user_id, n_events, CAST(sum_val AS DOUBLE) AS sum_val,
+      |  _change_type, _commit_version FROM (
+      |  SELECT user_id, n_events, sum_val, 'insert' AS _change_type,
+      |    CAST(1 AS BIGINT) AS _commit_version
+      |  FROM v1
+      |  UNION ALL
+      |  SELECT user_id, n_events, sum_val, 'insert', CAST(2 AS BIGINT)
+      |  FROM v2 WHERE user_id NOT IN (SELECT user_id FROM v1)
+      |  UNION ALL
+      |  SELECT user_id, n_events, sum_val, 'update_preimage',
+      |    CAST(2 AS BIGINT)
+      |  FROM v1 WHERE user_id IN (SELECT user_id FROM changed)
+      |  UNION ALL
+      |  SELECT user_id, n_events, sum_val, 'update_postimage',
+      |    CAST(2 AS BIGINT)
+      |  FROM v2 WHERE user_id IN (SELECT user_id FROM changed)
+      |  UNION ALL
+      |  SELECT user_id, n_events, sum_val, 'delete', CAST(3 AS BIGINT)
+      |  FROM v2 WHERE user_id % 7 = 0)
+      |ORDER BY _commit_version, _change_type, user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t1_stream_agg" ->
@@ -609,42 +685,10 @@ object StreamingQueries {
         |FROM inc WHERE digest NOT IN (SELECT digest FROM hist)
         |GROUP BY digest ORDER BY doc_id""".stripMargin,
     // the streamed feed must equal j3's set algebra + the genesis
-    // snapshot delivered as version-1 inserts
-    "t10_stream_change_feed" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v
-        |  FROM events),
-        |v1 AS (
-        |  SELECT user_id, count(*) AS n_events,
-        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
-        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
-        |v2 AS (
-        |  SELECT user_id, count(*) AS n_events,
-        |    CAST(sum(v) AS DECIMAL(38,2)) AS sum_val
-        |  FROM ev GROUP BY 1),
-        |changed AS (
-        |  SELECT v2.user_id FROM v2 JOIN v1 USING (user_id)
-        |  WHERE v1.n_events <> v2.n_events OR v1.sum_val <> v2.sum_val)
-        |SELECT user_id, n_events, CAST(sum_val AS DOUBLE) AS sum_val,
-        |  _change_type, _commit_version FROM (
-        |  SELECT user_id, n_events, sum_val, 'insert' AS _change_type,
-        |    CAST(1 AS BIGINT) AS _commit_version
-        |  FROM v1
-        |  UNION ALL
-        |  SELECT user_id, n_events, sum_val, 'insert', CAST(2 AS BIGINT)
-        |  FROM v2 WHERE user_id NOT IN (SELECT user_id FROM v1)
-        |  UNION ALL
-        |  SELECT user_id, n_events, sum_val, 'update_preimage',
-        |    CAST(2 AS BIGINT)
-        |  FROM v1 WHERE user_id IN (SELECT user_id FROM changed)
-        |  UNION ALL
-        |  SELECT user_id, n_events, sum_val, 'update_postimage',
-        |    CAST(2 AS BIGINT)
-        |  FROM v2 WHERE user_id IN (SELECT user_id FROM changed)
-        |  UNION ALL
-        |  SELECT user_id, n_events, sum_val, 'delete', CAST(3 AS BIGINT)
-        |  FROM v2 WHERE user_id % 7 = 0)
-        |ORDER BY _commit_version, _change_type, user_id""".stripMargin,
+    // snapshot delivered as version-1 inserts; t12 is the same
+    // contract through the v2 name-based source
+    "t12_stream_changes_by_name" -> t10OracleSql,
+    "t10_stream_change_feed" -> t10OracleSql,
     // the streamed retraction MV must equal the direct aggregate of
     // the table's final version, computed from first principles
     "t11_stream_incremental_mv" ->
