@@ -114,6 +114,34 @@ class GraftChangesNameSpec extends AnyFunSuite {
       expected + (("d", "v5d", "insert", 5L)))
   }
 
+  test("maxVersionsPerTrigger shapes the batches: one committed " +
+    "version per micro-batch") {
+    val dir = mkTable("t6")
+    commits(dir) // head = 4 (create + three data commits)
+    val ckpt = freshDir("graft_chn_adm_ckpt")
+    val sink = freshDir("graft_chn_adm_sink")
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table("gch.default.t6.changes")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 4 versions -> 4 admission-controlled batches (plus possibly a
+    // trailing empty one); each non-empty batch carries ONE version
+    val versionsPerBatch = spark.read.parquet(sink)
+      .groupBy().agg(countDistinct(col("_commit_version")).as("nv"))
+      .collect().head.getLong(0)
+    assert(versionsPerBatch == 3L) // the 3 data commits produced rows
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length == 3,
+      s"expected 3 one-version batches, got ${progress.length}")
+  }
+
   test("per-bucket partitions: one input partition per changed bucket " +
     "per version step") {
     val dir = mkTable("t4")
