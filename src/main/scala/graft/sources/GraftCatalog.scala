@@ -630,10 +630,33 @@ class GraftCatalogTable(
           .SupportsStreamingUpdateAsAppend {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = new V1Write {
+      override def build(): Write = new V1Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
         private def key = manifest.keyCol.getOrElse(sys.error(
           s"$ident: manifest records no merge key; " +
             "re-create the table with TBLPROPERTIES ('key'=...)"))
+
+        /** Streaming epochs cluster by the PLACEMENT function before
+          * the DataWriters run — without this the staging fanout is
+          * tasks × buckets (StreamWriteProbe measured 1,763 staged
+          * files and a 15 s commit for a 4k-row epoch; clustered it
+          * is ≤ one file per touched bucket). Non-strict, so a tiny
+          * epoch isn't forced through a useless exchange; the batch
+          * V1 path ignores the requirement (InsertableRelation
+          * bypasses v2 distribution planning) and does its own
+          * placement inside upsertPartitioned.
+          */
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(manifest.nBuckets.getOrElse(64), key)))
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
             val spark = data.sparkSession
