@@ -630,33 +630,21 @@ class GraftCatalogTable(
           .SupportsStreamingUpdateAsAppend {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = new V1Write
-          with org.apache.spark.sql.connector.write
-            .RequiresDistributionAndOrdering {
+      // NO RequiresDistributionAndOrdering here: Spark's V2Writes
+      // applies a Write's required distribution to the BATCH V1
+      // fallback too (verified against 4.1.2 — prepareQuery runs for
+      // AppendData even when build() yields a V1Write), so requiring
+      // the placement clustering would bolt a redundant rebalance
+      // shuffle onto every `INSERT INTO` ahead of upsertPartitioned's
+      // own placement exchange. The streaming fanout that motivated
+      // it is solved WHERE it arises instead: the epoch writer stages
+      // one file per task (see GraftStreamingWrite — commit re-places
+      // rows through the table's native merge anyway, so per-bucket
+      // staging bought nothing).
+      override def build(): Write = new V1Write {
         private def key = manifest.keyCol.getOrElse(sys.error(
           s"$ident: manifest records no merge key; " +
             "re-create the table with TBLPROPERTIES ('key'=...)"))
-
-        /** Streaming epochs cluster by the PLACEMENT function before
-          * the DataWriters run — without this the staging fanout is
-          * tasks × buckets (StreamWriteProbe measured 1,763 staged
-          * files and a 15 s commit for a 4k-row epoch; clustered it
-          * is ≤ one file per touched bucket). Non-strict, so a tiny
-          * epoch isn't forced through a useless exchange; the batch
-          * V1 path ignores the requirement (InsertableRelation
-          * bypasses v2 distribution planning) and does its own
-          * placement inside upsertPartitioned.
-          */
-        override def requiredDistribution()
-            : org.apache.spark.sql.connector.distributions.Distribution =
-          org.apache.spark.sql.connector.distributions.Distributions
-            .clustered(Array(
-              org.apache.spark.sql.connector.expressions.Expressions
-                .bucket(manifest.nBuckets.getOrElse(64), key)))
-        override def distributionStrictlyRequired(): Boolean = false
-        override def requiredOrdering()
-            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          Array.empty
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
             val spark = data.sparkSession

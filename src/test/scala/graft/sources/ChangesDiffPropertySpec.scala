@@ -22,11 +22,15 @@ class ChangesDiffPropertySpec extends AnyFunSuite {
   spark.conf.set("spark.sql.catalog.gpp", "graft.sources.GraftCatalog")
   spark.conf.set("spark.sql.catalog.gpp.warehouse", wh)
 
-  private def asSet(df: org.apache.spark.sql.DataFrame)
-      : Set[(Long, String, String, Long)] =
+  /** Sorted MULTISET, not a Set: a reader that double-emitted a row
+    * (a file planned into two partitions, say) must fail the parity,
+    * not vanish into set collapse.
+    */
+  private def asRows(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, String, String, Long)] =
     df.select("k", "v", "_change_type", "_commit_version").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getLong(3))).toSet
+        r.getLong(3))).toSeq.sorted
 
   test("v2 diff == v1 feed for every version range of a random " +
     "commit history") {
@@ -61,10 +65,10 @@ class ChangesDiffPropertySpec extends AnyFunSuite {
         .option("startingVersion", from.toString)
         .option("endingVersion", to.toString)
         .table("gpp.default.p.changes")
-      val (s1, s2) = (asSet(v1), asSet(v2))
+      val (s1, s2) = (asRows(v1), asRows(v2))
       assert(s1 == s2,
-        s"range ($from, $to]: v1 minus v2 = ${s1 -- s2}, " +
-          s"v2 minus v1 = ${s2 -- s1}")
+        s"range ($from, $to]: v1 minus v2 = ${s1.diff(s2)}, " +
+          s"v2 minus v1 = ${s2.diff(s1)}")
     }
   }
 }

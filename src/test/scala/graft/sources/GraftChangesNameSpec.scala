@@ -119,27 +119,31 @@ class GraftChangesNameSpec extends AnyFunSuite {
     val dir = mkTable("t6")
     commits(dir) // head = 4 (create + three data commits)
     val ckpt = freshDir("graft_chn_adm_ckpt")
-    val sink = freshDir("graft_chn_adm_sink")
+    // record each batch's DISTINCT versions — the per-batch contract
+    // itself, not a global aggregate a re-batching bug could fake
+    val perBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
     val q = spark.readStream
       .option("maxVersionsPerTrigger", "1")
       .table("gch.default.t6.changes")
       .writeStream
       .outputMode("append")
-      .format("parquet")
-      .option("path", sink)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        perBatch.put(id, batch.select("_commit_version")
+          .distinct().collect().map(_.getLong(0)).toSet)
+        ()
+      }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // 4 versions -> 4 admission-controlled batches (plus possibly a
-    // trailing empty one); each non-empty batch carries ONE version
-    val versionsPerBatch = spark.read.parquet(sink)
-      .groupBy().agg(countDistinct(col("_commit_version")).as("nv"))
-      .collect().head.getLong(0)
-    assert(versionsPerBatch == 3L) // the 3 data commits produced rows
-    val progress = q.recentProgress.filter(_.numInputRows > 0)
-    assert(progress.length == 3,
-      s"expected 3 one-version batches, got ${progress.length}")
+    import scala.jdk.CollectionConverters._
+    val batches = perBatch.asScala.values.filter(_.nonEmpty).toSeq
+    // three data commits -> three non-empty batches of EXACTLY one
+    // version each, covering versions 2..4 with no overlap
+    assert(batches.length == 3, s"got $batches")
+    assert(batches.forall(_.size == 1), s"multi-version batch: $batches")
+    assert(batches.flatten.toSet == Set(2L, 3L, 4L))
   }
 
   test("per-bucket partitions: one input partition per changed bucket " +
