@@ -268,7 +268,7 @@ object PoolJsonSink {
   /** Unsigned lexicographic byte comparison — parquet's UTF8/BINARY
     * stats order.
     */
-  private[pol] def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+  private[graft] def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {
@@ -300,7 +300,11 @@ object PoolJsonSink {
       // the table's merge-key column — recorded at write time so
       // consumers (change feed, SQL faces) need not re-state it;
       // absent on manifests from older writers
-      keyCol: Option[String] = None) {
+      keyCol: Option[String] = None,
+      // columns the user opted into zone maps — a TABLE property like
+      // bloomCols, so the request survives commits that stage no file
+      // carrying it yet (an empty CREATE TABLE, a maintenance pass)
+      statsCols: Seq[String] = Nil) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -353,6 +357,11 @@ object PoolJsonSink {
       .map(_.stripPrefix("bloomcols ").trim.split(',').toSeq
         .filter(_.nonEmpty))
       .getOrElse(Nil)
+    val statsColsParsed = lines.tail
+      .find(_.startsWith("statscols "))
+      .map(_.stripPrefix("statscols ").trim.split(',').toSeq
+        .filter(_.nonEmpty))
+      .getOrElse(Nil)
     // `op <NAME> <epochMs>` — commit provenance for DESCRIBE HISTORY;
     // absent on manifests from older writers (both fields null there)
     val opMeta = lines.tail.find(_.startsWith("op "))
@@ -384,7 +393,7 @@ object PoolJsonSink {
       entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap,
       schemaJson, nBuckets, bloomCols,
       opMeta.map(_.head), opMeta.flatMap(_.lift(1)).map(_.toLong),
-      keyCol)
+      keyCol, statsColsParsed)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -422,6 +431,8 @@ object PoolJsonSink {
       m.keyCol.map(k => s"keycol $k") ++
       (if (m.bloomCols.nonEmpty)
         Seq(s"bloomcols ${m.bloomCols.mkString(",")}") else Nil) ++
+      (if (m.statsCols.nonEmpty)
+        Seq(s"statscols ${m.statsCols.mkString(",")}") else Nil) ++
       m.op.map(o =>
         s"op $o ${m.commitTimeMs.getOrElse(System.currentTimeMillis())}") ++
       m.schemaJson.map(j => s"schema $j")
@@ -1089,7 +1100,14 @@ object PoolJsonSink {
     val newFiles = stageDataFiles(tableDir, toStage,
       if (optimizedWrite) Some(1L << 20) else None)
     val prevStats = prev.map(_.stats).getOrElse(Map.empty)
-    val cols = (statsCols ++
+    // zone-map columns are a TABLE property once requested: recorded
+    // in the manifest so the request survives even commits that stage
+    // no file (empty CREATE TABLE) — the pre-record inference from
+    // previous files' stat keys stays as the upgrade path for tables
+    // written before the property existed
+    val effStatsCols =
+      (statsCols ++ prev.map(_.statsCols).getOrElse(Nil)).distinct
+    val cols = (effStatsCols ++
       prevStats.valuesIterator.flatMap(_.keys)).distinct
     // always harvested (even with no requested stats columns): every
     // file at least records its row count for [[tableRowCount]]
@@ -1118,7 +1136,8 @@ object PoolJsonSink {
       Some(nBuckets),
       effBloom,
       Some(opName),
-      keyCol = keyColName.orElse(prev.flatMap(_.keyCol))))
+      keyCol = keyColName.orElse(prev.flatMap(_.keyCol)),
+      statsCols = effStatsCols))
     newFiles.keys.toSeq.sorted
   }
 
@@ -1196,8 +1215,10 @@ object PoolJsonSink {
               "the statement")
       }
     }
-    val cols = prev.map(_.stats.valuesIterator.flatMap(_.keys)
-      .filterNot(_ == RowsStatCol).toSeq.distinct).getOrElse(Nil)
+    val cols = (prev.map(_.statsCols).getOrElse(Nil) ++
+      prev.map(_.stats.valuesIterator.flatMap(_.keys)
+        .filterNot(_ == RowsStatCol).toSeq.distinct).getOrElse(Nil))
+      .distinct
     val rels = newFiles.valuesIterator.flatten.toSeq
     val newStats = footerStats(spark, tableDir, rels, cols)
     val effBloom = prev.map(_.bloomCols).getOrElse(Nil)
@@ -1229,7 +1250,8 @@ object PoolJsonSink {
       Some(nBuckets),
       effBloom,
       Some(opName),
-      keyCol = prev.flatMap(_.keyCol)))
+      keyCol = prev.flatMap(_.keyCol),
+      statsCols = prev.map(_.statsCols).getOrElse(Nil)))
   }
 
   /** ALTER TABLE ADD COLUMN: commit a new version whose ONLY change
@@ -1445,7 +1467,8 @@ object PoolJsonSink {
               (col("__pt") +: clusterBy.map(col)): _*)
           val newFiles = stageDataFiles(tableDir, df,
             if (clusterBy.isEmpty) None else Some(targetRecordsPerFile))
-          val cols = m.stats.valuesIterator.flatMap(_.keys).toSeq.distinct
+          val cols = (m.statsCols ++
+            m.stats.valuesIterator.flatMap(_.keys)).toSeq.distinct
           val newStats = footerStats(spark, tableDir,
             newFiles.valuesIterator.flatten.toSeq, cols)
           buildBloomSidecars(spark, tableDir,
@@ -1460,7 +1483,8 @@ object PoolJsonSink {
             TableManifest(m.version + 1, allBuckets,
               (m.stats ++ newStats).filter(kv => live(kv._1)),
               m.schemaJson, m.nBuckets, m.bloomCols,
-              Some("OPTIMIZE"), keyCol = m.keyCol))
+              Some("OPTIMIZE"), keyCol = m.keyCol,
+              statsCols = m.statsCols))
         }
         fat
     }

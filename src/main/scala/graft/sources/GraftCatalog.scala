@@ -208,12 +208,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val nBuckets = props.get("nbuckets").map(_.toInt).getOrElse(64)
       val spark = SparkSession.active
       // first commit: zero data files, but the manifest records the
-      // schema, key and bucket count — the table reads back empty
-      // with the right columns and every later INSERT merges on key
+      // schema, key, bucket count and requested index columns — the
+      // table reads back empty with the right columns and every later
+      // INSERT merges on key (and harvests the requested zone maps /
+      // bloom sidecars: both are manifest-recorded table properties,
+      // so the empty first commit is enough to establish them)
+      def colsProp(name: String): Seq[String] = props.get(name)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
       PoolJsonSink.overwritePartitioned(spark, dir,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-        org.apache.spark.sql.functions.col(key), nBuckets)
+        org.apache.spark.sql.functions.col(key), nBuckets,
+        statsCols = colsProp("statscols"),
+        bloomCols = colsProp("bloomcols"))
     }
     new GraftCatalogTable(fullName(ident), dir, None)
   }
@@ -472,6 +480,10 @@ class GraftCatalogTable(
     (Map("provider" -> "graft", "location" -> tableDir) ++
       manifest.keyCol.map("key" -> _) ++
       manifest.nBuckets.map("nbuckets" -> _.toString) ++
+      (if (manifest.statsCols.nonEmpty)
+        Map("statscols" -> manifest.statsCols.mkString(",")) else Map.empty) ++
+      (if (manifest.bloomCols.nonEmpty)
+        Map("bloomcols" -> manifest.bloomCols.mkString(",")) else Map.empty) ++
       Map("version" -> manifest.version.toString)).asJava
 
   override def newScanBuilder(

@@ -146,11 +146,64 @@ class GraftSpjScanBuilder(
     allowFilterPruning: Boolean = true,
     streamOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = fileSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
+  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var pushedLimit: Option[Int] = None
+
+  // the committed snapshot the metadata answers resolve against —
+  // same resolution rule as the scan's own manifest
+  private lazy val builderManifest = version match {
+    case Some(v) => PoolJsonSink.readManifestAt(tableDir, v)
+    case None => PoolJsonSink.readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+  }
+
+  /** Complete aggregate pushdown — `count(*)` / `min` / `max`, no
+    * grouping — answered from the manifest (GraftMetaAgg scaladoc).
+    * Never offered on a row-level operation's scan
+    * (`allowFilterPruning = false` marks it): its contract is "read
+    * every surviving row of the scanned buckets", not "answer from
+    * metadata". Spark only routes an Aggregate here when no residual
+    * filter sits between it and the scan, so a filtered aggregate
+    * always takes the data path; the `pushed.isEmpty` guard makes
+    * that assumption explicit rather than inherited.
+    */
+  private def compileAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] =
+    if (!allowFilterPruning || pushed.nonEmpty) None
+    else GraftMetaAgg.compile(builderManifest, fileSchema, agg)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = compileAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = compileAgg(agg)
+    aggResult.isDefined
+  }
+
+  /** Limit pushdown: the scan keeps only a file prefix whose recorded
+    * row counts already cover the limit (Spark re-applies the Limit
+    * above — `isPartiallyPushed` — so over-keeping is the only
+    * direction, and a file without a recorded count disables the
+    * truncation entirely). Refused when any filter was pushed: rows
+    * get filtered ABOVE the scan, so a file prefix covering `limit`
+    * raw rows may cover fewer surviving ones.
+    */
+  override def pushLimit(limit: Int): Boolean =
+    if (!allowFilterPruning || pushed.nonEmpty || limit < 0) false
+    else { pushedLimit = Some(limit); true }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the FILE's field order/instances for the parquet reader
@@ -183,12 +236,18 @@ class GraftSpjScanBuilder(
     // Runtime group filtering stays: the commit consumes exactly that
     // bucket set. (Caught in review; RowLevelPruningSafetySpec pins
     // both scenarios.)
-    val s = new GraftSpjScan(tableDir, fileSchema, required, version,
-      if (allowFilterPruning) pushed
-      else Array.empty[org.apache.spark.sql.sources.Filter],
-      streamOptions)
-    onBuild(s)
-    s
+    aggResult match {
+      case Some((aggSchema, row)) =>
+        GraftAggLocalScan(aggSchema, row,
+          s"graft-spj $tableDir" + version.fold("")(v => s"@v$v"))
+      case None =>
+        val s = new GraftSpjScan(tableDir, fileSchema, required, version,
+          if (allowFilterPruning) pushed
+          else Array.empty[org.apache.spark.sql.sources.Filter],
+          streamOptions, pushedLimit)
+        onBuild(s)
+        s
+    }
   }
 }
 
@@ -197,9 +256,11 @@ class GraftSpjScan(
     version: Option[Long] = None,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
       Array.empty,
-    streamOptions: Map[String, String] = Map.empty)
+    streamOptions: Map[String, String] = Map.empty,
+    pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -420,27 +481,88 @@ class GraftSpjScan(
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
+  /** Table-relative files surviving planning-time pruning (runtime
+    * buckets included once they arrive), per bucket — the one source
+    * of truth planInputPartitions and estimateStatistics share.
+    */
+  private def keptRelFiles(b: Long): Seq[String] =
+    if (runtimeBuckets.exists(!_.contains(b))) Nil
+    else if (keyEqBuckets.exists(!_.contains(b))) Nil
+    else manifest.buckets.getOrElse(b, Nil)
+      .filter(rel => filterFiles.forall(_.contains(rel)))
+
+  /** A file's exact recorded row count (`__rows`), absent for files
+    * from pre-row-count writers.
+    */
+  private def fileRows(rel: String): Option[Long] =
+    manifest.stats.get(rel).flatMap(_.get(PoolJsonSink.RowsStatCol))
+      .collect { case PoolJsonSink.LongStat(n, _) => n }
+
+  /** Planning-time statistics from the snapshot manifest: exact bytes
+    * (sum of kept files' sizes) and exact row count (sum of kept
+    * files' recorded `__rows`; withheld if any kept file predates the
+    * recording — never a guess). Without this a DSv2 relation defaults
+    * to `defaultSizeInBytes` = "assume huge", so a 2 MB dimension
+    * table joined through the catalog would never plan as the
+    * broadcast side without a hint. Residual filters don't break the
+    * contract: these are SCAN-OUTPUT stats, and the scan emits every
+    * row of every kept file — Catalyst applies its own selectivity on
+    * top for the plan above.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val kept = (0L until nBuckets.toLong).flatMap(keptRelFiles)
+    val bytes = kept.map(rel => new java.io.File(tableDir, rel).length()).sum
+    val rows = {
+      val per = kept.map(fileRows)
+      if (per.exists(_.isEmpty)) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(per.flatten.sum)
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
   /** One partition per bucket, 0 .. nBuckets-1. Buckets with no files
     * still get an (empty) partition: partition VALUES are then
     * identical for any two tables sharing nBuckets, which is what lets
     * EnsureRequirements pair them 1:1 without shuffling either side.
     * Pruning (runtime buckets, key-hash buckets, zone-map/bloom file
     * skipping) EMPTIES partitions rather than dropping them, so the
-    * alignment contract survives every filter.
+    * alignment contract survives every filter. A pushed LIMIT keeps
+    * only a file prefix whose recorded row counts cover it (the
+    * builder already refused the push if any filter could drop rows);
+    * if any file lacks a recorded count the truncation is abandoned
+    * wholesale — correctness never rides on it.
     */
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    var perBucket: Map[Long, Seq[String]] =
+      (0L until nBuckets.toLong).map(b => b -> keptRelFiles(b)).toMap
+    for (limit <- pushedLimit) {
+      val ordered = (0L until nBuckets.toLong).flatMap(b =>
+        perBucket(b).map(rel => (b, rel, fileRows(rel))))
+      if (ordered.forall(_._3.isDefined)) {
+        var acc = 0L
+        val keep = ordered.takeWhile { case (_, _, n) =>
+          val need = acc < limit
+          acc += n.get
+          need
+        }.map { case (b, rel, _) => (b, rel) }.toSet
+        perBucket = perBucket.map { case (b, rels) =>
+          b -> rels.filter(rel => keep((b, rel)))
+        }
+      }
+    }
     (0L until nBuckets.toLong).map { b =>
-      val files =
-        if (runtimeBuckets.exists(!_.contains(b))) Nil
-        else if (keyEqBuckets.exists(!_.contains(b))) Nil
-        else manifest.buckets.getOrElse(b, Nil)
-          .filter(rel => filterFiles.forall(_.contains(rel)))
-          .map { rel =>
-            val f = new java.io.File(tableDir, rel)
-            (f.toString, f.length())
-          }
+      val files = perBucket(b).map { rel =>
+        val f = new java.io.File(tableDir, rel)
+        (f.toString, f.length())
+      }
       GraftBucketPartition(b, files): InputPartition
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active

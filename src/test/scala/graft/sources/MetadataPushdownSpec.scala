@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LocalTableScanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.QueryHarness.spark
+
+/** Metadata-powered planning: aggregates answered from the manifest
+  * (complete DSv2 aggregate pushdown → LocalTableScan, zero file
+  * reads), exact planning-time statistics (auto-broadcast of small
+  * graft tables without a hint), and limit pushdown (a file prefix
+  * covering the limit). Each positive case pins the PLAN (the whole
+  * point is which operators are absent) and the VALUES against the
+  * data path; each negative case pins the fallback to the ordinary
+  * scan.
+  */
+class MetadataPushdownSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val wh = java.nio.file.Files
+    .createTempDirectory("gmeta_wh").toString
+  spark.conf.set("spark.sql.catalog.gmeta", "graft.sources.GraftCatalog")
+  spark.conf.set("spark.sql.catalog.gmeta.warehouse", wh)
+
+  spark.sql("CREATE TABLE gmeta.default.t (k BIGINT, v BIGINT, s STRING) " +
+    "USING graft " +
+    "TBLPROPERTIES ('key'='k','nbuckets'='8','statscols'='k,v,s')")
+  // two commits → multiple files per bucket; negative v values and an
+  // empty-string s probe the boundary stats
+  spark.sql("INSERT INTO gmeta.default.t " +
+    "SELECT id, id * 7 - 1000, concat('s', lpad(id, 4, '0')) " +
+    "FROM range(0, 900)")
+  spark.sql("INSERT INTO gmeta.default.t " +
+    "SELECT id, id * 7 - 1000, concat('s', lpad(id, 4, '0')) " +
+    "FROM range(900, 1000)")
+
+  private def localScans(df: DataFrame) =
+    df.queryExecution.executedPlan.collect { case l: LocalTableScanExec => l }
+  private def batchScans(df: DataFrame) =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+
+  /** Plan-shape assertions need AQE off: AdaptiveSparkPlanExec hides
+    * its children from `collect` until execution (the harness runs
+    * with AQE on, like Bench).
+    */
+  private def withAqeOff[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("count(*)/min/max answer from the manifest as a LocalTableScan") {
+    val df = spark.sql(
+      "SELECT count(*) AS n, min(v) AS mnv, max(v) AS mxv, " +
+        "min(s) AS mns, max(s) AS mxs FROM gmeta.default.t")
+    assert(localScans(df).nonEmpty && batchScans(df).isEmpty,
+      s"expected a metadata-only plan:\n${df.queryExecution.executedPlan}")
+    val r = df.collect().head
+    assert(r.getLong(0) == 1000L)
+    assert(r.getLong(1) == -1000L && r.getLong(2) == 7L * 999 - 1000)
+    assert(r.getString(3) == "s0000" && r.getString(4) == "s0999")
+  }
+
+  test("a filtered aggregate takes the data path and stays correct") {
+    withAqeOff {
+      val df = spark.sql(
+        "SELECT count(*) AS n, max(v) AS mx FROM gmeta.default.t " +
+          "WHERE k < 100")
+      assert(batchScans(df).nonEmpty,
+        "a residual filter must force the ordinary scan")
+      val r = df.collect().head
+      assert(r.getLong(0) == 100L && r.getLong(1) == 7L * 99 - 1000)
+    }
+  }
+
+  test("an unanswerable aggregate falls back: avg, and min on an unstated column") {
+    withAqeOff {
+      // avg is not answerable from zone maps
+      val avg = spark.sql("SELECT avg(v) AS a FROM gmeta.default.t")
+      assert(batchScans(avg).nonEmpty)
+      assert(avg.collect().head.getDouble(0) ==
+        (0 until 1000).map(_ * 7L - 1000).sum.toDouble / 1000)
+      // a column never opted into zone maps has no per-file stats
+      spark.sql("CREATE TABLE gmeta.default.nostats (k BIGINT, v BIGINT) " +
+        "USING graft TBLPROPERTIES ('key'='k','nbuckets'='4')")
+      spark.sql("INSERT INTO gmeta.default.nostats " +
+        "SELECT id, id * 3 FROM range(0, 50)")
+      val mn = spark.sql("SELECT min(v) AS m FROM gmeta.default.nostats")
+      assert(batchScans(mn).nonEmpty)
+      assert(mn.collect().head.getLong(0) == 0L)
+      // count(*) still answers from metadata: row counts are always
+      // recorded, statscols or not
+      val cnt = spark.sql("SELECT count(*) AS n FROM gmeta.default.nostats")
+      assert(localScans(cnt).nonEmpty && batchScans(cnt).isEmpty)
+      assert(cnt.collect().head.getLong(0) == 50L)
+    }
+  }
+
+  test("empty table: count 0, min/max NULL, straight from metadata") {
+    spark.sql("CREATE TABLE gmeta.default.empty (k BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('key'='k','statscols'='v')")
+    val df = spark.sql(
+      "SELECT count(*) AS n, min(v) AS mn FROM gmeta.default.empty")
+    assert(localScans(df).nonEmpty && batchScans(df).isEmpty)
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("scan statistics are exact: numRows and sizeInBytes from the manifest") {
+    val rel = spark.table("gmeta.default.t")
+    val scan = batchScans(rel).head.scan.asInstanceOf[GraftSpjScan]
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 1000L)
+    assert(st.sizeInBytes().getAsLong > 0L)
+  }
+
+  test("a small catalog table auto-broadcasts without a hint") {
+    spark.sql("CREATE TABLE gmeta.default.dim (k BIGINT, name STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k','nbuckets'='4')")
+    spark.sql("INSERT INTO gmeta.default.dim " +
+      "SELECT id, concat('n', id) FROM range(0, 20)")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.sql(
+        """SELECT t.k, d.name FROM gmeta.default.t t
+          |JOIN gmeta.default.dim d ON t.k = d.k""".stripMargin)
+      val bhj = j.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        s"exact scan stats must make the 20-row side the broadcast " +
+          s"side at PLANNING time:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 20L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("LIMIT keeps only a file prefix covering the limit") {
+    val df = spark.table("gmeta.default.t").limit(5)
+    val scan = batchScans(df).head.scan.asInstanceOf[GraftSpjScan]
+    val keptFiles = scan.planInputPartitions().map {
+      case p: GraftBucketPartition => p.files.size
+    }.sum
+    val allFiles = batchScans(spark.table("gmeta.default.t")).head
+      .scan.asInstanceOf[GraftSpjScan].planInputPartitions().map {
+        case p: GraftBucketPartition => p.files.size
+      }.sum
+    assert(keptFiles < allFiles,
+      s"limit 5 should read a file prefix ($keptFiles of $allFiles)")
+    assert(df.count() == 5L)
+    // a filter forbids the truncation: the 142 surviving rows live in
+    // the TAIL of the key range, so a naive "first files covering 5
+    // raw rows" prefix would return nothing — the builder must refuse
+    // the limit push when any filter was pushed
+    val filtered = spark.table("gmeta.default.t")
+      .where($"v" > 5000L).limit(5)
+    assert(filtered.count() == 5L)
+    assert(filtered.collect().forall(_.getLong(1) > 5000L))
+  }
+
+  test("statscols survives an empty CREATE, maintenance, and shows in properties") {
+    // created with statscols, first INSERT long after: the property
+    // came from the manifest, not from any file's existing stats
+    val props = spark.sql("SHOW TBLPROPERTIES gmeta.default.t")
+      .as[(String, String)].collect().toMap
+    assert(props.get("statscols").contains("k,v,s"))
+    // maintenance (OPTIMIZE compaction) re-harvests the same columns
+    spark.sql("CALL gmeta.system.optimize(\"default.t\")")
+    val df = spark.sql(
+      "SELECT min(v) AS mn, max(s) AS mx FROM gmeta.default.t")
+    assert(localScans(df).nonEmpty && batchScans(df).isEmpty,
+      "zone maps must survive compaction for metadata answering")
+    val r = df.collect().head
+    assert(r.getLong(0) == -1000L && r.getString(1) == "s0999")
+  }
+}
