@@ -582,7 +582,8 @@ class GraftSpjScan(
           case _ => true
         })
     GraftSpjReaderFactory(
-      GraftParquetRead.readFunc(spark, fileSchema, required, vectorized),
+      GraftParquetRead.readFunc(spark, fileSchema, required, vectorized,
+        pushedFilters.toSeq),
       vectorized)
   }
 }
@@ -604,7 +605,8 @@ private[sources] object GraftParquetRead {
     */
   def readFunc(
       spark: SparkSession, dataSchema: StructType,
-      requiredSchema: StructType, vectorized: Boolean)
+      requiredSchema: StructType, vectorized: Boolean,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[InternalRow] = {
     val buildSession = spark.newSession()
@@ -623,7 +625,15 @@ private[sources] object GraftParquetRead {
         dataSchema = dataSchema,
         partitionSchema = new StructType(),
         requiredSchema = requiredSchema,
-        filters = Nil,
+        // parquet's OWN footer statistics skip row groups inside each
+        // file — orthogonal to the manifest zone maps (which skip
+        // whole files, and only on the opted-in statscols): parquet
+        // writes stats for every column unasked, so a selective
+        // predicate on an unindexed column still skips at row-group
+        // granularity. The reader converts only filters whose columns
+        // exist in EACH file's own schema (evolution-safe), and every
+        // pushed predicate is re-applied above the scan regardless.
+        filters = filters,
         // FileFormat.OPTION_RETURNING_BATCH: the caller states
         // whether it consumes whole ColumnarBatches — mandatory for
         // the vectorized parquet path since Spark 3.3

@@ -163,6 +163,30 @@ class MetadataPushdownSpec extends AnyFunSuite {
     assert(filtered.collect().forall(_.getLong(1) > 5000L))
   }
 
+  test("parquet footer stats skip row groups on columns without zone maps") {
+    withAqeOff {
+      // `v` in nostats has NO manifest zone map — but parquet wrote
+      // its own footer stats unasked, and the pushed filter reaches
+      // the reader: an out-of-range predicate emits ZERO rows from
+      // the scan (row groups skipped), not 50-rows-then-filtered
+      spark.sql("CREATE TABLE gmeta.default.rg (k BIGINT, v BIGINT) " +
+        "USING graft TBLPROPERTIES ('key'='k','nbuckets'='4')")
+      spark.sql("INSERT INTO gmeta.default.rg " +
+        "SELECT id, id * 3 FROM range(0, 50)")
+      def scanRows(df: DataFrame): Long = {
+        df.collect()
+        batchScans(df).head.metrics("numOutputRows").value
+      }
+      val miss = spark.table("gmeta.default.rg").where($"v" === 100000L)
+      assert(miss.count() == 0L)
+      assert(scanRows(spark.table("gmeta.default.rg")
+        .where($"v" === 100000L)) == 0L,
+        "out-of-range predicate must skip every row group in the reader")
+      val hit = spark.table("gmeta.default.rg").where($"v" === 60L)
+      assert(hit.collect().map(_.getLong(0)).toSeq == Seq(20L))
+    }
+  }
+
   test("statscols survives an empty CREATE, maintenance, and shows in properties") {
     // created with statscols, first INSERT long after: the property
     // came from the manifest, not from any file's existing stats
