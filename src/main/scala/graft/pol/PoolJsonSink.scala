@@ -1173,7 +1173,12 @@ object PoolJsonSink {
       nBuckets: Int,
       opName: String,
       replaceBuckets: Option[Set[Long]] = None,
-      expectedPrevVersion: Option[Long] = None): Unit = {
+      expectedPrevVersion: Option[Long] = None,
+      // REPLACE TABLE re-declares the table: the new statement's key /
+      // index columns override the inherited ones when given
+      declaredKeyCol: Option[String] = None,
+      declaredStatsCols: Option[Seq[String]] = None,
+      declaredBloomCols: Option[Seq[String]] = None): Unit = {
     val prev = readManifest(tableDir)
     // Optimistic conflict validation (the Iceberg/Delta COW rule):
     // the replacement rows were computed against `expectedPrevVersion`.
@@ -1215,13 +1220,15 @@ object PoolJsonSink {
               "the statement")
       }
     }
-    val cols = (prev.map(_.statsCols).getOrElse(Nil) ++
-      prev.map(_.stats.valuesIterator.flatMap(_.keys)
-        .filterNot(_ == RowsStatCol).toSeq.distinct).getOrElse(Nil))
-      .distinct
+    val cols = declaredStatsCols.getOrElse(
+      (prev.map(_.statsCols).getOrElse(Nil) ++
+        prev.map(_.stats.valuesIterator.flatMap(_.keys)
+          .filterNot(_ == RowsStatCol).toSeq.distinct).getOrElse(Nil))
+        .distinct)
     val rels = newFiles.valuesIterator.flatten.toSeq
     val newStats = footerStats(spark, tableDir, rels, cols)
-    val effBloom = prev.map(_.bloomCols).getOrElse(Nil)
+    val effBloom = declaredBloomCols.getOrElse(
+      prev.map(_.bloomCols).getOrElse(Nil))
     buildBloomSidecars(spark, tableDir,
       newStats.view.mapValues(_.get(RowsStatCol).collect {
         case LongStat(r, _) => r
@@ -1250,8 +1257,9 @@ object PoolJsonSink {
       Some(nBuckets),
       effBloom,
       Some(opName),
-      keyCol = prev.flatMap(_.keyCol),
-      statsCols = prev.map(_.statsCols).getOrElse(Nil)))
+      keyCol = declaredKeyCol.orElse(prev.flatMap(_.keyCol)),
+      statsCols = declaredStatsCols.getOrElse(
+        prev.map(_.statsCols).getOrElse(Nil))))
   }
 
   /** ALTER TABLE ADD COLUMN: commit a new version whose ONLY change
@@ -1598,7 +1606,8 @@ object PoolJsonSink {
         .filter(d => d.isDirectory &&
           (d.getName.startsWith(".stage-") ||
             d.getName.startsWith(".v2stage-") ||
-            d.getName.startsWith(".v2stream-")) &&
+            d.getName.startsWith(".v2stream-") ||
+            d.getName.startsWith(".rtas-")) &&
           oldEnough(d))
         .foreach { d => deleteRecursively(d); n += 1 }
       // streaming epoch markers older than the age gate: a marker

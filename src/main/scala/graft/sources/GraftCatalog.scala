@@ -62,7 +62,7 @@ import graft.pol.PoolJsonSink
   * contract — the data outlives the name).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.io.File = _
@@ -225,6 +225,110 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     new GraftCatalogTable(fullName(ident), dir, None)
   }
+
+  // ---- StagingTableCatalog: atomic CTAS / RTAS ----
+
+  /** Atomic `CREATE TABLE ... AS SELECT`: the create happens eagerly
+    * (it is a metadata-only empty commit), the query's rows land
+    * through the table's own transactional keyed MERGE, and abort
+    * drops the table — the pre-staging CTAS behavior plus cleanup on
+    * failure. No side staging needed: an empty table plus one CAS
+    * data commit is already "all or nothing" to every reader.
+    */
+  override def stageCreate(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val inner =
+      createTable(ident, schema, partitions, properties)
+        .asInstanceOf[GraftCatalogTable]
+    new StagedGraftTable(inner,
+      onCommit = () => (), onAbort = () => { dropTable(ident); () })
+  }
+
+  /** Atomic `REPLACE TABLE ... AS SELECT` — the Iceberg idiom for
+    * "rebuild this table from a query without readers ever seeing it
+    * empty or half-written". The query's rows stage into a PRIVATE
+    * graft table inside the target's directory (`.rtas-*` — same
+    * filesystem, so publishing is renames); commit moves the staged
+    * data files in and publishes them as ONE CAS manifest commit with
+    * the new schema/key/index declaration. Readers flip atomically
+    * from old content to new, history and time travel survive (a
+    * REPLACE is just the next version), and abort deletes the staging
+    * directory leaving the table untouched.
+    */
+  override def stageReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    require(partitions.isEmpty,
+      "graft tables cluster on their merge key (TBLPROPERTIES key=...); " +
+        "PARTITIONED BY is not supported")
+    val props = properties.asScala
+    val realDir = dataDir(ident)
+    val prev = PoolJsonSink.readManifest(realDir.toString)
+    val key = props.get("key").orElse(prev.flatMap(_.keyCol))
+      .getOrElse(schema.fields.head.name)
+    require(schema.fieldNames.contains(key),
+      s"${fullName(ident)}: merge key '$key' is not a column of the " +
+        "replacement schema")
+    val n = props.get("nbuckets").map(_.toInt)
+      .orElse(prev.flatMap(_.nBuckets)).getOrElse(64)
+    val statsCols = colsProp(props, "statscols")
+    val bloomCols = colsProp(props, "bloomcols")
+    val spark = SparkSession.active
+    val tmpDir = new java.io.File(realDir,
+      s".rtas-${java.util.UUID.randomUUID().toString.take(8)}")
+    // the staged table: a real graft table with the NEW key/buckets,
+    // so the query's write is the ordinary transactional keyed merge.
+    // Zone maps and bloom sidecars are NOT built here — the final
+    // commit harvests/builds them once for the published files
+    // (declared* overrides below); building them against the staging
+    // dir would be work thrown away at the move
+    PoolJsonSink.overwritePartitioned(spark, tmpDir.toString,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      org.apache.spark.sql.functions.col(key), n)
+    val inner = new GraftCatalogTable(
+      s"${fullName(ident)} (staged replace)", tmpDir.toString, None)
+    new StagedGraftTable(inner,
+      onCommit = () => {
+        val m = PoolJsonSink.readManifest(tmpDir.toString).getOrElse(
+          sys.error(s"${fullName(ident)}: staged replace lost its " +
+            s"manifest at $tmpDir"))
+        new java.io.File(realDir, "data").mkdirs()
+        // staged names are pt<bucket>-<uuid>.parquet — unique in the
+        // target; same filesystem by construction, so pure renames
+        m.files.foreach { rel =>
+          java.nio.file.Files.move(
+            new java.io.File(tmpDir, rel).toPath,
+            new java.io.File(realDir, rel).toPath)
+        }
+        PoolJsonSink.commitStagedReplace(spark, realDir.toString,
+          m.buckets, m.schemaJson.getOrElse(schema.json), n,
+          opName = "REPLACE",
+          declaredKeyCol = Some(key),
+          declaredStatsCols = Some(statsCols),
+          declaredBloomCols = Some(bloomCols))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
+      },
+      onAbort = () =>
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpDir))
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    if (exists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  private def colsProp(
+      props: scala.collection.Map[String, String],
+      name: String): Seq[String] = props.get(name)
+    .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Nil)
 
   /** `ALTER TABLE ... ADD COLUMN(S)` — additive evolution as a pure
     * metadata commit (same files, new recorded schema; old rows read
@@ -420,6 +524,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     org.apache.commons.io.FileUtils.deleteDirectory(d)
     true
   }
+}
+
+/** The staged face of an atomic CTAS/RTAS: every Table behavior
+  * delegates to the inner (real or staging-dir) graft table; commit
+  * and abort run the catalog-supplied closures. Spark writes the
+  * query's rows through `newWriteBuilder` BEFORE calling
+  * `commitStagedChanges`, so for RTAS the swap-in happens only after
+  * the full replacement content is durably staged.
+  */
+private[sources] class StagedGraftTable(
+    inner: GraftCatalogTable, onCommit: () => Unit, onAbort: () => Unit)
+    extends StagedTable with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): java.util.Map[String, String] =
+    inner.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    inner.capabilities()
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = onCommit()
+  override def abortStagedChanges(): Unit = onAbort()
 }
 
 /** A named graft table: SQL-facing schema (the stored `__pt` bucket
