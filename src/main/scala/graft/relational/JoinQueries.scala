@@ -420,6 +420,29 @@ object JoinQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // R23 — METADATA aggregates, oracle-gated cross-engine: count /
+    // min / max over the staged catalog table answer from the
+    // manifest's recorded row counts and zone maps as a LocalScan
+    // (MetadataPushdownSpec pins the plan — zero data files opened;
+    // this row pins the VALUES against DuckDB recomputing them from
+    // the raw source parquet). Certifies the whole stats chain:
+    // parquet footer harvest at commit → manifest encoding (LongStat
+    // + BinStat's unsigned-lexicographic string order) → the pushed
+    // Aggregation compile.
+    "r23_metadata_agg" -> ((s, d) => {
+      val (ordDir, _) = spjTables(s, d)
+      val root = new java.io.File(ordDir).getParentFile
+      val cat = ("gq2_" + root.getName).replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"${root}_wh")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.default.ord " +
+        s"USING graft LOCATION '$ordDir'")
+      s.sql(s"""SELECT count(*) AS n_orders,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        min(o_orderpriority) AS min_pri, max(o_orderpriority) AS max_pri
+        FROM $cat.default.ord""")
+    }),
+
     // J6 — J3's change feed through the NAME face: the staged keyed
     // table registers as an external catalog table and the feed reads
     // as the `.changes` SUB-TABLE (`<cat>.default.cdc.changes`, the
@@ -505,9 +528,12 @@ object JoinQueries {
       s"${f.lastModified()}_${f.length()}"
     }
     val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+    // staging-format v2: the orders store records zone maps (r23's
+    // metadata aggregates read them) — the version in the dir name
+    // retires caches staged by the stats-less format
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_spj_${slug}_${fp("orders.parquet")}_${fp("lineitem.parquet")}")
+      s"graft_spj2_${slug}_${fp("orders.parquet")}_${fp("lineitem.parquet")}")
     val (ordDir, revDir) =
       (new java.io.File(root, "orders"), new java.io.File(root, "revenue"))
     if (!root.isDirectory) {
@@ -516,7 +542,8 @@ object JoinQueries {
       PoolJsonSink.overwritePartitioned(s,
         new java.io.File(staging, "orders").toString,
         orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority"),
-        col("o_orderkey"), 16)
+        col("o_orderkey"), 16,
+        statsCols = Seq("o_orderkey", "o_custkey", "o_orderpriority"))
       PoolJsonSink.overwritePartitioned(s,
         new java.io.File(staging, "revenue").toString,
         lineitem(s, d).groupBy("l_orderkey")
@@ -748,6 +775,13 @@ object JoinQueries {
         |SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(revenue) AS DOUBLE) AS revenue
         |FROM orders o JOIN r ON o.o_orderkey = r.l_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // r23's Spark side reads only manifest metadata; the oracle
+    // recomputes the same aggregates from the raw parquet
+    "r23_metadata_agg" ->
+      """SELECT count(*) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_orderpriority) AS min_pri, max(o_orderpriority) AS max_pri
+        |FROM orders""".stripMargin
   )
 }

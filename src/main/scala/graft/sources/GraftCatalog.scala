@@ -133,6 +133,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         return new GraftChangesTable(
           s"${fullName(parent)}.changes", dataDir(parent).toString)
     }
+    // `<ns>.<table>.files` — the file-inventory SUB-TABLE (Iceberg's
+    // metadata-table family): one row per live data file with its
+    // bucket, size, recorded row count and zone-map summary, answered
+    // entirely from the manifest (LocalScan — no file opened). Same
+    // shadowing rule as `.changes`: a real table wins.
+    if (!exists(ident) && ident.name == "files" &&
+        ident.namespace.length >= 2) {
+      val parent = Identifier.of(
+        ident.namespace.dropRight(1), ident.namespace.last)
+      if (exists(parent))
+        return new GraftFilesTable(
+          s"${fullName(parent)}.files", dataDir(parent).toString)
+    }
     if (!exists(ident)) throw new NoSuchTableException(ident)
     new GraftCatalogTable(fullName(ident), dataDir(ident).toString, None)
   }
@@ -524,6 +537,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     org.apache.commons.io.FileUtils.deleteDirectory(d)
     true
   }
+}
+
+/** `<table>.files` — the live file inventory as a manifest-only
+  * LocalScan: bucket, table-relative path, bytes on disk, the exact
+  * recorded row count (null for pre-row-count writers), and the
+  * zone-map summary rendered `col:min..max` (longs) / `col:0x..`
+  * (binary, hex-trimmed). What an operator reads to see skew, file
+  * sizing, and stats coverage without opening a single data file.
+  */
+private[sources] class GraftFilesTable(ident: String, tableDir: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val filesSchema = StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("stats", StringType, nullable = true)))
+
+  override def name(): String = ident
+  override def schema(): StructType = filesSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = filesSchema
+      override def description(): String = s"$ident (manifest-only)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        val m = PoolJsonSink.readManifest(tableDir).getOrElse(
+          sys.error(s"not a graft table: $tableDir"))
+        def str(s: String) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        m.buckets.toSeq.sortBy(_._1).flatMap { case (b, rels) =>
+          rels.sorted.map { rel =>
+            val stats = m.stats.getOrElse(rel, Map.empty)
+            val rows = stats.get(PoolJsonSink.RowsStatCol).collect {
+              case PoolJsonSink.LongStat(n, _) => java.lang.Long.valueOf(n)
+            }.orNull
+            val rendered = stats.toSeq
+              .filterNot(_._1 == PoolJsonSink.RowsStatCol)
+              .sortBy(_._1).map {
+                case (c, PoolJsonSink.LongStat(mn, mx)) => s"$c:$mn..$mx"
+                case (c, PoolJsonSink.BinStat(mn, mx)) =>
+                  def hx(a: Array[Byte]) =
+                    a.take(8).map(x => f"$x%02x").mkString
+                  s"$c:0x${hx(mn)}..0x${hx(mx)}"
+              }.mkString(";")
+            org.apache.spark.sql.catalyst.InternalRow(
+              b, str(rel),
+              new java.io.File(tableDir, rel).length(),
+              rows,
+              if (rendered.isEmpty) null else str(rendered))
+          }
+        }.toArray
+      }
+    }
 }
 
 /** The staged face of an atomic CTAS/RTAS: every Table behavior

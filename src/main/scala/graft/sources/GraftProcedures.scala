@@ -30,7 +30,7 @@ import graft.pol.PoolJsonSink
   */
 object GraftProcedures {
 
-  val Names: Seq[String] = Seq("optimize", "vacuum", "history")
+  val Names: Seq[String] = Seq("optimize", "vacuum", "history", "split")
 
   private def str(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -62,13 +62,24 @@ object GraftProcedures {
               ProcedureParameter.in("max_files", IntegerType)
                 .defaultValue("4")
                 .comment("max data files per bucket before rewrite")
+                .build(),
+              ProcedureParameter.in("zorder", StringType)
+                .defaultValue("CAST(NULL AS STRING)")
+                .comment("comma-separated cluster columns: rewrite " +
+                  "EVERY bucket range-sorted on them so zone maps " +
+                  "actually exclude (the Delta OPTIMIZE ZORDER trade)")
                 .build())
             override def call(in: InternalRow): java.util.Iterator[Scan] = {
               val dir = catalog.resolveDataDir(in.getString(0))
               val maxFiles = if (in.isNullAt(1)) 4 else in.getInt(1)
+              val cluster =
+                if (in.isNullAt(2)) Nil
+                else in.getString(2).split(',').toSeq
+                  .map(_.trim).filter(_.nonEmpty)
               val touched = PoolJsonSink.compactPartitions(
                 SparkSession.active, dir,
-                maxFilesPerPartition = maxFiles)
+                maxFilesPerPartition = maxFiles,
+                clusterBy = cluster)
               one(StructType(Seq(
                 StructField("compacted_buckets", IntegerType, false),
                 StructField("version", LongType, true))),
@@ -119,6 +130,38 @@ object GraftProcedures {
               java.util.List.of[Scan](Result(df.schema,
                 df.queryExecution.executedPlan.executeCollect()))
                 .iterator()
+            }
+          }
+      }
+      case "split" => new UnboundProcedure {
+        override def name(): String = "split"
+        override def description(): String =
+          "grow the bucket count in place (shuffle-free bucket-local " +
+            "rewrite: pmod(h, n*f) mod n == pmod(h, n))"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "split"
+            override def description(): String = "graft SPLIT BUCKETS"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("factor", IntegerType)
+                .defaultValue("2")
+                .comment("bucket-count multiplier (>= 2)").build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val factor = if (in.isNullAt(1)) 2 else in.getInt(1)
+              val key = PoolJsonSink.readManifest(dir)
+                .flatMap(_.keyCol).getOrElse(sys.error(
+                  s"${in.getString(0)}: manifest records no merge key"))
+              val newN = PoolJsonSink.splitBuckets(
+                SparkSession.active, dir,
+                org.apache.spark.sql.functions.col(key), factor)
+              one(StructType(Seq(
+                StructField("nbuckets", IntegerType, false),
+                StructField("version", LongType, true))),
+                newN,
+                PoolJsonSink.readManifest(dir).map(_.version).orNull)
             }
           }
       }

@@ -187,6 +187,60 @@ class MetadataPushdownSpec extends AnyFunSuite {
     }
   }
 
+  test(".files sub-table inventories live files from the manifest only") {
+    val files = spark.sql(
+      "SELECT bucket, path, bytes, rows, stats FROM gmeta.default.t.files")
+    assert(localScans(files).nonEmpty, "the inventory must be a LocalScan")
+    val rows = files.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) > 0L), "bytes on disk")
+    assert(rows.map(_.getLong(3)).sum == 1000L,
+      "per-file recorded rows must sum to the table count")
+    assert(rows.forall(r => r.getString(4).contains("v:") &&
+      r.getString(4).contains("s:0x")),
+      s"zone-map summaries expected: ${rows.head.getString(4)}")
+    // the inventory is plain SQL: aggregates compose
+    val perBucket = spark.sql(
+      "SELECT bucket, sum(rows) AS r FROM gmeta.default.t.files " +
+        "GROUP BY bucket")
+    assert(perBucket.collect().map(_.getLong(1)).sum == 1000L)
+  }
+
+  test("optimize(zorder) and split procedures run from SQL") {
+    spark.sql("CREATE TABLE gmeta.default.z (k BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('key'='k','nbuckets'='4'," +
+      "'statscols'='v')")
+    spark.sql("INSERT INTO gmeta.default.z " +
+      "SELECT id, id * 11 FROM range(0, 2000)")
+    val opt = spark.sql(
+      "CALL gmeta.system.optimize(tbl => 'default.z', zorder => 'v')")
+      .collect().head
+    assert(opt.getInt(0) == 4, "zorder rewrites EVERY bucket")
+    assert(spark.table("gmeta.default.z").count() == 2000L)
+    val sp = spark.sql(
+      "CALL gmeta.system.split(tbl => 'default.z', factor => 2)")
+      .collect().head
+    assert(sp.getInt(0) == 8, "4 buckets * 2")
+    assert(spark.table("gmeta.default.z").count() == 2000L)
+    // post-split table still answers metadata aggregates
+    val agg = spark.sql(
+      "SELECT count(*) AS n, max(v) AS mx FROM gmeta.default.z")
+    val r = agg.collect().head
+    assert(r.getLong(0) == 2000L && r.getLong(1) == 11L * 1999)
+  }
+
+  test("r23_metadata_agg plans metadata-only against the staged corpus store") {
+    val df = graft.SparkEntry.queries("r23_metadata_agg")(
+      spark, graft.QueryHarness.sf0001)
+    assert(localScans(df).nonEmpty && batchScans(df).isEmpty,
+      s"r23 must answer from the manifest:\n" +
+        df.queryExecution.executedPlan)
+    val r = df.collect().head
+    assert(r.getLong(0) > 0L && r.getLong(2) > r.getLong(1))
+    assert(r.getString(3).startsWith("1-") && r.getString(4).startsWith("5-"),
+      "priority bounds '1-URGENT'..'5-LOW' expected from the BinStat order")
+  }
+
   test("statscols survives an empty CREATE, maintenance, and shows in properties") {
     // created with statscols, first INSERT long after: the property
     // came from the manifest, not from any file's existing stats
