@@ -315,6 +315,21 @@ case class GraftTableRelation(path: String, versionAsOf: Option[Long])(
 
   override val schema: StructType = resolve(Array.empty).schema
 
+  /** Exact bytes of the committed snapshot's live files. The
+    * BaseRelation default is `defaultSizeInBytes` = "assume huge", so
+    * without this a small dimension table read by path never plans as
+    * the broadcast side of a join. Plain-dir fallback reads keep the
+    * conservative default.
+    */
+  override def sizeInBytes: Long = {
+    val m = versionAsOf match {
+      case Some(v) => Some(PoolJsonSink.readManifestAt(path, v))
+      case None => PoolJsonSink.readManifest(path)
+    }
+    m.fold(super.sizeInBytes)(_.files.map(rel =>
+      new java.io.File(path, rel).length()).sum)
+  }
+
   // all filters re-applied by Spark above this scan (default
   // unhandledFilters) — translation below is pushdown, not contract
 

@@ -116,6 +116,16 @@ class MetadataPushdownSpec extends AnyFunSuite {
     assert(st.sizeInBytes().getAsLong > 0L)
   }
 
+  test("the v1 path face reports exact sizeInBytes too") {
+    withAqeOff {
+      // same broadcast-at-planning-time contract for format("graft")
+      val dim = spark.read.format("graft").load(s"$wh/default/t")
+      val size = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(size > 0 && size < 10L * 1024 * 1024,
+        s"manifest-exact size expected, got $size")
+    }
+  }
+
   test("a small catalog table auto-broadcasts without a hint") {
     spark.sql("CREATE TABLE gmeta.default.dim (k BIGINT, name STRING) " +
       "USING graft TBLPROPERTIES ('key'='k','nbuckets'='4')")
