@@ -546,6 +546,18 @@ object PoolJsonSink {
     require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
       s"stats columns must be simple identifiers: $cols")
     val conf = spark.sessionState.newHadoopConf()
+    // Footer BINARY statistics are EXACT only when the writer did not
+    // truncate them (parquet.statistics.truncate.length, PARQUET-1685
+    // — a truncated max is incremented past the true value). Pruning
+    // tolerates that; `max(s)` answered FROM the stat (GraftMetaAgg)
+    // does not. Every graft data file is written by stageDataFiles in
+    // this same session, so the conf in force here governs the files
+    // being harvested: if truncation is configured, binary stats are
+    // simply not recorded (conservative — those columns fall back to
+    // the scan for both pruning and metadata answers).
+    val binStatsExact =
+      Option(conf.get("parquet.statistics.truncate.length"))
+        .map(_.toInt).forall(_ >= Int.MaxValue)
     rels.map { rel =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$tableDir/$rel"), conf)
@@ -553,13 +565,19 @@ object PoolJsonSink {
       try {
         import scala.jdk.CollectionConverters._
         val blocks = reader.getFooter.getBlocks.asScala
-        // every staged file records its exact row count as a pseudo
-        // zone-map entry — count(*) over the table then never opens a
-        // file (see [[tableRowCount]]); the entry rides the existing
-        // stats encoding and no reader prunes on it
+        // every staged file records its exact row count and byte size
+        // as pseudo zone-map entries — count(*) and planning-time
+        // statistics over the table then never open or stat() a file
+        // (see [[tableRowCount]], GraftSpjScan.estimateStatistics);
+        // the entries ride the existing stats encoding and no reader
+        // prunes on them
         val rowCount = RowsStatCol ->
           (LongStat(blocks.map(_.getRowCount).sum,
             blocks.map(_.getRowCount).sum): ColStat)
+        val byteSize = {
+          val len = new java.io.File(tableDir, rel).length()
+          BytesStatCol -> (LongStat(len, len): ColStat)
+        }
         val perCol = cols.flatMap { c =>
           val chunks = blocks.flatMap(_.getColumns.asScala
             .find(_.getPath.toDotString == c))
@@ -573,7 +591,7 @@ object PoolJsonSink {
                 stats.map(_.genericGetMin.asInstanceOf[Long]).min,
                 stats.map(_.genericGetMax.asInstanceOf[Long]).max): ColStat))
             case _: org.apache.parquet.io.api.Binary
-                if stats.forall { s =>
+                if binStatsExact && stats.forall { s =>
                   s.genericGetMin.isInstanceOf[org.apache.parquet.io.api.Binary] &&
                     s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
                       .length <= MaxBinStatLen &&
@@ -592,13 +610,26 @@ object PoolJsonSink {
             case _ => None
           }
         }.toMap
-        rel -> (perCol + rowCount)
+        rel -> (perCol + rowCount + byteSize)
       } finally reader.close()
     }.filter(_._2.nonEmpty).toMap
   }
 
   /** Pseudo stats column carrying each file's exact row count. */
   val RowsStatCol = "__rows"
+
+  /** Pseudo stats column carrying each file's byte size on disk. */
+  val BytesStatCol = "__bytes"
+
+  /** A live file's byte size: the recorded entry when present, a
+    * filesystem stat() only for files from pre-record writers — so
+    * planning-time statistics stay O(manifest) on current tables.
+    */
+  private[graft] def fileBytes(
+      m: TableManifest, tableDir: String, rel: String): Long =
+    m.stats.get(rel).flatMap(_.get(BytesStatCol)).collect {
+      case LongStat(n, _) => n
+    }.getOrElse(new java.io.File(tableDir, rel).length())
 
   /** O(manifest) `count(*)`: the sum of per-file row counts recorded
     * at write time — a 100 TB table answers row-count questions

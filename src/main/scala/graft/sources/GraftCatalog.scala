@@ -110,7 +110,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!d.isDirectory) throw new NoSuchNamespaceException(
       catalogName +: namespace)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => exists(Identifier.of(namespace, f.getName)))
+      // dot-dirs are never tables: `.ctas-*` CTAS staging lives in
+      // the namespace dir and must stay invisible until its rename
+      .filter(f => !f.getName.startsWith(".") &&
+        exists(Identifier.of(namespace, f.getName)))
       .map(f => Identifier.of(namespace, f.getName))
   }
 
@@ -226,37 +229,83 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // INSERT merges on key (and harvests the requested zone maps /
       // bloom sidecars: both are manifest-recorded table properties,
       // so the empty first commit is enough to establish them)
-      def colsProp(name: String): Seq[String] = props.get(name)
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
       PoolJsonSink.overwritePartitioned(spark, dir,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
         org.apache.spark.sql.functions.col(key), nBuckets,
-        statsCols = colsProp("statscols"),
-        bloomCols = colsProp("bloomcols"))
+        statsCols = colsProp(props, "statscols").getOrElse(Nil),
+        bloomCols = colsProp(props, "bloomcols").getOrElse(Nil))
     }
     new GraftCatalogTable(fullName(ident), dir, None)
   }
 
   // ---- StagingTableCatalog: atomic CTAS / RTAS ----
 
-  /** Atomic `CREATE TABLE ... AS SELECT`: the create happens eagerly
-    * (it is a metadata-only empty commit), the query's rows land
-    * through the table's own transactional keyed MERGE, and abort
-    * drops the table — the pre-staging CTAS behavior plus cleanup on
-    * failure. No side staging needed: an empty table plus one CAS
-    * data commit is already "all or nothing" to every reader.
+  /** Atomic `CREATE TABLE ... AS SELECT`: the query's rows land in a
+    * PRIVATE staging table under the namespace dir (`.ctas-*` — never
+    * listed, never resolvable by name), and commit is one directory
+    * rename into the table's entry. During the whole query the table
+    * does not exist to anyone else — no reader can observe it empty,
+    * no concurrent `CREATE IF NOT EXISTS` is fooled into inserting —
+    * and abort deletes only the staging dir (the old eager create's
+    * abort ran dropTable, which could delete a same-named table a
+    * concurrent session had committed meanwhile). Of two racing
+    * CTAS's, the first rename wins; the loser's rename fails and
+    * reports the conflict.
+    *
+    * An external-LOCATION CTAS keeps the eager path: a LOCATION
+    * holding an existing graft table is a pure REGISTRATION (the
+    * createTable contract), so there is nothing to stage — and its
+    * abort only removes the pointer entry, never data.
     */
   override def stageCreate(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    val inner =
-      createTable(ident, schema, partitions, properties)
-        .asInstanceOf[GraftCatalogTable]
+    val props = properties.asScala
+    if (props.contains(TableCatalog.PROP_LOCATION)) {
+      val inner =
+        createTable(ident, schema, partitions, properties)
+          .asInstanceOf[GraftCatalogTable]
+      return new StagedGraftTable(inner,
+        onCommit = () => (), onAbort = () => { dropTable(ident); () })
+    }
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft tables cluster on their merge key (TBLPROPERTIES key=...); " +
+        "PARTITIONED BY is not supported")
+    val entry = tableEntry(ident)
+    if (!entry.getParentFile.isDirectory)
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace)
+    require(schema.nonEmpty,
+      s"${fullName(ident)}: CREATE TABLE AS SELECT needs a schema")
+    val key = props.getOrElse("key", schema.fields.head.name)
+    require(schema.fieldNames.contains(key),
+      s"${fullName(ident)}: merge key '$key' is not a table column")
+    val n = props.get("nbuckets").map(_.toInt).getOrElse(64)
+    val spark = SparkSession.active
+    val tmpDir = new java.io.File(entry.getParentFile,
+      s".ctas-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
+    // unlike the RTAS staging, publish here is a pure rename with no
+    // re-harvest — so the staged table carries the declared index
+    // columns and the CTAS write builds its zone maps/sidecars in place
+    PoolJsonSink.overwritePartitioned(spark, tmpDir.toString,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      org.apache.spark.sql.functions.col(key), n,
+      statsCols = colsProp(props, "statscols").getOrElse(Nil),
+      bloomCols = colsProp(props, "bloomcols").getOrElse(Nil))
+    val inner = new GraftCatalogTable(
+      s"${fullName(ident)} (staged create)", tmpDir.toString, None)
     new StagedGraftTable(inner,
-      onCommit = () => (), onAbort = () => { dropTable(ident); () })
+      onCommit = () => {
+        if (!tmpDir.renameTo(entry)) {
+          org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
+          throw new TableAlreadyExistsException(ident)
+        }
+      },
+      onAbort = () =>
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpDir))
   }
 
   /** Atomic `REPLACE TABLE ... AS SELECT` — the Iceberg idiom for
@@ -288,6 +337,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "replacement schema")
     val n = props.get("nbuckets").map(_.toInt)
       .orElse(prev.flatMap(_.nBuckets)).getOrElse(64)
+    // like key and nbuckets: a property the statement restates
+    // overrides, an absent one inherits (None → commitStagedReplace
+    // keeps the previous declaration); 'statscols'='' clears
     val statsCols = colsProp(props, "statscols")
     val bloomCols = colsProp(props, "bloomcols")
     val spark = SparkSession.active
@@ -322,8 +374,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           m.buckets, m.schemaJson.getOrElse(schema.json), n,
           opName = "REPLACE",
           declaredKeyCol = Some(key),
-          declaredStatsCols = Some(statsCols),
-          declaredBloomCols = Some(bloomCols))
+          declaredStatsCols = statsCols,
+          declaredBloomCols = bloomCols)
         org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
       },
       onAbort = () =>
@@ -337,11 +389,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (exists(ident)) stageReplace(ident, schema, partitions, properties)
     else stageCreate(ident, schema, partitions, properties)
 
+  /** A TBLPROPERTIES column-list property: None = not stated (inherit
+    * where that applies), Some(Nil) = stated empty (explicit clear).
+    */
   private def colsProp(
       props: scala.collection.Map[String, String],
-      name: String): Seq[String] = props.get(name)
+      name: String): Option[Seq[String]] = props.get(name)
     .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    .getOrElse(Nil)
 
   /** `ALTER TABLE ... ADD COLUMN(S)` — additive evolution as a pure
     * metadata commit (same files, new recorded schema; old rows read
@@ -504,7 +558,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.nonEmpty && !d.isDirectory)
       throw new NoSuchNamespaceException(catalogName +: namespace)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !isTableDir(f))
+      .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
+        !isTableDir(f))
       .map(f => namespace :+ f.getName)
   }
 
@@ -579,7 +634,8 @@ private[sources] class GraftFilesTable(ident: String, tableDir: String)
               case PoolJsonSink.LongStat(n, _) => java.lang.Long.valueOf(n)
             }.orNull
             val rendered = stats.toSeq
-              .filterNot(_._1 == PoolJsonSink.RowsStatCol)
+              .filterNot(kv => kv._1 == PoolJsonSink.RowsStatCol ||
+                kv._1 == PoolJsonSink.BytesStatCol)
               .sortBy(_._1).map {
                 case (c, PoolJsonSink.LongStat(mn, mx)) => s"$c:$mn..$mx"
                 case (c, PoolJsonSink.BinStat(mn, mx)) =>
@@ -589,7 +645,7 @@ private[sources] class GraftFilesTable(ident: String, tableDir: String)
               }.mkString(";")
             org.apache.spark.sql.catalyst.InternalRow(
               b, str(rel),
-              new java.io.File(tableDir, rel).length(),
+              PoolJsonSink.fileBytes(m, tableDir, rel),
               rows,
               if (rendered.isEmpty) null else str(rendered))
           }

@@ -512,7 +512,8 @@ class GraftSpjScan(
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val kept = (0L until nBuckets.toLong).flatMap(keptRelFiles)
-    val bytes = kept.map(rel => new java.io.File(tableDir, rel).length()).sum
+    val bytes =
+      kept.map(PoolJsonSink.fileBytes(manifest, tableDir, _)).sum
     val rows = {
       val per = kept.map(fileRows)
       if (per.exists(_.isEmpty)) java.util.OptionalLong.empty()
@@ -557,8 +558,8 @@ class GraftSpjScan(
     }
     (0L until nBuckets.toLong).map { b =>
       val files = perBucket(b).map { rel =>
-        val f = new java.io.File(tableDir, rel)
-        (f.toString, f.length())
+        (new java.io.File(tableDir, rel).toString,
+          PoolJsonSink.fileBytes(manifest, tableDir, rel))
       }
       GraftBucketPartition(b, files): InputPartition
     }.toArray

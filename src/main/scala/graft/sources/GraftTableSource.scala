@@ -321,14 +321,19 @@ case class GraftTableRelation(path: String, versionAsOf: Option[Long])(
     * the broadcast side of a join. Plain-dir fallback reads keep the
     * conservative default.
     */
-  override def sizeInBytes: Long = {
+  override lazy val sizeInBytes: Long = {
     val m = versionAsOf match {
       case Some(v) => Some(PoolJsonSink.readManifestAt(path, v))
       case None => PoolJsonSink.readManifest(path)
     }
-    m.fold(super.sizeInBytes)(_.files.map(rel =>
-      new java.io.File(path, rel).length()).sum)
+    m.fold(defaultSize)(mm => mm.files.map(rel =>
+      PoolJsonSink.fileBytes(mm, path, rel)).sum)
   }
+
+  // BaseRelation.sizeInBytes cannot be super-called from a lazy val
+  // override; this is its documented default
+  private def defaultSize: Long =
+    spark.sessionState.conf.defaultSizeInBytes
 
   // all filters re-applied by Spark above this scan (default
   // unhandledFilters) — translation below is pushdown, not contract

@@ -38,6 +38,31 @@ class CatalogCtasSpec extends AnyFunSuite {
     }
     assert(!spark.catalog.tableExists("gctas.default.bad"),
       "abortStagedChanges must drop the partially-created table")
+    // the staging was PRIVATE: no .ctas- debris survives the abort,
+    // and nothing ever existed at the table's name (a reader racing
+    // the failed CTAS could never have observed an empty table)
+    val ns = new java.io.File(s"$wh/default")
+    val debris = Option(ns.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".ctas-"))
+    assert(debris.isEmpty, s"staging debris: ${debris.mkString(",")}")
+  }
+
+  test("CTAS staging never appears in listTables or namespace listings") {
+    // a lingering staged dir (crashed writer) must stay invisible
+    val staged = new java.io.File(s"$wh/default/.ctas-ghost-deadbeef")
+    import org.apache.spark.sql.functions.col
+    graft.pol.PoolJsonSink.upsertPartitioned(spark, staged.toString,
+      spark.range(3).select(col("id").as("k")), col("k"), 2)
+    try {
+      val names = spark.sql("SHOW TABLES IN gctas.default")
+        .select("tableName").as[String].collect().toSet
+      assert(!names.exists(_.contains("ctas-ghost")),
+        s"staging dirs must not list as tables: $names")
+      val nss = spark.sql("SHOW NAMESPACES IN gctas")
+        .collect().map(_.getString(0)).toSet
+      assert(!nss.exists(_.contains("ctas-ghost")))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(staged)
   }
 
   test("RTAS atomically rebuilds with a new schema; history survives") {
@@ -96,6 +121,62 @@ class CatalogCtasSpec extends AnyFunSuite {
       .listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(".rtas-"))
     assert(leftovers.isEmpty, "abort must delete the staging dir")
+  }
+
+  test("REPLACE without restating statscols inherits the declaration") {
+    spark.sql(
+      "CREATE TABLE gctas.default.inh TBLPROPERTIES " +
+        "('key'='k','statscols'='k') " +
+        "AS SELECT id AS k FROM range(0, 40)")
+    spark.sql(
+      "REPLACE TABLE gctas.default.inh TBLPROPERTIES ('key'='k') " +
+        "AS SELECT id + 100 AS k FROM range(0, 40)")
+    val props = spark.sql("SHOW TBLPROPERTIES gctas.default.inh")
+      .as[(String, String)].collect().toMap
+    assert(props.get("statscols").contains("k"),
+      "absent property inherits, like key and nbuckets")
+    // and an explicitly EMPTY property clears it
+    spark.sql(
+      "REPLACE TABLE gctas.default.inh TBLPROPERTIES " +
+        "('key'='k','statscols'='') " +
+        "AS SELECT id AS k FROM range(0, 4)")
+    val cleared = spark.sql("SHOW TBLPROPERTIES gctas.default.inh")
+      .as[(String, String)].collect().toMap
+    assert(!cleared.contains("statscols"))
+  }
+
+  test("truncated footer statistics are never served as exact answers") {
+    // a writer session configured to truncate binary footer stats
+    // must not record BinStat zone maps (a truncated max is
+    // incremented PAST the true value — fine for pruning, wrong for
+    // `max(s)` answered from metadata)
+    spark.conf.set("parquet.statistics.truncate.length", "8")
+    try {
+      spark.sql(
+        "CREATE TABLE gctas.default.trunc TBLPROPERTIES " +
+          "('key'='k','statscols'='k,s') " +
+          "AS SELECT id AS k, concat('prefixprefix', id) AS s " +
+          "FROM range(0, 30)")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val agg = spark.sql(
+          "SELECT max(s) AS mx FROM gctas.default.trunc")
+        val scans = agg.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b
+        }
+        assert(scans.nonEmpty,
+          "max over a truncation-configured string column must scan")
+        assert(agg.as[String].head() == "prefixprefix9")
+        // LONG stats are untouched by binary truncation
+        val k = spark.sql("SELECT max(k) AS mk FROM gctas.default.trunc")
+        assert(k.queryExecution.executedPlan.collect {
+          case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+        }.nonEmpty)
+        assert(k.as[Long].head() == 29L)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally spark.conf.unset("parquet.statistics.truncate.length")
   }
 
   test("CREATE OR REPLACE routes by existence") {
