@@ -1322,6 +1322,78 @@ object PoolJsonSink {
       commitTimeMs = Some(System.currentTimeMillis())))
   }
 
+  /** ALTER TABLE SET/UNSET of the index-column properties: a pure
+    * metadata commit recording the new declaration. Existing files
+    * keep whatever stats they already have; [[analyzeTable]] (or any
+    * rewrite) backfills the rest. None = leave that property alone.
+    */
+  private[graft] def commitTableProps(
+      tableDir: String,
+      statsCols: Option[Seq[String]] = None,
+      bloomCols: Option[Seq[String]] = None): Unit = {
+    val m = readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    commitManifest(tableDir, m.copy(
+      version = m.version + 1,
+      statsCols = statsCols.getOrElse(m.statsCols),
+      bloomCols = bloomCols.getOrElse(m.bloomCols),
+      op = Some("SETPROP"),
+      commitTimeMs = Some(System.currentTimeMillis())))
+  }
+
+  /** ANALYZE: backfill zone maps and bloom sidecars for live files
+    * that predate the table's current statscols/bloomcols declaration
+    * — footer reads and sidecar builds only, NO data rewrite: the way
+    * an existing 100 TB table retrofits metadata answering (count/
+    * min/max, file skipping) without touching a data page. Files
+    * already covered are skipped, so re-running is cheap; the merged
+    * stats land as one metadata commit (CAS-retried like every
+    * maintenance writer). Returns (files re-harvested, sidecars
+    * built).
+    */
+  def analyzeTable(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): (Int, Int) = withCommitRetry() { () =>
+    val m = readManifest(tableDir).getOrElse(
+      sys.error(s"not a manifest table: $tableDir"))
+    val files = m.files
+    // a file is stale if any requested column lacks a stat for it —
+    // including the always-on __rows/__bytes (pre-record writers).
+    // NOTE an all-null or truncation-refused column re-harvests on
+    // every run (indistinguishable from "never harvested"); the read
+    // is one footer, so idempotent re-runs stay O(such files).
+    val needStats = files.filter { f =>
+      val have = m.stats.getOrElse(f, Map.empty)
+      !have.contains(RowsStatCol) || !have.contains(BytesStatCol) ||
+        m.statsCols.exists(c => !have.contains(c))
+    }
+    val harvested = footerStats(spark, tableDir, needStats, m.statsCols)
+    val needBloom = files.filter(f =>
+      m.bloomCols.exists(c => !bloomSidecar(tableDir, f, c).isFile))
+    if (needBloom.nonEmpty) {
+      val rows = needBloom.map { f =>
+        f -> harvested.get(f).orElse(m.stats.get(f))
+          .flatMap(_.get(RowsStatCol)).collect {
+            case LongStat(r, _) => r
+          }.getOrElse(1L << 20)
+      }.toMap
+      buildBloomSidecars(spark, tableDir, rows, m.bloomCols)
+    }
+    if (harvested.nonEmpty) {
+      // merge per FILE: the fresh harvest carries the requested cols
+      // plus __rows/__bytes; any other recorded col survives
+      val merged = m.stats ++ harvested.map { case (f, s) =>
+        f -> (m.stats.getOrElse(f, Map.empty) ++ s)
+      }
+      commitManifest(tableDir, m.copy(
+        version = m.version + 1,
+        stats = merged,
+        op = Some("ANALYZE"),
+        commitTimeMs = Some(System.currentTimeMillis())))
+    }
+    (needStats.size, needBloom.size)
+  }
+
   def overwritePartitioned(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String,

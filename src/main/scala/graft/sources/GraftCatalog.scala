@@ -412,6 +412,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = dataDir(ident).toString
+
+    // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` for the index-column
+    // declarations: a metadata-only commit. Newly declared columns
+    // have no stats on existing files yet — metadata aggregates
+    // simply fall back to the scan until `CALL system.analyze`
+    // backfills from the footers (or any rewrite harvests them).
+    val (propChanges, colChanges) = changes.partition {
+      case _: TableChange.SetProperty |
+           _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty) {
+      val indexProps = Set("statscols", "bloomcols")
+      var stats: Option[Seq[String]] = None
+      var bloom: Option[Seq[String]] = None
+      propChanges.foreach {
+        case sp: TableChange.SetProperty
+            if indexProps(sp.property.toLowerCase) =>
+          val v = Some(sp.value.split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty))
+          if (sp.property.equalsIgnoreCase("statscols")) stats = v
+          else bloom = v
+        case rp: TableChange.RemoveProperty
+            if indexProps(rp.property.toLowerCase) =>
+          if (rp.property.equalsIgnoreCase("statscols")) stats = Some(Nil)
+          else bloom = Some(Nil)
+        case other => sys.error(
+          s"${fullName(ident)}: only the statscols/bloomcols " +
+            s"properties can be altered, got $other")
+      }
+      PoolJsonSink.commitTableProps(dir, stats, bloom)
+      if (colChanges.isEmpty)
+        return new GraftCatalogTable(fullName(ident), dir, None)
+    }
+
     val current = GraftSpjTable.tableSchema(dir)
 
     /** Appends `field` at struct path `parents` inside `st`. */
@@ -436,7 +471,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
       }
 
-    val next = changes.foldLeft(current) { (schema, c) =>
+    val next = colChanges.foldLeft(current) { (schema, c) =>
       c match {
         case a: TableChange.AddColumn =>
           val full = a.fieldNames.mkString(".")

@@ -30,7 +30,8 @@ import graft.pol.PoolJsonSink
   */
 object GraftProcedures {
 
-  val Names: Seq[String] = Seq("optimize", "vacuum", "history", "split")
+  val Names: Seq[String] =
+    Seq("optimize", "vacuum", "history", "split", "analyze")
 
   private def str(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -161,6 +162,32 @@ object GraftProcedures {
                 StructField("nbuckets", IntegerType, false),
                 StructField("version", LongType, true))),
                 newN,
+                PoolJsonSink.readManifest(dir).map(_.version).orNull)
+            }
+          }
+      }
+      case "analyze" => new UnboundProcedure {
+        override def name(): String = "analyze"
+        override def description(): String =
+          "backfill zone maps + bloom sidecars for files predating " +
+            "the statscols/bloomcols declaration (footer reads only, " +
+            "no data rewrite)"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "analyze"
+            override def description(): String = "graft ANALYZE"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] =
+              Array(ProcedureParameter.in("tbl", StringType).build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val (stats, blooms) = PoolJsonSink.analyzeTable(
+                SparkSession.active, dir)
+              one(StructType(Seq(
+                StructField("files_harvested", IntegerType, false),
+                StructField("sidecars_built", IntegerType, false),
+                StructField("version", LongType, true))),
+                stats, blooms,
                 PoolJsonSink.readManifest(dir).map(_.version).orNull)
             }
           }

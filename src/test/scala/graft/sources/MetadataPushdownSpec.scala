@@ -251,6 +251,63 @@ class MetadataPushdownSpec extends AnyFunSuite {
       "priority bounds '1-URGENT'..'5-LOW' expected from the BinStat order")
   }
 
+  test("SET TBLPROPERTIES + analyze retrofits stats without rewriting data") {
+    withAqeOff {
+      // born without any index declaration, data already written
+      spark.sql("CREATE TABLE gmeta.default.retro (k BIGINT, v BIGINT) " +
+        "USING graft TBLPROPERTIES ('key'='k','nbuckets'='4')")
+      spark.sql("INSERT INTO gmeta.default.retro " +
+        "SELECT id, id * 13 FROM range(0, 400)")
+      val filesBefore = spark.sql(
+        "SELECT path FROM gmeta.default.retro.files")
+        .as[String].collect().toSet
+
+      spark.sql("ALTER TABLE gmeta.default.retro " +
+        "SET TBLPROPERTIES ('statscols'='v')")
+      // declared but not yet harvested: falls back to the scan
+      val before = spark.sql("SELECT max(v) AS mx FROM gmeta.default.retro")
+      assert(batchScans(before).nonEmpty)
+      assert(before.collect().head.getLong(0) == 13L * 399)
+
+      val r = spark.sql(
+        "CALL gmeta.system.analyze(tbl => 'default.retro')")
+        .collect().head
+      assert(r.getInt(0) > 0, "existing files should need harvesting")
+      // now metadata-only — and the DATA FILES are byte-identical
+      val after = spark.sql(
+        "SELECT count(*) AS n, max(v) AS mx FROM gmeta.default.retro")
+      assert(localScans(after).nonEmpty && batchScans(after).isEmpty,
+        "analyze must make metadata answering live:\n" +
+          after.queryExecution.executedPlan)
+      val row = after.collect().head
+      assert(row.getLong(0) == 400L && row.getLong(1) == 13L * 399)
+      val filesAfter = spark.sql(
+        "SELECT path FROM gmeta.default.retro.files")
+        .as[String].collect().toSet
+      assert(filesAfter == filesBefore, "ANALYZE must not rewrite data")
+      // idempotent: a second run finds nothing to do
+      val again = spark.sql(
+        "CALL gmeta.system.analyze(tbl => 'default.retro')")
+        .collect().head
+      assert(again.getInt(0) == 0 && again.getInt(1) == 0)
+
+      // bloom retrofit follows the same path: declare, backfill,
+      // every live file gets its sidecar without being rewritten
+      spark.sql("ALTER TABLE gmeta.default.retro " +
+        "SET TBLPROPERTIES ('bloomcols'='k')")
+      val withBloom = spark.sql(
+        "CALL gmeta.system.analyze(tbl => 'default.retro')")
+        .collect().head
+      assert(withBloom.getInt(1) == filesBefore.size,
+        "one sidecar per live file")
+      val dataDir = new java.io.File(s"$wh/default/retro")
+      filesBefore.foreach { rel =>
+        assert(new java.io.File(dataDir, s"$rel.bloom-k").isFile,
+          s"missing sidecar for $rel")
+      }
+    }
+  }
+
   test("statscols survives an empty CREATE, maintenance, and shows in properties") {
     // created with statscols, first INSERT long after: the property
     // came from the manifest, not from any file's existing stats
