@@ -136,18 +136,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         return new GraftChangesTable(
           s"${fullName(parent)}.changes", dataDir(parent).toString)
     }
-    // `<ns>.<table>.files` — the file-inventory SUB-TABLE (Iceberg's
-    // metadata-table family): one row per live data file with its
-    // bucket, size, recorded row count and zone-map summary, answered
-    // entirely from the manifest (LocalScan — no file opened). Same
-    // shadowing rule as `.changes`: a real table wins.
-    if (!exists(ident) && ident.name == "files" &&
-        ident.namespace.length >= 2) {
+    // `<ns>.<table>.files` / `.history` — the metadata SUB-TABLE
+    // family (Iceberg's addressing pattern): `.files` is one row per
+    // live data file (bucket, size, recorded row count, zone-map
+    // summary), `.history` one row per retained version (operation,
+    // commit time, snapshot rows, file churn) — both answered
+    // entirely from the manifests (no data file opened) and
+    // composable in plain SQL. Same shadowing rule as `.changes`: a
+    // real table at the identifier wins.
+    if (!exists(ident) && ident.namespace.length >= 2 &&
+        (ident.name == "files" || ident.name == "history")) {
       val parent = Identifier.of(
         ident.namespace.dropRight(1), ident.namespace.last)
-      if (exists(parent))
-        return new GraftFilesTable(
-          s"${fullName(parent)}.files", dataDir(parent).toString)
+      if (exists(parent)) {
+        val full = s"${fullName(parent)}.${ident.name}"
+        return if (ident.name == "files")
+          new GraftFilesTable(full, dataDir(parent).toString)
+        else new GraftHistoryTable(full, dataDir(parent).toString)
+      }
     }
     if (!exists(ident)) throw new NoSuchTableException(ident)
     new GraftCatalogTable(fullName(ident), dataDir(ident).toString, None)
@@ -686,6 +692,33 @@ private[sources] class GraftFilesTable(ident: String, tableDir: String)
           }
         }.toArray
       }
+    }
+}
+
+/** `<table>.history` — DESCRIBE HISTORY as a queryable sub-table:
+  * one row per retained version, O(manifests), same rows the
+  * `system.history` procedure returns but addressable in a FROM
+  * clause (joinable against `.changes` commit versions, windowable,
+  * filterable by commit time — the procedure result is not).
+  */
+private[sources] class GraftHistoryTable(ident: String, tableDir: String)
+    extends Table with SupportsRead {
+
+  private lazy val df = PoolJsonSink.tableHistory(
+    SparkSession.active, tableDir)
+
+  override def name(): String = ident
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = df.schema
+      override def description(): String = s"$ident (manifest-only)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        df.queryExecution.executedPlan.executeCollect()
     }
 }
 

@@ -216,6 +216,25 @@ class MetadataPushdownSpec extends AnyFunSuite {
     assert(perBucket.collect().map(_.getLong(1)).sum == 1000L)
   }
 
+  test(".history sub-table is the joinable DESCRIBE HISTORY") {
+    val h = spark.sql(
+      "SELECT version, operation FROM gmeta.default.t.history " +
+        "ORDER BY version")
+    val rows = h.collect()
+    assert(rows.length >= 3, "create + two inserts at minimum")
+    assert(rows.head.getLong(0) == 1L)
+    assert(rows.exists(_.getString(1) == "UPSERT"))
+    // composable: join history against the file inventory's totals
+    val joined = spark.sql(
+      """SELECT h.version, f.total FROM gmeta.default.t.history h
+        |CROSS JOIN (SELECT sum(rows) AS total
+        |            FROM gmeta.default.t.files) f
+        |WHERE h.version = (SELECT max(version)
+        |                   FROM gmeta.default.t.history)"""
+        .stripMargin).collect()
+    assert(joined.length == 1 && joined.head.getLong(1) == 1000L)
+  }
+
   test("optimize(zorder) and split procedures run from SQL") {
     spark.sql("CREATE TABLE gmeta.default.z (k BIGINT, v BIGINT) " +
       "USING graft TBLPROPERTIES ('key'='k','nbuckets'='4'," +
