@@ -699,6 +699,139 @@ object PoolJsonSink {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  // ------------------------------------------------------------------
+  // Tags — named, vacuum-protected versions (Iceberg's tag family).
+  // One FILE per tag under `_graft_tags/`, containing the version
+  // number: per-tag writes are atomic renames (last-writer-wins for
+  // the SAME tag, never a lost update ACROSS tags — the
+  // read-modify-write hazard of a single shared tags file is designed
+  // out rather than locked around). A tag pins its manifest through
+  // vacuum, so `VERSION AS OF 'release'` keeps working however many
+  // retention windows pass — the audit/report/repro handle a 100 TB
+  // table needs ("the March eval snapshot") without cloning data.
+  // ------------------------------------------------------------------
+
+  private val TagsDirName = "_graft_tags"
+
+  /** Filename-safe, and never parseable as a bare version number —
+    * `VERSION AS OF` disambiguates numeric → version, other → tag.
+    */
+  private def requireValidTagName(name: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name '$name' must match [A-Za-z0-9._-]+")
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — indistinguishable from a " +
+        "version number in VERSION AS OF")
+  }
+
+  /** Create or move a tag to `version` (default semantics of Iceberg's
+    * `set_tag`): validates the version is still on disk, then
+    * atomically replaces the per-tag file.
+    */
+  def setTag(tableDir: String, name: String, version: Long): Unit = {
+    requireValidTagName(name)
+    readManifestAt(tableDir, version) // fails clearly if vacuumed/absent
+    val dir = new java.io.File(tableDir, TagsDirName)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir,
+      s".tag-tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp.toPath, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new java.io.File(dir, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Drop a tag; its version becomes reclaimable by the next vacuum
+    * (unless retention or another tag still covers it). Returns
+    * whether the tag existed.
+    */
+  def dropTag(tableDir: String, name: String): Boolean = {
+    requireValidTagName(name)
+    new java.io.File(new java.io.File(tableDir, TagsDirName), name).delete()
+  }
+
+  /** All tags, name -> version. Tags whose manifest has been deleted
+    * out-of-band still list (the read path reports the miss clearly).
+    */
+  def listTags(tableDir: String): Map[String, Long] =
+    Option(new java.io.File(tableDir, TagsDirName).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .flatMap { f =>
+        scala.util.Try(new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8).trim.toLong).toOption
+          .map(f.getName -> _)
+      }.toMap
+
+  /** Resolve a `VERSION AS OF` operand: numeric → that version,
+    * anything else → tag lookup (with the available tags in the error,
+    * because "no such tag" at 2 a.m. should answer the next question
+    * too).
+    */
+  def resolveVersionRef(tableDir: String, ref: String): Long =
+    scala.util.Try(ref.toLong).getOrElse {
+      val tags = listTags(tableDir)
+      tags.getOrElse(ref, sys.error(
+        s"$tableDir: no tag '$ref'; tags on table: " +
+          (if (tags.isEmpty) "none"
+           else tags.toSeq.sortBy(_._1)
+             .map { case (n, v) => s"$n->v$v" }.mkString(", "))))
+    }
+
+  /** `.tags` sub-table rows: tag, pinned version, and that version's
+    * commit metadata (joined from its manifest when still readable —
+    * a tag whose manifest was removed out-of-band lists with nulls
+    * rather than hiding).
+    */
+  def tableTags(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = listTags(tableDir).toSeq.sortBy(_._1).map { case (t, v) =>
+      val m = scala.util.Try(readManifestAt(tableDir, v)).toOption
+      org.apache.spark.sql.Row(
+        t, v,
+        m.flatMap(_.op).orNull,
+        m.flatMap(_.commitTimeMs)
+          .map(new java.sql.Timestamp(_)).orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("commit_ts", TimestampType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Restore the table to the CONTENT of `toVersion` as a NEW commit
+    * (Delta `RESTORE` / Iceberg `rollback`): the target manifest's
+    * file set, schema, and table properties are re-committed at
+    * head+1 with op ROLLBACK. History is append-only — the versions
+    * being rolled PAST stay readable, the change feed diffs the
+    * restore like any commit, and concurrent writers lose cleanly via
+    * the usual manifest CAS. Metadata-only at any table size: the
+    * target's files are guaranteed on disk because its manifest is
+    * (vacuum's reachability invariant). Returns the new head version
+    * (or the current one when already at the target content).
+    */
+  def rollback(tableDir: String, toVersion: Long): Long =
+    withCommitRetry() { () =>
+      val cur = readManifest(tableDir).getOrElse(
+        sys.error(s"$tableDir: not a graft table (no manifest)"))
+      if (cur.version == toVersion) cur.version
+      else {
+        val target = readManifestAt(tableDir, toVersion)
+        val m = target.copy(
+          version = cur.version + 1,
+          op = Some("ROLLBACK"),
+          commitTimeMs = Some(System.currentTimeMillis()))
+        commitManifest(tableDir, m)
+        m.version
+      }
+    }
+
   /** The engine-wide key hash (xxhash64 seed 42 — what [[bucketExpr]]
     * rides), computed driver-side on a string value for bloom probes.
     */
@@ -1674,9 +1807,15 @@ object PoolJsonSink {
       //    expired manifest that survives the age gate keeps every
       //    file of its snapshot alive too: readManifestAt on it can
       //    never succeed and then fail on missing data files.
+      //    Tagged versions are pinned regardless of the retention
+      //    window (Iceberg tag semantics): `VERSION AS OF 'release'`
+      //    must outlive any number of vacuums until the tag is
+      //    dropped. Their files stay reachable through the same
+      //    surviving-manifest scan below.
+      val tagged = listTags(tableDir).values.toSet
       versions.dropRight(math.max(retainVersions, 1)).foreach { v =>
         val f = manifestFile(tableDir, v)
-        if (oldEnough(f) && f.delete()) n += 1
+        if (!tagged.contains(v) && oldEnough(f) && f.delete()) n += 1
       }
       val referenced = listVersions(tableDir)
         .flatMap(v => readManifestAt(tableDir, v).files).toSet
@@ -1725,6 +1864,13 @@ object PoolJsonSink {
       Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile &&
           f.getName.startsWith(s".$ManifestName.tmp-") && oldEnough(f))
+        .foreach { f => if (f.delete()) n += 1 }
+      // tag-write debris (crash between staging write and the atomic
+      // rename); live tags never start with "."
+      Option(new java.io.File(tableDir, TagsDirName).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith(".tag-tmp-") &&
+          oldEnough(f))
         .foreach { f => if (f.delete()) n += 1 }
       n
     }

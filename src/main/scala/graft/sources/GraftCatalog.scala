@@ -145,30 +145,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // composable in plain SQL. Same shadowing rule as `.changes`: a
     // real table at the identifier wins.
     if (!exists(ident) && ident.namespace.length >= 2 &&
-        (ident.name == "files" || ident.name == "history")) {
+        (ident.name == "files" || ident.name == "history" ||
+          ident.name == "tags")) {
       val parent = Identifier.of(
         ident.namespace.dropRight(1), ident.namespace.last)
       if (exists(parent)) {
         val full = s"${fullName(parent)}.${ident.name}"
-        return if (ident.name == "files")
-          new GraftFilesTable(full, dataDir(parent).toString)
-        else new GraftHistoryTable(full, dataDir(parent).toString)
+        val dir = dataDir(parent).toString
+        return ident.name match {
+          case "files" => new GraftFilesTable(full, dir)
+          case "history" => new GraftHistoryTable(full, dir)
+          case _ => new GraftTagsTable(full, dir)
+        }
       }
     }
     if (!exists(ident)) throw new NoSuchTableException(ident)
     new GraftCatalogTable(fullName(ident), dataDir(ident).toString, None)
   }
 
-  /** `VERSION AS OF <v>` */
+  /** `VERSION AS OF <v>` — a number travels to that version, any
+    * other string resolves as a TAG (the vacuum-pinned named versions
+    * `system.tag` creates), so `VERSION AS OF 'release-2026-03'`
+    * addresses the same snapshot forever.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException =>
-        sys.error(s"graft time travel expects a numeric version, " +
-          s"got '$version'")
-    }
-    new GraftCatalogTable(
-      s"${fullName(ident)}@v$v", dataDir(ident).toString, Some(v))
+    val dir = dataDir(ident).toString
+    val v = PoolJsonSink.resolveVersionRef(dir, version)
+    new GraftCatalogTable(s"${fullName(ident)}@v$v", dir, Some(v))
   }
 
   /** `TIMESTAMP AS OF <t>` — latest version committed at or before t
@@ -705,6 +709,32 @@ private[sources] class GraftHistoryTable(ident: String, tableDir: String)
     extends Table with SupportsRead {
 
   private lazy val df = PoolJsonSink.tableHistory(
+    SparkSession.active, tableDir)
+
+  override def name(): String = ident
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = df.schema
+      override def description(): String = s"$ident (manifest-only)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        df.queryExecution.executedPlan.executeCollect()
+    }
+}
+
+/** `<table>.tags` — the named-version pins as a queryable sub-table:
+  * one row per tag with the pinned version's commit metadata. The
+  * operational questions ("what snapshots are we holding vacuum open
+  * for, and how old are they?") become one SQL query.
+  */
+private[sources] class GraftTagsTable(ident: String, tableDir: String)
+    extends Table with SupportsRead {
+
+  private lazy val df = PoolJsonSink.tableTags(
     SparkSession.active, tableDir)
 
   override def name(): String = ident

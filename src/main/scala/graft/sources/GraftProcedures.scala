@@ -31,7 +31,8 @@ import graft.pol.PoolJsonSink
 object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "history", "split", "analyze")
+    Seq("optimize", "vacuum", "history", "split", "analyze",
+      "rollback", "tag", "drop_tag")
 
   private def str(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -189,6 +190,88 @@ object GraftProcedures {
                 StructField("version", LongType, true))),
                 stats, blooms,
                 PoolJsonSink.readManifest(dir).map(_.version).orNull)
+            }
+          }
+      }
+      case "rollback" => new UnboundProcedure {
+        override def name(): String = "rollback"
+        override def description(): String =
+          "restore the table to a prior version's content as a NEW " +
+            "commit (metadata-only at any size; history stays " +
+            "append-only and the change feed diffs the restore)"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "rollback"
+            override def description(): String = "graft ROLLBACK"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("version", StringType)
+                .comment("version number OR tag to restore to").build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val prev = PoolJsonSink.readManifest(dir)
+                .map(_.version).getOrElse(0L)
+              val target = PoolJsonSink.resolveVersionRef(
+                dir, in.getString(1))
+              val head = PoolJsonSink.rollback(dir, target)
+              one(StructType(Seq(
+                StructField("previous_version", LongType, false),
+                StructField("restored_to", LongType, false),
+                StructField("new_version", LongType, false))),
+                prev, target, head)
+            }
+          }
+      }
+      case "tag" => new UnboundProcedure {
+        override def name(): String = "tag"
+        override def description(): String =
+          "pin a version under a name: vacuum retains it and " +
+            "VERSION AS OF '<name>' addresses it forever"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "tag"
+            override def description(): String = "graft TAG"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("name", StringType).build(),
+              ProcedureParameter.in("version", LongType)
+                .defaultValue("CAST(NULL AS BIGINT)")
+                .comment("defaults to the current head").build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val v = if (in.isNullAt(2))
+                PoolJsonSink.readManifest(dir).map(_.version)
+                  .getOrElse(sys.error(
+                    s"${in.getString(0)}: empty table, nothing to tag"))
+                else in.getLong(2)
+              PoolJsonSink.setTag(dir, in.getString(1), v)
+              one(StructType(Seq(
+                StructField("tag", StringType, false),
+                StructField("version", LongType, false))),
+                str(in.getString(1)), v)
+            }
+          }
+      }
+      case "drop_tag" => new UnboundProcedure {
+        override def name(): String = "drop_tag"
+        override def description(): String =
+          "drop a tag; its version becomes reclaimable by vacuum"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "drop_tag"
+            override def description(): String = "graft DROP TAG"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("name", StringType).build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val existed = PoolJsonSink.dropTag(dir, in.getString(1))
+              one(StructType(Seq(
+                StructField("existed", BooleanType, false))),
+                existed)
             }
           }
       }
