@@ -129,6 +129,13 @@ object TextQueries {
     "vector" -> "1.25")
   private[llm] val ClassifierBias = "-1.0"
 
+  /** x21's query — a literal term set, like [[ClassifierWeights]]: in
+    * production the terms come from the eval/benchmark prompt being
+    * guarded against or the topic probe being mined for.
+    */
+  private[llm] val BmQueryTerms: Seq[String] =
+    Seq("spark", "merge", "window")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1 — language ID heuristic: stopword-list hit ratios, argmax of
     // two profiles with a deterministic tie rule.
@@ -639,6 +646,47 @@ object TextQueries {
       Bpe.encodeCorpus(s, d, vocab)
     }),
 
+    // X21 — BM25 relevance ranking (Okapi k1=1.2, b=0.75): the
+    // retrieval-side scorer a curation stack needs the moment
+    // selection becomes "rank the corpus against a query" instead of
+    // "gate each doc in isolation" — targeted decontamination, eval-
+    // set mining, topic-focused sampling. Scores are fixed-point
+    // BIGINT end to end so the DuckDB oracle recomputes them EXACTLY:
+    // idf quantized to whole bits via bin-length log2 (the x15
+    // integer-log recipe), tf saturation in milli units, avgdl in
+    // milli (precomputed as a ratio so the norm term never multiplies
+    // two corpus-sized numbers — overflow-safe past 1e9-token docs on
+    // 1e11-doc corpora). Scale shape: the token stream is filtered to
+    // the |Q| query terms BEFORE any aggregation (tf is |matching
+    // docs|×|Q| rows, not corpus-sized), df and the corpus stats are
+    // |Q|-row/1-row broadcasts, and the one real exchange is the
+    // doc-keyed tf⋈dl join.
+    "x21_bm25" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"), explode(
+        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        .as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"),
+        expr("sum(dl) * 1000L DIV count(1)").as("avgdl_milli"))
+      val qt = toks.where(col("tok").isInCollection(BmQueryTerms))
+      val qdf = qt.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val tf = qt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      tf.join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .join(broadcast(qdf), "tok")
+        .select(col("doc_id"),
+          expr("length(bin(1000000 + ((2 * (n_docs - df) + 1) * " +
+            "1000000L) DIV (2 * df + 1))) - 20").as("idf_bits"),
+          expr("(tf * 2200 * 1000000L) DIV (tf * 1000000L + " +
+            "(1200 * (250000 + (750000000L * dl) DIV avgdl_milli)) " +
+            "DIV 1000)").as("sat_milli"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(expr("idf_bits * sat_milli")).as("score_millibits"))
+        .orderBy("doc_id")
+    }),
+
     // X17 — heavy hitters under a COUNT-MIN SKETCH, delivering x7's
     // own scale note ("for unbounded vocabularies the same shape runs
     // under a count-min sketch"): one pass folds every token into a
@@ -875,6 +923,38 @@ object TextQueries {
            |  CAST(sum(len(string_split(trim(seq), ' '))) * 1000000
            |    // sum(n_chars) AS BIGINT) AS bpe_ppm
            |FROM d$n GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "x21_bm25" -> {
+        val terms = BmQueryTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '\\s+'),
+           |    x -> x <> '')) AS tok
+           |  FROM documents),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           |       FROM toks GROUP BY 1),
+           |corpus AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) * 1000 // count(*) AS BIGINT) AS avgdl_milli
+           |  FROM dl),
+           |qdf AS (
+           |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM toks WHERE tok IN ($terms) GROUP BY 1),
+           |tf AS (
+           |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           |  FROM toks WHERE tok IN ($terms) GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT doc_id,
+           |    length(bin(1000000 + ((2 * (n_docs - df) + 1) * 1000000)
+           |      // (2 * df + 1))) - 20 AS idf_bits,
+           |    (tf * 2200 * 1000000) // (tf * 1000000 +
+           |      (1200 * (250000 + (750000000 * dl) // avgdl_milli))
+           |      // 1000) AS sat_milli
+           |  FROM tf JOIN dl USING (doc_id)
+           |  CROSS JOIN corpus JOIN qdf USING (tok))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |  CAST(sum(idf_bits * sat_milli) AS BIGINT) AS score_millibits
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
       "x1_langid" ->
         s"""WITH t AS (

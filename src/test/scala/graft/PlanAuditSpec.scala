@@ -48,16 +48,25 @@ class PlanAuditSpec extends AnyFunSuite {
     "n13_range_search", // 1-row probe broadcast against the pruned index
     "c12_language_rebalance", // 1-row min-lang-count scalar broadcast
                               // against the |langs|-row rate table
-    "n14_pq_rerank_recall") // n8's pattern twice over: 1-row probe
+    "n14_pq_rerank_recall", // n8's pattern twice over: 1-row probe
                             // broadcasts from the composed n1/n12
                             // sides, plus the two 1-row recall
                             // aggregates cross-joined into one row
+    "x21_bm25") // x13's shape: 1-row corpus-stats (N, avgdl) scalar
+                // broadcast cross-joined into the per-(doc,term) rows
   // x8/x9 explode AND broadcast the benchmark shingle set on purpose
   // (benchmarks are MBs by contract; the corpus is the probe side);
   // c9 embeds x8's plan wholesale for its quarantine flags.
   private val explodeBroadcastAllowed =
     Set("x8_decontaminate", "x9_decontaminate_bloom",
-      "c9_decontaminated_split")
+      "c9_decontaminated_split",
+      // x21's broadcast subtrees DO contain the corpus-wide token
+      // explode, but each caps itself with an AGGREGATE before the
+      // exchange: the broadcast values are the 1-row corpus stats and
+      // the ≤|Q|-row per-term df table (|Q| = the literal query term
+      // count) — bounded by contract at any corpus size, the
+      // aggregate playing the role the limit plays elsewhere.
+      "x21_bm25")
 
   /** The three bans, applied to one executed physical plan. */
   private def audit(name: String, plan: SparkPlan): Seq[String] = {
