@@ -136,6 +136,10 @@ object TextQueries {
   private[llm] val BmQueryTerms: Seq[String] =
     Seq("spark", "merge", "window")
 
+  /** x22's decision-threshold grid, in milli units of the x19 logit. */
+  private[llm] val EvalThresholdsMilli: Seq[Long] =
+    Seq(-2000L, -1000L, 0L, 500L, 1000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1 — language ID heuristic: stopword-list hit ratios, argmax of
     // two profiles with a deterministic tie rule.
@@ -770,6 +774,55 @@ object TextQueries {
           col("l").cast("double").as("logit"),
           (col("l") > lit(0)).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // X22 — classifier evaluation sweep (closing the x10→x19 loop the
+    // way a curation team actually does: the heuristic gate is the
+    // label source, the trained classifier is the candidate, and the
+    // decision threshold is CHOSEN from a precision/recall sweep, not
+    // assumed). One corpus scan computes both the gopher label and
+    // the classifier logit MAP-SIDE (both are HOF folds — no explode,
+    // no join), each doc then fans out over the literal 5-point
+    // threshold grid (explode factor |grid|, no join — the thresholds
+    // are plan literals like every trained model here), and one tiny
+    // aggregation (|grid| groups) yields the confusion matrix +
+    // precision/recall/F1 in exact ppm integers. At 100 TB: one scan,
+    // one 5-group exchange.
+    "x22_classifier_eval" -> ((s, d) => {
+      val caseArms = ClassifierWeights.map { case (t, w) =>
+        s"WHEN '$t' THEN CAST('$w' AS DECIMAL(18,4))"
+      }.mkString(" ")
+      val logit = expr(
+        s"""coalesce(aggregate(
+           |  filter(split(lower(text), '\\\\s+'), x -> x <> ''),
+           |  CAST('$ClassifierBias' AS DECIMAL(18,4)),
+           |  (acc, x) -> CAST(acc + CASE x $caseArms
+           |    ELSE CAST(0 AS DECIMAL(18,4)) END AS DECIMAL(18,4))),
+           |  CAST('$ClassifierBias' AS DECIMAL(18,4)))"""
+          .stripMargin)
+      val grid = EvalThresholdsMilli.map(t => s"${t}L").mkString(", ")
+      gopherFeatures(documents(s, d))
+        .select(col("doc_id"), col("pass"), logit.as("l"))
+        .select(col("pass"),
+          explode(expr(s"array($grid)")).as("thr_milli"),
+          col("l"))
+        .select(col("thr_milli"), col("pass"),
+          expr("CAST(CAST(l * 1000 AS DECIMAL(22,4)) > " +
+            "CAST(thr_milli AS DECIMAL(22,4)) AS INT)").as("pred"))
+        .groupBy("thr_milli")
+        .agg(sum(expr("pass * pred")).as("tp"),
+          sum(expr("(1 - pass) * pred")).as("fp"),
+          sum(expr("pass * (1 - pred)")).as("fn"),
+          sum(expr("(1 - pass) * (1 - pred)")).as("tn"))
+        .select(col("thr_milli"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          expr("tp * 1000000L DIV nullif(tp + fp, 0)")
+            .as("precision_ppm"),
+          expr("tp * 1000000L DIV nullif(tp + fn, 0)").as("recall_ppm"))
+        .withColumn("f1_ppm",
+          expr("(2 * precision_ppm * recall_ppm) DIV " +
+            "nullif(precision_ppm + recall_ppm, 0)"))
+        .orderBy("thr_milli")
     })
   )
 
@@ -1078,6 +1131,63 @@ object TextQueries {
         |    AS keep
         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
         |ORDER BY d.doc_id""".stripMargin
+      },
+      "x22_classifier_eval" -> {
+        val vals = ClassifierWeights
+          .map { case (t, w) => s"('$t', CAST($w AS DECIMAL(9,4)))" }
+          .mkString(",\n        |  ")
+        val grid = EvalThresholdsMilli.mkString(", ")
+        s"""WITH w(tok, wt) AS (VALUES
+        |  $vals),
+        |t AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |lbl AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) BETWEEN 30 AND 100000
+        |      AND round(CAST(list_reduce(list_transform(toks,
+        |            x -> length(x)), (a, b) -> a + b) AS DOUBLE)
+        |          / len(toks), 4) BETWEEN 3 AND 10
+        |      AND round(CAST(len(list_filter(toks,
+        |            x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |          / len(toks), 4) >= 0.8
+        |      AND len(list_filter(['the','a','of','to','and'],
+        |            w -> list_contains(toks, w))) >= 2 AS INT) AS pass
+        |  FROM t),
+        |toks AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |hits AS (
+        |  SELECT doc_id, CAST(sum(wt) AS DECIMAL(18,4)) AS hit_sum
+        |  FROM toks JOIN w USING (tok) GROUP BY doc_id),
+        |scored AS (
+        |  SELECT l.doc_id, l.pass,
+        |    coalesce(h.hit_sum, 0) + CAST($ClassifierBias AS DECIMAL(9,4))
+        |      AS logit
+        |  FROM lbl l LEFT JOIN hits h ON l.doc_id = h.doc_id),
+        |sweep AS (
+        |  SELECT thr_milli, pass,
+        |    CAST(CAST(logit * 1000 AS DECIMAL(22,4)) >
+        |      CAST(thr_milli AS DECIMAL(22,4)) AS INT) AS pred
+        |  FROM scored, UNNEST([$grid]) AS g(thr_milli)),
+        |cm AS (
+        |  SELECT thr_milli,
+        |    CAST(sum(pass * pred) AS BIGINT) AS tp,
+        |    CAST(sum((1 - pass) * pred) AS BIGINT) AS fp,
+        |    CAST(sum(pass * (1 - pred)) AS BIGINT) AS fn,
+        |    CAST(sum((1 - pass) * (1 - pred)) AS BIGINT) AS tn
+        |  FROM sweep GROUP BY thr_milli),
+        |pr AS (
+        |  SELECT thr_milli, tp, fp, fn, tn,
+        |    CAST(tp * 1000000 // nullif(tp + fp, 0) AS BIGINT)
+        |      AS precision_ppm,
+        |    CAST(tp * 1000000 // nullif(tp + fn, 0) AS BIGINT)
+        |      AS recall_ppm
+        |  FROM cm)
+        |SELECT CAST(thr_milli AS BIGINT) AS thr_milli, tp, fp, fn, tn,
+        |  precision_ppm, recall_ppm,
+        |  CAST((2 * precision_ppm * recall_ppm) //
+        |    nullif(precision_ppm + recall_ppm, 0) AS BIGINT) AS f1_ppm
+        |FROM pr ORDER BY thr_milli""".stripMargin
       },
       "x8_decontaminate" -> decontamSql,
       "x10_gopher_rules" ->
