@@ -493,21 +493,44 @@ object PoolJsonSink {
     */
   private def stageDataFiles(
       tableDir: String, df: DataFrame,
-      maxRecordsPerFile: Option[Long] = None): Map[Long, Seq[String]] = {
+      maxRecordsPerFile: Option[Long] = None,
+      splitBy: Option[String] = None): Map[Long, Seq[String]] = {
     val stage = new java.io.File(tableDir,
       s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = df.withColumn("__ptd", col("__pt")).write
+    // `splitBy`: VALUE-PURE file splits — a second (shadow) partition
+    // level inside each bucket, so every staged file holds exactly
+    // one value of the split column. The column itself stays in the
+    // data (the shadow is consumed by partitionBy); what the split
+    // buys is per-file zone maps with min == max, which is what lets
+    // a `DELETE WHERE col = v` / value-range drop prove WHOLE files
+    // and commit metadata-only. The bucket dimension keeps the join
+    // layout; the split dimension is the prune/delete layout —
+    // Hive-style partitioning recovered inside the bucket model, at
+    // the operator's explicit request (file count multiplies by the
+    // column's cardinality — a deliberate trade, like ZORDER).
+    val shadowed = splitBy.foldLeft(df.withColumn("__ptd", col("__pt"))) {
+      case (d, c) => d.withColumn("__splitd", col(c).cast("string"))
+    }
+    val w = shadowed.write
     maxRecordsPerFile.fold(w)(n =>
         w.option("maxRecordsPerFile", n.toString))
-      .partitionBy("__ptd").parquet(stage.toString)
+      .partitionBy("__ptd" +: splitBy.map(_ => "__splitd").toSeq: _*)
+      .parquet(stage.toString)
     val dataDir = new java.io.File(tableDir, "data")
     dataDir.mkdirs()
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case sub if sub.isDirectory && sub.getName.startsWith("__splitd=") =>
+          parquetsUnder(sub)
+        case f if f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".") => Seq(f)
+        case _ => Nil
+      }
     val moved = for {
       d <- Option(stage.listFiles()).getOrElse(Array.empty).toSeq
       if d.isDirectory && d.getName.startsWith("__ptd=")
       bucket = d.getName.stripPrefix("__ptd=").toLong
-      f <- Option(d.listFiles()).getOrElse(Array.empty).toSeq
-      if f.getName.endsWith(".parquet") && !f.getName.startsWith(".")
+      f <- parquetsUnder(d)
     } yield {
       val rel = s"data/pt$bucket-${java.util.UUID.randomUUID()}.parquet"
       Files.move(f.toPath, new java.io.File(tableDir, rel).toPath)
@@ -610,13 +633,33 @@ object PoolJsonSink {
             case _ => None
           }
         }.toMap
-        rel -> (perCol + rowCount + byteSize)
+        // per-column NULL counts as pseudo zone-map entries (same
+        // trick as __rows/__bytes — no format change, old parsers
+        // just see another column they never prune on). A recorded
+        // zero is what lets a metadata DELETE prove "EVERY row of
+        // this file matches the predicate" — min/max alone cannot
+        // (NULL rows match no comparison). Recorded only when every
+        // chunk reports a known null count.
+        val nullCounts = cols.flatMap { c =>
+          val chunks = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == c))
+          val sts = chunks.map(_.getStatistics)
+          if (chunks.nonEmpty &&
+              sts.forall(s => s != null && s.isNumNullsSet)) {
+            val n = sts.map(_.getNumNulls).sum
+            Some(s"$NullsStatColPrefix$c" -> (LongStat(n, n): ColStat))
+          } else None
+        }.toMap
+        rel -> (perCol ++ nullCounts + rowCount + byteSize)
       } finally reader.close()
     }.filter(_._2.nonEmpty).toMap
   }
 
   /** Pseudo stats column carrying each file's exact row count. */
   val RowsStatCol = "__rows"
+
+  /** Pseudo stats prefix: per-column null counts (`__nulls__<col>`). */
+  val NullsStatColPrefix = "__nulls__"
 
   /** Pseudo stats column carrying each file's byte size on disk. */
   val BytesStatCol = "__bytes"
@@ -829,6 +872,41 @@ object PoolJsonSink {
           commitTimeMs = Some(System.currentTimeMillis()))
         commitManifest(tableDir, m)
         m.version
+      }
+    }
+
+  /** Metadata-only DELETE commit: `classify` inspects the CURRENT
+    * manifest (re-evaluated on every CAS retry, so a concurrent
+    * writer's new files are re-classified, never silently skipped)
+    * and returns the file set to drop — or None when the snapshot
+    * changed in a way that makes the whole-file proof impossible, in
+    * which case the statement fails cleanly rather than deleting a
+    * subset. No data file is opened, moved, or rewritten: the commit
+    * is one manifest write at any table size, and the dropped files
+    * remain reachable from prior manifests for time travel until
+    * vacuum's retention passes them.
+    */
+  private[graft] def commitMetadataDelete(
+      tableDir: String,
+      classify: TableManifest => Option[Set[String]]): Long =
+    withCommitRetry() { () =>
+      val cur = readManifest(tableDir).getOrElse(
+        sys.error(s"$tableDir: not a graft table (no manifest)"))
+      classify(cur) match {
+        case None => sys.error(
+          s"$tableDir: a concurrent commit changed the snapshot and " +
+            "the delete predicate no longer proves whole files; " +
+            "re-run the DELETE")
+        case Some(drop) =>
+          val m = cur.copy(
+            version = cur.version + 1,
+            buckets = cur.buckets.view.mapValues(_.filterNot(drop))
+              .filter(_._2.nonEmpty).toMap,
+            stats = cur.stats -- drop,
+            op = Some("DELETE"),
+            commitTimeMs = Some(System.currentTimeMillis()))
+          commitManifest(tableDir, m)
+          m.version
       }
     }
 
@@ -1273,6 +1351,8 @@ object PoolJsonSink {
       (statsCols ++ prev.map(_.statsCols).getOrElse(Nil)).distinct
     val cols = (effStatsCols ++
       prevStats.valuesIterator.flatMap(_.keys)).distinct
+      .filterNot(c => c == RowsStatCol || c == BytesStatCol ||
+        c.startsWith(NullsStatColPrefix))
     // always harvested (even with no requested stats columns): every
     // file at least records its row count for [[tableRowCount]]
     val newStats = footerStats(spark, tableDir,
@@ -1387,7 +1467,9 @@ object PoolJsonSink {
     val cols = declaredStatsCols.getOrElse(
       (prev.map(_.statsCols).getOrElse(Nil) ++
         prev.map(_.stats.valuesIterator.flatMap(_.keys)
-          .filterNot(_ == RowsStatCol).toSeq.distinct).getOrElse(Nil))
+          .filterNot(c => c == RowsStatCol || c == BytesStatCol ||
+            c.startsWith(NullsStatColPrefix)).toSeq.distinct)
+          .getOrElse(Nil))
         .distinct)
     val rels = newFiles.valuesIterator.flatten.toSeq
     val newStats = footerStats(spark, tableDir, rels, cols)
@@ -1671,7 +1753,8 @@ object PoolJsonSink {
       maxFilesPerPartition: Int = 4,
       clusterBy: Seq[String] = Nil,
       targetRecordsPerFile: Long = 1L << 20,
-      onBeforeCommit: () => Unit = () => ()): Seq[Long] =
+      onBeforeCommit: () => Unit = () => (),
+      splitBy: Option[String] = None): Seq[Long] =
     // OPTIMIZE must never lose a race against a live writer: the
     // whole pass re-reads the manifest per attempt, so a MERGE
     // landing mid-compaction fails this CAS and the retry recompacts
@@ -1679,7 +1762,7 @@ object PoolJsonSink {
     // the merge's rows can never be un-written by a stale relayout
     withCommitRetry() { () => compactOnce(spark, tableDir,
       maxFilesPerPartition, clusterBy, targetRecordsPerFile,
-      onBeforeCommit) }
+      onBeforeCommit, splitBy) }
 
   private def compactOnce(
       spark: org.apache.spark.sql.SparkSession,
@@ -1687,7 +1770,8 @@ object PoolJsonSink {
       maxFilesPerPartition: Int,
       clusterBy: Seq[String],
       targetRecordsPerFile: Long,
-      onBeforeCommit: () => Unit): Seq[Long] =
+      onBeforeCommit: () => Unit,
+      splitBy: Option[String] = None): Seq[Long] =
     readManifest(tableDir) match {
       case None => Seq.empty
       case Some(m) =>
@@ -1699,7 +1783,8 @@ object PoolJsonSink {
         // everything and prunes nothing. The Delta OPTIMIZE ZORDER
         // trade: more (clustered) files now, fewer opened per query.
         val fat =
-          if (clusterBy.nonEmpty) m.buckets.keys.toSeq.sorted
+          if (clusterBy.nonEmpty || splitBy.nonEmpty)
+            m.buckets.keys.toSeq.sorted
           else m.buckets.filter(_._2.size > maxFilesPerPartition)
             .keys.toSeq.sorted
         if (fat.nonEmpty) {
@@ -1710,9 +1795,12 @@ object PoolJsonSink {
             else base.sortWithinPartitions(
               (col("__pt") +: clusterBy.map(col)): _*)
           val newFiles = stageDataFiles(tableDir, df,
-            if (clusterBy.isEmpty) None else Some(targetRecordsPerFile))
-          val cols = (m.statsCols ++
+            if (clusterBy.isEmpty) None else Some(targetRecordsPerFile),
+            splitBy)
+          val cols = (m.statsCols ++ splitBy ++
             m.stats.valuesIterator.flatMap(_.keys)).toSeq.distinct
+            .filterNot(c => c == RowsStatCol || c == BytesStatCol ||
+              c.startsWith(NullsStatColPrefix))
           val newStats = footerStats(spark, tableDir,
             newFiles.valuesIterator.flatten.toSeq, cols)
           buildBloomSidecars(spark, tableDir,

@@ -680,7 +680,8 @@ private[sources] class GraftFilesTable(ident: String, tableDir: String)
             }.orNull
             val rendered = stats.toSeq
               .filterNot(kv => kv._1 == PoolJsonSink.RowsStatCol ||
-                kv._1 == PoolJsonSink.BytesStatCol)
+                kv._1 == PoolJsonSink.BytesStatCol ||
+                kv._1.startsWith(PoolJsonSink.NullsStatColPrefix))
               .sortBy(_._1).map {
                 case (c, PoolJsonSink.LongStat(mn, mx)) => s"$c:$mn..$mx"
                 case (c, PoolJsonSink.BinStat(mn, mx)) =>
@@ -789,7 +790,7 @@ class GraftCatalogTable(
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private lazy val manifest = version match {
@@ -880,6 +881,32 @@ class GraftCatalogTable(
       org.apache.spark.sql.functions.col(key),
       manifest.nBuckets.getOrElse(64))
     true
+  }
+
+  /** Metadata-only `DELETE FROM t WHERE p` (Iceberg's metadata
+    * delete, through Spark's OptimizeMetadataOnlyDeleteFromTable):
+    * when zone maps + recorded null counts prove every live file is
+    * entirely inside or entirely outside the predicate, the delete is
+    * ONE manifest commit — no file opened, no bucket rewritten.
+    * "Drop last month's data" on a 100 TB table goes from a full
+    * copy-on-write of every touched bucket to O(manifest). Partial
+    * coverage answers false here and the statement falls back to the
+    * row-level COW plan below — the proof gates only the fast path.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean =
+    version.isEmpty &&
+      MetadataDelete.classify(manifest, predicates.toSeq).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    require(version.isEmpty,
+      s"$ident: cannot delete from a time-travelled table")
+    PoolJsonSink.commitMetadataDelete(tableDir,
+      m => MetadataDelete.classify(m, predicates.toSeq))
+    ()
   }
 
   /** SQL `MERGE INTO` / `UPDATE` / `DELETE FROM` — the group-based

@@ -70,6 +70,15 @@ object GraftProcedures {
                 .comment("comma-separated cluster columns: rewrite " +
                   "EVERY bucket range-sorted on them so zone maps " +
                   "actually exclude (the Delta OPTIMIZE ZORDER trade)")
+                .build(),
+              ProcedureParameter.in("split_by", StringType)
+                .defaultValue("CAST(NULL AS STRING)")
+                .comment("value-pure file splits on this column " +
+                  "inside each bucket: per-file min == max, so " +
+                  "DELETE WHERE col = v / value ranges commit " +
+                  "metadata-only (file count scales with the " +
+                  "column's cardinality — choose a low-cardinality " +
+                  "column)")
                 .build())
             override def call(in: InternalRow): java.util.Iterator[Scan] = {
               val dir = catalog.resolveDataDir(in.getString(0))
@@ -81,7 +90,9 @@ object GraftProcedures {
               val touched = PoolJsonSink.compactPartitions(
                 SparkSession.active, dir,
                 maxFilesPerPartition = maxFiles,
-                clusterBy = cluster)
+                clusterBy = cluster,
+                splitBy = if (in.isNullAt(3)) None
+                  else Some(in.getString(3).trim))
               one(StructType(Seq(
                 StructField("compacted_buckets", IntegerType, false),
                 StructField("version", LongType, true))),
