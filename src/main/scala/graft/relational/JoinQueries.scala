@@ -443,6 +443,36 @@ object JoinQueries {
         FROM $cat.default.ord""")
     }),
 
+    // R24 — GROUPED metadata aggregate over the value-pure split
+    // layout: `optimize(split_by => o_orderpriority)` rewrites each
+    // bucket into one file per priority value (per-file min == max,
+    // zero nulls — the proof `GraftMetaAgg` demands), and the GROUP
+    // BY then compiles to manifest arithmetic: group rows are file-set
+    // partitions, count(*) sums `__rows`, min/max reduce zone maps.
+    // ZERO data files opened for a grouped aggregate over the fact
+    // table — the oracle pins the VALUES against DuckDB recomputing
+    // them from the raw parquet (MetadataPushdownSpec pins the PLAN).
+    "r24_split_agg" -> ((s, d) => {
+      val (ordDir, _) = spjTables(s, d)
+      val root = new java.io.File(ordDir).getParentFile
+      val cat = ("gq7_" + root.getName).replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"${root}_wh7")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.default.ord " +
+        s"USING graft LOCATION '$ordDir'")
+      // one-time layout pass per staged corpus (the staging dir is
+      // content-fingerprinted, so the op marker survives re-runs)
+      if (!graft.pol.PoolJsonSink.readManifest(ordDir)
+          .exists(_.op.contains("OPTIMIZE")))
+        s.sql(s"CALL $cat.system.optimize(tbl => 'default.ord', " +
+          "zorder => 'o_orderpriority', split_by => 'o_orderpriority')")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n,
+        count(o_custkey) AS n_cust,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM $cat.default.ord
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // J6 — J3's change feed through the NAME face: the staged keyed
     // table registers as an external catalog table and the feed reads
     // as the `.changes` SUB-TABLE (`<cat>.default.cdc.changes`, the
@@ -776,6 +806,15 @@ object JoinQueries {
         |  CAST(sum(revenue) AS DOUBLE) AS revenue
         |FROM orders o JOIN r ON o.o_orderkey = r.l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // r24's Spark side answers the GROUPED aggregate from manifest
+    // metadata (value-pure split files); the oracle recomputes from
+    // the raw parquet
+    "r24_split_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(o_custkey) AS n_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // r23's Spark side reads only manifest metadata; the oracle
     // recomputes the same aggregates from the raw parquet
     "r23_metadata_agg" ->

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.LocalScan
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -11,33 +11,41 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.pol.PoolJsonSink
 import graft.pol.PoolJsonSink.{BinStat, LongStat, TableManifest}
 
-/** Metadata-only aggregate answering: `SELECT count(*) / min(c) /
-  * max(c) FROM t` resolved from the committed manifest WITHOUT opening
-  * a single data file — the Delta/Iceberg "metadata query" pattern,
-  * surfaced through DSv2 complete aggregate pushdown.
+/** Metadata-only aggregate answering: `SELECT count(*) / count(c) /
+  * min(c) / max(c) FROM t [GROUP BY splitcol]` resolved from the
+  * committed manifest WITHOUT opening a single data file — the
+  * Delta/Iceberg "metadata query" pattern, surfaced through DSv2
+  * complete aggregate pushdown.
   *
   * What makes this sound at any table size:
-  *  - every staged file records its EXACT row count (`__rows`, a
-  *    pseudo zone-map entry written from the parquet footer at commit
-  *    time), so `count(*)` is a sum over the manifest;
+  *  - every staged file records its EXACT row count (`__rows`) and
+  *    per-statscol null count (`__nulls__<c>`) from the parquet
+  *    footer at commit time, so `count(*)` is a sum over the manifest
+  *    and `count(c)` is `Σ(rows − nulls)`;
   *  - zone maps record each file's min/max harvested from the same
   *    footers parquet itself trusts for row-group skipping, and
   *    parquet stats exclude nulls — exactly SQL MIN/MAX semantics;
-  *  - coverage is checked per file: ANY live file missing the needed
-  *    stat (older writer, all-null column in that file, oversized
-  *    binary value) fails the compile and the query falls back to the
-  *    ordinary scan. Conservative, never a guess.
+  *  - GROUP BY pushes down only over VALUE-PURE columns: every live
+  *    file must prove one constant group value (min == max with zero
+  *    recorded nulls, or an all-null file — the NULL group) — the
+  *    layout `optimize(split_by => col)` produces. Group rows are
+  *    then file-set partitions of the manifest; per-group aggregates
+  *    reduce over member files only.
+  *  - coverage is checked per file: ANY live file missing a needed
+  *    stat (older writer, oversized binary value, impure group value)
+  *    fails the compile and the query falls back to the ordinary
+  *    scan. Conservative, never a guess.
   *
-  * Only complete, ungrouped pushdown is attempted, and Spark only
-  * offers it when no residual filter sits between the Aggregate and
-  * the scan — so a filtered aggregate always takes the data path.
-  * Supported value types are the ones whose manifest stats are
-  * bit-faithful to the Catalyst internal value: LONG columns
-  * (LongStat is the raw INT64 footer stat) and STRING/BINARY columns
-  * (BinStat's unsigned-lexicographic byte order IS UTF8String/binary
-  * sort order). Timestamps are deliberately excluded: their footer
-  * stat unit depends on the writer's outputTimestampType conf, and a
-  * millis-written table would silently misreport micros.
+  * Spark only offers complete pushdown when no residual filter sits
+  * between the Aggregate and the scan — so a filtered aggregate
+  * always takes the data path. Supported value types are the ones
+  * whose manifest stats are bit-faithful to the Catalyst internal
+  * value: LONG columns (LongStat is the raw INT64 footer stat) and
+  * STRING/BINARY columns (BinStat's unsigned-lexicographic byte order
+  * IS UTF8String/binary sort order). Timestamps are deliberately
+  * excluded: their footer stat unit depends on the writer's
+  * outputTimestampType conf, and a millis-written table would
+  * silently misreport micros.
   */
 object GraftMetaAgg {
 
@@ -47,12 +55,12 @@ object GraftMetaAgg {
   private case class Compiled(field: StructField, value: Any)
 
   /** Compile a pushed aggregation against the manifest, or None when
-    * any piece is unanswerable from metadata alone.
+    * any piece is unanswerable from metadata alone. Ungrouped → one
+    * row; grouped → one row per distinct proven group value.
     */
   def compile(
       m: TableManifest, fileSchema: StructType,
-      agg: Aggregation): Option[(StructType, InternalRow)] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
     val files = m.files
     def statOf(rel: String, c: String): Option[PoolJsonSink.ColStat] =
       m.stats.get(rel).flatMap(_.get(c))
@@ -64,16 +72,36 @@ object GraftMetaAgg {
       case _ => None
     }
 
-    def countStar: Option[Compiled] = {
-      val counts = files.map(f => statOf(f, PoolJsonSink.RowsStatCol)
-        .collect { case LongStat(n, _) => n })
+    def fileRows(rel: String): Option[Long] =
+      statOf(rel, PoolJsonSink.RowsStatCol).collect {
+        case LongStat(n, _) => n
+      }
+    def fileNulls(rel: String, c: String): Option[Long] =
+      statOf(rel, s"${PoolJsonSink.NullsStatColPrefix}$c").collect {
+        case LongStat(n, _) => n
+      }
+
+    def countStar(fs: Seq[String]): Option[Compiled] = {
+      val counts = fs.map(fileRows)
       if (counts.exists(_.isEmpty)) None
       else Some(Compiled(
         StructField("count(*)", LongType, nullable = false),
         java.lang.Long.valueOf(counts.flatten.sum)))
     }
 
-    def minMax(col: String, isMin: Boolean): Option[Compiled] = {
+    /** `count(c)` = Σ(rows − nulls) — needs BOTH stats on every file. */
+    def countCol(fs: Seq[String], col: String): Option[Compiled] = {
+      val per = fs.map(f => for {
+        r <- fileRows(f); n <- fileNulls(f, col)
+      } yield r - n)
+      if (per.exists(_.isEmpty)) None
+      else Some(Compiled(
+        StructField(s"count($col)", LongType, nullable = false),
+        java.lang.Long.valueOf(per.flatten.sum)))
+    }
+
+    def minMax(fs: Seq[String], col: String, isMin: Boolean)
+        : Option[Compiled] = {
       val field = fileSchema.fields.find(_.name == col).getOrElse {
         return None
       }
@@ -84,14 +112,14 @@ object GraftMetaAgg {
       }
       val value: Option[Any] = field.dataType match {
         case LongType =>
-          val ss = files.map(f => statOf(f, col).collect {
+          val ss = fs.map(f => statOf(f, col).collect {
             case LongStat(mn, mx) => if (isMin) mn else mx
           })
           if (ss.exists(_.isEmpty)) return None
           if (ss.isEmpty) Some(null)
           else Some(java.lang.Long.valueOf(ss.flatten.reduce(pick)))
         case StringType | BinaryType =>
-          val ss = files.map(f => statOf(f, col).collect {
+          val ss = fs.map(f => statOf(f, col).collect {
             case BinStat(mn, mx) => if (isMin) mn else mx
           })
           if (ss.exists(_.isEmpty)) return None
@@ -110,30 +138,91 @@ object GraftMetaAgg {
       }
     }
 
-    val compiled: Seq[Compiled] =
+    def compileAggs(fs: Seq[String]): Option[Seq[Compiled]] = Some(
       agg.aggregateExpressions.toSeq.map {
-        case _: CountStar => countStar.getOrElse(return None)
+        case _: CountStar => countStar(fs).getOrElse(return None)
+        case f: Count if !f.isDistinct =>
+          colOf(f.column).flatMap(countCol(fs, _))
+            .getOrElse(return None)
         case f: Min =>
-          colOf(f.column).flatMap(minMax(_, isMin = true))
+          colOf(f.column).flatMap(minMax(fs, _, isMin = true))
             .getOrElse(return None)
         case f: Max =>
-          colOf(f.column).flatMap(minMax(_, isMin = false))
+          colOf(f.column).flatMap(minMax(fs, _, isMin = false))
             .getOrElse(return None)
         case _: AggregateFunc => return None
-      }
+      })
 
-    Some((StructType(compiled.map(_.field)),
-      new GenericInternalRow(compiled.map(_.value).toArray)))
+    /** The file's single proven value of a group column: min == max
+      * with zero recorded nulls, or all-null (the NULL group). None =
+      * impure or unprovable.
+      */
+    def pureValue(rel: String, col: String): Option[Any] = {
+      val field = fileSchema.fields.find(_.name == col).getOrElse {
+        return None
+      }
+      val nulls = fileNulls(rel, col)
+      (statOf(rel, col), field.dataType) match {
+        case (Some(LongStat(mn, mx)), LongType)
+            if mn == mx && nulls.contains(0L) =>
+          Some(java.lang.Long.valueOf(mn))
+        case (Some(BinStat(mn, mx)), StringType)
+            if java.util.Arrays.equals(mn, mx) && nulls.contains(0L) =>
+          Some(UTF8String.fromBytes(mn))
+        case (None, LongType | StringType) =>
+          // all-null file: provable only when nulls == rows
+          (nulls, fileRows(rel)) match {
+            case (Some(n), Some(r)) if r > 0 && n == r => Some(Null)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
+    if (agg.groupByExpressions.isEmpty) {
+      compileAggs(files).map { compiled =>
+        (StructType(compiled.map(_.field)),
+          Array[InternalRow](
+            new GenericInternalRow(compiled.map(_.value).toArray)))
+      }
+    } else {
+      val groupCols = agg.groupByExpressions.toSeq
+        .map(colOf(_).getOrElse(return None))
+      val groupFields = groupCols.map { c =>
+        val f = fileSchema.fields.find(_.name == c).getOrElse(return None)
+        StructField(c, f.dataType, nullable = true)
+      }
+      val keyed: Seq[(Seq[Any], String)] = files.map { f =>
+        groupCols.map(c => pureValue(f, c).getOrElse(return None)) -> f
+      }
+      val rows = keyed.groupBy(_._1).toSeq.map { case (key, members) =>
+        val compiled = compileAggs(members.map(_._2)).getOrElse(return None)
+        new GenericInternalRow(
+          (key.map(unbox) ++ compiled.map(_.value)).toArray)
+          : InternalRow
+      }
+      Some((StructType(groupFields ++ {
+        // field list from any group's compiled aggs; zero groups →
+        // compile against the empty file set just for the schema
+        compileAggs(Nil).getOrElse(return None).map(_.field)
+      }), rows.toArray))
+    }
   }
+
+  /** Sentinel for the NULL group key (a real null can't live in a
+    * Map key path without ambiguity against "absent").
+    */
+  private case object Null
+  private def unbox(v: Any): Any = if (v == Null) null else v
 }
 
-/** The one-row answer, planned as a LocalTableScan: zero input
+/** The metadata answer, planned as a LocalTableScan: zero input
   * partitions, zero file reads — the whole aggregate was the manifest.
   */
 case class GraftAggLocalScan(
-    aggSchema: StructType, row: InternalRow, tableDesc: String)
+    aggSchema: StructType, out: Array[InternalRow], tableDesc: String)
     extends LocalScan {
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = out
   override def readSchema(): StructType = aggSchema
   override def description(): String =
     s"$tableDesc (manifest-only aggregate: " +

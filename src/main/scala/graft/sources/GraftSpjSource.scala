@@ -153,7 +153,8 @@ class GraftSpjScanBuilder(
   private var required: StructType = fileSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
-  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var aggResult
+      : Option[(StructType, Array[InternalRow])] = None
   private var pushedLimit: Option[Int] = None
 
   // the committed snapshot the metadata answers resolve against —
@@ -164,8 +165,9 @@ class GraftSpjScanBuilder(
       sys.error(s"not a manifest table: $tableDir"))
   }
 
-  /** Complete aggregate pushdown — `count(*)` / `min` / `max`, no
-    * grouping — answered from the manifest (GraftMetaAgg scaladoc).
+  /** Complete aggregate pushdown — `count(*)` / `count(c)` / `min` /
+    * `max`, ungrouped or GROUPED BY value-pure split columns —
+    * answered from the manifest (GraftMetaAgg scaladoc).
     * Never offered on a row-level operation's scan
     * (`allowFilterPruning = false` marks it): its contract is "read
     * every surviving row of the scanned buckets", not "answer from
@@ -176,7 +178,7 @@ class GraftSpjScanBuilder(
     */
   private def compileAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] =
+      : Option[(StructType, Array[InternalRow])] =
     if (!allowFilterPruning || pushed.nonEmpty) None
     else GraftMetaAgg.compile(builderManifest, fileSchema, agg)
 
@@ -237,8 +239,8 @@ class GraftSpjScanBuilder(
     // bucket set. (Caught in review; RowLevelPruningSafetySpec pins
     // both scenarios.)
     aggResult match {
-      case Some((aggSchema, row)) =>
-        GraftAggLocalScan(aggSchema, row,
+      case Some((aggSchema, rows)) =>
+        GraftAggLocalScan(aggSchema, rows,
           s"graft-spj $tableDir" + version.fold("")(v => s"@v$v"))
       case None =>
         val s = new GraftSpjScan(tableDir, fileSchema, required, version,

@@ -270,6 +270,21 @@ class MetadataPushdownSpec extends AnyFunSuite {
       "priority bounds '1-URGENT'..'5-LOW' expected from the BinStat order")
   }
 
+  test("r24_split_agg plans the GROUPED aggregate metadata-only") {
+    val rows = withAqeOff {
+      val df = graft.SparkEntry.queries("r24_split_agg")(
+        spark, graft.QueryHarness.sf0001)
+      assert(localScans(df).nonEmpty && batchScans(df).isEmpty,
+        s"r24 must answer from the manifest:\n" +
+          df.queryExecution.executedPlan)
+      df.collect()
+    }
+    assert(rows.length == 5, "five o_orderpriority groups")
+    assert(rows.map(_.getLong(1)).sum > 0L)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)),
+      "o_custkey has no nulls, so count(col) == count(*) per group")
+  }
+
   test("SET TBLPROPERTIES + analyze retrofits stats without rewriting data") {
     withAqeOff {
       // born without any index declaration, data already written
@@ -341,5 +356,54 @@ class MetadataPushdownSpec extends AnyFunSuite {
       "zone maps must survive compaction for metadata answering")
     val r = df.collect().head
     assert(r.getLong(0) == -1000L && r.getString(1) == "s0999")
+  }
+
+  test("GROUP BY a value-pure split column answers from the manifest") {
+    spark.sql("CREATE TABLE gmeta.default.g (k BIGINT, grp BIGINT, " +
+      "s STRING) USING graft " +
+      "TBLPROPERTIES ('key'='k','nbuckets'='4','statscols'='k,grp,s')")
+    spark.sql("INSERT INTO gmeta.default.g " +
+      "SELECT id, id % 4, concat('v', id % 4) FROM range(0, 800)")
+    spark.sql("CALL gmeta.system.optimize(tbl => 'default.g', " +
+      "zorder => 'grp', split_by => 'grp')")
+    val df = spark.sql(
+      "SELECT grp, count(*) AS n, count(s) AS ns, min(k) AS mnk, " +
+        "max(k) AS mxk FROM gmeta.default.g GROUP BY grp")
+    assert(localScans(df).nonEmpty && batchScans(df).isEmpty,
+      s"expected a manifest-only grouped plan:\n" +
+        s"${df.queryExecution.executedPlan}")
+    val rows = df.orderBy("grp").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.forall(r => r.getLong(1) == 200L && r.getLong(2) == 200L))
+    assert(rows.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(rows.map(_.getLong(4)).toSeq ==
+      Seq(796L, 797L, 798L, 799L))
+    // string group keys push down through the same proof
+    val sg = spark.sql("SELECT s, count(*) AS n FROM gmeta.default.g " +
+      "GROUP BY s")
+    // s was not the split column — but it is 1:1 with grp, so every
+    // split file is value-pure on it too (min == max, zero nulls)
+    assert(localScans(sg).nonEmpty && batchScans(sg).isEmpty)
+    assert(sg.collect().map(_.getLong(1)).forall(_ == 200L))
+  }
+
+  test("GROUP BY an impure column falls back to the scan, same rows") {
+    // k varies within every file — never value-pure
+    withAqeOff {
+      val df = spark.sql("SELECT k % 2 AS par, count(*) AS n " +
+        "FROM gmeta.default.g GROUP BY k % 2")
+      assert(batchScans(df).nonEmpty,
+        "impure grouping must take the data path")
+      assert(df.collect().map(_.getLong(1)).sum == 800L)
+    }
+  }
+
+  test("count(col) = rows minus recorded nulls, ungrouped") {
+    val df = spark.sql(
+      "SELECT count(*) AS n, count(s) AS ns FROM gmeta.default.g")
+    assert(localScans(df).nonEmpty && batchScans(df).isEmpty)
+    val r = df.collect().head
+    assert(r.getLong(0) == 800L && r.getLong(1) == 800L)
   }
 }
