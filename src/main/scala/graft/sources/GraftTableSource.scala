@@ -257,8 +257,11 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
         GraftChangesRelation(path, from.toLong,
           parameters.get("changesTo").map(_.toLong), key)(sqlContext)
       case None =>
+        // numeric → that version; any other string → tag lookup (the
+        // same resolution SQL `VERSION AS OF` runs on the name face)
         GraftTableRelation(path,
-          parameters.get("versionAsOf").map(_.toLong))(sqlContext)
+          parameters.get("versionAsOf")
+            .map(PoolJsonSink.resolveVersionRef(path, _)))(sqlContext)
     }
   }
 }

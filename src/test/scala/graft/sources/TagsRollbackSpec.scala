@@ -105,6 +105,15 @@ class TagsRollbackSpec extends AnyFunSuite {
     assert(PoolJsonSink.readManifest(s"$wh/default/r").get.version == head)
   }
 
+  test("the v1 path face resolves versionAsOf tags too") {
+    // 'good' still pins the pre-zeroing snapshot of r
+    val sum = spark.read.format("graft")
+      .option("versionAsOf", "good").load(s"$wh/default/r")
+      .agg(org.apache.spark.sql.functions.sum("v"))
+      .collect().head.getLong(0)
+    assert(sum == 45L)
+  }
+
   test("all-digit and unsafe tag names are refused") {
     intercept[IllegalArgumentException] {
       PoolJsonSink.setTag(dir, "123", 3L)
