@@ -36,7 +36,10 @@ object MetaProbe {
         .select(col("id").as("k"), (col("id") * 7 - 1000).as("v"),
           md5(col("id").cast("string")).as("s"),
           // unindexed payload column for the row-group-skip case
-          (col("id") % 1000).as("u")),
+          (col("id") % 1000).as("u"),
+          // low-cardinality split candidate (8 values × 64 buckets
+          // → 512 value-pure files after the layout pass)
+          (col("id") % 8).as("grp")),
       col("k"), nBuckets = 64, statsCols = Seq("k", "v", "s"))
     println(f"stage $n rows: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
@@ -69,6 +72,31 @@ object MetaProbe {
       "SELECT * FROM gmp.default.t LIMIT 100"))
     time("full scan (reference)     ")(spark.sql(
       "SELECT * FROM gmp.default.t"))
+
+    // --- the split layout and what it buys (one-time rewrite, then
+    // grouped metadata aggregates + metadata-only DELETE) ---
+    val tSplit = System.nanoTime()
+    spark.sql("CALL gmp.system.optimize(tbl => 'default.t', " +
+      "zorder => 'grp', split_by => 'grp')")
+    println(f"optimize(split_by=grp) layout pass: " +
+      f"${(System.nanoTime() - tSplit) / 1e9}%.1f s " +
+      f"(${PoolJsonSink.readManifest(dir).get.files.size} files)")
+    time("grouped agg via metadata  ")(spark.sql(
+      "SELECT grp, count(*), count(s), min(v), max(v) " +
+        "FROM gmp.default.t GROUP BY grp"))
+    time("grouped agg via full scan ")(spark.sql(
+      "SELECT grp, count(*), count(s), min(v), max(v) " +
+        s"FROM gmp.default.t WHERE k >= ${Long.MinValue} GROUP BY grp"))
+    val tDel = System.nanoTime()
+    spark.sql("DELETE FROM gmp.default.t WHERE grp = 7")
+    println(f"metadata DELETE (grp = 7): " +
+      f"${(System.nanoTime() - tDel) / 1e9}%.3f s " +
+      s"(op=${PoolJsonSink.readManifest(dir).get.op.orNull})")
+    val tCow = System.nanoTime()
+    spark.sql("DELETE FROM gmp.default.t WHERE u < 125")
+    println(f"COW DELETE (u < 125, straddles files): " +
+      f"${(System.nanoTime() - tCow) / 1e9}%.1f s " +
+      s"(op=${PoolJsonSink.readManifest(dir).get.op.orNull})")
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()
