@@ -304,7 +304,12 @@ object PoolJsonSink {
       // columns the user opted into zone maps — a TABLE property like
       // bloomCols, so the request survives commits that stage no file
       // carrying it yet (an empty CREATE TABLE, a maintenance pass)
-      statsCols: Seq[String] = Nil) {
+      statsCols: Seq[String] = Nil,
+      // the value-pure split layout's column — a TABLE property so
+      // every later write preserves the layout (one file per
+      // (bucket, value)); established by optimize(split_by) or
+      // TBLPROPERTIES ('splitcol'=...)
+      splitCol: Option[String] = None) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -362,6 +367,10 @@ object PoolJsonSink {
       .map(_.stripPrefix("statscols ").trim.split(',').toSeq
         .filter(_.nonEmpty))
       .getOrElse(Nil)
+    val splitColParsed = lines.tail
+      .find(_.startsWith("splitcol "))
+      .map(_.stripPrefix("splitcol ").trim)
+      .filter(_.nonEmpty)
     // `op <NAME> <epochMs>` — commit provenance for DESCRIBE HISTORY;
     // absent on manifests from older writers (both fields null there)
     val opMeta = lines.tail.find(_.startsWith("op "))
@@ -393,7 +402,7 @@ object PoolJsonSink {
       entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap,
       schemaJson, nBuckets, bloomCols,
       opMeta.map(_.head), opMeta.flatMap(_.lift(1)).map(_.toLong),
-      keyCol, statsColsParsed)
+      keyCol, statsColsParsed, splitColParsed)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -433,6 +442,7 @@ object PoolJsonSink {
         Seq(s"bloomcols ${m.bloomCols.mkString(",")}") else Nil) ++
       (if (m.statsCols.nonEmpty)
         Seq(s"statscols ${m.statsCols.mkString(",")}") else Nil) ++
+      m.splitCol.map(c => s"splitcol $c") ++
       m.op.map(o =>
         s"op $o ${m.commitTimeMs.getOrElse(System.currentTimeMillis())}") ++
       m.schemaJson.map(j => s"schema $j")
@@ -1324,7 +1334,8 @@ object PoolJsonSink {
       bloomCols: Seq[String] = Nil,
       optimizedWrite: Boolean = true,
       opName: String = "WRITE",
-      keyColName: Option[String] = None): Seq[Long] = {
+      keyColName: Option[String] = None,
+      declaredSplitCol: Option[String] = None): Seq[Long] = {
     // Optimized write (the Delta optimizeWrite movement): without it,
     // the partitioned staging write emits one file per (task, bucket)
     // — a 32-task batch over 64 buckets lands up to 2,048 files PER
@@ -1339,8 +1350,13 @@ object PoolJsonSink {
     // same way Delta takes it.
     val toStage =
       if (optimizedWrite) content.repartition(col("__pt")) else content
+    // a declared split layout is a TABLE property: every write stages
+    // value-pure files so metadata deletes / grouped metadata
+    // aggregates keep working after the MERGE, not only until it
+    val effSplit = declaredSplitCol.orElse(prev.flatMap(_.splitCol))
+      .filter(toStage.columns.contains)
     val newFiles = stageDataFiles(tableDir, toStage,
-      if (optimizedWrite) Some(1L << 20) else None)
+      if (optimizedWrite) Some(1L << 20) else None, effSplit)
     val prevStats = prev.map(_.stats).getOrElse(Map.empty)
     // zone-map columns are a TABLE property once requested: recorded
     // in the manifest so the request survives even commits that stage
@@ -1381,7 +1397,8 @@ object PoolJsonSink {
       effBloom,
       Some(opName),
       keyCol = keyColName.orElse(prev.flatMap(_.keyCol)),
-      statsCols = effStatsCols))
+      statsCols = effStatsCols,
+      splitCol = declaredSplitCol.orElse(prev.flatMap(_.splitCol))))
     newFiles.keys.toSeq.sorted
   }
 
@@ -1505,7 +1522,8 @@ object PoolJsonSink {
       Some(opName),
       keyCol = declaredKeyCol.orElse(prev.flatMap(_.keyCol)),
       statsCols = declaredStatsCols.getOrElse(
-        prev.map(_.statsCols).getOrElse(Nil))))
+        prev.map(_.statsCols).getOrElse(Nil)),
+      splitCol = prev.flatMap(_.splitCol)))
   }
 
   /** ALTER TABLE ADD COLUMN: commit a new version whose ONLY change
@@ -1545,13 +1563,15 @@ object PoolJsonSink {
   private[graft] def commitTableProps(
       tableDir: String,
       statsCols: Option[Seq[String]] = None,
-      bloomCols: Option[Seq[String]] = None): Unit = {
+      bloomCols: Option[Seq[String]] = None,
+      splitCol: Option[Option[String]] = None): Unit = {
     val m = readManifest(tableDir).getOrElse(
       sys.error(s"not a manifest table: $tableDir"))
     commitManifest(tableDir, m.copy(
       version = m.version + 1,
       statsCols = statsCols.getOrElse(m.statsCols),
       bloomCols = bloomCols.getOrElse(m.bloomCols),
+      splitCol = splitCol.getOrElse(m.splitCol),
       op = Some("SETPROP"),
       commitTimeMs = Some(System.currentTimeMillis())))
   }
@@ -1617,7 +1637,8 @@ object PoolJsonSink {
       nBuckets: Int = 64,
       statsCols: Seq[String] = Nil,
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      bloomCols: Seq[String] = Nil)
+      bloomCols: Seq[String] = Nil,
+      splitCol: Option[String] = None)
       : Seq[Long] = {
     checkExpectations(incoming, expectations)
     new java.io.File(tableDir).mkdirs()
@@ -1627,7 +1648,8 @@ object PoolJsonSink {
     stageAndCommit(spark, tableDir, prev, withPt,
       prev.map(_.buckets.keys.toSeq).getOrElse(Nil), statsCols,
       () => (), n, bloomCols, opName = "OVERWRITE",
-      keyColName = keyName(key))
+      keyColName = keyName(key),
+      declaredSplitCol = splitCol)
   }
 
   /** Delta-driven MERGE maintenance — the streaming foreachBatch
@@ -1782,9 +1804,28 @@ object PoolJsonSink {
         // a single unsorted file per bucket has min/max spanning
         // everything and prunes nothing. The Delta OPTIMIZE ZORDER
         // trade: more (clustered) files now, fewer opened per query.
+        // a declared split layout persists: plain compaction restages
+        // through it, and "fat" is judged per (bucket, split value) —
+        // a healthy split bucket legitimately holds one file per
+        // value, and an IMPURE file (e.g. from a pre-declaration
+        // writer) always qualifies so compaction restores purity
+        val effSplit = splitBy.orElse(m.splitCol)
+        def splitKeyOf(rel: String): Option[String] = effSplit.flatMap {
+          c => m.stats.get(rel).flatMap(_.get(c)).collect {
+            case LongStat(mn, mx) if mn == mx => s"l$mn"
+            case BinStat(mn, mx)
+                if java.util.Arrays.equals(mn, mx) => s"b${hex(mn)}"
+          }
+        }
         val fat =
           if (clusterBy.nonEmpty || splitBy.nonEmpty)
             m.buckets.keys.toSeq.sorted
+          else if (effSplit.isDefined)
+            m.buckets.filter { case (_, fs) =>
+              fs.exists(splitKeyOf(_).isEmpty) ||
+                fs.groupBy(splitKeyOf).valuesIterator
+                  .exists(_.size > maxFilesPerPartition)
+            }.keys.toSeq.sorted
           else m.buckets.filter(_._2.size > maxFilesPerPartition)
             .keys.toSeq.sorted
         if (fat.nonEmpty) {
@@ -1796,7 +1837,7 @@ object PoolJsonSink {
               (col("__pt") +: clusterBy.map(col)): _*)
           val newFiles = stageDataFiles(tableDir, df,
             if (clusterBy.isEmpty) None else Some(targetRecordsPerFile),
-            splitBy)
+            effSplit)
           val cols = (m.statsCols ++ splitBy ++
             m.stats.valuesIterator.flatMap(_.keys)).toSeq.distinct
             .filterNot(c => c == RowsStatCol || c == BytesStatCol ||
@@ -1816,7 +1857,8 @@ object PoolJsonSink {
               (m.stats ++ newStats).filter(kv => live(kv._1)),
               m.schemaJson, m.nBuckets, m.bloomCols,
               Some("OPTIMIZE"), keyCol = m.keyCol,
-              statsCols = m.statsCols))
+              statsCols = m.statsCols,
+              splitCol = effSplit))
         }
         fat
     }

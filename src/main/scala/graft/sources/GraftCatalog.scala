@@ -244,7 +244,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
         org.apache.spark.sql.functions.col(key), nBuckets,
         statsCols = colsProp(props, "statscols").getOrElse(Nil),
-        bloomCols = colsProp(props, "bloomcols").getOrElse(Nil))
+        bloomCols = colsProp(props, "bloomcols").getOrElse(Nil),
+        splitCol = props.get("splitcol").map(_.trim)
+          .filter(_.nonEmpty))
     }
     new GraftCatalogTable(fullName(ident), dir, None)
   }
@@ -304,7 +306,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
       org.apache.spark.sql.functions.col(key), n,
       statsCols = colsProp(props, "statscols").getOrElse(Nil),
-      bloomCols = colsProp(props, "bloomcols").getOrElse(Nil))
+      bloomCols = colsProp(props, "bloomcols").getOrElse(Nil),
+      splitCol = props.get("splitcol").map(_.trim)
+        .filter(_.nonEmpty))
     val inner = new GraftCatalogTable(
       s"${fullName(ident)} (staged create)", tmpDir.toString, None)
     new StagedGraftTable(inner,
@@ -434,25 +438,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => false
     }
     if (propChanges.nonEmpty) {
-      val indexProps = Set("statscols", "bloomcols")
+      val indexProps = Set("statscols", "bloomcols", "splitcol")
       var stats: Option[Seq[String]] = None
       var bloom: Option[Seq[String]] = None
+      var split: Option[Option[String]] = None
       propChanges.foreach {
         case sp: TableChange.SetProperty
             if indexProps(sp.property.toLowerCase) =>
-          val v = Some(sp.value.split(',').toSeq
-            .map(_.trim).filter(_.nonEmpty))
-          if (sp.property.equalsIgnoreCase("statscols")) stats = v
-          else bloom = v
+          if (sp.property.equalsIgnoreCase("splitcol"))
+            split = Some(Option(sp.value).map(_.trim).filter(_.nonEmpty))
+          else {
+            val v = Some(sp.value.split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty))
+            if (sp.property.equalsIgnoreCase("statscols")) stats = v
+            else bloom = v
+          }
         case rp: TableChange.RemoveProperty
             if indexProps(rp.property.toLowerCase) =>
           if (rp.property.equalsIgnoreCase("statscols")) stats = Some(Nil)
-          else bloom = Some(Nil)
+          else if (rp.property.equalsIgnoreCase("bloomcols"))
+            bloom = Some(Nil)
+          else split = Some(None)
         case other => sys.error(
-          s"${fullName(ident)}: only the statscols/bloomcols " +
-            s"properties can be altered, got $other")
+          s"${fullName(ident)}: only the statscols/bloomcols/" +
+            s"splitcol properties can be altered, got $other")
       }
-      PoolJsonSink.commitTableProps(dir, stats, bloom)
+      PoolJsonSink.commitTableProps(dir, stats, bloom, split)
       if (colChanges.isEmpty)
         return new GraftCatalogTable(fullName(ident), dir, None)
     }
@@ -842,6 +853,7 @@ class GraftCatalogTable(
         Map("statscols" -> manifest.statsCols.mkString(",")) else Map.empty) ++
       (if (manifest.bloomCols.nonEmpty)
         Map("bloomcols" -> manifest.bloomCols.mkString(",")) else Map.empty) ++
+      manifest.splitCol.map("splitcol" -> _) ++
       Map("version" -> manifest.version.toString)).asJava
 
   override def newScanBuilder(

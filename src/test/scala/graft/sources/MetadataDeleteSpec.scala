@@ -110,6 +110,33 @@ class MetadataDeleteSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("splitcol declared at CREATE: every INSERT stages value-pure " +
+      "files, no optimize needed") {
+    spark.sql("CREATE TABLE gmdel.default.sp (k BIGINT, grp BIGINT) " +
+      "USING graft TBLPROPERTIES ('key'='k','nbuckets'='2'," +
+      "'splitcol'='grp','statscols'='grp')")
+    spark.sql("INSERT INTO gmdel.default.sp " +
+      "SELECT id, id % 3 FROM range(0, 300)")
+    // a second merge must PRESERVE the layout, not flatten it
+    spark.sql("INSERT INTO gmdel.default.sp " +
+      "SELECT id, id % 3 FROM range(300, 600)")
+    val m = PoolJsonSink.readManifest(s"$wh/default/sp").get
+    assert(m.splitCol.contains("grp"))
+    assert(m.files.size == 6, s"2 buckets x 3 values, got ${m.files}")
+    // property surfaces in SHOW TBLPROPERTIES
+    val props = spark.sql("SHOW TBLPROPERTIES gmdel.default.sp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("splitcol").contains("grp"))
+    // and the layout delivers: value delete is metadata-only
+    spark.sql("DELETE FROM gmdel.default.sp WHERE grp = 1")
+    val h = spark.sql("SELECT operation, files_added FROM " +
+      "gmdel.default.sp.history ORDER BY version DESC LIMIT 1")
+      .collect().head
+    assert(h.getString(0) == "DELETE" && h.getInt(1) == 0)
+    assert(spark.sql("SELECT count(*) FROM gmdel.default.sp")
+      .collect().head.getLong(0) == 400L)
+  }
+
   test("unqualified DELETE drops every file metadata-only") {
     spark.sql("CREATE TABLE gmdel.default.all (k BIGINT, v BIGINT) " +
       "USING graft TBLPROPERTIES ('key'='k','nbuckets'='2')")
