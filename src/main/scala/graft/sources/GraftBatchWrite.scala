@@ -45,7 +45,8 @@ class GraftBatchWrite(
     tableDir: String, logicalSchema: StructType, incoming: StructType,
     keyCol: String, nBuckets: Int, opName: String,
     scannedBuckets: () => Option[Set[Long]] = () => None,
-    expectedVersion: () => Option[Long] = () => None)
+    expectedVersion: () => Option[Long] = () => None,
+    splitCol: Option[String] = None)
     extends BatchWrite {
 
   private val stageRel =
@@ -67,7 +68,8 @@ class GraftBatchWrite(
     new java.io.File(tableDir, stageRel).mkdirs()
     GraftDataWriterFactory(
       tableDir, stageRel, incoming, fileSchema, keyCol, nBuckets,
-      owf, new SerializableConfiguration(job.getConfiguration))
+      owf, new SerializableConfiguration(job.getConfiguration),
+      splitCol)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -113,7 +115,8 @@ case class GraftDataWriterFactory(
     tableDir: String, stageRel: String,
     incoming: StructType, fileSchema: StructType,
     keyCol: String, nBuckets: Int,
-    owf: OutputWriterFactory, conf: SerializableConfiguration)
+    owf: OutputWriterFactory, conf: SerializableConfiguration,
+    splitCol: Option[String] = None)
     extends DataWriterFactory {
 
   override def createWriter(
@@ -142,9 +145,17 @@ class GraftDataWriter(
   }
   private val proj = UnsafeProjection.create(outExprs, inAttrs)
   private val bucketProj = UnsafeProjection.create(Seq(bucketExpr), inAttrs)
+  // a declared split layout (TABLE property) keys the fanout on
+  // (bucket, split value) so COW statements stage value-pure files
+  // too — open-writer count is buckets-per-task × values, the
+  // cardinality trade the declaration opted into
+  private val splitAttr = f.splitCol.flatMap(byName.get)
+  private val splitProj = splitAttr.map(a =>
+    UnsafeProjection.create(Seq(a), inAttrs))
+  private case object NullKey
 
   private val writers =
-    scala.collection.mutable.HashMap.empty[Long,
+    scala.collection.mutable.HashMap.empty[(Long, Any),
       (org.apache.spark.sql.execution.datasources.OutputWriter, String)]
   private val ctx = {
     val attempt = new TaskAttemptID(
@@ -155,7 +166,20 @@ class GraftDataWriter(
 
   override def write(row: InternalRow): Unit = {
     val bucket = bucketProj(row).getLong(0)
-    val (w, _) = writers.getOrElseUpdate(bucket, {
+    val splitKey: Any = (splitProj, splitAttr) match {
+      case (Some(sp), Some(a)) =>
+        val out = sp(row)
+        if (out.isNullAt(0)) NullKey
+        else out.get(0, a.dataType) match {
+          // the projection's buffer is reused per row — copy values
+          // that are views into it before they become map keys
+          case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+          case b: Array[Byte] => b.clone()
+          case v => v
+        }
+      case _ => NullKey
+    }
+    val (w, _) = writers.getOrElseUpdate((bucket, splitKey), {
       val name = s"pt$bucket-${java.util.UUID.randomUUID()}.parquet"
       val path = new java.io.File(
         new java.io.File(f.tableDir, f.stageRel), name).toString
@@ -166,7 +190,7 @@ class GraftDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_._1.close())
-    GraftWriteCommit(writers.toSeq.map { case (b, (_, name)) =>
+    GraftWriteCommit(writers.toSeq.map { case ((b, _), (_, name)) =>
       (b, name)
     })
   }

@@ -1019,7 +1019,8 @@ class GraftCatalogTable(
                 scannedBuckets =
                   () => Option(opScan).flatMap(_.runtimeBuckets),
                 expectedVersion =
-                  () => Option(opScan).map(_.snapshotVersion))
+                  () => Option(opScan).map(_.snapshotVersion),
+                splitCol = manifest.splitCol)
           }
         }
     }

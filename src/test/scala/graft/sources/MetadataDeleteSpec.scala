@@ -137,6 +137,22 @@ class MetadataDeleteSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 400L)
   }
 
+  test("COW statements preserve the split layout (UPDATE, then " +
+      "metadata DELETE of the rewritten value)") {
+    // the v2 executor write fans out on (bucket, split value), so the
+    // UPDATE's bucket rewrite stages value-pure files and the later
+    // value delete is STILL metadata-only — no optimize in between
+    spark.sql("UPDATE gmdel.default.sp SET grp = 5 WHERE grp = 2")
+    spark.sql("DELETE FROM gmdel.default.sp WHERE grp = 5")
+    val h = spark.sql("SELECT operation, files_added FROM " +
+      "gmdel.default.sp.history ORDER BY version DESC LIMIT 1")
+      .collect().head
+    assert(h.getString(0) == "DELETE" && h.getInt(1) == 0,
+      "the COW rewrite must not have flattened the split layout")
+    assert(spark.sql("SELECT DISTINCT grp FROM gmdel.default.sp " +
+      "ORDER BY grp").collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("unqualified DELETE drops every file metadata-only") {
     spark.sql("CREATE TABLE gmdel.default.all (k BIGINT, v BIGINT) " +
       "USING graft TBLPROPERTIES ('key'='k','nbuckets'='2')")
