@@ -153,6 +153,51 @@ class MetadataDeleteSpec extends AnyFunSuite {
       "ORDER BY grp").collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("reads prune to the value's files; vacuum reclaims dropped ones") {
+    // repopulate a second value so the prune has something to skip
+    spark.sql("INSERT INTO gmdel.default.sp " +
+      "SELECT id + 1000, 7 FROM range(0, 100)")
+    val m = PoolJsonSink.readManifest(s"$wh/default/sp").get
+    // read-side: a grp = 0 scan must keep exactly the grp-0 files
+    // (the same zone maps the delete proof used, in prune direction)
+    val kept = PoolJsonSink.pruneFilesLongRange(m, "grp", 0L, 0L)
+    assert(kept.size == 2 && kept.size < m.files.size,
+      s"one file per bucket for grp=0, got $kept of ${m.files}")
+    // vacuum: files dropped by the metadata DELETEs stay on disk only
+    // while retained manifests reference them
+    val dataDir = new java.io.File(s"$wh/default/sp/data")
+    val before = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    PoolJsonSink.vacuum(s"$wh/default/sp", retainVersions = 1)
+    val after = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before, "retention passed the pre-delete snapshots")
+    assert(after == PoolJsonSink.readManifest(s"$wh/default/sp")
+      .get.files.size, "exactly the live file set survives")
+    assert(spark.sql("SELECT count(*) FROM gmdel.default.sp")
+      .collect().head.getLong(0) == 300L)
+  }
+
+  test("the change feed diffs a ROLLBACK like any commit") {
+    spark.sql("CREATE TABLE gmdel.default.cf (k BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('key'='k','nbuckets'='2')")
+    spark.sql("INSERT INTO gmdel.default.cf SELECT id, 1 FROM range(0, 4)")
+    spark.sql("INSERT INTO gmdel.default.cf SELECT id, 2 FROM range(0, 4)")
+    val preRb = PoolJsonSink.readManifest(s"$wh/default/cf").get.version
+    spark.sql(s"CALL gmdel.system.rollback(tbl => 'default.cf', " +
+      s"version => ${preRb - 1})")
+    // the restore reads back as updates to the pre-rollback values
+    val changes = spark.sql(
+      s"SELECT k, v, _change_type FROM gmdel.default.cf.changes " +
+        s"WHERE _commit_version > $preRb ORDER BY k, _change_type")
+      .collect()
+    assert(changes.nonEmpty, "rollback must appear in the feed")
+    assert(changes.filter(_.getString(2) == "update_postimage")
+      .forall(_.getLong(1) == 1L),
+      "postimages carry the RESTORED (v1) values")
+    assert(changes.filter(_.getString(2) == "update_preimage")
+      .forall(_.getLong(1) == 2L),
+      "preimages carry the rolled-past (v2) values")
+  }
+
   test("unqualified DELETE drops every file metadata-only") {
     spark.sql("CREATE TABLE gmdel.default.all (k BIGINT, v BIGINT) " +
       "USING graft TBLPROPERTIES ('key'='k','nbuckets'='2')")
