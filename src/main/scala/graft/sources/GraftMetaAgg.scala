@@ -36,9 +36,14 @@ import graft.pol.PoolJsonSink.{BinStat, LongStat, TableManifest}
   *    fails the compile and the query falls back to the ordinary
   *    scan. Conservative, never a guess.
   *
-  * Spark only offers complete pushdown when no residual filter sits
-  * between the Aggregate and the scan — so a filtered aggregate
-  * always takes the data path. Supported value types are the ones
+  * Filtered aggregates compose through EXACT filter pushdown: when
+  * the scan builder proves the pushed conjunction is precisely a file
+  * set (MetadataDelete.allInFilesV1 — every live file all-in or
+  * all-out), the aggregate reduces over the all-in files only and
+  * `count(*) WHERE splitcol = v` is manifest arithmetic too;
+  * otherwise the residual filter keeps Spark from offering the
+  * pushdown and the query takes the data path. Supported value types
+  * are the ones
   * whose manifest stats are bit-faithful to the Catalyst internal
   * value: LONG columns (LongStat is the raw INT64 footer stat) and
   * STRING/BINARY columns (BinStat's unsigned-lexicographic byte order
@@ -60,8 +65,17 @@ object GraftMetaAgg {
     */
   def compile(
       m: TableManifest, fileSchema: StructType,
-      agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
-    val files = m.files
+      agg: Aggregation,
+      // exact-filter restriction: when the builder proved the pushed
+      // conjunction is precisely a file set, aggregates reduce over
+      // the all-in files only — `count(*) WHERE splitcol = v` is then
+      // manifest arithmetic too
+      fileSubset: Option[Set[String]] = None)
+      : Option[(StructType, Array[InternalRow])] = {
+    val files = fileSubset match {
+      case Some(keep) => m.files.filter(keep)
+      case None => m.files
+    }
     def statOf(rel: String, c: String): Option[PoolJsonSink.ColStat] =
       m.stats.get(rel).flatMap(_.get(c))
 

@@ -156,6 +156,7 @@ class GraftSpjScanBuilder(
   private var aggResult
       : Option[(StructType, Array[InternalRow])] = None
   private var pushedLimit: Option[Int] = None
+  private var exactFiles: Option[Set[String]] = None
 
   // the committed snapshot the metadata answers resolve against —
   // same resolution rule as the scan's own manifest
@@ -179,8 +180,10 @@ class GraftSpjScanBuilder(
   private def compileAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[InternalRow])] =
-    if (!allowFilterPruning || pushed.nonEmpty) None
-    else GraftMetaAgg.compile(builderManifest, fileSchema, agg)
+    if (!allowFilterPruning ||
+        (pushed.nonEmpty && exactFiles.isEmpty)) None
+    else GraftMetaAgg.compile(builderManifest, fileSchema, agg,
+      exactFiles)
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -202,7 +205,8 @@ class GraftSpjScanBuilder(
     * raw rows may cover fewer surviving ones.
     */
   override def pushLimit(limit: Int): Boolean =
-    if (!allowFilterPruning || pushed.nonEmpty || limit < 0) false
+    if (!allowFilterPruning || limit < 0 ||
+        (pushed.nonEmpty && exactFiles.isEmpty)) false
     else { pushedLimit = Some(limit); true }
 
   override def isPartiallyPushed(): Boolean = true
@@ -222,7 +226,19 @@ class GraftSpjScanBuilder(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     pushed = filters
-    filters
+    // EXACT pushdown: when zone maps + null counts prove the whole
+    // conjunction is precisely a file set (every live file all-in or
+    // all-out — the metadata-DELETE proof in read direction), the
+    // scan serves the all-in files whole and there is NOTHING to
+    // re-apply: no residual Filter node, and aggregates/limits can
+    // push over the filtered scan (compileAgg/pushLimit below). The
+    // scan is then pinned to THIS snapshot so the proof and the read
+    // see the same manifest. Unprovable conjunctions keep the
+    // conservative contract: all residual, pruning only skips work.
+    if (allowFilterPruning && filters.nonEmpty)
+      exactFiles = MetadataDelete.allInFilesV1(
+        builderManifest, filters.toSeq)
+    if (exactFiles.isDefined) Array.empty else filters
   }
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
@@ -243,10 +259,18 @@ class GraftSpjScanBuilder(
         GraftAggLocalScan(aggSchema, rows,
           s"graft-spj $tableDir" + version.fold("")(v => s"@v$v"))
       case None =>
-        val s = new GraftSpjScan(tableDir, fileSchema, required, version,
+        // exact pushdown pins the scan to the snapshot the proof ran
+        // on — the manifest must not re-resolve to a newer commit
+        // whose files were never classified
+        val pinnedVersion =
+          if (exactFiles.isDefined)
+            version.orElse(Some(builderManifest.version))
+          else version
+        val s = new GraftSpjScan(tableDir, fileSchema, required,
+          pinnedVersion,
           if (allowFilterPruning) pushed
           else Array.empty[org.apache.spark.sql.sources.Filter],
-          streamOptions, pushedLimit)
+          streamOptions, pushedLimit, exactFiles)
         onBuild(s)
         s
     }
@@ -259,7 +283,13 @@ class GraftSpjScan(
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
       Array.empty,
     streamOptions: Map[String, String] = Map.empty,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    // when the builder PROVED the pushed conjunction is exactly a
+    // file set (every live file all-in or all-out), this is the
+    // all-in set: the scan serves exactly these files and Spark was
+    // told there is no residual to re-apply. Always paired with a
+    // pinned version (the proof's snapshot).
+    exactFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -492,6 +522,7 @@ class GraftSpjScan(
     else if (keyEqBuckets.exists(!_.contains(b))) Nil
     else manifest.buckets.getOrElse(b, Nil)
       .filter(rel => filterFiles.forall(_.contains(rel)))
+      .filter(rel => exactFiles.forall(_.contains(rel)))
 
   /** A file's exact recorded row count (`__rows`), absent for files
     * from pre-row-count writers.
@@ -584,9 +615,16 @@ class GraftSpjScan(
                _: org.apache.spark.sql.types.UserDefinedType[_] => false
           case _ => true
         })
+    // Exact pushdown: every row of every kept file matches the
+    // conjunction, so the parquet reader gets NO filters — they are
+    // redundant, and worse, a filter on a column pruned OUT of the
+    // read schema evaluates against a missing column and would drop
+    // every row group (Spark normally protects against this by
+    // keeping filter columns in the schema for its residual Filter;
+    // with no residual, the protection is gone by design).
     GraftSpjReaderFactory(
       GraftParquetRead.readFunc(spark, fileSchema, required, vectorized,
-        pushedFilters.toSeq),
+        if (exactFiles.isDefined) Nil else pushedFilters.toSeq),
       vectorized)
   }
 }

@@ -129,6 +129,18 @@ private[sources] object MetadataDelete {
       case (Some(n), Some(LongStat(r, _))) => r > 0 && n == r
       case _ => false
     }
+    c.op match {
+      // null predicates need no range stats at all
+      case "NOTNULL" =>
+        return if (allNull) Keep
+          else if (zeroNulls) Drop
+          else Unknown
+      case "ISNULL" =>
+        return if (allNull) Drop
+          else if (zeroNulls) Keep
+          else Unknown
+      case _ => ()
+    }
     if (allNull) return Keep
     def tri(allTrue: Boolean, noneTrue: Boolean): Verdict =
       if (noneTrue) Keep
@@ -176,25 +188,81 @@ private[sources] object MetadataDelete {
     else if (vs.forall(_ == Keep)) Keep
     else Unknown
 
+  /** The shared core: every live file must classify; returns the
+    * all-in ("Drop" for a delete, "rows all match" for a filter)
+    * file set, None when any file is Unknown.
+    */
+  private def classifyCmps(m: TableManifest, cs: Seq[Cmp])
+      : Option[Set[String]] = {
+    val (inCs, plain) = cs.partition(_.op.startsWith("IN"))
+    val inGroups = inCs.groupBy(_.op).values.toSeq
+    val files = m.files
+    val verdicts = files.map { f =>
+      val stats = m.stats.getOrElse(f, Map.empty)
+      val per = plain.map(verdict(_, stats)) ++
+        inGroups.map(g => inPass(g.map(verdict(_, stats))))
+      f -> (if (per.contains(Keep)) Keep
+            else if (per.forall(_ == Drop)) Drop
+            else if (per.isEmpty) Drop // unqualified DELETE
+            else Unknown)
+    }
+    if (verdicts.exists(_._2 == Unknown)) None
+    else Some(verdicts.collect { case (f, Drop) => f }.toSet)
+  }
+
   /** Classify every live file of `m`; Some(files to drop) when each
     * is provably Drop or Keep, None otherwise.
     */
   def classify(m: TableManifest, ps: Seq[Predicate])
       : Option[Set[String]] =
-    conjuncts(ps).flatMap { cs =>
-      val (inCs, plain) = cs.partition(_.op.startsWith("IN"))
-      val inGroups = inCs.groupBy(_.op).values.toSeq
-      val files = m.files
-      val verdicts = files.map { f =>
-        val stats = m.stats.getOrElse(f, Map.empty)
-        val per = plain.map(verdict(_, stats)) ++
-          inGroups.map(g => inPass(g.map(verdict(_, stats))))
-        f -> (if (per.contains(Keep)) Keep
-              else if (per.forall(_ == Drop)) Drop
-              else if (per.isEmpty) Drop // unqualified DELETE
-              else Unknown)
-      }
-      if (verdicts.exists(_._2 == Unknown)) None
-      else Some(verdicts.collect { case (f, Drop) => f }.toSet)
+    conjuncts(ps).flatMap(classifyCmps(m, _))
+
+  /** The V1 `sources.Filter` face of the same proof — what the scan
+    * builder's pushed filters arrive as. When the whole conjunction
+    * classifies, the returned set is EXACTLY the predicate's matching
+    * rows expressed as files: a scan serving those files whole needs
+    * no residual filter, and a metadata aggregate may restrict to
+    * them. None = at least one file straddles (or an unsupported
+    * shape) — everything stays a conservative residual-filtered scan.
+    */
+  def allInFilesV1(
+      m: TableManifest,
+      fs: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[Set[String]] = {
+    import org.apache.spark.sql.sources
+    val out = Seq.newBuilder[Cmp]
+    var inId = 0
+    def lit(c: String, op: String, v: Any): Boolean = (v match {
+      case l: Long => Some(Cmp(c, op, java.lang.Long.valueOf(l), LongType))
+      case i: Int => Some(Cmp(c, op, java.lang.Long.valueOf(i.toLong),
+        LongType))
+      case sh: Short => Some(Cmp(c, op, java.lang.Long.valueOf(sh.toLong),
+        LongType))
+      case b: Byte => Some(Cmp(c, op, java.lang.Long.valueOf(b.toLong),
+        LongType))
+      case str: String => Some(Cmp(c, op, UTF8String.fromString(str),
+        StringType))
+      case _ => None
+    }) match {
+      case Some(cmp) => out += cmp; true
+      case None => false
     }
+    def walk(f: sources.Filter): Boolean = f match {
+      case sources.And(l, r) => walk(l) && walk(r)
+      case sources.EqualTo(c, v) => lit(c, "=", v)
+      case sources.LessThan(c, v) => lit(c, "<", v)
+      case sources.LessThanOrEqual(c, v) => lit(c, "<=", v)
+      case sources.GreaterThan(c, v) => lit(c, ">", v)
+      case sources.GreaterThanOrEqual(c, v) => lit(c, ">=", v)
+      case sources.In(c, vs) if vs.nonEmpty =>
+        inId += 1
+        vs.forall(v => lit(c, s"IN#$inId", v))
+      case sources.IsNotNull(c) =>
+        out += Cmp(c, "NOTNULL", null, LongType); true
+      case sources.IsNull(c) =>
+        out += Cmp(c, "ISNULL", null, LongType); true
+      case _ => false
+    }
+    if (fs.forall(walk)) classifyCmps(m, out.result()) else None
+  }
 }

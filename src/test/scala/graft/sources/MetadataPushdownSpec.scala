@@ -399,6 +399,64 @@ class MetadataPushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("exact filter on the split column: residual-free scan, no " +
+      "Filter node, rows correct") {
+    withAqeOff {
+      val df = spark.sql("SELECT k FROM gmeta.default.g WHERE grp = 3")
+      val filters = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(filters.isEmpty,
+        s"the proven conjunction needs no residual Filter:\n" +
+          df.queryExecution.executedPlan)
+      assert(df.collect().length == 200)
+      // and the values really are the predicate's rows
+      assert(df.collect().forall(_.getLong(0) % 4 == 3))
+    }
+  }
+
+  test("FILTERED aggregates answer from the manifest when the filter " +
+      "proves whole files") {
+    val rows = withAqeOff {
+      val df = spark.sql("SELECT count(*) AS n, count(s) AS ns, " +
+        "min(k) AS mn, max(k) AS mx " +
+        "FROM gmeta.default.g WHERE grp = 3")
+      assert(localScans(df).nonEmpty && batchScans(df).isEmpty,
+        s"filtered aggregate must be manifest-only:\n" +
+          df.queryExecution.executedPlan)
+      df.collect()
+    }
+    val r = rows.head
+    assert(r.getLong(0) == 200L && r.getLong(1) == 200L)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 799L)
+    // grouped + filtered compose too
+    val g = withAqeOff {
+      val df = spark.sql("SELECT grp, count(*) AS n " +
+        "FROM gmeta.default.g WHERE grp >= 2 GROUP BY grp")
+      assert(localScans(df).nonEmpty && batchScans(df).isEmpty)
+      df.collect()
+    }
+    assert(g.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 200L), (3L, 200L)))
+  }
+
+  test("an unprovable filter keeps the conservative contract") {
+    withAqeOff {
+      // k straddles every file — residual Filter stays, agg takes
+      // the data path, rows stay correct
+      val df = spark.sql("SELECT count(*) AS n " +
+        "FROM gmeta.default.g WHERE k < 100")
+      assert(batchScans(df).nonEmpty,
+        "straddling predicate must scan")
+      assert(df.collect().head.getLong(0) == 100L)
+      val sel = spark.sql("SELECT k FROM gmeta.default.g WHERE k < 100")
+      val filters = sel.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(filters.nonEmpty, "residual Filter must re-apply")
+    }
+  }
+
   test("count(col) = rows minus recorded nulls, ungrouped") {
     val df = spark.sql(
       "SELECT count(*) AS n, count(s) AS ns FROM gmeta.default.g")
