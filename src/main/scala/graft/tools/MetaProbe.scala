@@ -59,11 +59,13 @@ object MetaProbe {
 
     time("agg via metadata          ")(spark.sql(
       "SELECT count(*), min(v), max(v), min(s), max(s) FROM gmp.default.t"))
-    // defeat the pushdown with a vacuous residual filter the compile
-    // refuses — same answer, full data path
+    // defeat the pushdown with a vacuous predicate no source filter
+    // can express (k % 2 >= 0) — same answer, full data path. (The
+    // previous trick, k >= Long.MinValue, stopped working the day
+    // exact filter pushdown learned to PROVE it covers every file.)
     time("agg via full scan         ")(spark.sql(
       "SELECT count(*), min(v), max(v), min(s), max(s) " +
-        "FROM gmp.default.t WHERE k >= " + Long.MinValue))
+        "FROM gmp.default.t WHERE k % 2 >= 0 OR k % 2 < 0"))
     time("out-of-range pt lookup (u)")(spark.sql(
       s"SELECT * FROM gmp.default.t WHERE u = ${n * 10}"))
     time("in-range pt lookup (u)    ")(spark.sql(
@@ -86,7 +88,12 @@ object MetaProbe {
         "FROM gmp.default.t GROUP BY grp"))
     time("grouped agg via full scan ")(spark.sql(
       "SELECT grp, count(*), count(s), min(v), max(v) " +
-        s"FROM gmp.default.t WHERE k >= ${Long.MinValue} GROUP BY grp"))
+        "FROM gmp.default.t WHERE k % 2 >= 0 OR k % 2 < 0 GROUP BY grp"))
+    time("filtered agg via metadata ")(spark.sql(
+      "SELECT count(*), min(v), max(v) " +
+        "FROM gmp.default.t WHERE grp = 3"))
+    time("filtered scan, exact files")(spark.sql(
+      "SELECT * FROM gmp.default.t WHERE grp = 3"))
     val tDel = System.nanoTime()
     spark.sql("DELETE FROM gmp.default.t WHERE grp = 7")
     println(f"metadata DELETE (grp = 7): " +
