@@ -473,6 +473,31 @@ object JoinQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // R25 — FILTERED metadata aggregate through exact filter
+    // pushdown: the predicate classifies every file of the split
+    // layout all-in/all-out (the metadata-DELETE proof in read
+    // direction), so Spark gets ZERO residual filters and the
+    // aggregate compiles to manifest arithmetic over the all-in
+    // files. `count(*) WHERE priority = X` at 100 TB = one manifest
+    // read. Reuses r24's split ord table; the oracle recomputes from
+    // raw parquet.
+    "r25_filtered_meta_agg" -> ((s, d) => {
+      // invoking r24 runs its one-time layout guard (side-effecting
+      // closure body; the returned frame stays lazy and unused)
+      queries("r24_split_agg")(s, d)
+      val (ordDir, _) = spjTables(s, d)
+      val root = new java.io.File(ordDir).getParentFile
+      val cat = ("gq7_" + root.getName).replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"${root}_wh7")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.default.ord " +
+        s"USING graft LOCATION '$ordDir'")
+      s.sql(s"""SELECT count(*) AS n, count(o_custkey) AS n_cust,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM $cat.default.ord
+        WHERE o_orderpriority = '3-MEDIUM'""")
+    }),
+
     // J6 — J3's change feed through the NAME face: the staged keyed
     // table registers as an external catalog table and the feed reads
     // as the `.changes` SUB-TABLE (`<cat>.default.cdc.changes`, the
@@ -815,6 +840,12 @@ object JoinQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // r25: filtered metadata aggregate (exact filter pushdown); the
+    // oracle recomputes from the raw parquet
+    "r25_filtered_meta_agg" ->
+      """SELECT count(*) AS n, count(o_custkey) AS n_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderpriority = '3-MEDIUM'""".stripMargin,
     // r23's Spark side reads only manifest metadata; the oracle
     // recomputes the same aggregates from the raw parquet
     "r23_metadata_agg" ->

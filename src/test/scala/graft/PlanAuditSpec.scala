@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.ui.{SparkListenerSQLAdaptiveExecutionUpdat
   * Guards against a future query (or Spark upgrade) silently
   * regressing into a quadratic join that cannot survive scale-up.
   *
-  * Coverage is ALL 97 queries: batch plans through the returned
+  * Coverage is the WHOLE catalog (SparkEntry.queries): batch plans through the returned
   * DataFrame's queryExecution; streaming plans through the SQL
   * execution events every micro-batch posts (and every batch action a
   * foreachBatch maintenance loop issues — t6's MERGE reads/writes),

@@ -285,6 +285,19 @@ class MetadataPushdownSpec extends AnyFunSuite {
       "o_custkey has no nulls, so count(col) == count(*) per group")
   }
 
+  test("r25_filtered_meta_agg plans metadata-only (exact pushdown)") {
+    val rows = withAqeOff {
+      val df = graft.SparkEntry.queries("r25_filtered_meta_agg")(
+        spark, graft.QueryHarness.sf0001)
+      assert(localScans(df).nonEmpty && batchScans(df).isEmpty,
+        s"r25 must answer from the manifest:\n" +
+          df.queryExecution.executedPlan)
+      df.collect()
+    }
+    val r = rows.head
+    assert(r.getLong(0) > 0L && r.getLong(0) == r.getLong(1))
+  }
+
   test("SET TBLPROPERTIES + analyze retrofits stats without rewriting data") {
     withAqeOff {
       // born without any index declaration, data already written
