@@ -309,7 +309,13 @@ object PoolJsonSink {
       // every later write preserves the layout (one file per
       // (bucket, value)); established by optimize(split_by) or
       // TBLPROPERTIES ('splitcol'=...)
-      splitCol: Option[String] = None) {
+      splitCol: Option[String] = None,
+      // dotted paths of columns DROPPED over the table's life. Old
+      // files still hold their data; matching is by NAME, so
+      // re-adding a dropped name would resurrect stale values from
+      // pre-drop files — the ADD path refuses these names (the
+      // field-id-free engine's honest answer to Iceberg's field ids)
+      droppedCols: Seq[String] = Nil) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -371,6 +377,11 @@ object PoolJsonSink {
       .find(_.startsWith("splitcol "))
       .map(_.stripPrefix("splitcol ").trim)
       .filter(_.nonEmpty)
+    val droppedParsed = lines.tail
+      .find(_.startsWith("droppedcols "))
+      .map(_.stripPrefix("droppedcols ").trim.split(',').toSeq
+        .filter(_.nonEmpty))
+      .getOrElse(Nil)
     // `op <NAME> <epochMs>` — commit provenance for DESCRIBE HISTORY;
     // absent on manifests from older writers (both fields null there)
     val opMeta = lines.tail.find(_.startsWith("op "))
@@ -402,7 +413,7 @@ object PoolJsonSink {
       entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap,
       schemaJson, nBuckets, bloomCols,
       opMeta.map(_.head), opMeta.flatMap(_.lift(1)).map(_.toLong),
-      keyCol, statsColsParsed, splitColParsed)
+      keyCol, statsColsParsed, splitColParsed, droppedParsed)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -443,6 +454,8 @@ object PoolJsonSink {
       (if (m.statsCols.nonEmpty)
         Seq(s"statscols ${m.statsCols.mkString(",")}") else Nil) ++
       m.splitCol.map(c => s"splitcol $c") ++
+      (if (m.droppedCols.nonEmpty)
+        Seq(s"droppedcols ${m.droppedCols.mkString(",")}") else Nil) ++
       m.op.map(o =>
         s"op $o ${m.commitTimeMs.getOrElse(System.currentTimeMillis())}") ++
       m.schemaJson.map(j => s"schema $j")
@@ -1058,18 +1071,64 @@ object PoolJsonSink {
       .where(col(colName) === value)
   }
 
+  /** Conform `df` (whatever union of FILE schemas the parquet read
+    * produced) to the manifest's RECORDED schema — the single source
+    * of truth: columns the recording added but no selected file
+    * carries null-fill, columns the recording DROPPED disappear even
+    * though old files still hold their bytes (without this, the next
+    * merge's keep-side read would resurrect a dropped column into the
+    * committed schema), and struct fields conform recursively by
+    * NAME (a positional cast would silently shear nested data).
+    */
+  private def conformTo(
+      df: DataFrame, recorded: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    import org.apache.spark.sql.Column
+    def proj(src: DataType, want: DataType, path: Column): Column =
+      (src, want) match {
+        case (s: StructType, w: StructType) =>
+          struct(w.fields.toSeq.map { wf =>
+            s.fields.find(_.name == wf.name) match {
+              case Some(sf) =>
+                proj(sf.dataType, wf.dataType, path.getField(wf.name))
+                  .as(wf.name)
+              case None => lit(null).cast(wf.dataType).as(wf.name)
+            }
+          }: _*)
+        case _ => path
+      }
+    if (df.schema == recorded) df
+    else df.select(recorded.fields.toSeq.map { f =>
+      df.schema.fields.find(_.name == f.name) match {
+        case Some(sf) => proj(sf.dataType, f.dataType, col(f.name)).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  private def recordedSchema(m: TableManifest)
+      : Option[org.apache.spark.sql.types.StructType] =
+    m.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   private def readFiles(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String, rels: Seq[String], m: TableManifest): DataFrame =
-    if (rels.nonEmpty)
+    if (rels.nonEmpty) {
       // mergeSchema: files written before an additive schema change
       // lack the newer columns — merge the union schema across the
       // SELECTED files only (footer reads scale with the selection,
-      // so bucket pruning also prunes schema-merge work)
-      spark.read.option("mergeSchema", "true")
+      // so bucket pruning also prunes schema-merge work) — then
+      // conform to the RECORDED schema (manifests from older writers
+      // have none and keep the raw union)
+      val raw = spark.read.option("mergeSchema", "true")
         .parquet(rels.map(r => s"$tableDir/$r"): _*)
-    else if (m.files.nonEmpty) // empty selection: schema from any file
-      spark.read.parquet(s"$tableDir/${m.files.head}").limit(0)
+      recordedSchema(m).fold(raw)(conformTo(raw, _))
+    } else if (m.files.nonEmpty) { // empty selection: schema from a file
+      val raw = spark.read.parquet(s"$tableDir/${m.files.head}").limit(0)
+      recordedSchema(m).fold(raw)(conformTo(raw, _))
+    }
     else // empty TABLE (all rows deleted / first commit empty): the
          // manifest's stored schema keeps the table readable
       m.schemaJson match {
@@ -1398,7 +1457,8 @@ object PoolJsonSink {
       Some(opName),
       keyCol = keyColName.orElse(prev.flatMap(_.keyCol)),
       statsCols = effStatsCols,
-      splitCol = declaredSplitCol.orElse(prev.flatMap(_.splitCol))))
+      splitCol = declaredSplitCol.orElse(prev.flatMap(_.splitCol)),
+      droppedCols = prev.map(_.droppedCols).getOrElse(Nil)))
     newFiles.keys.toSeq.sorted
   }
 
@@ -1523,7 +1583,10 @@ object PoolJsonSink {
       keyCol = declaredKeyCol.orElse(prev.flatMap(_.keyCol)),
       statsCols = declaredStatsCols.getOrElse(
         prev.map(_.statsCols).getOrElse(Nil)),
-      splitCol = prev.flatMap(_.splitCol)))
+      splitCol = prev.flatMap(_.splitCol),
+      // REPLACE TABLE re-declares the schema wholesale; retired
+      // names stay retired (old files may survive via time travel)
+      droppedCols = prev.map(_.droppedCols).getOrElse(Nil)))
   }
 
   /** ALTER TABLE ADD COLUMN: commit a new version whose ONLY change
@@ -1534,8 +1597,12 @@ object PoolJsonSink {
     * operation.
     */
   private[graft] def commitSchemaChange(
-      tableDir: String, newSchema: org.apache.spark.sql.types.StructType)
-      : Unit = {
+      tableDir: String, newSchema: org.apache.spark.sql.types.StructType,
+      // dotted paths the caller REMOVED (DROP COLUMN): recorded so a
+      // later ADD cannot reuse the name, and statscols/bloomcols/
+      // splitcol referencing them are pruned in the same commit.
+      // Empty = the classic additive contract is enforced.
+      removed: Seq[String] = Nil): Unit = {
     val m = readManifest(tableDir).getOrElse(
       sys.error(s"not a manifest table: $tableDir"))
     val old = m.schemaJson.map(j =>
@@ -1543,14 +1610,20 @@ object PoolJsonSink {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     old.foreach { o =>
       o.fields.foreach { f =>
-        require(newSchema.fieldNames.contains(f.name),
+        require(newSchema.fieldNames.contains(f.name) ||
+            removed.contains(f.name),
           s"$tableDir: schema change must be additive; column " +
             s"'${f.name}' missing from the new schema")
       }
     }
+    val removedTop = removed.filterNot(_.contains('.')).toSet
     commitManifest(tableDir, m.copy(
       version = m.version + 1,
       schemaJson = Some(newSchema.json),
+      statsCols = m.statsCols.filterNot(removedTop),
+      bloomCols = m.bloomCols.filterNot(removedTop),
+      splitCol = m.splitCol.filterNot(removedTop),
+      droppedCols = (m.droppedCols ++ removed).distinct,
       op = Some("ALTER"),
       commitTimeMs = Some(System.currentTimeMillis())))
   }
@@ -1858,7 +1931,8 @@ object PoolJsonSink {
               m.schemaJson, m.nBuckets, m.bloomCols,
               Some("OPTIMIZE"), keyCol = m.keyCol,
               statsCols = m.statsCols,
-              splitCol = effSplit))
+              splitCol = effSplit,
+              droppedCols = m.droppedCols))
         }
         fat
     }

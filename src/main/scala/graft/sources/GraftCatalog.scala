@@ -411,16 +411,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       name: String): Option[Seq[String]] = props.get(name)
     .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` — additive evolution as a pure
-    * metadata commit (same files, new recorded schema; old rows read
-    * the new column as NULL). Nested adds (`ADD COLUMN s.x TYPE`)
-    * append a field inside an existing struct column — the parquet
-    * requested-schema contract null-fills missing nested fields the
-    * same way it does top-level ones, and `unionByName(
-    * allowMissingColumns)` on the merge path carries them. Everything
-    * else stays unsupported: drops/renames/type changes would need a
-    * rewrite, and physical properties (key, buckets) are placement,
-    * fixed at CREATE.
+  /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN(S)` — schema
+    * evolution as pure metadata commits (same files, new recorded
+    * schema). ADDs null-fill on old rows through the parquet
+    * requested-schema contract; nested adds append inside struct
+    * columns. DROPs remove the column from the recorded schema —
+    * files keep their bytes (readers project them away; rewrites shed
+    * them over time), time travel still serves pre-drop versions, and
+    * the dropped NAME is retired forever: matching is by name, so
+    * re-adding it would resurrect stale values from pre-drop files
+    * (the field-id-free engine's honest answer to Iceberg's field
+    * ids). The merge key, splitcol and `__pt` cannot drop; dropped
+    * statscols/bloomcols prune from the declarations in the same
+    * commit. Renames/type changes stay unsupported; physical
+    * properties (key, buckets) are placement, fixed at CREATE.
     */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
@@ -469,6 +473,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
     val current = GraftSpjTable.tableSchema(dir)
+    val manifest0 = PoolJsonSink.readManifest(dir).getOrElse(
+      sys.error(s"not a graft table: $dir"))
 
     /** Appends `field` at struct path `parents` inside `st`. */
     def addAt(st: StructType, parents: Seq[String],
@@ -492,10 +498,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
       }
 
+    /** Removes the field at dotted path inside `st`. */
+    def removeAt(st: StructType, path: Seq[String], full: String,
+        ifExists: Boolean): StructType =
+      path match {
+        case Seq(last) =>
+          if (!st.fieldNames.contains(last)) {
+            require(ifExists,
+              s"${fullName(ident)}: no such column '$full'")
+            st
+          } else {
+            val kept = st.fields.filterNot(_.name == last)
+            require(kept.exists(_.name != GraftSpjTable.BucketCol),
+              s"${fullName(ident)}: cannot drop the last data column")
+            StructType(kept)
+          }
+        case head +: rest =>
+          val i = st.fieldNames.indexOf(head)
+          if (i < 0) {
+            require(ifExists,
+              s"${fullName(ident)}: no such column '$head' " +
+                s"(dropping '$full')")
+            st
+          } else st.fields(i).dataType match {
+            case inner: StructType =>
+              val pruned = removeAt(inner, rest, full, ifExists)
+              require(pruned.fields.nonEmpty,
+                s"${fullName(ident)}: dropping '$full' would empty " +
+                  s"struct '$head' — drop '$head' itself instead")
+              StructType(st.fields.updated(i, st.fields(i).copy(
+                dataType = pruned)))
+            case other => sys.error(
+              s"${fullName(ident)}: '$head' is ${other.simpleString}, " +
+                s"not a struct — cannot drop nested column '$full'")
+          }
+      }
+
+    val removedPaths = Seq.newBuilder[String]
     val next = colChanges.foldLeft(current) { (schema, c) =>
       c match {
         case a: TableChange.AddColumn =>
           val full = a.fieldNames.mkString(".")
+          require(!manifest0.droppedCols.contains(full),
+            s"${fullName(ident)}: column name '$full' was dropped " +
+              "earlier and cannot be reused — old files still hold " +
+              "its bytes and name-matching would resurrect them; " +
+              "pick a new name")
           // NOT NULL would make the recorded schema LIE about old rows
           // (they null-fill the new column), and Catalyst folds
           // IsNull(non-nullable) to false — Iceberg rejects required
@@ -513,15 +561,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           addAt(schema, a.fieldNames.init.toSeq,
             StructField(a.fieldNames.last, a.dataType, nullable = true),
             full)
+        case d: TableChange.DeleteColumn =>
+          val full = d.fieldNames.mkString(".")
+          require(!manifest0.keyCol.contains(full),
+            s"${fullName(ident)}: cannot drop the merge key '$full'")
+          require(!manifest0.splitCol.contains(full),
+            s"${fullName(ident)}: cannot drop the split column " +
+              s"'$full' (ALTER ... UNSET TBLPROPERTIES ('splitcol') " +
+              "first)")
+          require(d.fieldNames.head != GraftSpjTable.BucketCol,
+            s"${fullName(ident)}: '${GraftSpjTable.BucketCol}' is internal")
+          removedPaths += full
+          removeAt(schema, d.fieldNames.toSeq, full, d.ifExists())
         case other => sys.error(
-          s"${fullName(ident)}: only ADD COLUMN is supported, got " +
-            other.getClass.getSimpleName)
+          s"${fullName(ident)}: only ADD/DROP COLUMN are supported, " +
+            s"got " + other.getClass.getSimpleName)
       }
     }
     // keep __pt physically LAST (the write paths append it there)
     val (data, pt) = next.fields.partition(
       _.name != GraftSpjTable.BucketCol)
-    PoolJsonSink.commitSchemaChange(dir, StructType(data ++ pt))
+    PoolJsonSink.commitSchemaChange(dir, StructType(data ++ pt),
+      removed = removedPaths.result())
     new GraftCatalogTable(fullName(ident), dir, None)
   }
 

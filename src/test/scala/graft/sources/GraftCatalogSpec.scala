@@ -182,9 +182,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT * FROM gcat.default.ev VERSION AS OF 2")
       .columns.toSeq == Seq("k", "v"))
-    // non-additive changes refuse clearly
+    // DROP COLUMN is metadata-only evolution now (AlterDropColumnSpec
+    // owns the full matrix); here: it composes with the ADD above and
+    // retires the name
+    spark.sql("ALTER TABLE gcat.default.ev DROP COLUMN v")
+    assert(spark.table("gcat.default.ev").columns.toSeq ==
+      Seq("k", "score"))
     intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.default.ev DROP COLUMN v")
+      spark.sql("ALTER TABLE gcat.default.ev ADD COLUMN v STRING")
     }
     // a required (NOT NULL) add would make the schema lie about
     // null-filled old rows — refused
