@@ -315,7 +315,12 @@ object PoolJsonSink {
       // re-adding a dropped name would resurrect stale values from
       // pre-drop files — the ADD path refuses these names (the
       // field-id-free engine's honest answer to Iceberg's field ids)
-      droppedCols: Seq[String] = Nil) {
+      droppedCols: Seq[String] = Nil,
+      // named CHECK constraints (Delta expectations as TABLE state):
+      // boolean SQL over the logical columns, enforced on every
+      // ingesting write — a violating batch rejects WHOLLY before the
+      // version line advances
+      checks: Seq[(String, String)] = Nil) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -382,6 +387,16 @@ object PoolJsonSink {
       .map(_.stripPrefix("droppedcols ").trim.split(',').toSeq
         .filter(_.nonEmpty))
       .getOrElse(Nil)
+    // `check <name> <expr...>`: expr is rest-of-line (may hold spaces)
+    val checksParsed = lines.tail
+      .filter(_.startsWith("check "))
+      .map(_.stripPrefix("check ").trim)
+      .flatMap { l =>
+        l.indexOf(' ') match {
+          case -1 => None
+          case i => Some(l.take(i) -> l.drop(i + 1))
+        }
+      }
     // `op <NAME> <epochMs>` — commit provenance for DESCRIBE HISTORY;
     // absent on manifests from older writers (both fields null there)
     val opMeta = lines.tail.find(_.startsWith("op "))
@@ -413,7 +428,8 @@ object PoolJsonSink {
       entries.collect { case (_, f0, s) if s.nonEmpty => f0 -> s }.toMap,
       schemaJson, nBuckets, bloomCols,
       opMeta.map(_.head), opMeta.flatMap(_.lift(1)).map(_.toLong),
-      keyCol, statsColsParsed, splitColParsed, droppedParsed)
+      keyCol, statsColsParsed, splitColParsed, droppedParsed,
+      checksParsed.toSeq)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -456,6 +472,7 @@ object PoolJsonSink {
       m.splitCol.map(c => s"splitcol $c") ++
       (if (m.droppedCols.nonEmpty)
         Seq(s"droppedcols ${m.droppedCols.mkString(",")}") else Nil) ++
+      m.checks.map { case (n, e) => s"check $n $e" } ++
       m.op.map(o =>
         s"op $o ${m.commitTimeMs.getOrElse(System.currentTimeMillis())}") ++
       m.schemaJson.map(j => s"schema $j")
@@ -1324,6 +1341,20 @@ object PoolJsonSink {
       optimizedWrite)
   }
 
+  /** Declared CHECK constraints gate every ingesting write: the
+    * incoming batch is validated in ONE aggregate pass and a
+    * violating batch rejects WHOLLY before a file is staged (the
+    * Delta CHECK/expectation contract, from TABLE state instead of a
+    * caller argument). NULL results pass, per SQL CHECK.
+    */
+  private def enforceDeclaredChecks(
+      incoming: DataFrame, prev: Option[TableManifest]): Unit = {
+    val cs = prev.map(_.checks).getOrElse(Nil)
+    if (cs.nonEmpty)
+      checkExpectations(incoming,
+        cs.map { case (n, e) => n -> expr(e) })
+  }
+
   /** [[upsertPartitioned]] against an ALREADY-RESOLVED snapshot
     * (`prev` = the manifest this merge was computed from; `None` for
     * a first commit). The commit targets `prev.version + 1`, so any
@@ -1346,6 +1377,7 @@ object PoolJsonSink {
       prev: Option[TableManifest],
       bloomCols: Seq[String] = Nil,
       optimizedWrite: Boolean = true): Seq[Long] = {
+    enforceDeclaredChecks(incoming, prev)
     // the manifest's recorded bucket count ALWAYS wins over the
     // caller's parameter: bucket placement is a physical property of
     // the table, and a caller passing a different n would read the
@@ -1458,7 +1490,8 @@ object PoolJsonSink {
       keyCol = keyColName.orElse(prev.flatMap(_.keyCol)),
       statsCols = effStatsCols,
       splitCol = declaredSplitCol.orElse(prev.flatMap(_.splitCol)),
-      droppedCols = prev.map(_.droppedCols).getOrElse(Nil)))
+      droppedCols = prev.map(_.droppedCols).getOrElse(Nil),
+      checks = prev.map(_.checks).getOrElse(Nil)))
     newFiles.keys.toSeq.sorted
   }
 
@@ -1586,7 +1619,8 @@ object PoolJsonSink {
       splitCol = prev.flatMap(_.splitCol),
       // REPLACE TABLE re-declares the schema wholesale; retired
       // names stay retired (old files may survive via time travel)
-      droppedCols = prev.map(_.droppedCols).getOrElse(Nil)))
+      droppedCols = prev.map(_.droppedCols).getOrElse(Nil),
+      checks = prev.map(_.checks).getOrElse(Nil)))
   }
 
   /** ALTER TABLE ADD COLUMN: commit a new version whose ONLY change
@@ -1637,7 +1671,8 @@ object PoolJsonSink {
       tableDir: String,
       statsCols: Option[Seq[String]] = None,
       bloomCols: Option[Seq[String]] = None,
-      splitCol: Option[Option[String]] = None): Unit = {
+      splitCol: Option[Option[String]] = None,
+      checks: Option[Seq[(String, String)]] = None): Unit = {
     val m = readManifest(tableDir).getOrElse(
       sys.error(s"not a manifest table: $tableDir"))
     commitManifest(tableDir, m.copy(
@@ -1645,6 +1680,7 @@ object PoolJsonSink {
       statsCols = statsCols.getOrElse(m.statsCols),
       bloomCols = bloomCols.getOrElse(m.bloomCols),
       splitCol = splitCol.getOrElse(m.splitCol),
+      checks = checks.getOrElse(m.checks),
       op = Some("SETPROP"),
       commitTimeMs = Some(System.currentTimeMillis())))
   }
@@ -1717,6 +1753,7 @@ object PoolJsonSink {
     new java.io.File(tableDir).mkdirs()
     val prev = readManifest(tableDir)
     val n = prev.flatMap(_.nBuckets).getOrElse(nBuckets)
+    enforceDeclaredChecks(incoming, prev)
     val withPt = incoming.withColumn("__pt", bucketExpr(key, n))
     stageAndCommit(spark, tableDir, prev, withPt,
       prev.map(_.buckets.keys.toSeq).getOrElse(Nil), statsCols,
@@ -1932,7 +1969,8 @@ object PoolJsonSink {
               Some("OPTIMIZE"), keyCol = m.keyCol,
               statsCols = m.statsCols,
               splitCol = effSplit,
-              droppedCols = m.droppedCols))
+              droppedCols = m.droppedCols,
+              checks = m.checks))
         }
         fat
     }

@@ -46,7 +46,11 @@ class GraftBatchWrite(
     keyCol: String, nBuckets: Int, opName: String,
     scannedBuckets: () => Option[Set[Long]] = () => None,
     expectedVersion: () => Option[Long] = () => None,
-    splitCol: Option[String] = None)
+    splitCol: Option[String] = None,
+    // declared CHECK constraints, enforced per row executor-side: a
+    // row-level statement (UPDATE/MERGE SET clauses) can manufacture
+    // violating values no scan-side gate would see
+    checks: Seq[(String, String)] = Nil)
     extends BatchWrite {
 
   private val stageRel =
@@ -66,10 +70,29 @@ class GraftBatchWrite(
     val owf: OutputWriterFactory = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, fileSchema)
     new java.io.File(tableDir, stageRel).mkdirs()
+    // CHECK expressions analyze DRIVER-side (name resolution + type
+    // coercion — `v > 0` against a LONG column needs the literal
+    // cast the analyzer inserts); executors rebind the resolved tree
+    // to their own attribute instances by name
+    val analyzedChecks: Seq[(String,
+        org.apache.spark.sql.catalyst.expressions.Expression)] =
+      checks.map { case (n, sql) =>
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+        val attrs = incoming.fields.toSeq.map(f =>
+          AttributeReference(f.name, f.dataType, f.nullable)())
+        val cond = spark.sessionState.sqlParser.parseExpression(sql)
+        val analyzed = spark.sessionState.analyzer.execute(
+          Filter(cond, LocalRelation(attrs)))
+        analyzed.collectFirst { case f: Filter => f.condition }
+          .getOrElse(sys.error(
+            s"check '$n' ($sql) did not analyze to a filter"))
+      match { case c => n -> c }
+      }
     GraftDataWriterFactory(
       tableDir, stageRel, incoming, fileSchema, keyCol, nBuckets,
       owf, new SerializableConfiguration(job.getConfiguration),
-      splitCol)
+      splitCol, analyzedChecks)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -116,7 +139,9 @@ case class GraftDataWriterFactory(
     incoming: StructType, fileSchema: StructType,
     keyCol: String, nBuckets: Int,
     owf: OutputWriterFactory, conf: SerializableConfiguration,
-    splitCol: Option[String] = None)
+    splitCol: Option[String] = None,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriterFactory {
 
   override def createWriter(
@@ -149,6 +174,25 @@ class GraftDataWriter(
   // (bucket, split value) so COW statements stage value-pure files
   // too — open-writer count is buckets-per-task × values, the
   // cardinality trade the declaration opted into
+  // CHECK constraints: rebind the driver-analyzed tree to THIS
+  // task's attribute instances by name, then to ordinals. Eval per
+  // row, NULL passes (SQL CHECK); any violation fails the task ->
+  // the statement aborts wholly and the staged files never publish
+  private val checkExprs: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+    f.checks.map { case (n, analyzed) =>
+      val remapped = analyzed.transformUp {
+        case a: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference =>
+          byName.getOrElse(a.name, sys.error(
+            s"check '$n' references unknown column '${a.name}'"))
+      }
+      n -> org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(remapped, inAttrs)
+    }
+  private val violations =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
   private val splitAttr = f.splitCol.flatMap(byName.get)
   private val splitProj = splitAttr.map(a =>
     UnsafeProjection.create(Seq(a), inAttrs))
@@ -165,6 +209,10 @@ class GraftDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
+    checkExprs.foreach { case (n, e) =>
+      if (e.eval(row) == false)
+        violations.updateWith(n)(c => Some(c.getOrElse(0L) + 1L))
+    }
     val bucket = bucketProj(row).getLong(0)
     val splitKey: Any = (splitProj, splitAttr) match {
       case (Some(sp), Some(a)) =>
@@ -190,6 +238,11 @@ class GraftDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_._1.close())
+    if (violations.nonEmpty)
+      throw new IllegalArgumentException(
+        "check constraint(s) violated, statement rejected: " +
+          violations.map { case (n, c) => s"$n ($c rows)" }
+            .mkString(", "))
     GraftWriteCommit(writers.toSeq.map { case ((b, _), (_, name)) =>
       (b, name)
     })

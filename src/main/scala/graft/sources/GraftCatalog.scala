@@ -247,6 +247,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         bloomCols = colsProp(props, "bloomcols").getOrElse(Nil),
         splitCol = props.get("splitcol").map(_.trim)
           .filter(_.nonEmpty))
+      val declaredChecks = props.toSeq.collect {
+        case (k, v) if k.toLowerCase.startsWith("check.") =>
+          k.drop("check.".length) -> v.trim
+      }
+      if (declaredChecks.nonEmpty)
+        PoolJsonSink.commitTableProps(dir,
+          checks = Some(declaredChecks.sortBy(_._1)))
     }
     new GraftCatalogTable(fullName(ident), dir, None)
   }
@@ -446,7 +453,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var stats: Option[Seq[String]] = None
       var bloom: Option[Seq[String]] = None
       var split: Option[Option[String]] = None
+      var checks: Option[Seq[(String, String)]] = None
+      def curChecks: Seq[(String, String)] = checks.getOrElse(
+        PoolJsonSink.readManifest(dir).map(_.checks).getOrElse(Nil))
       propChanges.foreach {
+        case sp: TableChange.SetProperty
+            if sp.property.toLowerCase.startsWith("check.") =>
+          val name = sp.property.drop("check.".length)
+          require(name.matches("[A-Za-z0-9_-]+"),
+            s"${fullName(ident)}: check name '$name' must match " +
+              "[A-Za-z0-9_-]+")
+          val e = sp.value.trim
+          require(e.nonEmpty && !e.contains('\n'),
+            s"${fullName(ident)}: check '$name' needs a one-line " +
+              "boolean expression")
+          // adding a CHECK validates EXISTING data (the Delta rule):
+          // a constraint the table already violates is refused, not
+          // recorded-and-ignored
+          val bad = SparkSession.active.read.format("graft")
+            .load(dir).where(s"($e) = false").limit(1).count()
+          require(bad == 0L,
+            s"${fullName(ident)}: existing rows violate check " +
+              s"'$name' ($e) — clean the data first")
+          checks = Some(curChecks.filterNot(_._1 == name) :+ (name, e))
+        case rp: TableChange.RemoveProperty
+            if rp.property.toLowerCase.startsWith("check.") =>
+          val name = rp.property.drop("check.".length)
+          checks = Some(curChecks.filterNot(_._1 == name))
         case sp: TableChange.SetProperty
             if indexProps(sp.property.toLowerCase) =>
           if (sp.property.equalsIgnoreCase("splitcol"))
@@ -465,9 +498,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else split = Some(None)
         case other => sys.error(
           s"${fullName(ident)}: only the statscols/bloomcols/" +
-            s"splitcol properties can be altered, got $other")
+            s"splitcol/check.<name> properties can be altered, " +
+            s"got $other")
       }
-      PoolJsonSink.commitTableProps(dir, stats, bloom, split)
+      PoolJsonSink.commitTableProps(dir, stats, bloom, split, checks)
       if (colChanges.isEmpty)
         return new GraftCatalogTable(fullName(ident), dir, None)
     }
@@ -915,6 +949,7 @@ class GraftCatalogTable(
       (if (manifest.bloomCols.nonEmpty)
         Map("bloomcols" -> manifest.bloomCols.mkString(",")) else Map.empty) ++
       manifest.splitCol.map("splitcol" -> _) ++
+      manifest.checks.map { case (n, e) => s"check.$n" -> e } ++
       Map("version" -> manifest.version.toString)).asJava
 
   override def newScanBuilder(
@@ -1081,7 +1116,8 @@ class GraftCatalogTable(
                   () => Option(opScan).flatMap(_.runtimeBuckets),
                 expectedVersion =
                   () => Option(opScan).map(_.snapshotVersion),
-                splitCol = manifest.splitCol)
+                splitCol = manifest.splitCol,
+                checks = manifest.checks)
           }
         }
     }
