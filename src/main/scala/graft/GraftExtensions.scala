@@ -60,7 +60,9 @@ object GraftExtensions {
     entry("dot_product", classOf[functions.DotProduct],
       exprs => functions.DotProduct(exprs(0), exprs(1))),
     entry("pol_line_parse", classOf[functions.PolLineParse],
-      exprs => functions.PolLineParse(exprs.head)))
+      exprs => functions.PolLineParse(exprs.head)),
+    entry("levenshtein_within", classOf[functions.LevenshteinWithin],
+      exprs => functions.LevenshteinWithin(exprs(0), exprs(1), exprs(2))))
 
   /** Register into an ALREADY-RUNNING session (the extensions class
     * only applies to sessions built with `withExtensions` /

@@ -326,6 +326,64 @@ object DedupQueries {
     // generation with this metric in the verify stage.
     "d13_containment" -> ((s, d) => ngramContainment(s, d, BlockCap)),
 
+    // D14 — edit-distance near-dup: exact normalized Levenshtein
+    // similarity 1 - lev/max(len), floor 0.8, over the same
+    // block-capped (source) pair scaffold as d4/d13. Two exact
+    // prunings make it tractable: (1) the length band — lev >= |len_a
+    // - len_b|, so a pair with 5*|len_a - len_b| > max(len) can never
+    // reach 0.8 and is dropped BEFORE the O(n*m) DP (integer
+    // arithmetic: sim >= 0.8 <=> 5*lev <= max, no float edge cases);
+    // (2) the banded DP — Spark's 3-arg levenshtein(a, b, thr)
+    // computes only a 2*thr-wide diagonal band and early-exits to -1,
+    // O(n*thr) instead of O(n*m) per pair. At 100 TB the production
+    // path is d7 LSH candidates with this metric in the verify stage
+    // (like d8); d14's role is the oracle-checkable exact ground truth
+    // on bounded blocks.
+    "d14_edit_distance" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"),
+          length(col("text")).as("n"))
+      val narrow = docs.groupBy("source").count()
+        .filter(col("count") <= BlockCap).select("source")
+      val dd = docs.join(broadcast(narrow), Seq("source"))
+      // Fan the probe side out to the full parallelism with an
+      // EXPLICIT partition count: the pair stage below is
+      // CPU-quadratic while its input is byte-tiny, so a plain
+      // repartition gets coalesced right back to one partition by
+      // AQE (it sizes by bytes and cannot see downstream CPU) and the
+      // whole DP stage runs on one core — measured 12 s vs 1 s at
+      // sf0.1 on a 32-core box.
+      val fan = dd.sparkSession.sparkContext.defaultParallelism
+      val a = dd.repartition(fan, col("doc_id"))
+        .select(col("source"), col("doc_id").as("doc_a"),
+          col("text").as("ta"), col("n").as("na"))
+      val b = dd.select(col("source").as("source_b"), col("doc_id").as("doc_b"),
+        col("text").as("tb"), col("n").as("nb"))
+      // The lev projection must stay ABOVE the join and be evaluated
+      // ONCE: left alone, PushPredicateThroughJoin folds the lev
+      // filter into the join condition, where it lands BEFORE the
+      // cheap band/ordering conjuncts and evaluates the DP twice per
+      // RAW pair (measured ~100x: every un-banded pair pays the full
+      // DP, twice, then survivors a third time in the projection).
+      // The observe() node is the barrier — a filter cannot push
+      // below CollectMetrics without changing the observed count, so
+      // the optimizer leaves the single-eval shape alone; the metric
+      // itself (banded candidate pairs) is the operator's natural
+      // cost gauge.
+      a.join(b, col("source") === col("source_b") &&
+          col("doc_a") < col("doc_b") &&
+          abs(col("na") - col("nb")) * 5 <= greatest(col("na"), col("nb")))
+        .select(col("doc_a"), col("doc_b"),
+          greatest(col("na"), col("nb")).as("m"),
+          graft.functions.BandedLevenshtein(col("ta"), col("tb"),
+            (greatest(col("na"), col("nb")) / 5).cast("int")).as("lev"))
+        .observe("d14_banded_pairs", count(lit(1)).as("pairs"))
+        .filter(col("lev") >= 0 && col("lev") * 5 <= col("m"))
+        .select(col("doc_a"), col("doc_b"), col("lev"),
+          round(lit(1.0) - col("lev").cast("double") / col("m"), 4).as("sim"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // D5 — simhash (28-bit) over distinct word tokens: majority vote
     // per bit position, computed entirely inside one projection
     // (nested array folds — the token hashes are materialized once per
@@ -552,6 +610,23 @@ object DedupQueries {
          |JOIN sizes na ON na.doc_id = doc_a
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d14_edit_distance" ->
+      s"""WITH narrow AS (
+         |  SELECT source FROM documents GROUP BY source
+         |  HAVING count(*) <= $BlockCap),
+         |d AS (
+         |  SELECT doc_id, text, d.source, length(text) AS n
+         |  FROM documents d JOIN narrow USING (source)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    levenshtein(a.text, b.text) AS lev, greatest(a.n, b.n) AS m
+         |  FROM d a JOIN d b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id
+         |    AND abs(a.n - b.n) * 5 <= greatest(a.n, b.n))
+         |SELECT doc_a, doc_b, lev,
+         |  round(1.0 - CAST(lev AS DOUBLE) / m, 4) AS sim
+         |FROM pairs WHERE lev * 5 <= m
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d5_simhash" ->
       s"""WITH toks AS (
