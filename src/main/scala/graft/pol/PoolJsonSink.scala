@@ -888,6 +888,182 @@ object PoolJsonSink {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  // ------------------------------------------------------------------
+  // Branches — write-audit-publish (Iceberg refs / Delta shallow-clone
+  // staging, adapted to self-contained manifests). A branch is a FULL
+  // graft table at `_graft_branches/<name>/` whose data files are
+  // HARD LINKS to the parent's immutable files: zero bytes copied,
+  // O(files) namespace ops to create, and every existing writer,
+  // reader, CHECK constraint, stream, and procedure works on the
+  // branch verbatim because it is not a special mode — it is a table.
+  // The WAP loop: create_branch → write/merge/delete on the branch
+  // (parent readers never see it) → audit with plain SQL on the
+  // branch → publish_branch, which re-commits the branch head's
+  // CONTENT to the parent as ONE new version (squash publish) after
+  // hard-linking back any files the branch added. Publish is gated
+  // fast-forward-only: if the parent advanced past the fork point the
+  // publish fails with instructions, never merges silently.
+  //
+  // Vacuum stays sound in both directions with no new rules: the
+  // parent's vacuum unlinks parent NAMES (a branch's links keep the
+  // bytes alive), and a branch's vacuum is scoped to the branch dir.
+  // On a rename-less object store the links would become copies —
+  // there this design would swap to manifests recording parent-
+  // relative paths; the manifest format already carries relative
+  // paths so only createBranch/publish change.
+  // ------------------------------------------------------------------
+
+  private val BranchesDirName = "_graft_branches"
+
+  /** `tableDir/_graft_branches/<name>` — a branch IS a graft table
+    * rooted here.
+    */
+  def branchDir(tableDir: String, name: String): String = {
+    requireValidTagName(name)
+    new java.io.File(new java.io.File(tableDir, BranchesDirName), name)
+      .toString
+  }
+
+  /** Hard-link `rel` (and any bloom sidecars riding it) from
+    * `fromDir` into `toDir`, creating parents; EEXIST is benign — the
+    * UUID file names are immutable content, so an existing target is
+    * the same bytes (a previous partial publish/create).
+    */
+  private def linkFileAcross(fromDir: String, toDir: String,
+      rel: String): Unit = {
+    val src = new java.io.File(fromDir, rel)
+    val dst = new java.io.File(toDir, rel)
+    dst.getParentFile.mkdirs()
+    try Files.createLink(dst.toPath, src.toPath)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // sidecars live beside the data file as <rel>.bloom-<col>
+    val dir = src.getParentFile
+    val base = src.getName
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"$base.bloom-"))
+      .foreach { f =>
+        val d = new java.io.File(dst.getParentFile, f.getName)
+        try Files.createLink(d.toPath, f.toPath)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+  }
+
+  /** Create branch `name` from `fromRef` (version number or tag;
+    * default = current head): hard-link the fork snapshot's files
+    * into the branch dir and commit the fork manifest there AT ITS
+    * OWN VERSION NUMBER — so the branch's smallest on-disk version IS
+    * the fork point (publish reads it back from disk rather than
+    * trusting a side channel), and branch commits continue from it.
+    * Returns the fork version.
+    */
+  def createBranch(tableDir: String, name: String,
+      fromRef: Option[String] = None): Long = {
+    val bdir = branchDir(tableDir, name)
+    require(!new java.io.File(bdir).exists(),
+      s"$tableDir: branch '$name' already exists")
+    val forkV = fromRef.map(resolveVersionRef(tableDir, _)).getOrElse(
+      readManifest(tableDir).map(_.version).getOrElse(
+        sys.error(s"$tableDir: not a graft table (no manifest)")))
+    val fork = readManifestAt(tableDir, forkV)
+    new java.io.File(bdir, "data").mkdirs()
+    fork.files.foreach(linkFileAcross(tableDir, bdir, _))
+    commitManifest(bdir, fork.copy(
+      op = Some("BRANCH"),
+      commitTimeMs = Some(System.currentTimeMillis())))
+    forkV
+  }
+
+  /** All branches: name -> (fork version, head version). */
+  def listBranches(tableDir: String): Map[String, (Long, Long)] =
+    Option(new java.io.File(tableDir, BranchesDirName).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap { d =>
+        val vs = listVersions(d.toString)
+        if (vs.isEmpty) None else Some(d.getName -> (vs.head, vs.last))
+      }.toMap
+
+  /** Drop a branch: its manifests and data LINKS go away; bytes the
+    * parent still references are untouched (link semantics). Returns
+    * whether the branch existed.
+    */
+  def dropBranch(tableDir: String, name: String): Boolean = {
+    val d = new java.io.File(branchDir(tableDir, name))
+    val existed = d.isDirectory
+    if (existed) deleteRecursively(d)
+    existed
+  }
+
+  /** Publish the branch: commit the branch HEAD's content to the
+    * parent as one new version (op PUBLISH), after hard-linking back
+    * every file the branch added. Fast-forward only — if the parent
+    * advanced past the fork point, fails with the Iceberg
+    * `fast_forward` contract's message (re-create the branch from the
+    * new head and re-apply; silent merging of diverged histories is
+    * exactly what WAP exists to prevent). A no-change branch
+    * publishes as a no-op returning the parent head. Returns the new
+    * parent version.
+    */
+  def publishBranch(tableDir: String, name: String): Long = {
+    val bdir = branchDir(tableDir, name)
+    val vs = listVersions(bdir)
+    require(vs.nonEmpty, s"$tableDir: no branch '$name' (have: " +
+      s"${listBranches(tableDir).keys.toSeq.sorted.mkString(", ")})")
+    val fork = vs.head
+    val head = readManifestAt(bdir, vs.last)
+    val cur = readManifest(tableDir).getOrElse(
+      sys.error(s"$tableDir: not a graft table (no manifest)"))
+    if (cur.version != fork) sys.error(
+      s"$tableDir: branch '$name' forked at v$fork but the table is " +
+        s"at v${cur.version} — not a fast-forward. Re-create the " +
+        "branch from the current head and re-apply its changes.")
+    if (vs.last == fork) return cur.version // nothing committed on it
+    head.files.foreach { rel =>
+      if (!new java.io.File(tableDir, rel).isFile)
+        linkFileAcross(bdir, tableDir, rel)
+    }
+    val m = head.copy(
+      version = cur.version + 1,
+      op = Some("PUBLISH"),
+      commitTimeMs = Some(System.currentTimeMillis()))
+    try commitManifest(tableDir, m)
+    catch {
+      case _: java.util.ConcurrentModificationException => sys.error(
+        s"$tableDir: a concurrent commit landed during publish of " +
+          s"'$name' — no longer a fast-forward; re-create the branch " +
+          "from the new head and re-apply its changes.")
+    }
+    m.version
+  }
+
+  /** `.branches` sub-table rows: branch, fork/head versions, commits
+    * on the branch, and the head's operation + commit time.
+    */
+  def tableBranches(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = listBranches(tableDir).toSeq.sortBy(_._1)
+      .map { case (n, (fork, head)) =>
+        val m = scala.util.Try(
+          readManifestAt(branchDir(tableDir, n), head)).toOption
+        org.apache.spark.sql.Row(
+          n, fork, head, head - fork,
+          m.flatMap(_.op).orNull,
+          m.flatMap(_.commitTimeMs)
+            .map(new java.sql.Timestamp(_)).orNull)
+      }
+    val schema = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false),
+      StructField("commits", LongType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("commit_ts", TimestampType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Restore the table to the CONTENT of `toVersion` as a NEW commit
     * (Delta `RESTORE` / Iceberg `rollback`): the target manifest's
     * file set, schema, and table properties are re-committed at

@@ -146,7 +146,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // real table at the identifier wins.
     if (!exists(ident) && ident.namespace.length >= 2 &&
         (ident.name == "files" || ident.name == "history" ||
-          ident.name == "tags")) {
+          ident.name == "tags" || ident.name == "branches")) {
       val parent = Identifier.of(
         ident.namespace.dropRight(1), ident.namespace.last)
       if (exists(parent)) {
@@ -155,8 +155,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         return ident.name match {
           case "files" => new GraftFilesTable(full, dir)
           case "history" => new GraftHistoryTable(full, dir)
+          case "branches" => new GraftBranchesTable(full, dir)
           case _ => new GraftTagsTable(full, dir)
         }
+      }
+    }
+    // `<ns>.<table>.branch_<name>` — a BRANCH addressed as a table
+    // (Iceberg's branch_ identifier convention). A branch dir IS a
+    // full graft table, so this face is readable AND writable:
+    // `INSERT INTO gcat.default.t.branch_audit ...` runs the normal
+    // keyed merge against the branch (CHECK constraints and table
+    // properties ride the forked manifest), while the parent stays
+    // untouched until `CALL system.publish_branch`. Same shadowing
+    // rule: a real table at the identifier wins.
+    if (!exists(ident) && ident.name.startsWith("branch_") &&
+        ident.namespace.length >= 2) {
+      val parent = Identifier.of(
+        ident.namespace.dropRight(1), ident.namespace.last)
+      val bname = ident.name.stripPrefix("branch_")
+      if (exists(parent) && bname.nonEmpty) {
+        val pdir = dataDir(parent).toString
+        if (PoolJsonSink.listBranches(pdir).contains(bname))
+          return new GraftCatalogTable(
+            s"${fullName(parent)}.branch_$bname",
+            PoolJsonSink.branchDir(pdir, bname), None)
       }
     }
     if (!exists(ident)) throw new NoSuchTableException(ident)
@@ -171,6 +193,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = dataDir(ident).toString
+    // a non-numeric ref that is not a tag may name a BRANCH: read its
+    // head (tags win on a name collision — they are the immutable
+    // pin, the branch is addressable as `<t>.branch_<name>` too)
+    if (!version.forall(_.isDigit) &&
+        !PoolJsonSink.listTags(dir).contains(version) &&
+        PoolJsonSink.listBranches(dir).contains(version))
+      return new GraftCatalogTable(
+        s"${fullName(ident)}@$version",
+        PoolJsonSink.branchDir(dir, version), None)
     val v = PoolJsonSink.resolveVersionRef(dir, version)
     new GraftCatalogTable(s"${fullName(ident)}@v$v", dir, Some(v))
   }
@@ -842,6 +873,32 @@ private[sources] class GraftTagsTable(ident: String, tableDir: String)
     extends Table with SupportsRead {
 
   private lazy val df = PoolJsonSink.tableTags(
+    SparkSession.active, tableDir)
+
+  override def name(): String = ident
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = df.schema
+      override def description(): String = s"$ident (manifest-only)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        df.queryExecution.executedPlan.executeCollect()
+    }
+}
+
+/** `<table>.branches` — the WAP branches as a queryable sub-table:
+  * one row per branch with fork/head versions, commit count, and the
+  * head's operation + commit time. "What staging work is in flight
+  * against this table?" is one SQL query.
+  */
+private[sources] class GraftBranchesTable(ident: String, tableDir: String)
+    extends Table with SupportsRead {
+
+  private lazy val df = PoolJsonSink.tableBranches(
     SparkSession.active, tableDir)
 
   override def name(): String = ident

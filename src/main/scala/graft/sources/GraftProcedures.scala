@@ -32,7 +32,8 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("optimize", "vacuum", "history", "split", "analyze",
-      "rollback", "tag", "drop_tag")
+      "rollback", "tag", "drop_tag",
+      "create_branch", "publish_branch", "drop_branch")
 
   private def str(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -280,6 +281,80 @@ object GraftProcedures {
             override def call(in: InternalRow): java.util.Iterator[Scan] = {
               val dir = catalog.resolveDataDir(in.getString(0))
               val existed = PoolJsonSink.dropTag(dir, in.getString(1))
+              one(StructType(Seq(
+                StructField("existed", BooleanType, false))),
+                existed)
+            }
+          }
+      }
+      case "create_branch" => new UnboundProcedure {
+        override def name(): String = "create_branch"
+        override def description(): String =
+          "fork a write-audit-publish branch: a full graft table of " +
+            "hard-linked files, writable as <t>.branch_<name>"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "create_branch"
+            override def description(): String = "graft CREATE BRANCH"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("name", StringType).build(),
+              ProcedureParameter.in("from", StringType)
+                .defaultValue("CAST(NULL AS STRING)")
+                .comment("version number or tag to fork from " +
+                  "(default: current head)").build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val fork = PoolJsonSink.createBranch(dir, in.getString(1),
+                if (in.isNullAt(2)) None else Some(in.getString(2)))
+              one(StructType(Seq(
+                StructField("branch", StringType, false),
+                StructField("fork_version", LongType, false))),
+                str(in.getString(1)), fork)
+            }
+          }
+      }
+      case "publish_branch" => new UnboundProcedure {
+        override def name(): String = "publish_branch"
+        override def description(): String =
+          "fast-forward the branch's audited content into the table " +
+            "as ONE new commit (fails if the table advanced past the " +
+            "fork point)"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "publish_branch"
+            override def description(): String = "graft PUBLISH BRANCH"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("name", StringType).build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val v = PoolJsonSink.publishBranch(dir, in.getString(1))
+              one(StructType(Seq(
+                StructField("branch", StringType, false),
+                StructField("published_version", LongType, false))),
+                str(in.getString(1)), v)
+            }
+          }
+      }
+      case "drop_branch" => new UnboundProcedure {
+        override def name(): String = "drop_branch"
+        override def description(): String =
+          "drop a branch: its manifests and file LINKS go away; " +
+            "bytes the table still references are untouched"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "drop_branch"
+            override def description(): String = "graft DROP BRANCH"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("name", StringType).build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val dir = catalog.resolveDataDir(in.getString(0))
+              val existed = PoolJsonSink.dropBranch(dir, in.getString(1))
               one(StructType(Seq(
                 StructField("existed", BooleanType, false))),
                 existed)

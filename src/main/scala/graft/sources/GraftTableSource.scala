@@ -111,8 +111,14 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
     import org.apache.spark.sql.SaveMode._
-    val path = parameters.getOrElse("path",
+    val rawPath = parameters.getOrElse("path",
       sys.error("graft source requires a 'path' option"))
+    // option("branch", name): write lands on the WAP branch (a full
+    // graft table), leaving the parent untouched until publish
+    val path = parameters.get("branch") match {
+      case Some(b) => PoolJsonSink.branchDir(rawPath, b)
+      case None => rawPath
+    }
     val key = parameters.get("key")
       .orElse(PoolJsonSink.readManifest(path).flatMap(_.keyCol))
       .getOrElse(sys.error(
@@ -243,8 +249,14 @@ class GraftTableSource extends RelationProvider with DataSourceRegister
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
+    val basePath = parameters.getOrElse("path",
       sys.error("graft source requires a 'path' option"))
+    // option("branch", name): address the WAP branch — a branch dir
+    // IS a graft table, so every read flavor below works on it
+    val path = parameters.get("branch") match {
+      case Some(b) => PoolJsonSink.branchDir(basePath, b)
+      case None => basePath
+    }
     if (parameters.get("history").exists(_.toBoolean))
       GraftHistoryRelation(path)(sqlContext)
     else parameters.get("changesFrom") match {

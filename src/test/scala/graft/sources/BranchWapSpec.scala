@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.QueryHarness.spark
+import graft.pol.PoolJsonSink
+
+/** Write-audit-publish branches, end to end in SQL:
+  * `system.create_branch` forks a hard-link clone, writes against
+  * `<t>.branch_<name>` (keyed merges, CHECK constraints) leave the
+  * parent untouched, the audit is plain SQL on the branch,
+  * `system.publish_branch` fast-forwards the audited content into the
+  * parent as ONE commit — and refuses when the parent diverged. Also
+  * pins the vacuum contract in both directions: the parent reclaiming
+  * a file name never breaks a branch that still links it.
+  */
+class BranchWapSpec extends AnyFunSuite {
+
+  private val wh = java.nio.file.Files
+    .createTempDirectory("graft_wap_wh").toString
+  spark.conf.set("spark.sql.catalog.gwap", "graft.sources.GraftCatalog")
+  spark.conf.set("spark.sql.catalog.gwap.warehouse", wh)
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+
+  test("WAP loop: fork, write on branch, parent isolated, audit, publish") {
+    spark.sql("CREATE TABLE gwap.default.t (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.t VALUES (1, 'a'), (2, 'b')")
+    val parentV0 = PoolJsonSink.readManifest(s"$wh/default/t").get.version
+
+    val forked = spark.sql(
+      "CALL gwap.system.create_branch(tbl => 'default.t', " +
+        "name => 'audit')").collect()
+    assert(forked.head.getLong(1) == parentV0)
+
+    // write through the branch face: keyed merge (2 updated, 1 new)
+    spark.sql("INSERT INTO gwap.default.t.branch_audit " +
+      "VALUES (2, 'B'), (3, 'c')")
+
+    // parent sees NOTHING of it
+    assert(rows("SELECT k, v FROM gwap.default.t ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    assert(PoolJsonSink.readManifest(s"$wh/default/t").get.version
+      == parentV0)
+
+    // the audit is plain SQL on the branch — both addressing forms
+    assert(rows(
+      "SELECT k, v FROM gwap.default.t.branch_audit ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c")))
+    assert(rows(
+      "SELECT k, v FROM gwap.default.t VERSION AS OF 'audit' ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c")))
+
+    // .branches sub-table: one in-flight branch, one commit on it
+    val b = spark.sql("SELECT branch, fork_version, head_version, " +
+      "commits FROM gwap.default.t.branches").collect()
+    assert(b.map(_.getString(0)).toSeq == Seq("audit"))
+    assert(b.head.getLong(3) == 1L)
+
+    // publish: ONE new parent commit with the branch content
+    val pub = spark.sql(
+      "CALL gwap.system.publish_branch(tbl => 'default.t', " +
+        "name => 'audit')").collect()
+    assert(pub.head.getLong(1) == parentV0 + 1)
+    assert(rows("SELECT k, v FROM gwap.default.t ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c")))
+    val hist = spark.sql("SELECT operation FROM gwap.default.t.history " +
+      s"WHERE version = ${parentV0 + 1}").collect()
+    assert(hist.head.getString(0) == "PUBLISH")
+
+    // drop: the branch face disappears, the parent keeps the content
+    spark.sql("CALL gwap.system.drop_branch(tbl => 'default.t', " +
+      "name => 'audit')")
+    assert(spark.sql("SELECT * FROM gwap.default.t.branches").isEmpty)
+    assert(rows("SELECT count(*) FROM gwap.default.t") == Seq(Seq(3L)))
+  }
+
+  test("publish refuses when the parent diverged (fast-forward only)") {
+    spark.sql("CREATE TABLE gwap.default.ff (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.ff VALUES (1, 'a')")
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.ff', " +
+      "name => 'stale')")
+    spark.sql("INSERT INTO gwap.default.ff.branch_stale VALUES (2, 'b')")
+    // parent advances past the fork point
+    spark.sql("INSERT INTO gwap.default.ff VALUES (9, 'z')")
+    val e = intercept[Exception] {
+      spark.sql("CALL gwap.system.publish_branch(tbl => 'default.ff', " +
+        "name => 'stale')").collect()
+    }
+    assert(e.getMessage.contains("not a fast-forward"))
+    // parent content is exactly its own writes
+    assert(rows("SELECT k, v FROM gwap.default.ff ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(9L, "z")))
+  }
+
+  test("CHECK constraints ride the fork and gate branch writes") {
+    spark.sql("CREATE TABLE gwap.default.ck (k BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4', " +
+      "'check.positive'='v > 0')")
+    spark.sql("INSERT INTO gwap.default.ck VALUES (1, 10)")
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.ck', " +
+      "name => 'w')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gwap.default.ck.branch_w VALUES (2, -5)")
+    }
+    assert(e.getMessage.contains("violated"))
+    spark.sql("INSERT INTO gwap.default.ck.branch_w VALUES (2, 5)")
+    spark.sql("CALL gwap.system.publish_branch(tbl => 'default.ck', " +
+      "name => 'w')")
+    assert(rows("SELECT k, v FROM gwap.default.ck ORDER BY k") ==
+      Seq(Seq(1L, 10L), Seq(2L, 5L)))
+  }
+
+  test("no-op publish, duplicate create, unknown branch") {
+    spark.sql("CREATE TABLE gwap.default.e (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.e VALUES (1, 'a')")
+    val head = PoolJsonSink.readManifest(s"$wh/default/e").get.version
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.e', " +
+      "name => 'idle')")
+    // nothing committed on the branch → publish is a no-op at head
+    val pub = spark.sql("CALL gwap.system.publish_branch(" +
+      "tbl => 'default.e', name => 'idle')").collect()
+    assert(pub.head.getLong(1) == head)
+    val dup = intercept[Exception] {
+      spark.sql("CALL gwap.system.create_branch(tbl => 'default.e', " +
+        "name => 'idle')").collect()
+    }
+    assert(dup.getMessage.contains("already exists"))
+    val missing = intercept[Exception] {
+      spark.sql("CALL gwap.system.publish_branch(tbl => 'default.e', " +
+        "name => 'nope')").collect()
+    }
+    assert(missing.getMessage.contains("no branch"))
+  }
+
+  test("parent vacuum cannot break a live branch (hard-link safety)") {
+    spark.sql("CREATE TABLE gwap.default.vc (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.vc VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.vc', " +
+      "name => 'keep')")
+    // parent rewrites everything (merge on both keys), then vacuums
+    // to retain only the new version: the OLD files' parent names go
+    spark.sql("INSERT INTO gwap.default.vc VALUES (1, 'A'), (2, 'B')")
+    spark.sql("CALL gwap.system.vacuum(tbl => 'default.vc', " +
+      "retain => 1)").collect()
+    // the branch still reads its fork snapshot through its own links
+    assert(rows(
+      "SELECT k, v FROM gwap.default.vc.branch_keep ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // and branch vacuum is scoped to the branch dir: parent unharmed
+    PoolJsonSink.vacuum(
+      PoolJsonSink.branchDir(s"$wh/default/vc", "keep"))
+    assert(rows("SELECT k, v FROM gwap.default.vc ORDER BY k") ==
+      Seq(Seq(1L, "A"), Seq(2L, "B")))
+  }
+
+  test("path face: option(branch) reads and writes the branch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wap_path").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.format("graft")
+      .option("key", "k").option("nBuckets", "4").save(dir)
+    PoolJsonSink.createBranch(dir, "side")
+    Seq((2L, "b")).toDF("k", "v").write.format("graft")
+      .option("key", "k").option("branch", "side")
+      .mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 1)
+    assert(spark.read.format("graft").option("branch", "side")
+      .load(dir).count() == 2)
+    PoolJsonSink.publishBranch(dir, "side")
+    assert(spark.read.format("graft").load(dir).count() == 2)
+  }
+
+  test("branch from a tag, tag wins VERSION AS OF name collisions") {
+    spark.sql("CREATE TABLE gwap.default.tg (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.tg VALUES (1, 'a')")
+    val v1 = PoolJsonSink.readManifest(s"$wh/default/tg").get.version
+    spark.sql(s"CALL gwap.system.tag(tbl => 'default.tg', " +
+      s"name => 'r1', version => $v1)")
+    spark.sql("INSERT INTO gwap.default.tg VALUES (2, 'b')")
+    // fork from the TAG, not the head
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.tg', " +
+      "name => 'from-r1', from => 'r1')")
+    assert(rows("SELECT k FROM gwap.default.tg.`branch_from-r1`") ==
+      Seq(Seq(1L)))
+    // a branch named like the tag: VERSION AS OF resolves the TAG
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.tg', " +
+      "name => 'r1x')")
+    assert(rows(
+      "SELECT k FROM gwap.default.tg VERSION AS OF 'r1' ORDER BY k") ==
+      Seq(Seq(1L)))
+  }
+}
