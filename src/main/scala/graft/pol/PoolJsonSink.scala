@@ -927,25 +927,27 @@ object PoolJsonSink {
   /** Hard-link `rel` (and any bloom sidecars riding it) from
     * `fromDir` into `toDir`, creating parents; EEXIST is benign — the
     * UUID file names are immutable content, so an existing target is
-    * the same bytes (a previous partial publish/create).
+    * the same bytes (a previous partial publish/create). Sidecar
+    * names are CONSTRUCTED from the manifest's recorded bloomCols
+    * (`<rel>.bloom-<col>`), never discovered by listing the data dir —
+    * a per-file directory listing made branch creation O(files²)
+    * (measured 14× cost for 4× files at the 2048-file probe).
     */
   private def linkFileAcross(fromDir: String, toDir: String,
-      rel: String): Unit = {
+      rel: String, bloomCols: Seq[String]): Unit = {
     val src = new java.io.File(fromDir, rel)
     val dst = new java.io.File(toDir, rel)
     dst.getParentFile.mkdirs()
     try Files.createLink(dst.toPath, src.toPath)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    // sidecars live beside the data file as <rel>.bloom-<col>
-    val dir = src.getParentFile
-    val base = src.getName
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(s"$base.bloom-"))
-      .foreach { f =>
-        val d = new java.io.File(dst.getParentFile, f.getName)
-        try Files.createLink(d.toPath, f.toPath)
+    bloomCols.foreach { c =>
+      val s = new java.io.File(fromDir, s"$rel.bloom-$c")
+      if (s.isFile) {
+        val d = new java.io.File(toDir, s"$rel.bloom-$c")
+        try Files.createLink(d.toPath, s.toPath)
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
+    }
   }
 
   /** Create branch `name` from `fromRef` (version number or tag;
@@ -966,7 +968,7 @@ object PoolJsonSink {
         sys.error(s"$tableDir: not a graft table (no manifest)")))
     val fork = readManifestAt(tableDir, forkV)
     new java.io.File(bdir, "data").mkdirs()
-    fork.files.foreach(linkFileAcross(tableDir, bdir, _))
+    fork.files.foreach(linkFileAcross(tableDir, bdir, _, fork.bloomCols))
     commitManifest(bdir, fork.copy(
       op = Some("BRANCH"),
       commitTimeMs = Some(System.currentTimeMillis())))
@@ -1020,7 +1022,7 @@ object PoolJsonSink {
     if (vs.last == fork) return cur.version // nothing committed on it
     head.files.foreach { rel =>
       if (!new java.io.File(tableDir, rel).isFile)
-        linkFileAcross(bdir, tableDir, rel)
+        linkFileAcross(bdir, tableDir, rel, head.bloomCols)
     }
     val m = head.copy(
       version = cur.version + 1,

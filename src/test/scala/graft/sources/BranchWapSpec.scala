@@ -176,6 +176,25 @@ class BranchWapSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dir).count() == 2)
   }
 
+  test("bloom sidecars ride the fork (constructed names, no listing)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wap_bloom").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.format("graft")
+      .option("key", "k").option("nBuckets", "4")
+      .option("bloomCols", "k").save(dir)
+    val sidecarsParent = PoolJsonSink.readManifest(dir).get.files
+      .map(rel => new java.io.File(dir, s"$rel.bloom-k"))
+      .count(_.isFile)
+    assert(sidecarsParent > 0, "probe premise: parent has sidecars")
+    PoolJsonSink.createBranch(dir, "b")
+    val bdir = PoolJsonSink.branchDir(dir, "b")
+    val sidecarsBranch = PoolJsonSink.readManifest(bdir).get.files
+      .map(rel => new java.io.File(bdir, s"$rel.bloom-k"))
+      .count(_.isFile)
+    assert(sidecarsBranch == sidecarsParent)
+  }
+
   test("branch from a tag, tag wins VERSION AS OF name collisions") {
     spark.sql("CREATE TABLE gwap.default.tg (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
