@@ -384,6 +384,42 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // D15 — the PRODUCTION edit-distance chain: d7's capped-LSH
+    // candidates verified with the banded Levenshtein kernel (the
+    // composition d14's docs promise — d14 itself is the
+    // block-capped exact baseline). Work is O(|candidates| · n·thr):
+    // the LSH stage prunes the pair space, the band prunes the DP,
+    // and the -1 sentinel (distance proven > max/5, computation
+    // abandoned early) is part of the cross-engine contract — the
+    // oracle reproduces it as a CASE over the full distance. On the
+    // testdata the candidates split ~23 true near-dups (sim ≥ 0.93)
+    // and 3 LSH false positives (sim ≈ 0.33) that verify kills.
+    "d15_lsh_lev_verify" -> ((s, d) => {
+      val cands = queries("d7_lsh_bucket_cap")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val candDocs = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      // texts ONLY for candidate docs (d8's semi-join discipline)
+      val txt = documents(s, d).select(col("doc_id"), col("text"))
+        .join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      val scored = cands.hint("shuffle_hash")
+        .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+          .hint("shuffle_hash"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          greatest(length(col("ta")), length(col("tb"))).as("m"),
+          graft.functions.BandedLevenshtein(col("ta"), col("tb"),
+            (greatest(length(col("ta")), length(col("tb"))) / 5)
+              .cast("int")).as("lev"))
+      scored.select(col("doc_a"), col("doc_b"), col("lev"),
+          when(col("lev") >= 0,
+            round(lit(1.0) - col("lev").cast("double") / col("m"), 4))
+            .as("sim"),
+          (col("lev") >= 0).as("is_dup"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // D5 — simhash (28-bit) over distinct word tokens: majority vote
     // per bit position, computed entirely inside one projection
     // (nested array folds — the token hashes are materialized once per
@@ -611,6 +647,32 @@ object DedupQueries {
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "d15_lsh_lev_verify" ->
+      s"""WITH hashed AS (SELECT doc_id, $sqlShingleHashes AS hs FROM documents),
+         |sigs AS (SELECT doc_id, $sqlSig AS sig FROM hashed),
+         |banded AS (
+         |  SELECT doc_id, sig, unnest([${sqlBuckets.mkString(", ")}]) AS bucket
+         |  FROM sigs),
+         |narrow AS (
+         |  SELECT bucket FROM banded GROUP BY bucket HAVING count(*) <= $BucketCap),
+         |capped AS (SELECT banded.* FROM banded JOIN narrow USING (bucket)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    levenshtein(ta.text, tb.text) AS full_lev,
+         |    greatest(length(ta.text), length(tb.text)) AS m
+         |  FROM cand
+         |  JOIN documents ta ON ta.doc_id = doc_a
+         |  JOIN documents tb ON tb.doc_id = doc_b)
+         |SELECT doc_a, doc_b,
+         |  CASE WHEN full_lev * 5 <= m THEN full_lev ELSE -1 END AS lev,
+         |  CASE WHEN full_lev * 5 <= m
+         |       THEN round(1.0 - CAST(full_lev AS DOUBLE) / m, 4) END AS sim,
+         |  full_lev * 5 <= m AS is_dup
+         |FROM scored ORDER BY doc_a, doc_b""".stripMargin,
     "d14_edit_distance" ->
       s"""WITH narrow AS (
          |  SELECT source FROM documents GROUP BY source

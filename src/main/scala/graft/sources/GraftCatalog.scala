@@ -117,7 +117,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(f => Identifier.of(namespace, f.getName))
   }
 
-  override def tableExists(ident: Identifier): Boolean = exists(ident)
+  override def tableExists(ident: Identifier): Boolean =
+    exists(ident) || {
+      // a live branch face EXISTS as a table: without this, writers
+      // that probe existence first (streaming toTable, CTAS, INSERT
+      // with createIfNotExists semantics) would CREATE a real table
+      // named branch_<x> that then shadows the branch — loadTable and
+      // tableExists must agree on the addressable surface
+      ident.name.startsWith("branch_") && ident.namespace.length >= 2 && {
+        val parent = Identifier.of(
+          ident.namespace.dropRight(1), ident.namespace.last)
+        val bname = ident.name.stripPrefix("branch_")
+        bname.nonEmpty && exists(parent) &&
+          PoolJsonSink.listBranches(dataDir(parent).toString)
+            .contains(bname)
+      }
+    }
 
   override def loadTable(ident: Identifier): Table = {
     // `<ns>.<table>.changes` — the change-feed SUB-TABLE (the Iceberg

@@ -176,6 +176,42 @@ class BranchWapSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dir).count() == 2)
   }
 
+  test("row-level SQL and streams land on the branch face too") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gwap.default.rl (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.rl VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.rl', " +
+      "name => 's')")
+    // MERGE INTO the branch: V2 row-level op against the branch table
+    spark.sql("""MERGE INTO gwap.default.rl.branch_s t
+      USING (SELECT 2L AS k, 'B' AS v UNION ALL SELECT 3L, 'c') s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // DELETE on the branch
+    spark.sql("DELETE FROM gwap.default.rl.branch_s WHERE k = 1")
+    assert(rows("SELECT k, v FROM gwap.default.rl.branch_s ORDER BY k") ==
+      Seq(Seq(2L, "B"), Seq(3L, "c")))
+    // parent untouched through all of it
+    assert(rows("SELECT k, v FROM gwap.default.rl ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // a micro-batch stream into the branch face
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_wap_src").toString
+    Seq((9L, "z")).toDF("k", "v")
+      .write.mode("append").json(srcDir)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_wap_ckpt").toString
+    val q = spark.readStream.schema("k BIGINT, v STRING").json(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("gwap.default.rl.branch_s")
+    q.processAllAvailable(); q.stop()
+    assert(rows("SELECT k FROM gwap.default.rl.branch_s ORDER BY k") ==
+      Seq(Seq(2L), Seq(3L), Seq(9L)))
+    assert(rows("SELECT count(*) FROM gwap.default.rl") == Seq(Seq(2L)))
+  }
+
   test("bloom sidecars ride the fork (constructed names, no listing)") {
     import spark.implicits._
     val dir = java.nio.file.Files
