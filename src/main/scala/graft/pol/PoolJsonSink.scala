@@ -963,16 +963,43 @@ object PoolJsonSink {
     val bdir = branchDir(tableDir, name)
     require(!new java.io.File(bdir).exists(),
       s"$tableDir: branch '$name' already exists")
-    val forkV = fromRef.map(resolveVersionRef(tableDir, _)).getOrElse(
-      readManifest(tableDir).map(_.version).getOrElse(
-        sys.error(s"$tableDir: not a graft table (no manifest)")))
-    val fork = readManifestAt(tableDir, forkV)
-    new java.io.File(bdir, "data").mkdirs()
-    fork.files.foreach(linkFileAcross(tableDir, bdir, _, fork.bloomCols))
-    commitManifest(bdir, fork.copy(
-      op = Some("BRANCH"),
+    linkFork(tableDir, bdir, fromRef, op = "BRANCH")
+  }
+
+  /** Shared fork kernel for branches and clones: hard-link the
+    * snapshot `fromRef` resolves to (default head) from `srcDir` into
+    * `dstDir` and commit its manifest there AT ITS OWN VERSION NUMBER
+    * with the given op. Returns the fork version.
+    */
+  private def linkFork(srcDir: String, dstDir: String,
+      fromRef: Option[String], op: String): Long = {
+    val forkV = fromRef.map(resolveVersionRef(srcDir, _)).getOrElse(
+      readManifest(srcDir).map(_.version).getOrElse(
+        sys.error(s"$srcDir: not a graft table (no manifest)")))
+    val fork = readManifestAt(srcDir, forkV)
+    new java.io.File(dstDir, "data").mkdirs()
+    fork.files.foreach(linkFileAcross(srcDir, dstDir, _, fork.bloomCols))
+    commitManifest(dstDir, fork.copy(
+      op = Some(op),
       commitTimeMs = Some(System.currentTimeMillis())))
     forkV
+  }
+
+  /** Zero-copy table clone (Delta SHALLOW CLONE with hard-link
+    * durability): the target becomes an INDEPENDENT graft table whose
+    * initial version is the source snapshot — same schema, key,
+    * properties, CHECK constraints, stats — sharing bytes through
+    * links. Unlike a true shallow clone there is no reference back to
+    * the source: either side's vacuum/rewrites can never invalidate
+    * the other (link semantics), which is the correct durability
+    * trade for dev/test copies of production tables. O(files)
+    * namespace ops at any data size.
+    */
+  def cloneTable(srcDir: String, dstDir: String,
+      fromRef: Option[String] = None): Long = {
+    require(readManifest(dstDir).isEmpty,
+      s"$dstDir: already a graft table — clone refuses to overwrite")
+    linkFork(srcDir, dstDir, fromRef, op = "CLONE")
   }
 
   /** All branches: name -> (fork version, head version). */

@@ -702,6 +702,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     dataDir(ident).toString
   }
 
+  /** Register a NEW (empty) table entry for a procedure that
+    * manufactures table content out-of-band (system.clone): validates
+    * the namespace exists and the name is free, creates the entry
+    * dir, returns the data dir for the caller to populate.
+    */
+  private[sources] def createEntryFor(tbl: String): String = {
+    val parts = tbl.split('.')
+    val ident =
+      if (parts.length >= 2)
+        Identifier.of(parts.dropRight(1), parts.last)
+      else Identifier.of(Array("default"), tbl)
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    val entry = tableEntry(ident)
+    if (!entry.getParentFile.isDirectory)
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace)
+    entry.mkdirs()
+    dataDir(ident).toString
+  }
+
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),

@@ -33,7 +33,7 @@ object GraftProcedures {
   val Names: Seq[String] =
     Seq("optimize", "vacuum", "history", "split", "analyze",
       "rollback", "tag", "drop_tag",
-      "create_branch", "publish_branch", "drop_branch")
+      "create_branch", "publish_branch", "drop_branch", "clone")
 
   private def str(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -358,6 +358,38 @@ object GraftProcedures {
               one(StructType(Seq(
                 StructField("existed", BooleanType, false))),
                 existed)
+            }
+          }
+      }
+      case "clone" => new UnboundProcedure {
+        override def name(): String = "clone"
+        override def description(): String =
+          "zero-copy clone: register <target> as an independent graft " +
+            "table whose initial version is <tbl>'s snapshot (hard " +
+            "links — O(files), no data bytes move, and neither side's " +
+            "vacuum can invalidate the other)"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "clone"
+            override def description(): String = "graft CLONE"
+            override def isDeterministic: Boolean = false
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("tbl", StringType).build(),
+              ProcedureParameter.in("target", StringType)
+                .comment("new table as '<namespace>.<name>'").build(),
+              ProcedureParameter.in("from", StringType)
+                .defaultValue("CAST(NULL AS STRING)")
+                .comment("version number or tag to clone " +
+                  "(default: current head)").build())
+            override def call(in: InternalRow): java.util.Iterator[Scan] = {
+              val src = catalog.resolveDataDir(in.getString(0))
+              val dst = catalog.createEntryFor(in.getString(1))
+              val v = PoolJsonSink.cloneTable(src, dst,
+                if (in.isNullAt(2)) None else Some(in.getString(2)))
+              one(StructType(Seq(
+                StructField("target", StringType, false),
+                StructField("cloned_version", LongType, false))),
+                str(in.getString(1)), v)
             }
           }
       }

@@ -231,6 +231,40 @@ class BranchWapSpec extends AnyFunSuite {
     assert(sidecarsBranch == sidecarsParent)
   }
 
+  test("system.clone: independent zero-copy table, both sides evolve freely") {
+    spark.sql("CREATE TABLE gwap.default.src (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4', " +
+      "'check.nonempty'='v <> \\'\\'')")
+    spark.sql("INSERT INTO gwap.default.src VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL gwap.system.clone(tbl => 'default.src', " +
+      "target => 'default.dev')").collect()
+    // same content, independent identity
+    assert(rows("SELECT k, v FROM gwap.default.dev ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // properties + constraints rode along: the clone rejects bad rows
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gwap.default.dev VALUES (3, '')")
+    }
+    assert(e.getMessage.contains("violated"))
+    // both sides evolve without seeing each other
+    spark.sql("INSERT INTO gwap.default.dev VALUES (3, 'c')")
+    spark.sql("INSERT INTO gwap.default.src VALUES (9, 'z')")
+    assert(rows("SELECT count(*) FROM gwap.default.dev") == Seq(Seq(3L)))
+    assert(rows("SELECT count(*) FROM gwap.default.src") == Seq(Seq(3L)))
+    // source vacuum after full rewrite cannot break the clone
+    spark.sql("INSERT INTO gwap.default.src VALUES (1, 'A'), (2, 'B')")
+    spark.sql("CALL gwap.system.vacuum(tbl => 'default.src', " +
+      "retain => 1)").collect()
+    assert(rows("SELECT k, v FROM gwap.default.dev ORDER BY k") ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // clone refuses an existing target
+    val dup = intercept[Exception] {
+      spark.sql("CALL gwap.system.clone(tbl => 'default.src', " +
+        "target => 'default.dev')").collect()
+    }
+    assert(dup.getMessage.toLowerCase.contains("already exists"))
+  }
+
   test("branch from a tag, tag wins VERSION AS OF name collisions") {
     spark.sql("CREATE TABLE gwap.default.tg (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
