@@ -402,11 +402,17 @@ object DedupQueries {
       // texts ONLY for candidate docs (d8's semi-join discipline)
       val txt = documents(s, d).select(col("doc_id"), col("text"))
         .join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      // same explicit fan-out as d14: the candidate-pair relation is
+      // byte-tiny, AQE coalesces it to one partition, and the DP
+      // stage below is the query's CPU (measured at the 4M probe:
+      // 30 s single-partition vs ~3 s fanned)
+      val fan = s.sparkContext.defaultParallelism
       val scored = cands.hint("shuffle_hash")
         .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta"))
           .hint("shuffle_hash"), "doc_a")
         .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb"))
           .hint("shuffle_hash"), "doc_b")
+        .repartition(fan, col("doc_a"), col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           greatest(length(col("ta")), length(col("tb"))).as("m"),
           graft.functions.BandedLevenshtein(col("ta"), col("tb"),
