@@ -481,8 +481,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
-    if (!exists(ident)) throw new NoSuchTableException(ident)
-    val dir = dataDir(ident).toString
+    // the branch face alters the BRANCH's manifest chain (schema
+    // evolution / property changes staged for audit like any other
+    // branch write; publish carries them to the parent)
+    val branchTarget: Option[String] =
+      if (!exists(ident) && ident.name.startsWith("branch_") &&
+          ident.namespace.length >= 2) {
+        val parent = Identifier.of(
+          ident.namespace.dropRight(1), ident.namespace.last)
+        val bname = ident.name.stripPrefix("branch_")
+        if (bname.nonEmpty && exists(parent)) {
+          val pdir = dataDir(parent).toString
+          if (PoolJsonSink.listBranches(pdir).contains(bname))
+            Some(PoolJsonSink.branchDir(pdir, bname))
+          else None
+        } else None
+      } else None
+    if (branchTarget.isEmpty && !exists(ident))
+      throw new NoSuchTableException(ident)
+    val dir = branchTarget.getOrElse(dataDir(ident).toString)
 
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` for the index-column
     // declarations: a metadata-only commit. Newly declared columns

@@ -231,6 +231,65 @@ class BranchWapSpec extends AnyFunSuite {
     assert(sidecarsBranch == sidecarsParent)
   }
 
+  test("racing publishes of two branches: exactly one wins the CAS") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wap_race").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.format("graft")
+      .option("key", "k").option("nBuckets", "4").save(dir)
+    PoolJsonSink.createBranch(dir, "b1")
+    PoolJsonSink.createBranch(dir, "b2")
+    Seq((2L, "b1")).toDF("k", "v").write.format("graft")
+      .option("key", "k").option("branch", "b1").mode("append").save(dir)
+    Seq((3L, "b2")).toDF("k", "v").write.format("graft")
+      .option("key", "k").option("branch", "b2").mode("append").save(dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def tryPublish(n: String): Future[Either[Throwable, Long]] = Future {
+      gate.await()
+      try Right(PoolJsonSink.publishBranch(dir, n))
+      catch { case t: Throwable => Left(t) }
+    }
+    val fs = Seq(tryPublish("b1"), tryPublish("b2"))
+    gate.countDown()
+    val results = Await.result(Future.sequence(fs), 60.seconds)
+    val (losers, winners) = results.partition(_.isLeft)
+    assert(winners.size == 1,
+      s"exactly one publish must win, got: $results")
+    assert(losers.size == 1)
+    assert(losers.head.swap.toOption.get.getMessage
+      .contains("fast-forward"))
+    // the table holds exactly the winner's content, nothing merged
+    val content = spark.read.format("graft").load(dir)
+      .select("k", "v").collect().map(_.getString(1)).toSet
+    assert(content == Set("a", "b1") || content == Set("a", "b2"))
+  }
+
+  test("schema evolution stages on the branch; publish carries it") {
+    spark.sql("CREATE TABLE gwap.default.se (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.se VALUES (1, 'a')")
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.se', " +
+      "name => 'evo')")
+    spark.sql("ALTER TABLE gwap.default.se.branch_evo " +
+      "ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO gwap.default.se.branch_evo " +
+      "VALUES (2, 'b', 0.5)")
+    // parent schema untouched
+    assert(spark.table("gwap.default.se").columns.toSeq ==
+      Seq("k", "v"))
+    assert(rows("SELECT k, v, score FROM gwap.default.se.branch_evo " +
+      "ORDER BY k") == Seq(Seq(1L, "a", null), Seq(2L, "b", 0.5)))
+    spark.sql("CALL gwap.system.publish_branch(tbl => 'default.se', " +
+      "name => 'evo')")
+    assert(spark.table("gwap.default.se").columns.toSeq ==
+      Seq("k", "v", "score"))
+    assert(rows("SELECT k, v, score FROM gwap.default.se ORDER BY k") ==
+      Seq(Seq(1L, "a", null), Seq(2L, "b", 0.5)))
+  }
+
   test("system.clone: independent zero-copy table, both sides evolve freely") {
     spark.sql("CREATE TABLE gwap.default.src (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4', " +
