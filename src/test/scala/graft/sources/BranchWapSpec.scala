@@ -231,6 +231,25 @@ class BranchWapSpec extends AnyFunSuite {
     assert(sidecarsBranch == sidecarsParent)
   }
 
+  test("readStream.table from the branch face (the audit can be a stream)") {
+    spark.sql("CREATE TABLE gwap.default.sr (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.sr VALUES (1, 'a')")
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.sr', " +
+      "name => 'live')")
+    spark.sql("INSERT INTO gwap.default.sr.branch_live VALUES (2, 'b')")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_wap_srckpt").toString
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_wap_srsink").toString
+    val q = spark.readStream.table("gwap.default.sr.branch_live")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", sink).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(sink).count() == 2) // fork row + branch row
+  }
+
   test("racing publishes of two branches: exactly one wins the CAS") {
     import spark.implicits._
     val dir = java.nio.file.Files
