@@ -715,7 +715,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (parts.length >= 2)
         Identifier.of(parts.dropRight(1), parts.last)
       else Identifier.of(Array("default"), tbl)
-    if (!exists(ident)) throw new NoSuchTableException(ident)
+    if (!exists(ident)) {
+      // '<t>.branch_<x>' addresses the branch's own dir, so the
+      // maintenance procedures (optimize / vacuum / analyze / tag /
+      // even nested branching) run against a long-lived branch too
+      if (ident.name.startsWith("branch_") && ident.namespace.length >= 2) {
+        val parent = Identifier.of(
+          ident.namespace.dropRight(1), ident.namespace.last)
+        val bname = ident.name.stripPrefix("branch_")
+        if (bname.nonEmpty && exists(parent)) {
+          val pdir = dataDir(parent).toString
+          if (PoolJsonSink.listBranches(pdir).contains(bname))
+            return PoolJsonSink.branchDir(pdir, bname)
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     dataDir(ident).toString
   }
 

@@ -231,6 +231,38 @@ class BranchWapSpec extends AnyFunSuite {
     assert(sidecarsBranch == sidecarsParent)
   }
 
+  test("maintenance procedures address the branch face") {
+    spark.sql("CREATE TABLE gwap.default.mt (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.mt VALUES (1, 'a')")
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.mt', " +
+      "name => 'ops')")
+    // fragment the branch: a task-layout write (optimizedWrite=false,
+    // 4 tasks) stages multiple files per bucket — the shape a
+    // pre-clustered production writer leaves and OPTIMIZE repairs
+    import spark.implicits._
+    val bdir = PoolJsonSink.branchDir(s"$wh/default/mt", "ops")
+    (2L until 80L).map(i => (i, "b")).toDF("k", "v")
+      .repartition(4)
+      .write.format("graft").option("key", "k")
+      .option("optimizedWrite", "false").mode("append").save(bdir)
+    assert(PoolJsonSink.readManifest(bdir).get.files.size > 4)
+    // compact + vacuum the BRANCH through the normal procedures
+    spark.sql("CALL gwap.system.optimize(" +
+      "tbl => 'default.mt.branch_ops', max_files => 1)").collect()
+    val ops = spark.sql("CALL gwap.system.history(" +
+      "tbl => 'default.mt.branch_ops')").collect()
+      .map(_.getString(1)).toSeq
+    assert(ops.contains("OPTIMIZE"))
+    val removed = spark.sql("CALL gwap.system.vacuum(" +
+      "tbl => 'default.mt.branch_ops', retain => 1)").collect()
+    assert(removed.head.getInt(0) > 0) // pre-compaction files reclaimed
+    // branch content intact, parent untouched by branch maintenance
+    assert(rows("SELECT count(*) FROM gwap.default.mt.branch_ops")
+      == Seq(Seq(79L)))
+    assert(rows("SELECT k FROM gwap.default.mt") == Seq(Seq(1L)))
+  }
+
   test("readStream.table from the branch face (the audit can be a stream)") {
     spark.sql("CREATE TABLE gwap.default.sr (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
