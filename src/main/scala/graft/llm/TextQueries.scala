@@ -514,6 +514,50 @@ object TextQueries {
     // map-side explode — chunking 100 TB is one scan; chunk STARTS
     // come from `sequence()` (explode factor len/224, not len — the
     // x4 lesson), and empty tails are dropped.
+    // X23 — cross-document boilerplate strip (the RefinedWeb/Dolma
+    // repeated-span removal): consecutive 8-word chunks that appear in
+    // ≥ 2 DISTINCT documents are navigation/template noise at web
+    // scale; every occurrence is removed and the document re-assembled
+    // in order (tail words past the last full chunk always survive; a
+    // chunk repeated only WITHIN one doc is x11's business, not
+    // boilerplate). This is a TRANSFORM, not a pair report — the
+    // output is the cleaned corpus. Scale: the chunk relation is
+    // |docs|·(words/8) rows aggregated on a 128-bit digest (map-side
+    // partials); the boilerplate table re-enters via a digest
+    // anti-join, shuffle-hash-hinted because a web-scale boilerplate
+    // table must never broadcast; rebuild is ONE per-doc aggregate.
+    // Three exchanges total, none carrying raw text wider than the
+    // chunk rows themselves.
+    "x23_boilerplate_strip" -> ((s, d) => {
+      val W = 8
+      val docs = documents(s, d).select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("w"))
+        .withColumn("nck", (size(col("w")) / W).cast("int"))
+      val chunks = docs.filter(col("nck") >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, nck - 1), " +
+            s"i -> array_join(slice(w, i * $W + 1, $W), ' '))")))
+        .select(col("doc_id"), col("pos"), col("col").as("ck"),
+          md5(col("col")).as("dg"))
+      val boiler = chunks.groupBy("dg")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .where(col("ndocs") >= 2)
+        .select("dg")
+      val kept = chunks.hint("shuffle_hash")
+        .join(boiler.hint("shuffle_hash"), Seq("dg"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, ck))), s -> s.ck), ' ')").as("kepttext"))
+      docs.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("nck") - coalesce(col("n_kept"), lit(0))).as("n_dropped"),
+          trim(concat_ws(" ", coalesce(col("kepttext"), lit("")),
+            expr(s"array_join(slice(w, nck * $W + 1, " +
+              s"size(w) - nck * $W), ' ')"))).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     "x14_chunk" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), posexplode(expr(
@@ -1261,6 +1305,37 @@ object TextQueries {
           |  min(ppm) AS rarest_ppm
           |FROM toks JOIN ppm USING (tok)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "x23_boilerplate_strip" ->
+        """WITH docs AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> x <> '') AS w
+          |  FROM documents),
+          |d2 AS (SELECT doc_id, w,
+          |    CAST(floor(len(w) / 8) AS INT) AS nck FROM docs),
+          |ch AS (
+          |  SELECT doc_id,
+          |    unnest(range(nck)) AS pos,
+          |    unnest(list_transform(range(nck),
+          |      i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')))
+          |      AS ck
+          |  FROM d2 WHERE nck >= 1),
+          |boiler AS (
+          |  SELECT md5(ck) AS dg FROM ch
+          |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+          |kept AS (
+          |  SELECT * FROM ch
+          |  WHERE md5(ck) NOT IN (SELECT dg FROM boiler)),
+          |rebuilt AS (
+          |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+          |    string_agg(ck, ' ' ORDER BY pos) AS kepttext
+          |  FROM kept GROUP BY 1)
+          |SELECT d2.doc_id,
+          |  nck - coalesce(n_kept, 0) AS n_dropped,
+          |  trim(concat_ws(' ', coalesce(kepttext, ''),
+          |    array_to_string(w[nck * 8 + 1 : len(w)], ' '))) AS cleaned
+          |FROM d2 LEFT JOIN rebuilt ON rebuilt.doc_id = d2.doc_id
+          |ORDER BY d2.doc_id""".stripMargin,
       "x14_chunk" ->
         """WITH c AS (
           |  SELECT doc_id, i AS start,
