@@ -134,6 +134,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
 
+  /** The (display name, table dir) an identifier addresses, when it
+    * addresses either a REAL table or a live branch face
+    * (`<t>.branch_<x>`). Sub-table probes resolve their parent
+    * through this, so `.changes`/`.files`/`.history`/`.tags` work on
+    * a branch too — the WAP audit can read the branch's own CDC feed
+    * before publishing.
+    */
+  private def tableDirFor(ident: Identifier): Option[(String, String)] =
+    if (exists(ident)) Some((fullName(ident), dataDir(ident).toString))
+    else if (ident.name.startsWith("branch_") &&
+        ident.namespace.length >= 2) {
+      val parent = Identifier.of(
+        ident.namespace.dropRight(1), ident.namespace.last)
+      val bname = ident.name.stripPrefix("branch_")
+      if (bname.nonEmpty && exists(parent) &&
+          PoolJsonSink.listBranches(dataDir(parent).toString)
+            .contains(bname))
+        Some((s"${fullName(parent)}.branch_$bname",
+          PoolJsonSink.branchDir(dataDir(parent).toString, bname)))
+      else None
+    } else None
+
   override def loadTable(ident: Identifier): Table = {
     // `<ns>.<table>.changes` — the change-feed SUB-TABLE (the Iceberg
     // metadata-table addressing pattern): `SELECT * FROM
@@ -142,14 +164,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // keeps this sound: an EXISTING table always wins — the probe
     // fires only when no real table resolves at the identifier, so a
     // genuine table named `changes` under a nested namespace shadows
-    // the sub-table rather than the reverse.
+    // the sub-table rather than the reverse. The parent resolves
+    // through [[tableDirFor]], so a BRANCH's sub-tables
+    // (`t.branch_x.changes` etc.) address the branch's own manifests.
     if (!exists(ident) && ident.name == "changes" &&
         ident.namespace.length >= 2) {
       val parent = Identifier.of(
         ident.namespace.dropRight(1), ident.namespace.last)
-      if (exists(parent))
-        return new GraftChangesTable(
-          s"${fullName(parent)}.changes", dataDir(parent).toString)
+      tableDirFor(parent).foreach { case (full, dir) =>
+        return new GraftChangesTable(s"$full.changes", dir)
+      }
     }
     // `<ns>.<table>.files` / `.history` — the metadata SUB-TABLE
     // family (Iceberg's addressing pattern): `.files` is one row per
@@ -164,9 +188,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ident.name == "tags" || ident.name == "branches")) {
       val parent = Identifier.of(
         ident.namespace.dropRight(1), ident.namespace.last)
-      if (exists(parent)) {
-        val full = s"${fullName(parent)}.${ident.name}"
-        val dir = dataDir(parent).toString
+      tableDirFor(parent).foreach { case (full0, dir) =>
+        val full = s"$full0.${ident.name}"
         return ident.name match {
           case "files" => new GraftFilesTable(full, dir)
           case "history" => new GraftHistoryTable(full, dir)

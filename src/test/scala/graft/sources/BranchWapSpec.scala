@@ -231,6 +231,36 @@ class BranchWapSpec extends AnyFunSuite {
     assert(sidecarsBranch == sidecarsParent)
   }
 
+  test("metadata sub-tables address the branch: the audit reads its own CDC") {
+    spark.sql("CREATE TABLE gwap.default.md (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gwap.default.md VALUES (1, 'a')")
+    spark.sql("CALL gwap.system.create_branch(tbl => 'default.md', " +
+      "name => 'cdc')")
+    spark.sql("INSERT INTO gwap.default.md.branch_cdc VALUES (2, 'b')")
+    spark.sql("INSERT INTO gwap.default.md.branch_cdc " +
+      "VALUES (1, 'A')") // update on the branch
+    // the branch's OWN change feed: what exactly would publish?
+    val ch = spark.sql("SELECT _change_type, k FROM " +
+      "gwap.default.md.branch_cdc.changes ORDER BY _commit_version, k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ch.contains(("insert", 2L)))
+    assert(ch.contains(("update_postimage", 1L)) ||
+      ch.count(_._2 == 1L) >= 2) // pre+post images for the update
+    // .history on the branch face: BRANCH fork + the two merges
+    val hist = spark.sql("SELECT operation FROM " +
+      "gwap.default.md.branch_cdc.history ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(hist.head == "BRANCH" && hist.count(_ == "UPSERT") == 2)
+    // .files on the branch face answers from the branch manifest
+    assert(spark.sql("SELECT count(*) FROM " +
+      "gwap.default.md.branch_cdc.files").collect().head.getLong(0) > 0)
+    // parent's own history is untouched by branch commits
+    val phist = spark.sql("SELECT operation FROM " +
+      "gwap.default.md.history").collect().map(_.getString(0)).toSeq
+    assert(!phist.contains("BRANCH"))
+  }
+
   test("maintenance procedures address the branch face") {
     spark.sql("CREATE TABLE gwap.default.mt (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
