@@ -549,7 +549,12 @@ object TextQueries {
         count(lit(1)).cast("int").as("n_kept"),
         expr("array_join(transform(array_sort(collect_list(" +
           "struct(pos, ck))), s -> s.ck), ' ')").as("kepttext"))
-      docs.join(rebuilt, Seq("doc_id"), "left")
+      // rebuilt descends from the explode: size estimation cannot see
+      // the blow-up and would BROADCAST a corpus-sized relation (the
+      // x8 lesson, and exactly what PlanAuditSpec flagged here) —
+      // pin the rebuild join to shuffle-hash
+      docs.hint("shuffle_hash")
+        .join(rebuilt.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (col("nck") - coalesce(col("n_kept"), lit(0))).as("n_dropped"),
           trim(concat_ws(" ", coalesce(col("kepttext"), lit("")),
