@@ -120,7 +120,10 @@ object Bench {
     // map lives durably in BENCH_LOCAL.json, written below.
     val stdoutJson = {
       val budget = 1500
-      val head = f"""{"metric":"total","unit":"sec","value":$total%.3f,"nq":${results.size},"sf":"$sfDir","slowest":{"""
+      // the map keeps its contract name "queries" (driver tooling
+      // reads it); "nq" flags that it holds the slowest SUBSET — the
+      // complete map is in BENCH_LOCAL.json
+      val head = f"""{"metric":"total","unit":"sec","value":$total%.3f,"nq":${results.size},"sf":"$sfDir","queries":{"""
       val tail = "}}"
       val sb = new StringBuilder
       results.sortBy(-_._2).foreach { case (k, v) =>

@@ -62,7 +62,9 @@ object GraftExtensions {
     entry("pol_line_parse", classOf[functions.PolLineParse],
       exprs => functions.PolLineParse(exprs.head)),
     entry("levenshtein_within", classOf[functions.LevenshteinWithin],
-      exprs => functions.LevenshteinWithin(exprs(0), exprs(1), exprs(2))))
+      exprs => functions.LevenshteinWithin(exprs(0), exprs(1), exprs(2))),
+    entry("sorted_intersect_count", classOf[functions.SortedIntersectCount],
+      exprs => functions.SortedIntersectCount(exprs(0), exprs(1))))
 
   /** Register into an ALREADY-RUNNING session (the extensions class
     * only applies to sessions built with `withExtensions` /

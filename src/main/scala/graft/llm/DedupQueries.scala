@@ -278,8 +278,20 @@ object DedupQueries {
     // arrays join in by doc_id and the intersection folds inside one
     // projection per pair, no explode.
     "d8_jaccard_verify" -> ((s, d) => {
+      // Materialize the candidate pairs ONCE (localCheckpoint): this
+      // query consumes them through THREE paths — the pair relation
+      // itself, the candDocs union (both sides), and the final
+      // orderBy's range-partitioning sample — and without a
+      // materialization barrier Catalyst re-inlines the whole d7
+      // subplan (band explode + cap join + pair self-join) per
+      // consumer: a 239-node physical plan at the 4M probe whose
+      // re-evaluation made the d14-style fan-out backfire 13× at
+      // sf0.1 (SCALING.md round-6 note). The checkpointed relation is
+      // byte-tiny (two longs per pair), so the materialization cost
+      // is one d7 evaluation — the minimum any consumer needs.
       val cands = queries("d7_lsh_bucket_cap")(s, d)
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       // Shingle arrays ONLY for docs that appear in a candidate pair:
       // the semi-join (16-byte id shuffle) pushes below the shingle
       // projection, so un-candidated docs never compute OR shuffle
@@ -289,9 +301,27 @@ object DedupQueries {
       // CANDIDATES, which is the whole contract of verify-after-LSH.
       val candDocs = cands.select(col("doc_a").as("doc_id"))
         .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      // sorted ONCE per doc so the per-PAIR intersection below is a
+      // merge scan, not a hash set per call (jaccard is set algebra —
+      // element order never surfaces)
+      // BROADCAST the candidate-id set into the semi join: a
+      // shuffle-hash semi here ships the corpus's (doc_id, text)
+      // rows — ~8 GB at the 4M probe, measured ~20 s, the whole
+      // residual over d7 — while the id set is |candidate docs| × 8 B
+      // (1 MB at 4M; broadcastable far beyond). The filter then runs
+      // map-side ON THE SCAN, and the shingle projection above it
+      // hashes only surviving docs. (If candidates ever outgrow a
+      // broadcast, the right swap is a bloom-filter semi, not a text
+      // shuffle.)
       val hs = documents(s, d)
-        .select(col("doc_id"), graft.functions.ShingleHashes(col("text")).as("hs"))
-        .join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          sort_array(graft.functions.ShingleHashes(col("text"))).as("hs"))
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      // NO d14-style fan-out here: with the merge-scan kernel the
+      // per-pair intersection is no longer the stage's CPU, and a
+      // repartition after the joins re-ships 600k ~3KB rows (both
+      // arrays) for no win — measured fanned ≈ unfanned at the 4M
+      // probe once the kernel landed, so the exchange is pure cost
       // the shingle-array relation is still wide per row; hint both
       // verify joins off the broadcast path
       cands.hint("shuffle_hash")
@@ -300,7 +330,7 @@ object DedupQueries {
         .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
           .hint("shuffle_hash"), "doc_b")
         .withColumn("shared",
-          expr("size(array_intersect(hs_a, hs_b))"))
+          graft.functions.SortedIntersectCount(col("hs_a"), col("hs_b")))
         .withColumn("jaccard", round(
           col("shared") / (size(col("hs_a")) + size(col("hs_b")) - col("shared")), 4))
         .select("doc_a", "doc_b", "jaccard")
@@ -395,13 +425,18 @@ object DedupQueries {
     // testdata the candidates split ~23 true near-dups (sim ≥ 0.93)
     // and 3 LSH false positives (sim ≈ 0.33) that verify kills.
     "d15_lsh_lev_verify" -> ((s, d) => {
+      // same two structural moves as d8: the candidates materialize
+      // ONCE (three consumers would otherwise re-inline the whole d7
+      // subplan), and the candidate-id set BROADCASTS into the semi
+      // join so the corpus's text column is never shuffled
       val cands = queries("d7_lsh_bucket_cap")(s, d)
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       val candDocs = cands.select(col("doc_a").as("doc_id"))
         .union(cands.select(col("doc_b").as("doc_id"))).distinct()
       // texts ONLY for candidate docs (d8's semi-join discipline)
       val txt = documents(s, d).select(col("doc_id"), col("text"))
-        .join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       // same explicit fan-out as d14: the candidate-pair relation is
       // byte-tiny, AQE coalesces it to one partition, and the DP
       // stage below is the query's CPU (measured at the 4M probe:

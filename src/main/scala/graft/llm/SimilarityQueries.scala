@@ -38,6 +38,15 @@ object SimilarityQueries {
     expr(("aggregate(zip_with(%s, %s, (x, y) -> x * y), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)").format(a, b))
 
+  /** The IVF serving dial: how many coarse clusters a query probes
+    * (FAISS's nprobe). Session conf `graft.ann.nprobe`, default 2 —
+    * the default keeps the n2/n6/n12/n14 oracles deterministic; the
+    * dial exists because recall-vs-cost tuning IS the IVF operating
+    * model and PqRecallProbe records the curve on both corpus shapes.
+    */
+  private[llm] def nprobe(s: SparkSession): Int =
+    s.conf.getOption("graft.ann.nprobe").map(_.toInt).getOrElse(2)
+
   private def base(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("label"),
       vecd(col("embedding")).as("e"))
@@ -439,7 +448,7 @@ object SimilarityQueries {
             case (acc, (a, b)) => acc + a * b })
         }
         .sortBy { case (cid, score) => (-score, cid) }
-        .take(2).map(_._1)
+        .take(nprobe(s)).map(_._1)
       val luts = PQ.adcTable(probeVec, cb)
       s.read.parquet(trainedPqIndexDir(s, d))
         .where(col("cid").isin(probed: _*))
@@ -482,7 +491,7 @@ object SimilarityQueries {
             case (acc, (a, b)) => acc + a * b })
         }
         .sortBy { case (cid, score) => (-score, cid) }
-        .take(2).map(_._1)
+        .take(nprobe(s)).map(_._1)
       val luts = PQ.adcTable(probeVec, cb)
       val adc = s.read.parquet(trainedPqIndexDir(s, d))
         .where(col("cid").isin(probed: _*))
@@ -594,7 +603,7 @@ object SimilarityQueries {
         (cid, ce.zip(qe).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b })
       }
       .sortBy { case (cid, score) => (-score, cid) }
-      .take(2).map(_._1)
+      .take(nprobe(s)).map(_._1)
     s.read.parquet(trainedIndexDir(s, d))
       .where(col("cid").isin(probed: _*))
       .where(col("vec_id") =!= 0)

@@ -320,7 +320,14 @@ object PoolJsonSink {
       // boolean SQL over the logical columns, enforced on every
       // ingesting write — a violating batch rejects WHOLLY before the
       // version line advances
-      checks: Seq[(String, String)] = Nil) {
+      checks: Seq[(String, String)] = Nil,
+      // how branches/clones of THIS table fork their files:
+      // None/"link" = hard links (POSIX default), "ref" = the
+      // branch manifest records parent-relative refs and copies
+      // nothing (rename-less object stores, where a link degrades to
+      // a full copy). A TABLE property: set at CREATE or by ALTER,
+      // inherited by every fork manifest.
+      forkLayerProp: Option[String] = None) {
     def files: Seq[String] = buckets.valuesIterator.flatten.toSeq
   }
 
@@ -397,6 +404,10 @@ object PoolJsonSink {
           case i => Some(l.take(i) -> l.drop(i + 1))
         }
       }
+    val forkLayerParsed = lines.tail
+      .find(_.startsWith("forklayer "))
+      .map(_.stripPrefix("forklayer ").trim)
+      .filter(_.nonEmpty)
     // `op <NAME> <epochMs>` — commit provenance for DESCRIBE HISTORY;
     // absent on manifests from older writers (both fields null there)
     val opMeta = lines.tail.find(_.startsWith("op "))
@@ -429,7 +440,7 @@ object PoolJsonSink {
       schemaJson, nBuckets, bloomCols,
       opMeta.map(_.head), opMeta.flatMap(_.lift(1)).map(_.toLong),
       keyCol, statsColsParsed, splitColParsed, droppedParsed,
-      checksParsed.toSeq)
+      checksParsed.toSeq, forkLayerParsed)
   }
 
   /** The table's CURRENT committed state: highest manifest version. */
@@ -473,6 +484,7 @@ object PoolJsonSink {
       (if (m.droppedCols.nonEmpty)
         Seq(s"droppedcols ${m.droppedCols.mkString(",")}") else Nil) ++
       m.checks.map { case (n, e) => s"check $n $e" } ++
+      m.forkLayerProp.map(l => s"forklayer $l") ++
       m.op.map(o =>
         s"op $o ${m.commitTimeMs.getOrElse(System.currentTimeMillis())}") ++
       m.schemaJson.map(j => s"schema $j")
@@ -915,6 +927,44 @@ object PoolJsonSink {
 
   private val BranchesDirName = "_graft_branches"
 
+  // ------------------------------------------------------------------
+  // Fork layer: how createBranch/clone materialize a snapshot's files.
+  //
+  // HardLink (default) — link(2) per file: right on any POSIX
+  // filesystem (zero copy, parent vacuum can never break a branch
+  // because links keep bytes alive). ParentRef — for RENAME-LESS
+  // object stores where a "hard link" degrades to a full copy: the
+  // branch manifest records the parent's files as PARENT-RELATIVE
+  // REFS (`../../data/f.parquet` — the branch dir sits exactly two
+  // levels under the table dir), so branch creation writes ONE
+  // manifest and zero data bytes at any table size. The read path
+  // needs no change (manifold rels are joined textually and the path
+  // layer normalizes `..`); the two places that DO change are
+  // publish (refs translate back to parent rels instead of linking)
+  // and the parent's vacuum (a ref does not pin bytes the way a link
+  // does, so vacuum unions branch-referenced rels into the live set —
+  // done unconditionally, since a table can hold branches from both
+  // layers). Clones under ParentRef COPY (server-side copy on a real
+  // store): a clone is an INDEPENDENT table, and cross-table refs
+  // would re-couple what clone exists to decouple.
+  // ------------------------------------------------------------------
+
+  sealed trait ForkLayer
+  case object HardLinkLayer extends ForkLayer
+  case object ParentRefLayer extends ForkLayer
+
+  private[graft] val ParentRefPrefix = "../../"
+
+  /** A TABLE's fork layer, from its manifest's `forklayer` property
+    * (TBLPROPERTIES('forklayer'='ref') at CREATE or ALTER); hard
+    * links unless the table opted into refs. Per-table rather than
+    * process-global: the dial describes the STORE the table lives on,
+    * and tables on different stores coexist in one session.
+    */
+  private def layerOf(m: TableManifest): ForkLayer =
+    if (m.forkLayerProp.contains("ref")) ParentRefLayer
+    else HardLinkLayer
+
   /** `tableDir/_graft_branches/<name>` — a branch IS a graft table
     * rooted here.
     */
@@ -978,11 +1028,77 @@ object PoolJsonSink {
         sys.error(s"$srcDir: not a graft table (no manifest)")))
     val fork = readManifestAt(srcDir, forkV)
     new java.io.File(dstDir, "data").mkdirs()
-    fork.files.foreach(linkFileAcross(srcDir, dstDir, _, fork.bloomCols))
-    commitManifest(dstDir, fork.copy(
+    val layer = layerOf(fork)
+    val manifest =
+      if (layer == ParentRefLayer && op == "BRANCH")
+        // zero file ops: every entry gains ONE `../../` hop — from
+        // the new branch dir (always exactly two levels under
+        // srcDir), the hop reaches srcDir and the original rel
+        // continues from there. Uniform for plain entries
+        // (`data/f` → `../../data/f`) and for entries that are
+        // themselves refs (branching a ref-layer branch:
+        // `../../data/f` → `../../../../data/f`, which resolves
+        // through the parent branch to the same grandparent bytes).
+        fork.copy(
+          buckets = fork.buckets.map { case (b, rels) =>
+            b -> rels.map(r => s"$ParentRefPrefix$r")
+          },
+          // zone maps / row counts are keyed BY REL — they must
+          // follow the rename or the branch loses its stats
+          stats = fork.stats.map { case (f, cs) =>
+            s"$ParentRefPrefix$f" -> cs
+          })
+      else {
+        // materialized fork (HardLink branch/clone, ParentRef clone):
+        // every entry lands at its CANONICAL rel in dstDir — a
+        // source entry that was a ref materializes from the file it
+        // resolves to (java.io normalizes `..`) into `data/...`.
+        fork.files.foreach(
+          materializeAcross(srcDir, dstDir, _, fork.bloomCols, layer))
+        fork.copy(
+          buckets = fork.buckets.map { case (b, rels) =>
+            b -> rels.map(canonicalRel)
+          },
+          stats = fork.stats.map { case (f, cs) =>
+            canonicalRel(f) -> cs
+          })
+      }
+    commitManifest(dstDir, manifest.copy(
       op = Some(op),
       commitTimeMs = Some(System.currentTimeMillis())))
     forkV
+  }
+
+  /** Strip every `../../` hop: the rel a file is stored under in
+    * whatever dir it physically lives in.
+    */
+  private def canonicalRel(rel: String): String =
+    if (rel.startsWith(ParentRefPrefix)) canonicalRel(
+      rel.substring(ParentRefPrefix.length))
+    else rel
+
+  /** Materialize `rel` (resolved against `fromDir`; may be a ref) at
+    * its canonical rel in `toDir`: link(2) under the HardLink layer,
+    * a full copy under ParentRef (where a real object store does a
+    * server-side copy). Sidecars ride along as in [[linkFileAcross]].
+    */
+  private def materializeAcross(fromDir: String, toDir: String,
+      rel: String, bloomCols: Seq[String], layer: ForkLayer): Unit = {
+    def one(srcRel: String, dstRel: String): Unit = {
+      val src = new java.io.File(fromDir, srcRel)
+      if (src.isFile) {
+        val dst = new java.io.File(toDir, dstRel)
+        dst.getParentFile.mkdirs()
+        try {
+          if (layer == ParentRefLayer)
+            Files.copy(src.toPath, dst.toPath)
+          else Files.createLink(dst.toPath, src.toPath)
+        } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+    val dstRel = canonicalRel(rel)
+    one(rel, dstRel)
+    bloomCols.foreach(c => one(s"$rel.bloom-$c", s"$dstRel.bloom-$c"))
   }
 
   /** Zero-copy table clone (Delta SHALLOW CLONE with hard-link
@@ -1001,6 +1117,21 @@ object PoolJsonSink {
       s"$dstDir: already a graft table — clone refuses to overwrite")
     linkFork(srcDir, dstDir, fromRef, op = "CLONE")
   }
+
+  /** Cheap branch-existence probe for HOT-PATH name resolution: one
+    * directory check plus one manifest-head lookup on THAT branch.
+    * The catalog probes every `branch_`-prefixed identifier on
+    * loadTable/tableExists, and going through listBranches there made
+    * each resolution O(branches × versions) filesystem listings on a
+    * table with many long-lived branches. Invalid names return false
+    * (the identifier simply isn't a branch) rather than throw.
+    */
+  def branchExists(tableDir: String, name: String): Boolean =
+    name.matches("[A-Za-z0-9._-]+") && !name.forall(_.isDigit) && {
+      val d = new java.io.File(
+        new java.io.File(tableDir, BranchesDirName), name)
+      d.isDirectory && readManifest(d.toString).isDefined
+    }
 
   /** All branches: name -> (fork version, head version). */
   def listBranches(tableDir: String): Map[String, (Long, Long)] =
@@ -1048,11 +1179,22 @@ object PoolJsonSink {
         "branch from the current head and re-apply its changes.")
     if (vs.last == fork) return cur.version // nothing committed on it
     head.files.foreach { rel =>
-      if (!new java.io.File(tableDir, rel).isFile)
-        linkFileAcross(bdir, tableDir, rel, head.bloomCols)
+      // a ParentRef entry RESOLVES to a parent file already in place
+      // (its canonical rel exists) — only branch-ADDED files move
+      // back: link under HardLink, copy under ParentRef (server-side
+      // copy on a real object store)
+      if (!new java.io.File(tableDir, canonicalRel(rel)).isFile)
+        materializeAcross(bdir, tableDir, rel, head.bloomCols,
+          layerOf(head))
     }
     val m = head.copy(
       version = cur.version + 1,
+      // the parent manifest records CANONICAL rels (stats keys ride
+      // along) — refs are a branch-side addressing mode only
+      buckets = head.buckets.map { case (b, rels) =>
+        b -> rels.map(canonicalRel)
+      },
+      stats = head.stats.map { case (f, cs) => canonicalRel(f) -> cs },
       op = Some("PUBLISH"),
       commitTimeMs = Some(System.currentTimeMillis()))
     try commitManifest(tableDir, m)
@@ -1696,7 +1838,8 @@ object PoolJsonSink {
       statsCols = effStatsCols,
       splitCol = declaredSplitCol.orElse(prev.flatMap(_.splitCol)),
       droppedCols = prev.map(_.droppedCols).getOrElse(Nil),
-      checks = prev.map(_.checks).getOrElse(Nil)))
+      checks = prev.map(_.checks).getOrElse(Nil),
+      forkLayerProp = prev.flatMap(_.forkLayerProp)))
     newFiles.keys.toSeq.sorted
   }
 
@@ -1825,7 +1968,8 @@ object PoolJsonSink {
       // REPLACE TABLE re-declares the schema wholesale; retired
       // names stay retired (old files may survive via time travel)
       droppedCols = prev.map(_.droppedCols).getOrElse(Nil),
-      checks = prev.map(_.checks).getOrElse(Nil)))
+      checks = prev.map(_.checks).getOrElse(Nil),
+      forkLayerProp = prev.flatMap(_.forkLayerProp)))
   }
 
   /** ALTER TABLE ADD COLUMN: commit a new version whose ONLY change
@@ -1877,15 +2021,19 @@ object PoolJsonSink {
       statsCols: Option[Seq[String]] = None,
       bloomCols: Option[Seq[String]] = None,
       splitCol: Option[Option[String]] = None,
-      checks: Option[Seq[(String, String)]] = None): Unit = {
+      checks: Option[Seq[(String, String)]] = None,
+      forkLayer: Option[Option[String]] = None): Unit = {
     val m = readManifest(tableDir).getOrElse(
       sys.error(s"not a manifest table: $tableDir"))
+    forkLayer.flatten.foreach(l => require(l == "link" || l == "ref",
+      s"$tableDir: forklayer must be 'link' or 'ref', got '$l'"))
     commitManifest(tableDir, m.copy(
       version = m.version + 1,
       statsCols = statsCols.getOrElse(m.statsCols),
       bloomCols = bloomCols.getOrElse(m.bloomCols),
       splitCol = splitCol.getOrElse(m.splitCol),
       checks = checks.getOrElse(m.checks),
+      forkLayerProp = forkLayer.getOrElse(m.forkLayerProp),
       op = Some("SETPROP"),
       commitTimeMs = Some(System.currentTimeMillis())))
   }
@@ -2175,7 +2323,8 @@ object PoolJsonSink {
               statsCols = m.statsCols,
               splitCol = effSplit,
               droppedCols = m.droppedCols,
-              checks = m.checks))
+              checks = m.checks,
+              forkLayerProp = m.forkLayerProp))
         }
         fat
     }
@@ -2264,8 +2413,25 @@ object PoolJsonSink {
         val f = manifestFile(tableDir, v)
         if (!tagged.contains(v) && oldEnough(f) && f.delete()) n += 1
       }
+      // Under the ParentRef fork layer a branch's manifest REFERS to
+      // parent files without link(2) pinning their bytes, so the
+      // parent's vacuum must treat branch-referenced rels as live.
+      // Scanned unconditionally (a table can hold branches from both
+      // layers) and recursively (a nested ref branch addresses the
+      // top table through stacked `../../` hops); canonicalRel
+      // over-approximates for nested branch-ADDED files — vacuum may
+      // keep a little more, never less, which is the safe direction.
+      def branchRefs(dir: java.io.File): Set[String] =
+        Option(new java.io.File(dir, BranchesDirName).listFiles())
+          .getOrElse(Array.empty).filter(_.isDirectory).flatMap { bd =>
+            listVersions(bd.toString).flatMap(v =>
+              readManifestAt(bd.toString, v).files)
+              .filter(_.startsWith(ParentRefPrefix))
+              .map(canonicalRel) ++ branchRefs(bd)
+          }.toSet
       val referenced = listVersions(tableDir)
-        .flatMap(v => readManifestAt(tableDir, v).files).toSet
+        .flatMap(v => readManifestAt(tableDir, v).files).toSet ++
+        branchRefs(new java.io.File(tableDir))
       // 2. data files referenced by no surviving manifest (replaced by
       //    later versions, or orphaned by a crashed/lost-race write).
       //    A bloom SIDECAR lives and dies with its data file: it is

@@ -129,8 +129,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ident.namespace.dropRight(1), ident.namespace.last)
         val bname = ident.name.stripPrefix("branch_")
         bname.nonEmpty && exists(parent) &&
-          PoolJsonSink.listBranches(dataDir(parent).toString)
-            .contains(bname)
+          PoolJsonSink.branchExists(dataDir(parent).toString, bname)
       }
     }
 
@@ -149,8 +148,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ident.namespace.dropRight(1), ident.namespace.last)
       val bname = ident.name.stripPrefix("branch_")
       if (bname.nonEmpty && exists(parent) &&
-          PoolJsonSink.listBranches(dataDir(parent).toString)
-            .contains(bname))
+          PoolJsonSink.branchExists(dataDir(parent).toString, bname))
         Some((s"${fullName(parent)}.branch_$bname",
           PoolJsonSink.branchDir(dataDir(parent).toString, bname)))
       else None
@@ -236,7 +234,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // pin, the branch is addressable as `<t>.branch_<name>` too)
     if (!version.forall(_.isDigit) &&
         !PoolJsonSink.listTags(dir).contains(version) &&
-        PoolJsonSink.listBranches(dir).contains(version))
+        PoolJsonSink.branchExists(dir, version))
       return new GraftCatalogTable(
         s"${fullName(ident)}@$version",
         PoolJsonSink.branchDir(dir, version), None)
@@ -269,10 +267,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft tables cluster on their merge key (TBLPROPERTIES key=...); " +
-        "PARTITIONED BY is not supported")
     val props = properties.asScala
+    // validate the transform SHAPE up front (even on the adopt-a-
+    // LOCATION path): only bucket(n, key) is a graft layout
+    bucketSpec(partitions, fullName(ident))
     val entry = tableEntry(ident)
     if (!entry.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(catalogName +: ident.namespace)
@@ -297,10 +295,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(schema.nonEmpty,
         s"${fullName(ident)}: CREATE TABLE needs a schema (or a " +
           "LOCATION holding an existing graft table)")
-      val key = props.getOrElse("key", schema.fields.head.name)
+      val (key, nBuckets) =
+        keyAndBuckets(props, partitions, schema, fullName(ident))
       require(schema.fieldNames.contains(key),
         s"${fullName(ident)}: merge key '$key' is not a table column")
-      val nBuckets = props.get("nbuckets").map(_.toInt).getOrElse(64)
+      // validated BEFORE the first commit: a malformed check must
+      // fail the CREATE cleanly, not leave a table behind
+      val declaredChecks = validatedChecks(props, fullName(ident))
       val spark = SparkSession.active
       // first commit: zero data files, but the manifest records the
       // schema, key, bucket count and requested index columns — the
@@ -316,13 +317,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         bloomCols = colsProp(props, "bloomcols").getOrElse(Nil),
         splitCol = props.get("splitcol").map(_.trim)
           .filter(_.nonEmpty))
-      val declaredChecks = props.toSeq.collect {
-        case (k, v) if k.toLowerCase.startsWith("check.") =>
-          k.drop("check.".length) -> v.trim
-      }
-      if (declaredChecks.nonEmpty)
+      val declaredLayer = props.get("forklayer").map(_.trim)
+        .filter(_.nonEmpty)
+      if (declaredChecks.nonEmpty || declaredLayer.isDefined)
         PoolJsonSink.commitTableProps(dir,
-          checks = Some(declaredChecks.sortBy(_._1)))
+          checks = if (declaredChecks.nonEmpty)
+            Some(declaredChecks) else None,
+          forkLayer = declaredLayer.map(Some(_)))
     }
     new GraftCatalogTable(fullName(ident), dir, None)
   }
@@ -359,18 +360,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         onCommit = () => (), onAbort = () => { dropTable(ident); () })
     }
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft tables cluster on their merge key (TBLPROPERTIES key=...); " +
-        "PARTITIONED BY is not supported")
     val entry = tableEntry(ident)
     if (!entry.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(catalogName +: ident.namespace)
     require(schema.nonEmpty,
       s"${fullName(ident)}: CREATE TABLE AS SELECT needs a schema")
-    val key = props.getOrElse("key", schema.fields.head.name)
+    val (key, n) =
+      keyAndBuckets(props, partitions, schema, fullName(ident))
     require(schema.fieldNames.contains(key),
       s"${fullName(ident)}: merge key '$key' is not a table column")
-    val n = props.get("nbuckets").map(_.toInt).getOrElse(64)
+    val declaredChecks = validatedChecks(props, fullName(ident))
     val spark = SparkSession.active
     val tmpDir = new java.io.File(entry.getParentFile,
       s".ctas-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -385,6 +384,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bloomCols = colsProp(props, "bloomcols").getOrElse(Nil),
       splitCol = props.get("splitcol").map(_.trim)
         .filter(_.nonEmpty))
+    // checks recorded ON THE STAGED table: the CTAS query's own write
+    // is then gated by them (a violating SELECT aborts the staging,
+    // no table appears), and the published table carries them — the
+    // pre-fix behavior silently DROPPED check.* on the CTAS path
+    val declaredLayer = props.get("forklayer").map(_.trim)
+      .filter(_.nonEmpty)
+    if (declaredChecks.nonEmpty || declaredLayer.isDefined)
+      PoolJsonSink.commitTableProps(tmpDir.toString,
+        checks = if (declaredChecks.nonEmpty)
+          Some(declaredChecks) else None,
+        forkLayer = declaredLayer.map(Some(_)))
     val inner = new GraftCatalogTable(
       s"${fullName(ident)} (staged create)", tmpDir.toString, None)
     new StagedGraftTable(inner,
@@ -414,18 +424,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
-    require(partitions.isEmpty,
-      "graft tables cluster on their merge key (TBLPROPERTIES key=...); " +
-        "PARTITIONED BY is not supported")
     val props = properties.asScala
+    val bucketed = bucketSpec(partitions, fullName(ident))
     val realDir = dataDir(ident)
     val prev = PoolJsonSink.readManifest(realDir.toString)
-    val key = props.get("key").orElse(prev.flatMap(_.keyCol))
+    val key = props.get("key").orElse(bucketed.map(_._2))
+      .orElse(prev.flatMap(_.keyCol))
       .getOrElse(schema.fields.head.name)
     require(schema.fieldNames.contains(key),
       s"${fullName(ident)}: merge key '$key' is not a column of the " +
         "replacement schema")
     val n = props.get("nbuckets").map(_.toInt)
+      .orElse(bucketed.map(_._1))
       .orElse(prev.flatMap(_.nBuckets)).getOrElse(64)
     // like key and nbuckets: a property the statement restates
     // overrides, an absent one inherits (None → commitStagedReplace
@@ -487,6 +497,81 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       name: String): Option[Seq[String]] = props.get(name)
     .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** `PARTITIONED BY (bucket(n, key))` parsed back into the table's
+    * (nbuckets, key) declaration — the transform partitioning() emits
+    * IS the stored layout, so `SHOW CREATE TABLE` output must
+    * round-trip through CREATE. Anything other than a single bucket
+    * transform over one column is rejected (graft tables cluster on
+    * their merge key; there is no directory partitioning). When BOTH
+    * the transform and the TBLPROPERTIES spell the layout, they must
+    * agree.
+    */
+  private def bucketSpec(
+      partitions: Array[Transform], who: String): Option[(Int, String)] = {
+    if (partitions.isEmpty) None
+    else {
+      require(partitions.length == 1 && partitions.head.name == "bucket",
+        s"$who: graft tables cluster on their merge key — only " +
+          "PARTITIONED BY (bucket(n, key)) (or TBLPROPERTIES " +
+          "key/nbuckets) is supported")
+      val args = partitions.head.arguments
+      val n = args.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }
+      val c = args.collectFirst {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.mkString(".")
+      }
+      require(n.isDefined && c.isDefined,
+        s"$who: bucket transform needs (n, column)")
+      Some((n.get, c.get))
+    }
+  }
+
+  /** Resolve the (key, nbuckets) declaration from TBLPROPERTIES and/or
+    * the bucket transform, requiring agreement when both are present.
+    */
+  private def keyAndBuckets(
+      props: scala.collection.Map[String, String],
+      partitions: Array[Transform], schema: StructType,
+      who: String): (String, Int) = {
+    val b = bucketSpec(partitions, who)
+    val key = props.get("key").orElse(b.map(_._2))
+      .getOrElse(schema.fields.head.name)
+    val n = props.get("nbuckets").map(_.toInt).orElse(b.map(_._1))
+      .getOrElse(64)
+    b.foreach { case (bn, bc) =>
+      require(props.get("key").forall(_ == bc),
+        s"$who: PARTITIONED BY bucket column '$bc' conflicts with " +
+          s"TBLPROPERTIES key '${props("key")}'")
+      require(props.get("nbuckets").forall(_.toInt == bn),
+        s"$who: PARTITIONED BY bucket count $bn conflicts with " +
+          s"TBLPROPERTIES nbuckets ${props("nbuckets")}")
+    }
+    (key, n)
+  }
+
+  /** CHECK constraints declared as `check.<name>` TBLPROPERTIES,
+    * validated with the SAME rules as the ALTER path: the manifest
+    * encodes each check as one `check <name> <expr>` line, so a name
+    * outside [A-Za-z0-9_-]+ or a multi-line/empty expression would
+    * silently corrupt the encoding (mis-parsed name/expr on every
+    * later read) — rejected at declaration instead.
+    */
+  private def validatedChecks(
+      props: scala.collection.Map[String, String],
+      who: String): Seq[(String, String)] = props.toSeq.collect {
+    case (k, v) if k.toLowerCase.startsWith("check.") =>
+      val name = k.drop("check.".length)
+      require(name.matches("[A-Za-z0-9_-]+"),
+        s"$who: check name '$name' must match [A-Za-z0-9_-]+")
+      val e = v.trim
+      require(e.nonEmpty && !e.contains('\n'),
+        s"$who: check '$name' needs a one-line boolean expression")
+      name -> e
+  }.sortBy(_._1)
+
   /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN(S)` — schema
     * evolution as pure metadata commits (same files, new recorded
     * schema). ADDs null-fill on old rows through the parquet
@@ -515,7 +600,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val bname = ident.name.stripPrefix("branch_")
         if (bname.nonEmpty && exists(parent)) {
           val pdir = dataDir(parent).toString
-          if (PoolJsonSink.listBranches(pdir).contains(bname))
+          if (PoolJsonSink.branchExists(pdir, bname))
             Some(PoolJsonSink.branchDir(pdir, bname))
           else None
         } else None
@@ -540,6 +625,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var bloom: Option[Seq[String]] = None
       var split: Option[Option[String]] = None
       var checks: Option[Seq[(String, String)]] = None
+      var forkL: Option[Option[String]] = None
       def curChecks: Seq[(String, String)] = checks.getOrElse(
         PoolJsonSink.readManifest(dir).map(_.checks).getOrElse(Nil))
       propChanges.foreach {
@@ -582,12 +668,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else if (rp.property.equalsIgnoreCase("bloomcols"))
             bloom = Some(Nil)
           else split = Some(None)
+        case sp: TableChange.SetProperty
+            if sp.property.equalsIgnoreCase("forklayer") =>
+          forkL = Some(Option(sp.value).map(_.trim).filter(_.nonEmpty))
+        case rp: TableChange.RemoveProperty
+            if rp.property.equalsIgnoreCase("forklayer") =>
+          forkL = Some(None)
         case other => sys.error(
           s"${fullName(ident)}: only the statscols/bloomcols/" +
-            s"splitcol/check.<name> properties can be altered, " +
-            s"got $other")
+            s"splitcol/forklayer/check.<name> properties can be " +
+            s"altered, got $other")
       }
-      PoolJsonSink.commitTableProps(dir, stats, bloom, split, checks)
+      PoolJsonSink.commitTableProps(dir, stats, bloom, split, checks,
+        forkL)
       if (colChanges.isEmpty)
         return new GraftCatalogTable(fullName(ident), dir, None)
     }
@@ -732,6 +825,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Resolve a procedure's 'tbl' argument ("ns.name" or bare "name",
     * default namespace assumed) to the table's data directory.
     */
+  /** The namespace dir holding a procedure's 'tbl' argument — where
+    * crashed CTAS staging (`.ctas-*`) strands, outside any table's
+    * own dir (vacuum's namespace sweep needs it).
+    */
+  private[sources] def resolveNamespaceDir(tbl: String): java.io.File = {
+    val parts = tbl.split('.')
+    val ns = if (parts.length >= 2) parts.dropRight(1)
+      else Array("default")
+    nsDir(ns)
+  }
+
   private[sources] def resolveDataDir(tbl: String): String = {
     val parts = tbl.split('.')
     val ident =
@@ -748,7 +852,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val bname = ident.name.stripPrefix("branch_")
         if (bname.nonEmpty && exists(parent)) {
           val pdir = dataDir(parent).toString
-          if (PoolJsonSink.listBranches(pdir).contains(bname))
+          if (PoolJsonSink.branchExists(pdir, bname))
             return PoolJsonSink.branchDir(pdir, bname)
         }
       }
@@ -1095,6 +1199,7 @@ class GraftCatalogTable(
       (if (manifest.bloomCols.nonEmpty)
         Map("bloomcols" -> manifest.bloomCols.mkString(",")) else Map.empty) ++
       manifest.splitCol.map("splitcol" -> _) ++
+      manifest.forkLayerProp.map("forklayer" -> _) ++
       manifest.checks.map { case (n, e) => s"check.$n" -> e } ++
       Map("version" -> manifest.version.toString)).asJava
 

@@ -115,15 +115,57 @@ object GraftProcedures {
               ProcedureParameter.in("tbl", StringType).build(),
               ProcedureParameter.in("retain", IntegerType)
                 .defaultValue("1")
-                .comment("committed versions to keep").build())
+                .comment("committed versions to keep").build(),
+              // Delta-style retention gate, defaulted SAFE: with 0,
+              // every not-yet-referenced artifact of a CONCURRENT
+              // in-flight write (staging dirs; data files moved into
+              // data/ but not yet manifest-committed — GraftBatchWrite
+              // moves before commitStagedReplace) is instantly
+              // reclaimable, so a vacuum racing a writer could fail
+              // the commit or strand a manifest pointing at deleted
+              // files. 24 h clears any real in-flight write; tests and
+              // probes that need immediate reclaim pass 0 explicitly.
+              ProcedureParameter.in("min_age_ms", LongType)
+                .defaultValue("86400000")
+                .comment("delete nothing younger than this").build())
             override def call(in: InternalRow): java.util.Iterator[Scan] = {
               val dir = catalog.resolveDataDir(in.getString(0))
               val retain = if (in.isNullAt(1)) 1 else in.getInt(1)
+              val minAge = if (in.isNullAt(2)) 86400000L else in.getLong(2)
               val removed = PoolJsonSink.vacuum(dir,
-                retainVersions = retain)
+                retainVersions = retain, minAgeMs = minAge)
+              // crashed-CTAS debris: `.ctas-*` staging tables live in
+              // the NAMESPACE dir (invisible to listTables, outside
+              // any table's own dir), so a driver crash between the
+              // staged write and commit/abort would strand them
+              // forever — no table-level sweep reaches them. Swept
+              // here, gated on the NEWEST mtime in the staging tree
+              // (an in-flight CTAS keeps writing, so its newest file
+              // is always young; a crashed one is static and ages
+              // past the gate).
+              val cutoff = System.currentTimeMillis() - minAge
+              def newest(f: java.io.File): Long =
+                if (f.isDirectory)
+                  (f.lastModified() +: Option(f.listFiles())
+                    .getOrElse(Array.empty).map(newest).toSeq).max
+                else f.lastModified()
+              def countFiles(f: java.io.File): Int =
+                if (f.isDirectory) Option(f.listFiles())
+                  .getOrElse(Array.empty).map(countFiles).sum
+                else 1
+              val ctasSwept = Option(
+                catalog.resolveNamespaceDir(in.getString(0)).listFiles())
+                .getOrElse(Array.empty)
+                .filter(d => d.isDirectory &&
+                  d.getName.startsWith(".ctas-") && newest(d) <= cutoff)
+                .map { d =>
+                  val n = countFiles(d)
+                  org.apache.commons.io.FileUtils.deleteDirectory(d)
+                  n
+                }.sum
               one(StructType(Seq(
                 StructField("removed_files", IntegerType, false))),
-                removed)
+                removed + ctasSwept)
             }
           }
       }

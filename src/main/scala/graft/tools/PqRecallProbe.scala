@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** n14 recall vs nprobe on BOTH corpus shapes:
+  * `PqRecallProbe <nVecs> <workDir>`.
+  *
+  * The round-6 verdict flagged that n14's recorded recall numbers
+  * (raw 0.1–0.2, re-ranked 0.3–0.7) come from the DIFFUSE synthetic
+  * embeddings — i.i.d. uniform components, so inter-point angles
+  * concentrate near 90° and the coarse quantizer has no structure to
+  * exploit; nobody should quote those numbers for a real corpus.
+  * Real embedding corpora are CLUSTERED (that is what makes IVF work
+  * at all), so this probe generates a mixture-of-gaussians corpus —
+  * K=16 hash-derived unit centers, sigma=0.25 relative noise, the
+  * probe vector a member of cluster 0 — alongside the diffuse shape,
+  * and records n14's (recall_pq, recall_rerank) as nprobe sweeps
+  * 1,2,4,8,16 on each. Deterministic like every probe generator
+  * (splittable per-id LCG — any parallelism, same corpus).
+  */
+object PqRecallProbe {
+
+  private def lcg(x: Long): Long =
+    x * 6364136223846793005L + 1442695040888963407L
+
+  /** one uniform in [-1, 1) from a per-(id, dim) hash state */
+  private def u(id: Long, salt: Long, dim: Int): Double = {
+    var st = lcg(id ^ salt ^ (dim.toLong * 0x9e3779b97f4a7c15L))
+    st = lcg(st)
+    (st >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
+  private def writeCorpus(spark: SparkSession, nVecs: Long,
+      dir: String, clustered: Boolean): Unit = {
+    import spark.implicits._
+    val marker = new java.io.File(dir,
+      s"_GEN_${nVecs}_${if (clustered) "mog" else "diffuse"}")
+    if (marker.isFile) return
+    val k = 16
+    // K unit centers, derived once on the driver (hash arithmetic,
+    // no RNG object: parallelism-invariant like ScaleProbe)
+    val centers: Array[Array[Double]] = Array.tabulate(k) { c =>
+      val raw = Array.tabulate(64)(j => u(c.toLong, 0xC0FFEEL, j))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val bcC = spark.sparkContext.broadcast(centers)
+    spark.range(nVecs).map { jid =>
+      val id: Long = jid
+      val e =
+        if (!clustered) Array.tabulate(64)(j =>
+          u(id, 0x5deece66dL, j).toFloat)
+        else if (id == 0L) {
+          // the probe is a BOUNDARY point — the midpoint of centers
+          // 0 and 1 — so its true neighbor set straddles coarse
+          // cells and the nprobe dial has a recall curve to show (a
+          // dead-center member query's top-10 all share one cell and
+          // recall is flat in nprobe by construction)
+          val a = bcC.value(0); val b = bcC.value(1)
+          Array.tabulate(64)(j =>
+            (0.5 * (a(j) + b(j)) + 0.1 * u(id, 0xD1CEBEEFL, j)).toFloat)
+        } else {
+          val c = bcC.value((id % k).toInt)
+          Array.tabulate(64)(j =>
+            (c(j) + 0.25 * u(id, 0xD1CEBEEFL, j)).toFloat)
+        }
+      (id, e, (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    marker.createNewFile(); ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nVecs = args(0).toLong
+    val workDir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Seq(("diffuse", false), ("clustered", true)).foreach {
+      case (shape, clustered) =>
+        val dir = s"$workDir/$shape"
+        writeCorpus(spark, nVecs, dir, clustered)
+        println(s"== $shape corpus ($nVecs vecs) ==")
+        println(f"${"nprobe"}%-8s ${"recall_pq@10"}%-14s ${"recall_rerank@10"}%-16s ${"sec"}%-6s")
+        Seq(1, 2, 4, 8, 16).foreach { np =>
+          spark.conf.set("graft.ann.nprobe", np.toString)
+          val t0 = System.nanoTime()
+          val r = graft.SparkEntry
+            .queries("n14_pq_rerank_recall")(spark, dir).head
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"$np%-8d ${r.getAs[Double]("recall_pq_at_10")}%-14.2f " +
+            f"${r.getAs[Double]("recall_rerank_at_10")}%-16.2f $dt%-6.1f")
+        }
+        spark.conf.unset("graft.ann.nprobe")
+    }
+    spark.stop()
+  }
+}

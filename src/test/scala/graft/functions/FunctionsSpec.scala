@@ -247,4 +247,36 @@ class FunctionsSpec extends AnyFunSuite {
       assert(onePass.getAs[Double](f) == twoPass.getAs[Double](f), f)
     assert(onePass.getAs[Long]("size") == twoPass.getAs[Long]("size"))
   }
+
+  test("SortedIntersectCount equals size(array_intersect) on sorted sets") {
+    // the d8 verify kernel's builtin twin, over every candidate-doc
+    // pair shape the corpus produces (plus empty/disjoint edges)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        sort_array(ShingleHashes(col("text"))).as("hs"))
+      .limit(40)
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.hs").as("ha"), col("b.hs").as("hb"))
+    val rows = pairs
+      .withColumn("builtin", expr("size(array_intersect(ha, hb))"))
+      .withColumn("native", SortedIntersectCount(col("ha"), col("hb")))
+      .where(col("builtin") =!= col("native"))
+      .count()
+    assert(rows == 0L)
+    // edges: empty vs non-empty, identical, fully disjoint
+    val edge = spark.sql(
+      """SELECT
+        |  size(array_intersect(a, b)) AS builtin,
+        |  a, b
+        |FROM VALUES
+        |  (array(1L,2L,3L), array(2L,3L,9L)),
+        |  (CAST(array() AS array<bigint>), array(1L)),
+        |  (array(5L), array(5L)),
+        |  (array(1L,2L), array(3L,4L))
+        |AS t(a, b)""".stripMargin)
+      .withColumn("native", SortedIntersectCount(col("a"), col("b")))
+      .collect()
+    edge.foreach(r => assert(r.getAs[Int]("builtin") == r.getAs[Int]("native")))
+  }
 }

@@ -147,7 +147,7 @@ class BranchWapSpec extends AnyFunSuite {
     // to retain only the new version: the OLD files' parent names go
     spark.sql("INSERT INTO gwap.default.vc VALUES (1, 'A'), (2, 'B')")
     spark.sql("CALL gwap.system.vacuum(tbl => 'default.vc', " +
-      "retain => 1)").collect()
+      "retain => 1, min_age_ms => 0)").collect()
     // the branch still reads its fork snapshot through its own links
     assert(rows(
       "SELECT k, v FROM gwap.default.vc.branch_keep ORDER BY k") ==
@@ -285,7 +285,7 @@ class BranchWapSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq
     assert(ops.contains("OPTIMIZE"))
     val removed = spark.sql("CALL gwap.system.vacuum(" +
-      "tbl => 'default.mt.branch_ops', retain => 1)").collect()
+      "tbl => 'default.mt.branch_ops', retain => 1, min_age_ms => 0)").collect()
     assert(removed.head.getInt(0) > 0) // pre-compaction files reclaimed
     // branch content intact, parent untouched by branch maintenance
     assert(rows("SELECT count(*) FROM gwap.default.mt.branch_ops")
@@ -394,7 +394,7 @@ class BranchWapSpec extends AnyFunSuite {
     // source vacuum after full rewrite cannot break the clone
     spark.sql("INSERT INTO gwap.default.src VALUES (1, 'A'), (2, 'B')")
     spark.sql("CALL gwap.system.vacuum(tbl => 'default.src', " +
-      "retain => 1)").collect()
+      "retain => 1, min_age_ms => 0)").collect()
     assert(rows("SELECT k, v FROM gwap.default.dev ORDER BY k") ==
       Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
     // clone refuses an existing target

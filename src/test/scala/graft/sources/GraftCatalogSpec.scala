@@ -252,7 +252,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(opt.head.getInt(0) == 0)
 
     val vac = spark.sql("CALL gcat.system.vacuum(" +
-      "tbl => 'default.m', retain => 1)")
+      "tbl => 'default.m', retain => 1, min_age_ms => 0)")
     assert(vac.head.getInt(0) >= 1) // old versions + files reclaimed
     // data intact after maintenance
     assert(spark.sql("SELECT count(*) FROM gcat.default.m")

@@ -61,7 +61,8 @@ class TagsRollbackSpec extends AnyFunSuite {
 
   test("tagged version survives vacuum; drop_tag releases it") {
     // retention of 1 would normally reclaim v1 and v2
-    spark.sql("CALL gtag.system.vacuum(tbl => 'default.t', retain => 1)")
+    spark.sql("CALL gtag.system.vacuum(tbl => 'default.t', retain => 1, " +
+      "min_age_ms => 0)")
     assert(PoolJsonSink.listVersions(dir).contains(2L),
       "tag must pin v2 through vacuum")
     assert(!PoolJsonSink.listVersions(dir).contains(1L),
@@ -72,7 +73,8 @@ class TagsRollbackSpec extends AnyFunSuite {
 
     spark.sql("CALL gtag.system.drop_tag(tbl => 'default.t', " +
       "name => 'pre-double')")
-    spark.sql("CALL gtag.system.vacuum(tbl => 'default.t', retain => 1)")
+    spark.sql("CALL gtag.system.vacuum(tbl => 'default.t', retain => 1, " +
+      "min_age_ms => 0)")
     assert(!PoolJsonSink.listVersions(dir).contains(2L),
       "dropping the tag releases the version to vacuum")
   }
