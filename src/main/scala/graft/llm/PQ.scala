@@ -36,8 +36,21 @@ object PQ {
   val M = 4
   val SubDim = 16
 
-  /** Codes per subspace codebook. */
+  /** Codes per subspace codebook — the ORACLE-PINNED default. The
+    * effective K is a session dial ([[kFor]], `graft.pq.k`): the
+    * recall probe measured that 12-bit codes (M=4 × 3 bits) cannot
+    * rank a near-tie shell — 4096 distinct codes over a 40k corpus
+    * leaves ~10 vectors per code cell, so ADC is blind within cells
+    * and even exact re-rank of the top-50 recovers nothing. Raising
+    * K is the production lever (FAISS ships K=256); the DuckDB
+    * oracle unrolls K=8 chains, so oracle-gated runs use the
+    * default and the dial serves probes and deployments.
+    */
   val K = 8
+
+  /** Effective codes-per-codebook for this session. */
+  def kFor(s: SparkSession): Int =
+    s.conf.getOption("graft.pq.k").map(_.toInt).getOrElse(K)
 
   /** Oracle unroll count per subspace chain — EXACTLY the Scala round
     * cap, which makes the equality unconditional: a subspace that
@@ -61,24 +74,63 @@ object PQ {
   def subVec(e: org.apache.spark.sql.Column, j: Int) =
     slice(e, j * SubDim + 1, SubDim)
 
+  /** The coarse centroid a cid assigns to, as a literal-table lookup
+    * (K whens — codegen-friendly, and robust to a Lloyd chain that
+    * leaves a cid gap, unlike positional element_at).
+    */
+  def centroidFor(coarse: KMeans.Model,
+      cid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coarse.centroids.foldRight(
+      lit(null).cast("array<double>"): org.apache.spark.sql.Column) {
+      case ((id, ce), acc) =>
+        when(cid === id, typedlit(ce.toSeq)).otherwise(acc)
+    }
+
+  /** The RESIDUAL the codebooks quantize: e − coarse centroid,
+    * elementwise (the FAISS IVF-PQ recipe — absolute-coordinate PQ
+    * cannot rank within a tight cluster because the codebook's
+    * resolution is spent spanning inter-cluster distances; encoding
+    * the residual re-centers every cell at the origin so all
+    * codebook resolution goes to intra-cell structure, which is
+    * where serving actually discriminates. PqRecallProbe measured
+    * the absolute-coordinate collapse: recall_pq@10 = 0.0 on a
+    * 16-cluster corpus).
+    */
+  def residualCol(coarse: KMeans.Model,
+      e: org.apache.spark.sql.Column,
+      cid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(e, centroidFor(coarse, cid), (a, b) => a - b)
+
   def fit(s: SparkSession, d: String): Codebooks =
-    cache.computeIfAbsent(d, _ => {
+    cache.computeIfAbsent(s"$d#k=${kFor(s)}", _ => {
       // the KMeans model-registry contract applied per subspace:
       // serving processes load the trained codebooks from disk
-      // instead of re-running M Lloyd chains
-      val files = (0 until M).map(j => KMeans.modelFile(s"pq$j", d))
+      // instead of re-running M Lloyd chains. 'pqres' names: the
+      // residual-encoding change invalidated every absolute-
+      // coordinate codebook, so the registry key moved with it.
+      val k = kFor(s)
+      val files = (0 until M).map(j =>
+        KMeans.modelFile(s"pqres${k}_$j", d))
       val loaded = files.map(KMeans.loadModel)
       if (loaded.forall(_.isDefined)) Codebooks(loaded.map(_.get))
       else {
-        val t = graft.Tables.embeddings(s, d)
+        val coarse = KMeans.fit(s, d)
+        val base = graft.Tables.embeddings(s, d)
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("full"))
+          .withColumn("__ee",
+            graft.functions.DotProduct(col("full"), col("full")))
+        val t = base
+          .withColumn("__cid", KMeans.assignColOn(coarse.centroids,
+            col("full"), col("__ee")).getField("cid"))
+          .select(col("vec_id"),
+            residualCol(coarse, col("full"), col("__cid")).as("full"))
           .localCheckpoint()
         val books = (0 until M).map { j =>
           val ej = subVec(col("full"), j)
           val m = KMeans.fitOn(
             t.select(col("vec_id"), ej.as("e"),
-              graft.functions.DotProduct(ej, ej).as("ee")), K)
+              graft.functions.DotProduct(ej, ej).as("ee")), k)
           KMeans.saveModel(m, files(j))
           m
         }
@@ -96,18 +148,32 @@ object PQ {
     s
   }
 
-  /** The probe's ADC table: luts(j)(cid) = d²(probe_j, centroid) with
-    * the identical `pp − 2·p·c + c·c` expression shape the oracle
-    * recomputes. M·K doubles — always literal-sized.
+  /** The probe's ADC table for ONE coarse cell: luts(j)(cid) =
+    * d²(residual_j, centroid) with the identical `pp − 2·p·c + c·c`
+    * expression shape the oracle recomputes. Under residual encoding
+    * the table is PER PROBED CELL (the query's residual differs per
+    * cell) — nprobe tables of M·K doubles, still literal-sized; this
+    * is exactly FAISS's per-list LUT recomputation.
     */
-  def adcTable(probe: Array[Double], cb: Codebooks): Seq[Seq[Double]] =
+  def adcTable(probeResidual: Array[Double],
+      cb: Codebooks): Seq[Seq[Double]] =
     (0 until M).map { j =>
-      val pj = probe.slice(j * SubDim, (j + 1) * SubDim)
+      val pj = probeResidual.slice(j * SubDim, (j + 1) * SubDim)
       val pp = dotSeq(pj, pj)
       cb.books(j).centroids.map { case (_, c) =>
         pp - 2.0 * dotSeq(pj, c) + dotSeq(c, c)
       }
     }
+
+  /** Driver-side residual (probe − cell centroid), elementwise — the
+    * same subtraction [[residualCol]] runs distributed.
+    */
+  def residualOf(probe: Array[Double], ce: Array[Double]): Array[Double] = {
+    val r = new Array[Double](probe.length)
+    var i = 0
+    while (i < r.length) { r(i) = probe(i) - ce(i); i += 1 }
+    r
+  }
 
   /** Probe main: per-subspace rounds-to-convergence (OracleRounds
     * margin evidence, as KMeans.main is for n7).

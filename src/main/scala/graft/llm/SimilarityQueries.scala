@@ -337,10 +337,11 @@ object SimilarityQueries {
     // of 64 doubles (128× less memory bandwidth).
     "n9_pq_encode" -> ((s, d) => {
       val cb = PQ.fit(s, d)
+      val coarse = KMeans.fit(s, d)
       val base = graft.Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("e"))
-      val withSubs = pqAssignments(base, cb)
+      val withSubs = pqAssignments(base, cb, coarse)
       // Codes emit as four scalar BIGINT columns (code0..code3), not
       // ARRAY<BIGINT>: the oracle comparator hash-sorts column values
       // and arrays aren't hashable there — and scalar codes are also
@@ -366,20 +367,27 @@ object SimilarityQueries {
     // excluded; ties broken by vec_id in both engines.
     "n10_pq_adc" -> ((s, d) => {
       val cb = PQ.fit(s, d)
+      val coarse = KMeans.fit(s, d)
       val probe = graft.Tables.embeddings(s, d)
         .where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head.getSeq[Double](0).toArray
-      val luts = PQ.adcTable(probe, cb)
+      // residual encoding makes the LUT per COARSE CELL (the query's
+      // residual differs per cell): K tables of M·K doubles, selected
+      // by the row's cell in a literal when-chain — FAISS's per-list
+      // LUT recomputation, still map-only
+      val lutsByCid = coarse.centroids.map { case (cid, ce) =>
+        cid -> PQ.adcTable(PQ.residualOf(probe, ce), cb)
+      }
       val base = graft.Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("e"))
-      val withSubs = pqAssignments(base, cb)
+      val withSubs = pqAssignments(base, cb, coarse)
       withSubs
         .where(col("vec_id") =!= 0)
         .select(col("vec_id"),
           round((0 until PQ.M).map(j =>
-            element_at(typedlit(luts(j)),
+            adcLookup(lutsByCid, j, col("__kcid"),
               col(s"m$j.cid").cast("int") + 1))
             .reduce(_ + _), 6).as("ad2"))
         .orderBy("ad2", "vec_id")
@@ -449,13 +457,19 @@ object SimilarityQueries {
         }
         .sortBy { case (cid, score) => (-score, cid) }
         .take(nprobe(s)).map(_._1)
-      val luts = PQ.adcTable(probeVec, cb)
+      // per-PROBED-cell LUTs (residual encoding): nprobe literal
+      // tables, selected by the index's stored cell id
+      val lutsByCid = model.centroids
+        .filter { case (cid, _) => probed.contains(cid) }
+        .map { case (cid, ce) =>
+          cid -> PQ.adcTable(PQ.residualOf(probeVec, ce), cb)
+        }
       s.read.parquet(trainedPqIndexDir(s, d))
         .where(col("cid").isin(probed: _*))
         .where(col("vec_id") =!= 0)
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           round((0 until PQ.M).map(j =>
-            element_at(typedlit(luts(j)),
+            adcLookup(lutsByCid, j, col("cid").cast("long"),
               element_at(col("codes"), j + 1).cast("int") + 1))
             .reduce(_ + _), 6).as("ad2"))
         .orderBy("ad2", "vec_id")
@@ -492,17 +506,21 @@ object SimilarityQueries {
         }
         .sortBy { case (cid, score) => (-score, cid) }
         .take(nprobe(s)).map(_._1)
-      val luts = PQ.adcTable(probeVec, cb)
+      val lutsByCid = model.centroids
+        .filter { case (cid, _) => probed.contains(cid) }
+        .map { case (cid, ce) =>
+          cid -> PQ.adcTable(PQ.residualOf(probeVec, ce), cb)
+        }
       val adc = s.read.parquet(trainedPqIndexDir(s, d))
         .where(col("cid").isin(probed: _*))
         .where(col("vec_id") =!= 0)
         .select(col("vec_id"),
           round((0 until PQ.M).map(j =>
-            element_at(typedlit(luts(j)),
+            adcLookup(lutsByCid, j, col("cid").cast("long"),
               element_at(col("codes"), j + 1).cast("int") + 1))
             .reduce(_ + _), 6).as("ad2"))
       val pq10 = adc.orderBy("ad2", "vec_id").limit(10).select("vec_id")
-      val shortlist = adc.orderBy("ad2", "vec_id").limit(RerankC)
+      val shortlist = adc.orderBy("ad2", "vec_id").limit(rerankC(s))
         .select("vec_id")
       val rerank10 = t.where(col("vec_id") =!= 0)
         .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
@@ -527,8 +545,12 @@ object SimilarityQueries {
   )
 
   /** n14's ADC shortlist width: the standard FAISS serving dial — the
-    * re-rank reads exactly this many true vectors per query. */
+    * re-rank reads exactly this many true vectors per query. Session
+    * conf `graft.ann.rerank_c` overrides (probes sweep it); the
+    * default keeps the n14 oracle deterministic. */
   private[llm] val RerankC = 50
+  private[llm] def rerankC(s: SparkSession): Int =
+    s.conf.getOption("graft.ann.rerank_c").map(_.toInt).getOrElse(RerankC)
 
   /** The M per-subspace nearest-centroid assignments (m0..m{M-1}),
     * with each subspace SLICE and its self-dot materialized ONCE per
@@ -543,9 +565,20 @@ object SimilarityQueries {
     * fold over the same values, same d² shape, same argmin ties —
     * which is why the n9/n10/n12/n14 oracles stay bit-green.
     */
-  private def pqAssignments(base: DataFrame, cb: PQ.Codebooks): DataFrame = {
-    val withSlices = (0 until PQ.M).foldLeft(base)((df, j) =>
-      df.withColumn(s"__e$j", PQ.subVec(col("e"), j)))
+  private def pqAssignments(base: DataFrame, cb: PQ.Codebooks,
+      coarse: KMeans.Model): DataFrame = {
+    // coarse cell + RESIDUAL once per row (the codebooks quantize
+    // e − cell centroid — see PQ.residualCol); `__kcid` rides along
+    // so consumers (index build, per-cell ADC) never re-assign
+    val withCid = base
+      .withColumn("__fee",
+        graft.functions.DotProduct(col("e"), col("e")))
+      .withColumn("__kcid", KMeans.assignColOn(coarse.centroids,
+        col("e"), col("__fee")).getField("cid"))
+      .withColumn("__r",
+        PQ.residualCol(coarse, col("e"), col("__kcid")))
+    val withSlices = (0 until PQ.M).foldLeft(withCid)((df, j) =>
+      df.withColumn(s"__e$j", PQ.subVec(col("__r"), j)))
     val withEe = (0 until PQ.M).foldLeft(withSlices)((df, j) =>
       df.withColumn(s"__ee$j",
         graft.functions.DotProduct(col(s"__e$j"), col(s"__e$j"))))
@@ -553,6 +586,21 @@ object SimilarityQueries {
       df.withColumn(s"m$j", KMeans.assignColOn(
         cb.books(j).centroids, col(s"__e$j"), col(s"__ee$j"))))
   }
+
+  /** Per-cell ADC lookup for subspace `j`: the query's LUT differs
+    * per coarse cell under residual encoding, so the expression is a
+    * literal when-chain over the given cells' tables — nprobe (or K)
+    * branches of an element_at over an M×K literal, still wholly
+    * inside codegen.
+    */
+  private def adcLookup(
+      lutsByCid: Seq[(Long, Seq[Seq[Double]])], j: Int,
+      cellCid: Column, code: Column): Column =
+    lutsByCid.foldRight(lit(null).cast("double"): Column) {
+      case ((cid, luts), acc) =>
+        when(cellCid === cid,
+          element_at(typedlit(luts(j)), code)).otherwise(acc)
+    }
 
   /** Per-label decimal-exact centroids, ranked against the probe: the
     * 2 nearest cluster labels (shared by n2 and n6).
@@ -750,20 +798,20 @@ object SimilarityQueries {
     * (16 B of codes + key per vector instead of 512 B of floats).
     */
   private def trainedPqIndexDir(s: SparkSession, d: String): String = {
+    // v2 cache name: residual encoding changed every stored code, so
+    // the versioned dir retires indexes built by the absolute-
+    // coordinate encoder
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivfpq_trained_${KMeans.corpusKey(d)}")
+      s"graft_ivfpq2_trained_${KMeans.corpusKey(d)}_k${PQ.kFor(s)}")
     val ready = new java.io.File(dir, "_INDEX_READY")
     if (!ready.exists()) {
       val model = KMeans.fit(s, d)
       val cb = PQ.fit(s, d)
-      val b = base(s, d).withColumn("ee", dot("e", "e"))
-        .withColumn("cid",
-          KMeans.assignCol(model.centroids).getField("cid"))
-      val withSubs = pqAssignments(b, cb)
+      val withSubs = pqAssignments(base(s, d), cb, model)
       withSubs
         .select(col("vec_id"),
           array((0 until PQ.M).map(j => col(s"m$j.cid")): _*).as("codes"),
-          col("cid"))
+          col("__kcid").as("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(dir.toString)
       ready.createNewFile()
@@ -1072,6 +1120,7 @@ object SimilarityQueries {
     "n9_pq_encode" ->
       s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |           FROM embeddings),
+         |$sqlCoarse,
          |$sqlPqChains
          |SELECT t.vec_id AS vec_id,
          |  ${(0 until PQ.M)
@@ -1085,25 +1134,16 @@ object SimilarityQueries {
     "n10_pq_adc" ->
       s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |           FROM embeddings),
+         |$sqlCoarse,
          |$sqlPqChains,
          |q AS (SELECT e AS qe FROM t WHERE vec_id = 0),
-         |${(0 until PQ.M).map { j =>
-              val a = j * PQ.SubDim + 1
-              val b = (j + 1) * PQ.SubDim
-              s"""l$j AS (
-                 |  SELECT cid,
-                 |    list_inner_product(qe[$a:$b], qe[$a:$b])
-                 |      - 2 * list_inner_product(qe[$a:$b], ce)
-                 |      + list_inner_product(ce, ce) AS d2
-                 |  FROM c${PQ.OracleRounds}_s$j, q)""".stripMargin
-            }.mkString(",\n")}
-         |SELECT vec_id, round(${(0 until PQ.M)
+         |$sqlResidualLuts
+         |SELECT af.vec_id AS vec_id, round(${(0 until PQ.M)
               .map(j => s"l$j.d2").mkString(" + ")}, 6) AS ad2
-         |FROM af_s0 ${(1 until PQ.M)
+         |FROM af ${(0 until PQ.M)
               .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
-         |${(0 until PQ.M)
-              .map(j => s"JOIN l$j ON l$j.cid = af_s$j.cid").mkString(" ")}
-         |WHERE vec_id <> 0
+         |$sqlLutJoins
+         |WHERE af.vec_id <> 0
          |ORDER BY ad2, vec_id LIMIT 10""".stripMargin,
     "n11_binary_hamming" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -1130,32 +1170,20 @@ object SimilarityQueries {
     "n12_ivf_pq" ->
       s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |           FROM embeddings),
-         |${sqlKmeansCtes(KMeans.OracleRounds)},
-         |${sqlKmeansAssign("af", s"c${KMeans.OracleRounds}",
-            withD2 = false)},
+         |$sqlCoarse,
          |q AS (SELECT e AS qe FROM t WHERE vec_id = 0),
          |nearest AS (
          |  SELECT cid FROM c${KMeans.OracleRounds}, q
          |  ORDER BY list_inner_product(ce, qe) DESC, cid LIMIT 2),
          |$sqlPqChains,
-         |${(0 until PQ.M).map { j =>
-              val a = j * PQ.SubDim + 1
-              val b = (j + 1) * PQ.SubDim
-              s"""l$j AS (
-                 |  SELECT cid,
-                 |    list_inner_product(qe[$a:$b], qe[$a:$b])
-                 |      - 2 * list_inner_product(qe[$a:$b], ce)
-                 |      + list_inner_product(ce, ce) AS d2
-                 |  FROM c${PQ.OracleRounds}_s$j, q)""".stripMargin
-            }.mkString(",\n")}
+         |$sqlResidualLuts
          |SELECT t.vec_id, CAST(af.cid AS BIGINT) AS cid,
          |  round(${(0 until PQ.M)
               .map(j => s"l$j.d2").mkString(" + ")}, 6) AS ad2
          |FROM t JOIN af USING (vec_id)
          |${(0 until PQ.M)
               .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
-         |${(0 until PQ.M)
-              .map(j => s"JOIN l$j ON l$j.cid = af_s$j.cid").mkString(" ")}
+         |$sqlLutJoins
          |WHERE af.cid IN (SELECT cid FROM nearest) AND t.vec_id <> 0
          |ORDER BY ad2, vec_id LIMIT 10""".stripMargin,
     // n14: n12's ADC distances over the probed clusters feed both the
@@ -1163,24 +1191,13 @@ object SimilarityQueries {
     // by exact cosine; both stages score against the exact top-10
     "n14_pq_rerank_recall" ->
       s"""WITH t AS ($sqlBase),
-         |${sqlKmeansCtes(KMeans.OracleRounds)},
-         |${sqlKmeansAssign("af", s"c${KMeans.OracleRounds}",
-            withD2 = false)},
+         |$sqlCoarse,
          |q AS (SELECT e AS qe, norm AS qnorm FROM t WHERE vec_id = 0),
          |nearest AS (
          |  SELECT cid FROM c${KMeans.OracleRounds}, q
          |  ORDER BY list_inner_product(ce, qe) DESC, cid LIMIT 2),
          |$sqlPqChains,
-         |${(0 until PQ.M).map { j =>
-              val a = j * PQ.SubDim + 1
-              val b = (j + 1) * PQ.SubDim
-              s"""l$j AS (
-                 |  SELECT cid,
-                 |    list_inner_product(qe[$a:$b], qe[$a:$b])
-                 |      - 2 * list_inner_product(qe[$a:$b], ce)
-                 |      + list_inner_product(ce, ce) AS d2
-                 |  FROM c${PQ.OracleRounds}_s$j, q)""".stripMargin
-            }.mkString(",\n")},
+         |$sqlResidualLuts,
          |adc AS MATERIALIZED (
          |  SELECT t.vec_id,
          |    round(${(0 until PQ.M)
@@ -1188,8 +1205,7 @@ object SimilarityQueries {
          |  FROM t JOIN af USING (vec_id)
          |  ${(0 until PQ.M)
               .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
-         |  ${(0 until PQ.M)
-              .map(j => s"JOIN l$j ON l$j.cid = af_s$j.cid").mkString(" ")}
+         |  $sqlLutJoins
          |  WHERE af.cid IN (SELECT cid FROM nearest) AND t.vec_id <> 0),
          |pq10 AS MATERIALIZED (
          |  SELECT vec_id FROM adc ORDER BY ad2, vec_id LIMIT 10),
@@ -1280,9 +1296,21 @@ object SimilarityQueries {
     */
   private def sqlPqChains: String = {
     val r = PQ.OracleRounds
+    val R = KMeans.OracleRounds
+    // RESIDUAL source (the FAISS IVF-PQ recipe the Scala side runs):
+    // the codebooks quantize e − coarse centroid, so the subspace
+    // chains slice `resid`, not `t`. Assumes the enclosing query
+    // already holds the coarse chain (tt, c0..c$R, af) — every PQ
+    // oracle includes [[sqlCoarse]] first.
+    val resid =
+      s"""resid AS MATERIALIZED (
+         |  SELECT t.vec_id,
+         |    list_transform(range(64), i -> t.e[i + 1] - k.ce[i + 1]) AS e
+         |  FROM t JOIN af USING (vec_id) JOIN c$R k USING (cid))"""
+        .stripMargin
     val slices = (0 until PQ.M).map { j =>
       s"t_s$j AS (SELECT vec_id, " +
-        s"e[${j * PQ.SubDim + 1}:${(j + 1) * PQ.SubDim}] AS e FROM t)"
+        s"e[${j * PQ.SubDim + 1}:${(j + 1) * PQ.SubDim}] AS e FROM resid)"
     }
     val chains = (0 until PQ.M).map { j =>
       sqlKmeansCtes(r, s"_s$j", s"t_s$j", PQ.SubDim, PQ.K)
@@ -1290,8 +1318,45 @@ object SimilarityQueries {
     val finals = (0 until PQ.M).map { j =>
       sqlKmeansAssign(s"af_s$j", s"c${r}_s$j", withD2 = true, s"_s$j")
     }
-    (slices ++ chains ++ finals).mkString(",\n")
+    (Seq(resid) ++ slices ++ chains ++ finals).mkString(",\n")
   }
+
+  /** The coarse chain + full-vector assignment every PQ oracle needs
+    * first (cid feeds the residual and, in n12/n14, the probe gate).
+    */
+  private def sqlCoarse: String =
+    sqlKmeansCtes(KMeans.OracleRounds) + ",\n" +
+      sqlKmeansAssign("af", s"c${KMeans.OracleRounds}", withD2 = false)
+
+  /** Per-cell ADC LUT CTEs for all M subspaces: the query residual
+    * differs per coarse cell, so each l$j is keyed by (kcid, scid).
+    * Requires q(qe), c$R (coarse centroids) and the subspace chains.
+    */
+  private def sqlResidualLuts: String = {
+    val r = PQ.OracleRounds
+    val R = KMeans.OracleRounds
+    val rq =
+      s"""rq AS MATERIALIZED (
+         |  SELECT k.cid AS kcid,
+         |    list_transform(range(64), i -> q.qe[i + 1] - k.ce[i + 1]) AS rqe
+         |  FROM c$R k, q)""".stripMargin
+    val ls = (0 until PQ.M).map { j =>
+      val a = j * PQ.SubDim + 1
+      val b = (j + 1) * PQ.SubDim
+      s"""l$j AS (
+         |  SELECT rq.kcid, s.cid AS scid,
+         |    list_inner_product(rqe[$a:$b], rqe[$a:$b])
+         |      - 2 * list_inner_product(rqe[$a:$b], s.ce)
+         |      + list_inner_product(s.ce, s.ce) AS d2
+         |  FROM rq, c${r}_s$j s)""".stripMargin
+    }
+    (Seq(rq) ++ ls).mkString(",\n")
+  }
+
+  /** The l$j join conjuncts under per-cell LUTs. */
+  private def sqlLutJoins: String = (0 until PQ.M)
+    .map(j => s"JOIN l$j ON l$j.kcid = af.cid" +
+      s" AND l$j.scid = af_s$j.cid").mkString(" ")
 
   private lazy val sqlIvf =
     s"""WITH t AS ($sqlBase),

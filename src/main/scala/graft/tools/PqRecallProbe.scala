@@ -50,19 +50,32 @@ object PqRecallProbe {
       val e =
         if (!clustered) Array.tabulate(64)(j =>
           u(id, 0x5deece66dL, j).toFloat)
-        else if (id == 0L) {
-          // the probe is a BOUNDARY point — the midpoint of centers
-          // 0 and 1 — so its true neighbor set straddles coarse
-          // cells and the nprobe dial has a recall curve to show (a
-          // dead-center member query's top-10 all share one cell and
-          // recall is flat in nprobe by construction)
-          val a = bcC.value(0); val b = bcC.value(1)
-          Array.tabulate(64)(j =>
-            (0.5 * (a(j) + b(j)) + 0.1 * u(id, 0xD1CEBEEFL, j)).toFloat)
-        } else {
-          val c = bcC.value((id % k).toInt)
-          Array.tabulate(64)(j =>
-            (c(j) + 0.25 * u(id, 0xD1CEBEEFL, j)).toFloat)
+        else {
+          // L2-NORMALIZED, like every production embedding pipeline
+          // feeding a cosine ANN index: the IVF-PQ chain serves L2
+          // (ADC is a squared-distance estimate), and the recall
+          // oracle ranks by cosine — on unit vectors the two orders
+          // coincide (2 − 2·cos). The first probe run skipped the
+          // normalization and measured recall 0.0 even fully probed
+          // and exactly re-ranked: on a shell of near-tied boundary
+          // points, L2-of-unnormalized and cosine decorrelate
+          // completely. That is a METRIC-CONTRACT lesson, not a PQ
+          // bug — normalize at ingest or serve dot/L2 only.
+          val raw =
+            if (id == 0L) {
+              // the probe is a BOUNDARY point — the midpoint of
+              // centers 0 and 1 — so its true neighbor set straddles
+              // coarse cells and the nprobe dial has a curve to show
+              val a = bcC.value(0); val b = bcC.value(1)
+              Array.tabulate(64)(j =>
+                0.5 * (a(j) + b(j)) + 0.1 * u(id, 0xD1CEBEEFL, j))
+            } else {
+              val c = bcC.value((id % k).toInt)
+              Array.tabulate(64)(j =>
+                c(j) + 0.25 * u(id, 0xD1CEBEEFL, j))
+            }
+          val n = math.sqrt(raw.map(x => x * x).sum)
+          raw.map(x => (x / n).toFloat)
         }
       (id, e, (id % 10).toInt)
     }.toDF("vec_id", "embedding", "label")
@@ -83,22 +96,41 @@ object PqRecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the three serving dials swept together: corpus shape × code
+    // budget (graft.pq.k: 8 = oracle default = 12-bit codes; 64 =
+    // 24-bit, the production direction — FAISS ships 8-bit × M) ×
+    // nprobe; plus a rerank_c row at the hardest point
     Seq(("diffuse", false), ("clustered", true)).foreach {
       case (shape, clustered) =>
         val dir = s"$workDir/$shape"
         writeCorpus(spark, nVecs, dir, clustered)
-        println(s"== $shape corpus ($nVecs vecs) ==")
-        println(f"${"nprobe"}%-8s ${"recall_pq@10"}%-14s ${"recall_rerank@10"}%-16s ${"sec"}%-6s")
-        Seq(1, 2, 4, 8, 16).foreach { np =>
-          spark.conf.set("graft.ann.nprobe", np.toString)
-          val t0 = System.nanoTime()
-          val r = graft.SparkEntry
-            .queries("n14_pq_rerank_recall")(spark, dir).head
-          val dt = (System.nanoTime() - t0) / 1e9
-          println(f"$np%-8d ${r.getAs[Double]("recall_pq_at_10")}%-14.2f " +
-            f"${r.getAs[Double]("recall_rerank_at_10")}%-16.2f $dt%-6.1f")
+        Seq(8, 64).foreach { k =>
+          spark.conf.set("graft.pq.k", k.toString)
+          println(s"== $shape corpus ($nVecs vecs), pq.k=$k " +
+            s"(${(math.log(k) / math.log(2)).round * 4} code bits) ==")
+          println(f"${"nprobe"}%-8s ${"recall_pq@10"}%-14s ${"recall_rerank@10"}%-16s ${"sec"}%-6s")
+          Seq(1, 2, 4, 8).foreach { np =>
+            spark.conf.set("graft.ann.nprobe", np.toString)
+            val t0 = System.nanoTime()
+            val r = graft.SparkEntry
+              .queries("n14_pq_rerank_recall")(spark, dir).head
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"$np%-8d ${r.getAs[Double]("recall_pq_at_10")}%-14.2f " +
+              f"${r.getAs[Double]("recall_rerank_at_10")}%-16.2f $dt%-6.1f")
+          }
+          // widen the shortlist at full probe: does re-rank recover
+          // what the code budget cannot rank?
+          Seq(200, 1000).foreach { c =>
+            spark.conf.set("graft.ann.rerank_c", c.toString)
+            val r = graft.SparkEntry
+              .queries("n14_pq_rerank_recall")(spark, dir).head
+            println(f"nprobe=8 rerank_c=$c%-6d -> recall_rerank " +
+              f"${r.getAs[Double]("recall_rerank_at_10")}%.2f")
+            spark.conf.unset("graft.ann.rerank_c")
+          }
+          spark.conf.unset("graft.ann.nprobe")
         }
-        spark.conf.unset("graft.ann.nprobe")
+        spark.conf.unset("graft.pq.k")
     }
     spark.stop()
   }
