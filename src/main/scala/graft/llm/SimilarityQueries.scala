@@ -541,6 +541,61 @@ object SimilarityQueries {
           col("hits_rerank"),
           (col("hits_rerank").cast("double") / lit(10))
             .as("recall_rerank_at_10"))
+    }),
+
+    // N15 — BATCH ANN through the trained IVF index: a whole QUERY
+    // RELATION (n5's probe batch) served in one plan — every probe
+    // routes map-side to its `nprobe` nearest coarse cells (literal
+    // centroids → one sorted K-struct array per probe, exploded),
+    // the routed probes join the cid-partitioned index ON CELL ID,
+    // and a per-probe top-10 window finishes it. This is the
+    // production retrieval-eval shape at 100 TB: n5's exact kNN
+    // join scores |probes| × |corpus| (with sampled-threshold
+    // pruning); here the index prunes the corpus side to the probed
+    // cells BEFORE any scoring — cost is |probes| × |probed cells'
+    // rows|, and the join is a plain equi-join Spark shuffles or
+    // broadcasts like any other. IVF is approximate: a true
+    // neighbor in an unprobed cell is missed (n8/n14 quantify
+    // recall; the nprobe dial trades it against cost).
+    "n15_ann_batch_ivf" -> ((s, d) => {
+      val model = KMeans.fit(s, d)
+      val np = nprobe(s)
+      val t = base(s, d)
+      val isProbe = col("vec_id") % 50 === 0 &&
+        col("vec_id") < KnnProbeBudget
+      // map-side routing: K literal (negdot, cid) structs per probe,
+      // array_sort (struct order = field order: dot desc, cid ties
+      // up), slice nprobe, explode — no join, no shuffle to route
+      val cells = array(model.centroids.sortBy(_._1).map {
+        case (cid, ce) =>
+          struct((lit(0.0) - graft.functions.DotProduct(
+            col("qe"), typedlit(ce.toSeq))).as("nd"),
+            lit(cid).as("cid"))
+      }: _*)
+      val routed = t.where(isProbe)
+        .select(col("vec_id").as("probe_id"), col("e").as("qe"),
+          col("norm").as("qnorm"))
+        .withColumn("cell",
+          explode(slice(array_sort(cells), 1, np)))
+        .select(col("probe_id"), col("qe"), col("qnorm"),
+          col("cell.cid").as("cid"))
+      val idx = s.read.parquet(trainedIndexDir(s, d))
+        .where(!isProbe)
+        .select(col("vec_id"), col("e"), col("norm"),
+          col("cid").cast("long").as("cid"))
+      val scored = idx
+        .join(broadcast(routed), Seq("cid"))
+        .select(col("probe_id"), col("vec_id"),
+          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6)
+            .as("cos"))
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("probe_id")
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rk") <= 10)
+        .select("probe_id", "rk", "vec_id", "cos")
+        .orderBy("probe_id", "rk")
     })
   )
 
@@ -588,19 +643,31 @@ object SimilarityQueries {
   }
 
   /** Per-cell ADC lookup for subspace `j`: the query's LUT differs
-    * per coarse cell under residual encoding, so the expression is a
-    * literal when-chain over the given cells' tables — nprobe (or K)
-    * branches of an element_at over an M×K literal, still wholly
-    * inside codegen.
+    * per coarse cell under residual encoding. ONE dense nested
+    * literal `dense(cell)(j)(code)` indexed by the row's cell id —
+    * NOT a when-chain per cell: the chain version (8 branches × 4
+    * subspaces of literal-array element_ats stacked on the encode
+    * structs) pushed the projection past whole-stage codegen's
+    * method-size limit into interpreted eval, measured 23.4 s for a
+    * 400k-vector encode+ADC at the 4M probe vs 0.98 s for this shape
+    * (~58 µs/row → ~2.5 µs/row). Cells absent from `lutsByCid`
+    * (unprobed, or a Lloyd chain that emptied a cid) get an all-MAX
+    * row: their vectors are filtered out before this expression in
+    * n12/n14 and cannot win a top-k in n10.
     */
   private def adcLookup(
       lutsByCid: Seq[(Long, Seq[Seq[Double]])], j: Int,
-      cellCid: Column, code: Column): Column =
-    lutsByCid.foldRight(lit(null).cast("double"): Column) {
-      case ((cid, luts), acc) =>
-        when(cellCid === cid,
-          element_at(typedlit(luts(j)), code)).otherwise(acc)
+      cellCid: Column, code: Column): Column = {
+    val maxCid = lutsByCid.map(_._1).max.toInt
+    val byCid = lutsByCid.toMap
+    val k = lutsByCid.head._2(j).size
+    val dense: Seq[Seq[Double]] = (0 to maxCid).map { c =>
+      byCid.get(c.toLong).map(_(j))
+        .getOrElse(Seq.fill(k)(Double.MaxValue))
     }
+    element_at(element_at(typedlit(dense),
+      cellCid.cast("int") + 1), code)
+  }
 
   /** Per-label decimal-exact centroids, ranked against the probe: the
     * 2 nearest cluster labels (shared by n2 and n6).
@@ -1230,7 +1297,36 @@ object SimilarityQueries {
          |   WHERE vec_id IN (SELECT vec_id FROM pq10)) AS hp,
          |  (SELECT count(*) FROM exact
          |   WHERE vec_id IN (SELECT vec_id FROM rerank10)) AS hr)"""
-        .stripMargin
+        .stripMargin,
+    // n15: coarse chain + per-probe cell routing (dot desc, cid
+    // ties) + cell-id join + per-probe top-10 — the nprobe default
+    // (2) is pinned here like in n12/n14
+    "n15_ann_batch_ivf" ->
+      s"""WITH t AS ($sqlBase),
+         |$sqlCoarse,
+         |p AS (SELECT vec_id AS probe_id, e AS qe, norm AS qnorm
+         |      FROM t WHERE vec_id % 50 = 0 AND vec_id < $KnnProbeBudget),
+         |route AS (
+         |  SELECT probe_id, qe, qnorm, cid FROM (
+         |    SELECT p.probe_id, p.qe, p.qnorm, k.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY list_inner_product(k.ce, p.qe) DESC, k.cid)
+         |        AS crk
+         |    FROM p, c${KMeans.OracleRounds} k)
+         |  WHERE crk <= 2),
+         |sc AS (
+         |  SELECT r.probe_id, t.vec_id,
+         |    round(list_inner_product(t.e, r.qe)
+         |      / (t.norm * r.qnorm), 6) AS cos
+         |  FROM t JOIN af USING (vec_id) JOIN route r ON af.cid = r.cid
+         |  WHERE NOT (t.vec_id % 50 = 0 AND t.vec_id < $KnnProbeBudget)),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT probe_id, rk, vec_id, cos FROM ranked WHERE rk <= 10
+         |ORDER BY probe_id, rk""".stripMargin
   )
 
   /** One Lloyd assignment CTE against centroid set `prev` (dist² =
