@@ -1028,7 +1028,12 @@ object PoolJsonSink {
         sys.error(s"$srcDir: not a graft table (no manifest)")))
     val fork = readManifestAt(srcDir, forkV)
     new java.io.File(dstDir, "data").mkdirs()
-    val layer = layerOf(fork)
+    // the layer comes from the table's CURRENT declaration, not the
+    // forked snapshot's: 'forklayer' describes the STORE the table
+    // lives on (links degrade to copies there regardless of which
+    // version is forked), so a table that declared 'ref' after v1
+    // still ref-forks a branch FROM v1
+    val layer = layerOf(readManifest(srcDir).getOrElse(fork))
     val manifest =
       if (layer == ParentRefLayer && op == "BRANCH")
         // zero file ops: every entry gains ONE `../../` hop — from

@@ -135,6 +135,25 @@ class BranchRefLayerSpec extends AnyFunSuite {
     assert(b.head.getLong(1) == 1L)
   }
 
+  test("ALTER to 'ref' applies to branches from EARLIER versions too") {
+    // the dial describes the STORE, not the snapshot: a table that
+    // declares forklayer=ref after some history still ref-forks a
+    // branch created FROM an old version
+    spark.sql("CREATE TABLE gref.default.al (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4')")
+    spark.sql("INSERT INTO gref.default.al VALUES (1, 'a')")
+    val oldV = PoolJsonSink.readManifest(s"$wh/default/al").get.version
+    spark.sql("INSERT INTO gref.default.al VALUES (2, 'b')")
+    spark.sql("ALTER TABLE gref.default.al " +
+      "SET TBLPROPERTIES ('forklayer'='ref')")
+    spark.sql("CALL gref.system.create_branch(tbl => 'default.al', " +
+      s"name => 'old', from => '$oldV')").collect()
+    val bdir = PoolJsonSink.branchDir(s"$wh/default/al", "old")
+    assert(dataFiles(bdir).isEmpty, "post-ALTER fork should be refs")
+    assert(rows("SELECT k, v FROM gref.default.al.branch_old ORDER BY k")
+      == Seq(Seq(1L, "a")))
+  }
+
   test("clone of a ref-layer table COPIES: fully independent bytes") {
     spark.sql("CREATE TABLE gref.default.src (k BIGINT, v STRING) " +
       "USING graft TBLPROPERTIES ('key'='k', 'nbuckets'='4', " +
