@@ -64,7 +64,9 @@ object GraftExtensions {
     entry("levenshtein_within", classOf[functions.LevenshteinWithin],
       exprs => functions.LevenshteinWithin(exprs(0), exprs(1), exprs(2))),
     entry("sorted_intersect_count", classOf[functions.SortedIntersectCount],
-      exprs => functions.SortedIntersectCount(exprs(0), exprs(1))))
+      exprs => functions.SortedIntersectCount(exprs(0), exprs(1))),
+    entry("ws_tokens", classOf[functions.WsTokens],
+      exprs => functions.WsTokens(exprs.head, lowered = true)))
 
   /** Register into an ALREADY-RUNNING session (the extensions class
     * only applies to sessions built with `withExtensions` /

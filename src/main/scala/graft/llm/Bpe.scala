@@ -144,7 +144,7 @@ object Bpe {
       : (Seq[(Long, String, String, Long)], Map[String, Int]) = {
     val wc = graft.Tables.documents(s, d)
       .select(explode(
-        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        graft.functions.WsTokens(col("text")))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .collect()
@@ -168,7 +168,7 @@ object Bpe {
     val vocabDf = vocab.toSeq.sortBy(_._1).toDF("word", "n_toks")
     graft.Tables.documents(s, d)
       .select(col("doc_id"), explode(
-        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        graft.functions.WsTokens(col("text")))
         .as("word"))
       .join(broadcast(vocabDf), Seq("word"), "left")
       .select(col("doc_id"),

@@ -476,8 +476,8 @@ object DedupQueries {
     // stopped letting count() prune the projection entirely).
     "d5_simhash" -> ((s, d) => {
       val toks = documents(s, d)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))"))
+        .select(col("doc_id"), explode(
+          array_distinct(graft.functions.WsTokens(col("text"))))
           .as("tok"))
         .select(col("doc_id"),
           expr("CAST(conv(substr(md5(tok), 1, 7), 16, 10) AS BIGINT)").as("h"))

@@ -42,8 +42,8 @@ object HistorySnapshot {
     * boilerplate byte-exact md5 misses. Shared by d11 and t9; the
     * DuckDB oracles reproduce it bit-for-bit.
     */
-  val digestExpr: Column = md5(expr(
-    "array_join(array_sort(array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))), ' ')"))
+  val digestExpr: Column = md5(array_join(array_sort(
+    array_distinct(graft.functions.WsTokens(col("text")))), " "))
 
   /** 60-bit BIGINT prefix of the digest — the bloom/bucket key (join
     * keys must be fixed-width integers, never hex strings).

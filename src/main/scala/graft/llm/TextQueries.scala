@@ -55,7 +55,7 @@ object TextQueries {
     val reqStop = Seq("the", "a", "of", "to", "and")
     val rq = reqStop.map(w => s"'$w'").mkString(", ")
     df.withColumn("toks",
-        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        graft.functions.WsTokens(col("text")))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("mean_tok_len",
         round(expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
@@ -85,7 +85,7 @@ object TextQueries {
       s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
     val wf = documents(s, d)
       .select(explode(
-        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        graft.functions.WsTokens(col("text")))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(concat(lit(" "),
@@ -144,7 +144,7 @@ object TextQueries {
     // X1 — language ID heuristic: stopword-list hit ratios, argmax of
     // two profiles with a deterministic tie rule.
     "x1_langid" -> ((s, d) => {
-      val toks = expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")
+      val toks = graft.functions.WsTokens(col("text"))
       val en = enStop.map(w => s"'$w'").mkString(", ")
       val da = dataStop.map(w => s"'$w'").mkString(", ")
       documents(s, d)
@@ -167,7 +167,7 @@ object TextQueries {
     "x2_quality_score" -> ((s, d) =>
       documents(s, d)
         .withColumn("toks",
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          graft.functions.WsTokens(col("text")))
         .withColumn("n_toks", size(col("toks")))
         .withColumn("len_chars", length(col("text")))
         .withColumn("punct", regexp_count(col("text"), lit("[.!?,;:]")))
@@ -195,7 +195,7 @@ object TextQueries {
     "x3_token_count" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
-          size(expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+          size(graft.functions.WsTokens(col("text"), lowered = false))
             .as("ws_tokens"),
           size(regexp_extract_all(col("text"),
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
@@ -215,7 +215,7 @@ object TextQueries {
     "x5_repetition" -> ((s, d) => {
       val base = documents(s, d)
         .withColumn("toks",
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          graft.functions.WsTokens(col("text")))
         .withColumn("n_toks", size(col("toks")))
       val inRow = base
         .withColumn("dup_word_frac",
@@ -277,7 +277,7 @@ object TextQueries {
     "x7_heavy_hitters" -> ((s, d) =>
       documents(s, d)
         .select(explode(
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")).as("tok"))
+          graft.functions.WsTokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"))
         .limit(20)),
@@ -424,7 +424,7 @@ object TextQueries {
     "x11_dup_spans" -> ((s, d) => {
       val docs = documents(s, d)
         .withColumn("toks",
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          graft.functions.WsTokens(col("text")))
         .where(size(col("toks")) >= 3)
       val spans = docs
         .select(col("doc_id"), explode(
@@ -465,7 +465,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val freq = documents(s, d)
         .select(explode(
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")).as("tok"))
+          graft.functions.WsTokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
       val ord = Window.orderBy(col("n").desc, col("tok"))
       freq
@@ -492,7 +492,7 @@ object TextQueries {
     "x13_rarity_score" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), explode(
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          graft.functions.WsTokens(col("text")))
           .as("tok"))
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val total = freq.agg(sum(col("cnt")).as("tot"))
@@ -531,7 +531,7 @@ object TextQueries {
     "x23_boilerplate_strip" -> ((s, d) => {
       val W = 8
       val docs = documents(s, d).select(col("doc_id"),
-        expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("w"))
+        graft.functions.WsTokens(col("text"), lowered = false).as("w"))
         .withColumn("nck", (size(col("w")) / W).cast("int"))
       val chunks = docs.filter(col("nck") >= 1)
         .select(col("doc_id"), posexplode(expr(
@@ -593,7 +593,7 @@ object TextQueries {
     // agree by construction).
     "x15_perplexity" -> ((s, d) => {
       val toks = documents(s, d).select(col("doc_id"),
-        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").as("a"))
+        graft.functions.WsTokens(col("text")).as("a"))
         .where(size(col("a")) >= 2)
       val bg = toks.select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(a) - 1), " +
@@ -661,7 +661,7 @@ object TextQueries {
       val merges = trainMerges(s, d)
       val words = documents(s, d)
         .select(col("doc_id"), explode(
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          graft.functions.WsTokens(col("text")))
           .as("word"))
         .select(col("doc_id"),
           concat(lit(" "),
@@ -716,7 +716,7 @@ object TextQueries {
     // doc-keyed tf⋈dl join.
     "x21_bm25" -> ((s, d) => {
       val toks = documents(s, d).select(col("doc_id"), explode(
-        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+        graft.functions.WsTokens(col("text")))
         .as("tok"))
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val corpus = dl.agg(count(lit(1)).as("n_docs"),
@@ -756,7 +756,7 @@ object TextQueries {
     "x17_topk_sketch" -> ((s, d) => {
       val toks = documents(s, d)
         .select(explode(
-          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+          graft.functions.WsTokens(col("text")))
           .as("tok"))
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("tok"))
@@ -809,9 +809,10 @@ object TextQueries {
       // coalesce: a NULL text must score the bare bias (what the
       // join-back shape and the oracle's LEFT JOIN + coalesce both
       // produce), not propagate NULL through the fold
+      graft.GraftExtensions.register(s)
       val logit = expr(
         s"""coalesce(aggregate(
-           |  filter(split(lower(text), '\\\\s+'), x -> x <> ''),
+           |  ws_tokens(text),
            |  CAST('$ClassifierBias' AS DECIMAL(18,4)),
            |  (acc, x) -> CAST(acc + CASE x $caseArms
            |    ELSE CAST(0 AS DECIMAL(18,4)) END AS DECIMAL(18,4))),
@@ -841,9 +842,10 @@ object TextQueries {
       val caseArms = ClassifierWeights.map { case (t, w) =>
         s"WHEN '$t' THEN CAST('$w' AS DECIMAL(18,4))"
       }.mkString(" ")
+      graft.GraftExtensions.register(s)
       val logit = expr(
         s"""coalesce(aggregate(
-           |  filter(split(lower(text), '\\\\s+'), x -> x <> ''),
+           |  ws_tokens(text),
            |  CAST('$ClassifierBias' AS DECIMAL(18,4)),
            |  (acc, x) -> CAST(acc + CASE x $caseArms
            |    ELSE CAST(0 AS DECIMAL(18,4)) END AS DECIMAL(18,4))),

@@ -248,6 +248,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(onePass.getAs[Long]("size") == twoPass.getAs[Long]("size"))
   }
 
+  test("WsTokens equals the filter(split(lower)) builtin tree") {
+    val builtin = "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
+    val builtinRaw = "filter(split(text, '\\\\s+'), x -> x <> '')"
+    // the whole corpus, both variants
+    val docs = graft.Tables.documents(spark, sf0001)
+    val bad = docs
+      .withColumn("a", expr(builtin))
+      .withColumn("b", WsTokens(col("text")))
+      .withColumn("ar", expr(builtinRaw))
+      .withColumn("br", WsTokens(col("text"), lowered = false))
+      .where(col("a") =!= col("b") || col("ar") =!= col("br"))
+      .count()
+    assert(bad == 0L)
+    // edges: empty, all-whitespace, leading/trailing/runs, every
+    // ASCII \s char, NBSP (NOT \s in Java's default regex — stays
+    // inside a token), multibyte text, Greek capital sigma in final
+    // and medial position (String.toLowerCase is context-sensitive
+    // there — the kernel lowercases the WHOLE string first, like
+    // Spark's lower(), so the contexts match)
+    import spark.implicits._
+    val edges = Seq("", " ", "  \t\n\f\r ", "a", " a ", "A  B",
+      "café  Über", "a b", "ΣΟΦΟΣ Σx",
+      "tab\tsep", "nl\nsep", "cr\rsep", "mix \t\r\n end")
+      .toDF("text")
+    val badEdges = edges
+      .withColumn("a", expr(builtin))
+      .withColumn("b", WsTokens(col("text")))
+      .withColumn("ar", expr(builtinRaw))
+      .withColumn("br", WsTokens(col("text"), lowered = false))
+      .where(col("a") =!= col("b") || col("ar") =!= col("br"))
+      .count()
+    assert(badEdges == 0L)
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted sets") {
     // the d8 verify kernel's builtin twin, over every candidate-doc
     // pair shape the corpus produces (plus empty/disjoint edges)
