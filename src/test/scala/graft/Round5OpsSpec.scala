@@ -108,7 +108,7 @@ class Round5OpsSpec extends AnyFunSuite {
       val scans = plan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
             if f.metadata.get("Location")
-              .exists(_.contains("graft_ivfpq_trained")) => f
+              .exists(_.contains("graft_ivfpq2_trained")) => f
       }
       assert(scans.nonEmpty, "no trained-index scan in the n12 plan")
       val pf = scans.head.metadata("PartitionFilters")
