@@ -19,9 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * HigherOrderFunction — CodegenFallback — which drags the WHOLE
   * projection it appears in out of whole-stage codegen (the recurring
   * ~20×-per-row cliff CodegenAudit exists to catch; this tree sat in
-  * 15 catalog queries' hot projections). Here: one UTF8String
-  * lowercase (the SAME UTF8String.toLowerCase Spark's Lower calls, so
-  * sigma-style context lowering matches bitwise), then a byte-level
+  * 15 catalog queries' hot projections). Here: one lowercase through
+  * the SAME entry point Spark's Lower codegen calls for the default
+  * collation (see the kernel's sigma note), then a byte-level
   * split on Java-regex `\s` = ASCII [ \t\n\x0B\f\r] — each of which
   * is a single UTF-8 byte that can never equal a continuation byte,
   * so the byte scan is multibyte-safe — with empty tokens never
@@ -45,12 +45,23 @@ case class WsTokens(child: Expression, lowered: Boolean)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "ws_tokens"
 
+  // resolved ONCE on the driver, like Lower's own lazy `useICU`
+  // field: Spark's lower() maps case per-codepoint through ICU when
+  // spark.sql.icu.caseMappings.enabled is on (the 4.x default) and
+  // through JVM String case mapping otherwise — the two disagree on
+  // Greek capital sigma in word-final position (σ vs ς), which the
+  // 400-string property spec caught. The flag rides the serialized
+  // expression to executors, same as Lower.
+  private lazy val useICU: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.getConf(
+      org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
   override def nullSafeEval(input: Any): Any =
-    WsTokens.compute(input.asInstanceOf[UTF8String], lowered)
+    WsTokens.compute(input.asInstanceOf[UTF8String], lowered, useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WsTokens.compute($c, $lowered);")
+      s"${ev.value} = graft.functions.WsTokens.compute($c, $lowered, $useICU);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -63,8 +74,15 @@ object WsTokens {
       b == '\r'
 
   /** Per-row kernel, shared by interpreted eval and codegen. */
-  def compute(input: UTF8String, lowered: Boolean): GenericArrayData = {
-    val s = if (lowered) input.toLowerCase else input
+  def compute(input: UTF8String, lowered: Boolean,
+      useICU: Boolean): GenericArrayData = {
+    // the UTF8_BINARY collation id is 0; exec(_, 0, useICU) is the
+    // exact call Lower's codegen emits for the default collation
+    val s =
+      if (lowered)
+        org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+          .exec(input, 0, useICU)
+      else input
     val bytes = s.getBytes
     val n = bytes.length
     val out = new java.util.ArrayList[UTF8String](8)

@@ -264,9 +264,10 @@ class FunctionsSpec extends AnyFunSuite {
     // edges: empty, all-whitespace, leading/trailing/runs, every
     // ASCII \s char, NBSP (NOT \s in Java's default regex — stays
     // inside a token), multibyte text, Greek capital sigma in final
-    // and medial position (String.toLowerCase is context-sensitive
-    // there — the kernel lowercases the WHOLE string first, like
-    // Spark's lower(), so the contexts match)
+    // and medial position (Spark's lower() is per-codepoint — no
+    // final-sigma contextual rule — and the kernel goes through the
+    // same CollationSupport entry point; the PROPERTY spec is what
+    // caught the String.toLowerCase divergence on string-final Σ)
     import spark.implicits._
     val edges = Seq("", " ", "  \t\n\f\r ", "a", " a ", "A  B",
       "café  Über", "a b", "ΣΟΦΟΣ Σx",
