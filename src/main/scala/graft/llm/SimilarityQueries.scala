@@ -588,13 +588,19 @@ object SimilarityQueries {
         .select(col("probe_id"), col("vec_id"),
           round(dot("e", "qe") / (col("norm") * col("qnorm")), 6)
             .as("cos"))
+      // per-probe top-10 through the native top-k AGGREGATE (n5's
+      // kernel), not a row_number window: the aggregate keeps 10-row
+      // partial states map-side, so the exchange ships |probes|·10
+      // rows instead of every scored candidate, and the per-probe
+      // sort disappears — at 100 TB the window's full-candidate
+      // shuffle is the operator's whole cost
       scored
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("probe_id")
-            .orderBy(col("cos").desc, col("vec_id"))))
-        .where(col("rk") <= 10)
-        .select("probe_id", "rk", "vec_id", "cos")
+        .groupBy("probe_id")
+        .agg(graft.functions.NativeTopK
+          .topNeighbors(10, col("cos"), col("vec_id")).as("top"))
+        .select(col("probe_id"), posexplode(col("top")))
+        .select(col("probe_id"), (col("pos") + 1).as("rk"),
+          col("col.id").as("vec_id"), col("col.score").as("cos"))
         .orderBy("probe_id", "rk")
     })
   )
