@@ -213,32 +213,26 @@ object TextQueries {
     // formulation (token counts partial-aggregate map-side, so the
     // shuffle carries |docs|·|distinct tokens| small rows).
     "x5_repetition" -> ((s, d) => {
-      val base = documents(s, d)
-        .withColumn("toks",
-          graft.functions.WsTokens(col("text")))
-        .withColumn("n_toks", size(col("toks")))
-      val inRow = base
-        .withColumn("dup_word_frac",
-          round(lit(1) - size(array_distinct(col("toks"))) / col("n_toks"), 4))
-        // sequence(0, n-2) with n<2 would generate a DESCENDING range in
-        // Spark (not an empty one) — guard short docs to null explicitly
-        .withColumn("bigrams", expr(
-          """IF(n_toks < 2, CAST(NULL AS ARRAY<STRING>),
-            |   transform(sequence(0, n_toks - 2),
-            |     i -> concat(toks[i], ' ', toks[i + 1])))""".stripMargin))
-        .withColumn("dup_bigram_frac",
-          round(lit(1) - size(array_distinct(col("bigrams"))) / size(col("bigrams")), 4))
-      val topTok = base
-        .select(col("doc_id"), col("n_toks"), explode(col("toks")).as("tok"))
-        .groupBy("doc_id", "n_toks", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(round(max(col("c")) / first(col("n_toks")), 4).as("top_tok_frac"))
-      // both sides are corpus-sized (topTok is a per-doc aggregate of
-      // the whole corpus) — keep the recombine join off the broadcast
-      // path the explode hides it onto
-      inRow.hint("shuffle_hash").join(topTok.hint("shuffle_hash"), "doc_id")
-        .select("doc_id", "n_toks", "dup_word_frac", "dup_bigram_frac",
-          "top_tok_frac")
+      // MAP-ONLY: the five counts come from one pass over the token
+      // array (token_rep_stats); the fractions stay ordinary Spark
+      // arithmetic over them, so rounding/null/division semantics are
+      // bit-identical to the old formulation (whose top-token path
+      // was an explode + two aggregations + a corpus-sized doc-keyed
+      // join — all gone; zero-token docs fell out of that inner join,
+      // reproduced by the explicit n > 0 filter). Bigram stats for
+      // n < 2 are NULL exactly as size(NULL array) propagated before.
+      documents(s, d)
+        .withColumn("st", graft.functions.TokenRepStats(
+          graft.functions.WsTokens(col("text"))))
+        .where(col("st.n") > 0)
+        .select(col("doc_id"),
+          col("st.n").as("n_toks"),
+          round(lit(1) - col("st.ndist") / col("st.n"), 4)
+            .as("dup_word_frac"),
+          when(col("st.n") >= 2,
+            round(lit(1) - col("st.ndistbig") / col("st.nbig"), 4))
+            .as("dup_bigram_frac"),
+          round(col("st.maxc") / col("st.n"), 4).as("top_tok_frac"))
         .orderBy("doc_id")
     }),
 

@@ -283,6 +283,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(badEdges == 0L)
   }
 
+  test("TokenRepStats counts equal the lambda/explode formulation") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select(col("text")).as[String].take(120).toSeq ++
+      Seq("", " ", "a", "a a", "a b a b", "x x x x x", "a b c",
+        "dup dup dup word", "\t\n", "one")
+    val df = texts.toDF("text")
+      .withColumn("toks",
+        expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+    val builtin = df.select(
+      size(col("toks")).as("n"),
+      size(array_distinct(col("toks"))).as("ndist"),
+      expr("""IF(size(toks) < 2, 0, size(toks) - 1)""").as("nbig"),
+      expr(
+        """IF(size(toks) < 2, 0, size(array_distinct(
+          |  transform(sequence(0, size(toks) - 2),
+          |    i -> concat(toks[i], ' ', toks[i + 1])))))""".stripMargin)
+        .as("ndistbig"),
+      expr(
+        """IF(size(toks) = 0, 0, array_max(transform(
+          |  array_distinct(toks),
+          |  t -> size(filter(toks, x -> x = t)))))""".stripMargin)
+        .as("maxc"))
+    val native = df.select(TokenRepStats(col("toks")).as("st"))
+      .select(col("st.n").as("n"), col("st.ndist").as("ndist"),
+        col("st.nbig").as("nbig"), col("st.ndistbig").as("ndistbig"),
+        col("st.maxc").as("maxc"))
+    assert(builtin.collect().map(_.toSeq).toSeq ==
+      native.collect().map(_.toSeq).toSeq)
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted sets") {
     // the d8 verify kernel's builtin twin, over every candidate-doc
     // pair shape the corpus produces (plus empty/disjoint edges)
