@@ -70,22 +70,37 @@ object Bench {
     // the durable BENCH_LOCAL.json before this run overwrites it).
     // Host-level scheduling noise on this microVM shows up as
     // multi-second roving stalls on individual queries; rounds 4-6
-    // re-measured those by hand on a quiet box. Automate it: any
-    // query that lands >2x its previous number AND >0.5 s absolute
-    // drift gets re-run (another best-of-N) at the END of the
-    // catalog, when whatever neighbor caused the stall has likely
-    // moved on; the min of all runs is recorded and the query is
-    // flagged in the JSON so the reader knows which numbers were
-    // noise-suspect.
+    // re-measured those by hand on a quiet box, and round 7's actual
+    // drift band (streaming family at 1.3-1.5x, up to +1 s) sailed
+    // UNDER the original 2x/0.5s trigger. Automate at the observed
+    // band: any query that lands >1.3x its previous number AND
+    // >0.3 s absolute drift gets re-run (another best-of-N) at the
+    // END of the catalog, when whatever neighbor caused the stall
+    // has likely moved on; the min of all runs is recorded, the
+    // query is flagged in the JSON, and the pre-rerun number is kept
+    // alongside ("firstpass") so the artifact carries both
+    // measurements. The history is only trusted when its recorded
+    // "sf" matches this run's — numbers from a different scale
+    // factor would flag nearly every query and silently double bench
+    // time re-running the whole catalog.
     val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+    val prevTxt: Option[String] =
+      if (!java.nio.file.Files.isReadable(outPath)) None
+      else try Some(new String(java.nio.file.Files.readAllBytes(outPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => None }
+    val prevSfMatches = prevTxt.exists(
+      _.contains("\"sf\":\"" + sfDir + "\""))
     val prev: Map[String, Double] =
-      if (!java.nio.file.Files.isReadable(outPath)) Map.empty
+      if (!prevSfMatches) Map.empty
       else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(outPath),
-          java.nio.charset.StandardCharsets.UTF_8)
+        // scan only the leading "queries" map — the file also carries
+        // a "firstpass" map (pre-rerun numbers) whose entries would
+        // otherwise shadow the recorded minima
+        val head = prevTxt.get.split("\"reran\"", 2)(0)
         val pair = """"([a-z][A-Za-z0-9_]*)":([0-9]+\.[0-9]+)""".r
-        pair.findAllMatchIn(txt)
+        pair.findAllMatchIn(head)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value"
       } catch { case _: Throwable => Map.empty }
 
@@ -93,7 +108,7 @@ object Bench {
       name -> (1 to runs).map(_ => timeOnce(name, fn)).min
     }
     val drifted = firstPass.collect {
-      case (name, v) if prev.get(name).exists(p => v > 2 * p && v - p > 0.5) =>
+      case (name, v) if prev.get(name).exists(p => v > 1.3 * p && v - p > 0.3) =>
         name
     }.toSet
     val results = firstPass.map { case (name, v) =>
@@ -103,14 +118,26 @@ object Bench {
         name -> math.min(v, (1 to runs).map(_ => timeOnce(name, fn)).min)
       }
     }
-    val qs = results
+    // A SPARK_GRAFT_BENCH_ONLY subset run (quiet-box re-measurement)
+    // MERGES into the same-sf history instead of overwriting it —
+    // the durable file keeps a complete per-query map and the next
+    // full run's drift pass still has a baseline for every query.
+    val durable: Seq[(String, Double)] =
+      if (only.isDefined && prevSfMatches)
+        (prev ++ results.toMap).toSeq.sortBy(_._1)
+      else results
+    val qs = durable
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = durable.map(_._2).sum
     val rerans = drifted.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val firstPassByName = firstPass.toMap
+    val firstpassJson = drifted.toSeq.sorted
+      .map(n => "\"" + n + "\":" + f"${firstPassByName(n)}%.3f")
+      .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","unit":"sec","queries":$qs,"reran":$rerans,"value":$total%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","unit":"sec","queries":$qs,"reran":$rerans,"firstpass":$firstpassJson,"value":$total%.3f,"sf":"$sfDir"}"""
     // The STDOUT line must stay under the driver's ~2,000-char tail
     // window or it arrives truncated mid-`queries` and fails to parse
     // (rounds 2-6: the 149-query line is ~3.8 kB — no print position
@@ -120,16 +147,24 @@ object Bench {
     // map lives durably in BENCH_LOCAL.json, written below.
     val stdoutJson = {
       val budget = 1500
-      // the map keeps its contract name "queries" (driver tooling
-      // reads it); "nq" flags that it holds the slowest SUBSET — the
-      // complete map is in BENCH_LOCAL.json
+      // SUBSET CONTRACT: the map keeps its contract name "queries"
+      // (driver tooling parses that key) but holds only the slowest
+      // PREFIX that fits the budget — a true prefix (the fill stops
+      // at the first entry that doesn't fit, rather than packing
+      // shorter names from further down), so a consumer summing or
+      // diffing stdout values knows it has exactly the top-K slowest.
+      // "nq" carries the full count; the complete map lives durably
+      // in BENCH_LOCAL.json.
       val head = f"""{"metric":"total","unit":"sec","value":$total%.3f,"nq":${results.size},"sf":"$sfDir","queries":{"""
       val tail = "}}"
       val sb = new StringBuilder
+      var full = false
       results.sortBy(-_._2).foreach { case (k, v) =>
         val entry = (if (sb.isEmpty) "" else ",") + "\"" + k + "\":" + f"$v%.3f"
-        if (head.length + sb.length + entry.length + tail.length <= budget)
+        if (!full &&
+            head.length + sb.length + entry.length + tail.length <= budget)
           sb.append(entry)
+        else full = true
       }
       head + sb.toString + tail
     }

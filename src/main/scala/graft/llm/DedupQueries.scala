@@ -90,6 +90,27 @@ object DedupQueries {
       .withColumn("sig", graft.functions.MinhashSignature(col("hs"), K))
       .select(col("doc_id"), col("sig"))
 
+  /** Candidate-id semi join sized for its strategy: BROADCAST when
+    * the distinct-id count is bounded (the design case — ids are 8 B,
+    * so even the gate's 10M ceiling is ~80 MB of broadcast), a
+    * SHUFFLE-HASH semi with the id set as the build side when a
+    * near-duplicate-heavy corpus pushes the set past what one
+    * executor broadcast should carry. The gate costs one count over
+    * the localCheckpoint-backed pair relation (byte-tiny); an
+    * UNCONDITIONAL broadcast hint bypasses
+    * autoBroadcastJoinThreshold and would fail at Spark's hard
+    * broadcast limits on exactly the corpora where dedup matters
+    * most. (A bloom-filter semi is the next refinement if the
+    * fallback path ever dominates: same map-side pruning, no exact
+    * set.)
+    */
+  private val CandBroadcastCap = 10L * 1000 * 1000
+  private def candSemi(base: DataFrame, candDocs: DataFrame): DataFrame =
+    if (candDocs.count() <= CandBroadcastCap)
+      base.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    else
+      base.join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+
   /** The composed-builtins signature pipeline (kept as the reference
     * formulation and for the equivalence spec).
     */
@@ -304,19 +325,17 @@ object DedupQueries {
       // sorted ONCE per doc so the per-PAIR intersection below is a
       // merge scan, not a hash set per call (jaccard is set algebra —
       // element order never surfaces)
-      // BROADCAST the candidate-id set into the semi join: a
-      // shuffle-hash semi here ships the corpus's (doc_id, text)
-      // rows — ~8 GB at the 4M probe, measured ~20 s, the whole
-      // residual over d7 — while the id set is |candidate docs| × 8 B
-      // (1 MB at 4M; broadcastable far beyond). The filter then runs
-      // map-side ON THE SCAN, and the shingle projection above it
-      // hashes only surviving docs. (If candidates ever outgrow a
-      // broadcast, the right swap is a bloom-filter semi, not a text
-      // shuffle.)
-      val hs = documents(s, d)
+      // BROADCAST the candidate-id set into the semi join (count-
+      // gated, see candSemi): a shuffle-hash semi here ships the
+      // corpus's (doc_id, text) rows — ~8 GB at the 4M probe,
+      // measured ~20 s, the whole residual over d7 — while the id
+      // set is |candidate docs| × 8 B (1 MB at 4M). The filter then
+      // runs map-side ON THE SCAN, and the shingle projection above
+      // it hashes only surviving docs.
+      val hs = candSemi(documents(s, d)
         .select(col("doc_id"),
-          sort_array(graft.functions.ShingleHashes(col("text"))).as("hs"))
-        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          sort_array(graft.functions.ShingleHashes(col("text"))).as("hs")),
+        candDocs)
       // NO d14-style fan-out here: with the merge-scan kernel the
       // per-pair intersection is no longer the stage's CPU, and a
       // repartition after the joins re-ships 600k ~3KB rows (both
@@ -428,15 +447,16 @@ object DedupQueries {
       // same two structural moves as d8: the candidates materialize
       // ONCE (three consumers would otherwise re-inline the whole d7
       // subplan), and the candidate-id set BROADCASTS into the semi
-      // join so the corpus's text column is never shuffled
+      // join (count-gated, see candSemi) so the corpus's text column
+      // is never shuffled
       val cands = queries("d7_lsh_bucket_cap")(s, d)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
       val candDocs = cands.select(col("doc_a").as("doc_id"))
         .union(cands.select(col("doc_b").as("doc_id"))).distinct()
       // texts ONLY for candidate docs (d8's semi-join discipline)
-      val txt = documents(s, d).select(col("doc_id"), col("text"))
-        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val txt = candSemi(
+        documents(s, d).select(col("doc_id"), col("text")), candDocs)
       // same explicit fan-out as d14: the candidate-pair relation is
       // byte-tiny, AQE coalesces it to one partition, and the DP
       // stage below is the query's CPU (measured at the 4M probe:

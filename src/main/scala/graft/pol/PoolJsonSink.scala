@@ -1010,6 +1010,15 @@ object PoolJsonSink {
     */
   def createBranch(tableDir: String, name: String,
       fromRef: Option[String] = None): Long = {
+    // enforce the RESOLUTION grammar at creation: branchExists (the
+    // hot-path probe every branch_<name> identifier goes through)
+    // accepts [A-Za-z0-9._-]+ minus all-digit names (those are
+    // version refs) — a branch created outside that grammar would be
+    // silently unresolvable by tableExists/loadTable forever after
+    require(name.matches("[A-Za-z0-9._-]+") && !name.forall(_.isDigit),
+      s"$tableDir: invalid branch name '$name' — use letters, digits, " +
+        "'.', '_', '-', and at least one non-digit (all-digit names " +
+        "collide with @version refs)")
     val bdir = branchDir(tableDir, name)
     require(!new java.io.File(bdir).exists(),
       s"$tableDir: branch '$name' already exists")

@@ -271,6 +271,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // validate the transform SHAPE up front (even on the adopt-a-
     // LOCATION path): only bucket(n, key) is a graft layout
     bucketSpec(partitions, fullName(ident))
+    // grammar-validate declared props BEFORE touching disk: a
+    // malformed check.* or forklayer must fail the CREATE with zero
+    // on-disk effects — not even the empty table entry dir
+    val declaredChecks = validatedChecks(props, fullName(ident))
+    val declaredLayer = validatedForkLayer(props, fullName(ident))
     val entry = tableEntry(ident)
     if (!entry.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(catalogName +: ident.namespace)
@@ -299,9 +304,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         keyAndBuckets(props, partitions, schema, fullName(ident))
       require(schema.fieldNames.contains(key),
         s"${fullName(ident)}: merge key '$key' is not a table column")
-      // validated BEFORE the first commit: a malformed check must
-      // fail the CREATE cleanly, not leave a table behind
-      val declaredChecks = validatedChecks(props, fullName(ident))
       val spark = SparkSession.active
       // first commit: zero data files, but the manifest records the
       // schema, key, bucket count and requested index columns — the
@@ -317,8 +319,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         bloomCols = colsProp(props, "bloomcols").getOrElse(Nil),
         splitCol = props.get("splitcol").map(_.trim)
           .filter(_.nonEmpty))
-      val declaredLayer = props.get("forklayer").map(_.trim)
-        .filter(_.nonEmpty)
       if (declaredChecks.nonEmpty || declaredLayer.isDefined)
         PoolJsonSink.commitTableProps(dir,
           checks = if (declaredChecks.nonEmpty)
@@ -370,6 +370,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(schema.fieldNames.contains(key),
       s"${fullName(ident)}: merge key '$key' is not a table column")
     val declaredChecks = validatedChecks(props, fullName(ident))
+    // validated BEFORE the staging write: the commitTableProps throw
+    // would otherwise fire before the StagedGraftTable abort hook is
+    // registered, leaking the .ctas-* staging dir
+    val declaredLayer = validatedForkLayer(props, fullName(ident))
     val spark = SparkSession.active
     val tmpDir = new java.io.File(entry.getParentFile,
       s".ctas-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -388,8 +392,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // is then gated by them (a violating SELECT aborts the staging,
     // no table appears), and the published table carries them — the
     // pre-fix behavior silently DROPPED check.* on the CTAS path
-    val declaredLayer = props.get("forklayer").map(_.trim)
-      .filter(_.nonEmpty)
     if (declaredChecks.nonEmpty || declaredLayer.isDefined)
       PoolJsonSink.commitTableProps(tmpDir.toString,
         checks = if (declaredChecks.nonEmpty)
@@ -571,6 +573,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"$who: check '$name' needs a one-line boolean expression")
       name -> e
   }.sortBy(_._1)
+
+  /** `forklayer` TBLPROPERTY validated with the SAME
+    * validate-before-first-commit invariant as `check.*`: the value
+    * grammar lives in commitTableProps, but re-checking it up front
+    * means a malformed CREATE fails with zero manifests written.
+    */
+  private def validatedForkLayer(
+      props: scala.collection.Map[String, String],
+      who: String): Option[String] = {
+    val layer = props.get("forklayer").map(_.trim).filter(_.nonEmpty)
+    layer.foreach(v => require(v == "link" || v == "ref",
+      s"$who: forklayer must be 'link' or 'ref', got '$v'"))
+    layer
+  }
 
   /** `ALTER TABLE ... ADD COLUMN(S)` / `DROP COLUMN(S)` — schema
     * evolution as pure metadata commits (same files, new recorded
