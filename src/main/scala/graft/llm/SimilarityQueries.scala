@@ -444,6 +444,7 @@ object SimilarityQueries {
     // driver-held literals; the plan is a pruned scan + map-only
     // projection + TakeOrdered — no join, no shuffle (spec-pinned).
     "n12_ivf_pq" -> ((s, d) => {
+      maybeWarnRecall(s, d)
       val model = KMeans.fit(s, d)
       val cb = PQ.fit(s, d)
       val probeVec = graft.Tables.embeddings(s, d)
@@ -493,6 +494,7 @@ object SimilarityQueries {
     // composed index — without it the PQ compression/recall trade is
     // unquantified (and retrains fly blind).
     "n14_pq_rerank_recall" -> ((s, d) => {
+      maybeWarnRecall(s, d)
       val model = KMeans.fit(s, d)
       val cb = PQ.fit(s, d)
       val t = base(s, d)
@@ -558,6 +560,7 @@ object SimilarityQueries {
     // neighbor in an unprobed cell is missed (n8/n14 quantify
     // recall; the nprobe dial trades it against cost).
     "n15_ann_batch_ivf" -> ((s, d) => {
+      maybeWarnRecall(s, d)
       val model = KMeans.fit(s, d)
       val np = nprobe(s)
       val t = base(s, d)
@@ -612,6 +615,40 @@ object SimilarityQueries {
   private[llm] val RerankC = 50
   private[llm] def rerankC(s: SparkSession): Int =
     s.conf.getOption("graft.ann.rerank_c").map(_.toInt).getOrElse(RerankC)
+
+  private val recallWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val advisoryLog =
+    org.slf4j.LoggerFactory.getLogger("graft.ann.advisory")
+
+  /** Serving-time recall advisory: the oracle-pinned dial DEFAULTS
+    * (pq.k=8, nprobe=2) measured recall 0.0 on the CLUSTERED probe
+    * corpus — exactly the shape real embeddings have (SCALING.md's
+    * recall table; the production recipe there is pq.k=64, nprobe≥4,
+    * rerank_c=200 → recall 1.00). The defaults must stay (the DuckDB
+    * oracles unroll K=8 chains), so instead of silent collapse:
+    * when an approximate serving query is built AT DEFAULT DIALS
+    * over an index whose cells look MERGED (majority flagged by
+    * [[isMergedCell]]), log one loud warning per (corpus, process)
+    * naming the dials and the recipe. Costs one scan of the trained
+    * index ONCE per corpus (persisted sidecar, like n13's pruning
+    * stats). Returns whether the advisory condition holds
+    * (spec-pinned on both probe shapes and the testdata).
+    */
+  private[graft] def maybeWarnRecall(s: SparkSession, d: String): Boolean = {
+    val dialed = s.conf.getOption("graft.ann.nprobe").isDefined ||
+      s.conf.getOption("graft.pq.k").isDefined
+    val fire = !dialed && mergedClusterFraction(s, d) >= 0.5
+    if (fire && recallWarned.add(d))
+      advisoryLog.warn(
+        s"ANN serving dials are at the conservative oracle-pinned " +
+          s"defaults (graft.pq.k=${PQ.K}, graft.ann.nprobe=2) but the " +
+          s"trained index over $d has MERGED coarse cells - on this " +
+          "corpus shape the measured recall@10 at defaults is ~0. Set " +
+          "graft.pq.k=64, graft.ann.nprobe=4, graft.ann.rerank_c=200 " +
+          "(recall 1.00 on the hard probe corpus; see SCALING.md).")
+    fire
+  }
 
   /** The M per-subspace nearest-centroid assignments (m0..m{M-1}),
     * with each subspace SLICE and its self-dot materialized ONCE per
@@ -714,6 +751,7 @@ object SimilarityQueries {
     * index.
     */
   private def trainedIvfTop10(s: SparkSession, d: String): DataFrame = {
+    maybeWarnRecall(s, d)
     val model = KMeans.fit(s, d)
     val t = base(s, d)
     val q = t.where(col("vec_id") === 0)
@@ -790,6 +828,91 @@ object SimilarityQueries {
     }.toMap
     finally src.close()
   }
+
+  /** Per-cell SHAPE statistics for the recall advisory: min / avg /
+    * stddev of member cosine-to-own-centroid, harvested in ONE scan
+    * of the trained index and persisted beside it like
+    * [[clusterMinCos]] (atomic tmp+rename; a serving process reads k
+    * lines, never the vectors), plus the max cosine from each
+    * centroid to any OTHER centroid (driver-side, k² small dots).
+    */
+  case class CellShape(minCos: Double, avgCos: Double, stdCos: Double,
+      maxOtherCos: Double)
+
+  private[graft] def clusterShapeStats(
+      s: SparkSession, d: String): Map[Long, CellShape] = {
+    val model = KMeans.fit(s, d)
+    val dir = trainedIndexDir(s, d)
+    val f = new java.io.File(dir, "_CLUSTER_SHAPE")
+    if (!f.isFile) {
+      val cosToOwn = model.centroids.foldLeft(lit(Double.NaN)) {
+        case (acc, (cid, ce)) =>
+          val cn = math.sqrt(dotSeq(ce, ce))
+          when(col("cid") === cid,
+            graft.functions.DotProduct(col("e"), typedlit(ce.toSeq)) /
+              (col("norm") * lit(cn))).otherwise(acc)
+      }
+      val rows = s.read.parquet(dir)
+        .select(col("cid").cast("long").as("cid"), cosToOwn.as("c"))
+        .groupBy("cid")
+        .agg(min(col("c")).as("mn"), avg(col("c")).as("av"),
+          coalesce(stddev_pop(col("c")), lit(0.0)).as("sd"))
+        .collect() // k rows — an index statistic, not data
+      val sb = new StringBuilder
+      rows.sortBy(_.getLong(0)).foreach(r =>
+        sb.append(r.getLong(0)).append(' ')
+          .append(java.lang.Double.toString(r.getDouble(1))).append(' ')
+          .append(java.lang.Double.toString(r.getDouble(2))).append(' ')
+          .append(java.lang.Double.toString(r.getDouble(3))).append('\n'))
+      val tmp = java.io.File.createTempFile(f.getName, ".tmp", f.getParentFile)
+      java.nio.file.Files.write(tmp.toPath,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      tmp.renameTo(f); ()
+    }
+    val cents = model.centroids.map { case (cid, ce) =>
+      (cid, ce, math.sqrt(dotSeq(ce, ce)))
+    }
+    def maxOther(cid: Long, ce: Array[Double], cn: Double): Double =
+      cents.collect { case (o, oe, on) if o != cid =>
+        clamp1(dotSeq(ce, oe) / (cn * on))
+      }.foldLeft(-1.0)(math.max)
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val perCell = try src.getLines().filter(_.nonEmpty).map { l =>
+      val a = l.split(' ')
+      a(0).toLong -> (java.lang.Double.parseDouble(a(1)),
+        java.lang.Double.parseDouble(a(2)),
+        java.lang.Double.parseDouble(a(3)))
+    }.toMap
+    finally src.close()
+    cents.map { case (cid, ce, cn) =>
+      val (mn, av, sd) = perCell.getOrElse(cid, (-1.0, 0.0, 1.0))
+      cid -> CellShape(mn, av, sd, maxOther(cid, ce, cn))
+    }.toMap
+  }
+
+  /** Fraction of trained cells whose shape says MERGED — multiple
+    * natural clusters fused into one coarse cell, the geometry on
+    * which small-nprobe serving collapses (threshold grounded by
+    * ClusterStatProbe on both probe shapes + the testdata).
+    */
+  private[graft] def mergedClusterFraction(
+      s: SparkSession, d: String): Double = {
+    val st = clusterShapeStats(s, d)
+    if (st.isEmpty) 0.0
+    else st.values.count(isMergedCell).toDouble / st.size
+  }
+
+  private[graft] def isMergedCell(c: CellShape): Boolean =
+    // members sit on a CONCENTRATED shell well away from their own
+    // centroid: moderate avg cosine with small spread is the
+    // signature of ≥2 tight sub-clusters pulling the mean between
+    // them (a PURE tight cell averages near 1; a DIFFUSE cell has
+    // low avg AND wide spread). Grounded by ClusterStatProbe at 8k
+    // and 40k vecs: clustered-probe cells avg 0.43-0.65 with std
+    // 0.048-0.087 (6-7 of 8 flagged), diffuse avg 0.30-0.52 with
+    // std 0.101-0.150 on every cell above 0.50, testdata avg
+    // 0.25-0.30 — both conjuncts carry margin at both scales.
+    c.avgCos < 0.93 && c.avgCos > 0.50 && c.stdCos < 0.095
 
   /** The sound cluster-pruning bound: keep cluster c iff
     * angle(q, μ_c) − δ_c ≤ acos(τ) (+1e-9 slack for acos rounding).
