@@ -605,6 +605,100 @@ object SimilarityQueries {
         .select(col("probe_id"), (col("pos") + 1).as("rk"),
           col("col.id").as("vec_id"), col("col.score").as("cos"))
         .orderBy("probe_id", "rk")
+    }),
+
+    // N16 — BATCH ADC: n15's probe-relation serving through PQ CODES
+    // instead of float vectors — the 100 TB serving shape, where the
+    // corpus side of retrieval eval never reads an embedding. The
+    // probe side (bounded) routes to its nprobe cells map-side like
+    // n15, then computes its per-(probe, probed-cell) residual ADC
+    // LUT IN-PLAN — a |probes|·nprobe × (M·K) relation of literal
+    // codebook arithmetic over the probe vector, broadcast into the
+    // join. The corpus side is the codes-only index scan (16 B/row
+    // vs 512 B of floats — ReadSchema is (vec_id, codes, cid)),
+    // scored as M flat-array lookups + adds per row, entirely inside
+    // whole-stage codegen; the native top-k aggregate ships
+    // |probes|·10 rows. n12 is this plan for ONE driver-side probe
+    // with the LUT inlined as literals; n16 generalizes the LUT to a
+    // column so a probe RELATION serves in one plan. Gap-robust LUT
+    // layout: per-book slots indexed by actual centroid cid (dense,
+    // MaxValue-filled like adcLookup), so a Lloyd chain that leaves
+    // a cid gap cannot mis-rank.
+    "n16_batch_adc" -> ((s, d) => {
+      maybeWarnRecall(s, d)
+      val model = KMeans.fit(s, d)
+      val cb = PQ.fit(s, d)
+      val np = nprobe(s)
+      val t = base(s, d)
+      val isProbe = col("vec_id") % 50 === 0 &&
+        col("vec_id") < KnnProbeBudget
+      val cells = array(model.centroids.sortBy(_._1).map {
+        case (cid, ce) =>
+          struct((lit(0.0) - graft.functions.DotProduct(
+            col("qe"), typedlit(ce.toSeq))).as("nd"),
+            lit(cid).as("cid"))
+      }: _*)
+      val routed = t.where(isProbe)
+        .select(col("vec_id").as("probe_id"), col("e").as("qe"))
+        .withColumn("cell",
+          explode(slice(array_sort(cells), 1, np)))
+        .select(col("probe_id"), col("qe"),
+          col("cell.cid").as("cid"))
+        // the residual this cell's codebooks quantize: qe − μ_cell
+        .withColumn("rq",
+          PQ.residualCol(model, col("qe"), col("cid")))
+      // flat per-(probe, cell) LUT: book j's slot for code c sits at
+      // offsets(j) + c (1-based in element_at below); cids a Lloyd
+      // chain never produced get MaxValue and are never referenced
+      // (codes only hold existing cids)
+      val widths = (0 until PQ.M).map(j =>
+        cb.books(j).centroids.map(_._1).max.toInt + 1)
+      val offsets = widths.scanLeft(0)(_ + _)
+      val lutEntries: Seq[Column] = (0 until PQ.M).flatMap { j =>
+        val rqj = slice(col("rq"), j * PQ.SubDim + 1, PQ.SubDim)
+        val byCid = cb.books(j).centroids.toMap
+        (0 until widths(j)).map { c =>
+          byCid.get(c.toLong) match {
+            case Some(sce) =>
+              // identical float-op order as the oracle's
+              // `pp − 2·p·c + c·c` (and PQ.adcTable): left-fold dots,
+              // ((pp − 2·dot) + cc)
+              graft.functions.DotProduct(rqj, rqj) -
+                lit(2.0) * graft.functions.DotProduct(
+                  rqj, typedlit(sce.toSeq)) +
+                lit(dotSeq(sce, sce))
+            case None => lit(Double.MaxValue)
+          }
+        }
+      }
+      val probes = routed
+        .select(col("probe_id"), col("cid"),
+          array(lutEntries: _*).as("lut"))
+      val idx = s.read.parquet(trainedPqIndexDir(s, d))
+        .where(!isProbe)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("codes"))
+      val scored = idx
+        .join(broadcast(probes), Seq("cid"))
+        .select(col("probe_id"), col("vec_id"),
+          round((0 until PQ.M).map(j =>
+            element_at(col("lut"),
+              element_at(col("codes"), j + 1).cast("int") +
+                lit(offsets(j) + 1)))
+            .reduce(_ + _), 6).as("ad2"))
+      // smallest-ad2 top-10 through the same bounded aggregate as
+      // n15 (score = −ad2: k best by score desc, ties to smaller id
+      // ⇔ ad2 asc, vec_id asc)
+      scored
+        .groupBy("probe_id")
+        .agg(graft.functions.NativeTopK
+          .topNeighbors(10, lit(0.0) - col("ad2"), col("vec_id"))
+          .as("top"))
+        .select(col("probe_id"), posexplode(col("top")))
+        .select(col("probe_id"), (col("pos") + 1).as("rk"),
+          col("col.id").as("vec_id"),
+          (lit(0.0) - col("col.score")).as("ad2"))
+        .orderBy("probe_id", "rk")
     })
   )
 
@@ -1455,6 +1549,60 @@ object SimilarityQueries {
          |      ORDER BY cos DESC, vec_id) AS rk
          |  FROM sc)
          |SELECT probe_id, rk, vec_id, cos FROM ranked WHERE rk <= 10
+         |ORDER BY probe_id, rk""".stripMargin,
+    // n16: n15's probe routing + n12's residual ADC chains, with the
+    // per-cell LUTs generalized to per-(probe, cell) — brq carries
+    // each routed probe's residual, bl$j prices it against subspace
+    // j's codebook, and the score joins on (probe, coarse cell,
+    // code) exactly like the Spark flat-array lookup
+    "n16_batch_adc" ->
+      s"""WITH t AS ($sqlBase),
+         |$sqlCoarse,
+         |$sqlPqChains,
+         |p AS (SELECT vec_id AS probe_id, e AS qe
+         |      FROM t WHERE vec_id % 50 = 0 AND vec_id < $KnnProbeBudget),
+         |route AS (
+         |  SELECT probe_id, qe, cid FROM (
+         |    SELECT p.probe_id, p.qe, k.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY list_inner_product(k.ce, p.qe) DESC, k.cid)
+         |        AS crk
+         |    FROM p, c${KMeans.OracleRounds} k)
+         |  WHERE crk <= 2),
+         |brq AS MATERIALIZED (
+         |  SELECT r.probe_id, r.cid AS kcid,
+         |    list_transform(range(64), i -> r.qe[i + 1] - k.ce[i + 1])
+         |      AS rqe
+         |  FROM route r JOIN c${KMeans.OracleRounds} k ON k.cid = r.cid),
+         |${(0 until PQ.M).map { j =>
+            val a = j * PQ.SubDim + 1
+            val b = (j + 1) * PQ.SubDim
+            s"""bl$j AS MATERIALIZED (
+               |  SELECT brq.probe_id, brq.kcid, s.cid AS scid,
+               |    list_inner_product(rqe[$a:$b], rqe[$a:$b])
+               |      - 2 * list_inner_product(rqe[$a:$b], s.ce)
+               |      + list_inner_product(s.ce, s.ce) AS d2
+               |  FROM brq, c${PQ.OracleRounds}_s$j s)""".stripMargin
+          }.mkString(",\n")},
+         |sc AS (
+         |  SELECT rt.probe_id, t.vec_id,
+         |    round(${(0 until PQ.M)
+              .map(j => s"bl$j.d2").mkString(" + ")}, 6) AS ad2
+         |  FROM t JOIN af USING (vec_id)
+         |  ${(0 until PQ.M)
+              .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+         |  JOIN route rt ON af.cid = rt.cid
+         |  ${(0 until PQ.M).map(j =>
+              s"JOIN bl$j ON bl$j.probe_id = rt.probe_id" +
+                s" AND bl$j.kcid = af.cid" +
+                s" AND bl$j.scid = af_s$j.cid").mkString(" ")}
+         |  WHERE NOT (t.vec_id % 50 = 0 AND t.vec_id < $KnnProbeBudget)),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, ad2,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY ad2, vec_id) AS rk
+         |  FROM sc)
+         |SELECT probe_id, rk, vec_id, ad2 FROM ranked WHERE rk <= 10
          |ORDER BY probe_id, rk""".stripMargin
   )
 
