@@ -111,6 +111,66 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // M5 — perceptual-hash near-dup: the image analog of the d7→d8
+    // chain every multimodal corpus runs. The DECODE+RESIZE stage is
+    // the charter's deterministic stub — a 65-"pixel" thumbnail
+    // derived one pixel per token ((length·31 + first-byte) mod 256),
+    // so a small local edit moves one pixel, exactly the regime
+    // perceptual hashes are built for — and everything downstream is
+    // the REAL pipeline: dHash (adjacent-pixel gradient bits, robust
+    // to global brightness unlike aHash) packed into two 32-bit
+    // halves (n11's layout — keeps shiftleft(1L,63) sign-wrap out of
+    // the cross-engine contract), Hamming-banded LSH blocking (4
+    // bands × 16 bits: any pair within Hamming 3 shares a band by
+    // pigeonhole; the ≤6 reported here is the standard approximate
+    // LSH recall contract, like d7), d7's hot-bucket cap (binds on
+    // the testdata: the sub-33-token docs' all-zero hi bands form a
+    // 200+-doc bucket that would quadratically explode), and exact
+    // Hamming verify computed INSIDE the pair join projection so
+    // dedup ships (id, id, int), never signatures. Scale: sigs are
+    // 16 B/doc, the band explode is ×4 map-side, every shuffle is
+    // bucket- or id-keyed, nothing corpus-sized broadcasts.
+    "m5_phash_dedup" -> ((s, d) => {
+      val cap = 16
+      val h = documents(s, d)
+        .withColumn("p", expr(
+          "transform(slice(concat(split(text, ' '), " +
+            "array_repeat('', 65)), 1, 65), " +
+            "t -> IF(t = '', 0, " +
+            "(length(t) * 31 + ascii(substring(t, 1, 1))) % 256))"))
+        .withColumn("lo", expr(
+          "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+            "IF(element_at(p, i + 1) < element_at(p, i + 2), " +
+            "shiftleft(1L, i), 0L))"))
+        .withColumn("hi", expr(
+          "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+            "IF(element_at(p, i + 33) < element_at(p, i + 34), " +
+            "shiftleft(1L, i), 0L))"))
+        .select(col("doc_id"), col("lo"), col("hi"))
+      val bands = h.select(col("doc_id"), col("lo"), col("hi"),
+        explode(array(
+          expr("0 * 65536 + (lo & 65535)"),
+          expr("1 * 65536 + (shiftright(lo, 16) & 65535)"),
+          expr("2 * 65536 + (hi & 65535)"),
+          expr("3 * 65536 + (shiftright(hi, 16) & 65535)"))).as("bucket"))
+      val narrow = bands.groupBy("bucket").count()
+        .where(col("count") <= cap).select("bucket")
+      // both sides corpus-derived: shuffle-hash pinned (size
+      // estimation cannot see past the explode — the d7 discipline)
+      val capped = bands.hint("shuffle_hash")
+        .join(narrow.hint("shuffle_hash"), Seq("bucket"))
+      capped.as("a").hint("shuffle_hash")
+        .join(capped.as("b").hint("shuffle_hash"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("CAST(bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)" +
+            " AS BIGINT)").as("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
+        .where(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // M2 — partition-wise feature extraction through the stub decoder:
     // the mapPartitions batch shape of a media pipeline (real plumbing,
     // fake decode).
@@ -168,6 +228,49 @@ object MultimodalQueries {
         |  round(CAST(coalesce(s.n_dup_frames, 0) AS DOUBLE) / p.n_frames, 4)
         |    AS dup_frac
         |FROM per p LEFT JOIN sh s USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+    // m5: the same pixel → dHash → band-block → cap → verify chain.
+    // (list_resize would be the natural padding but DuckDB v1.0.0
+    // throws bad_array_new_length on it over this corpus — the
+    // concat-then-slice formulation is equivalent.)
+    "m5_phash_dedup" -> {
+      val pad = Seq.fill(65)("''").mkString("[", ",", "]")
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |px AS (
+         |  SELECT doc_id,
+         |    list_transform((string_split(text, ' ') || $pad)[1:65],
+         |      t -> CASE WHEN t = '' THEN 0
+         |                ELSE (length(t) * 31
+         |                      + ascii(substr(t, 1, 1))) % 256 END) AS p
+         |  FROM d),
+         |h AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(32), i ->
+         |      CASE WHEN p[i + 1] < p[i + 2] THEN (1::BIGINT << i)
+         |           ELSE 0::BIGINT END)) AS lo,
+         |    list_sum(list_transform(range(32), i ->
+         |      CASE WHEN p[i + 33] < p[i + 34] THEN (1::BIGINT << i)
+         |           ELSE 0::BIGINT END)) AS hi
+         |  FROM px),
+         |bands AS (
+         |  SELECT doc_id, lo, hi, unnest([
+         |    0 * 65536 + (lo & 65535),
+         |    1 * 65536 + ((lo >> 16) & 65535),
+         |    2 * 65536 + (hi & 65535),
+         |    3 * 65536 + ((hi >> 16) & 65535)]) AS bucket
+         |  FROM h),
+         |ok AS (
+         |  SELECT bucket FROM bands GROUP BY bucket
+         |  HAVING count(*) <= 16),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+         |      AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE a.bucket IN (SELECT bucket FROM ok))
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // ASCII text: bytes == chars, so the stubbed byte features are
     // recomputable from the text column.
     "m2_multimodal_features" ->
