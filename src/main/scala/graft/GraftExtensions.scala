@@ -66,7 +66,16 @@ object GraftExtensions {
     entry("sorted_intersect_count", classOf[functions.SortedIntersectCount],
       exprs => functions.SortedIntersectCount(exprs(0), exprs(1))),
     entry("ws_tokens", classOf[functions.WsTokens],
-      exprs => functions.WsTokens(exprs.head, lowered = true)))
+      exprs => functions.WsTokens(exprs.head, lowered = true)),
+    entry("long_array_sum", classOf[functions.LongArraySum],
+      exprs => functions.LongArraySum(exprs.head)),
+    entry("long_array_join", classOf[functions.LongArrayJoin],
+      exprs => functions.LongArrayJoin(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) =>
+          s.toString
+        case other => sys.error(
+          s"long_array_join separator must be a literal, got $other")
+      })))
 
   /** Register into an ALREADY-RUNNING session (the extensions class
     * only applies to sessions built with `withExtensions` /

@@ -223,8 +223,11 @@ object DedupQueries {
     "d2_minhash_signatures" -> ((s, d) =>
       sigs(s, d)
         .select(col("doc_id"),
-          expr("array_join(transform(sig, x -> CAST(x AS STRING)), '_')")
-            .as("sig"))
+          // native formatter: the transform-lambda version was
+          // CodegenFallback and dragged the whole signature
+          // projection (shingle + minhash kernels) interpreted —
+          // round-8 audit; parity pinned in FunctionsSpec
+          graft.functions.LongArrayJoin(col("sig"), "_").as("sig"))
         .orderBy("doc_id")),
 
     // D3 — LSH candidate pairs: docs sharing any of 4 band buckets,

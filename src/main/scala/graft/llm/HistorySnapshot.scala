@@ -42,8 +42,13 @@ object HistorySnapshot {
     * boilerplate byte-exact md5 misses. Shared by d11 and t9; the
     * DuckDB oracles reproduce it bit-for-bit.
     */
-  val digestExpr: Column = md5(array_join(array_sort(
-    array_distinct(graft.functions.WsTokens(col("text")))), " "))
+  // native kernel (round-8 audit): the builtin chain's array_sort
+  // lambda is CodegenFallback and dragged every digest projection
+  // (d11 × 3, t9's ingest path) interpreted; parity with
+  // md5(array_join(array_sort(array_distinct(toks)), ' ')) is
+  // pinned in FunctionsSpec
+  val digestExpr: Column = graft.functions.SortedTokenDigest(
+    graft.functions.WsTokens(col("text")))
 
   /** 60-bit BIGINT prefix of the digest — the bloom/bucket key (join
     * keys must be fixed-width integers, never hex strings).

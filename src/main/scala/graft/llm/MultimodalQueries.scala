@@ -132,21 +132,14 @@ object MultimodalQueries {
     // bucket- or id-keyed, nothing corpus-sized broadcasts.
     "m5_phash_dedup" -> ((s, d) => {
       val cap = 16
+      // pixel + dHash stage as ONE native kernel (the three-HOF
+      // builtin chain, pinned as its twin in FunctionsSpec, was
+      // CodegenFallback across four corpus-sized projections —
+      // round-8 audit)
       val h = documents(s, d)
-        .withColumn("p", expr(
-          "transform(slice(concat(split(text, ' '), " +
-            "array_repeat('', 65)), 1, 65), " +
-            "t -> IF(t = '', 0, " +
-            "(length(t) * 31 + ascii(substring(t, 1, 1))) % 256))"))
-        .withColumn("lo", expr(
-          "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
-            "IF(element_at(p, i + 1) < element_at(p, i + 2), " +
-            "shiftleft(1L, i), 0L))"))
-        .withColumn("hi", expr(
-          "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
-            "IF(element_at(p, i + 33) < element_at(p, i + 34), " +
-            "shiftleft(1L, i), 0L))"))
-        .select(col("doc_id"), col("lo"), col("hi"))
+        .withColumn("ph", graft.functions.WordPixelsDhash(col("text")))
+        .select(col("doc_id"),
+          col("ph.lo").as("lo"), col("ph.hi").as("hi"))
       val bands = h.select(col("doc_id"), col("lo"), col("hi"),
         explode(array(
           expr("0 * 65536 + (lo & 65535)"),

@@ -53,18 +53,32 @@ object TextQueries {
     */
   private[graft] def gopherFeatures(df: DataFrame): DataFrame = {
     val reqStop = Seq("the", "a", "of", "to", "and")
-    val rq = reqStop.map(w => s"'$w'").mkString(", ")
+    // LAMBDA-FREE (round-8 codegen audit): the three features were
+    // HOF folds (aggregate / filter×2), and any lambda is
+    // CodegenFallback — it dragged this corpus-sized gate projection
+    // (and its x10/x22/t7 consumers) interpreted. Each has a
+    // value-identical builtin composition with doGenCode:
+    //  - sum of token lengths ≡ length of the separator-less join
+    //    (tokens are never null);
+    //  - "tokens containing [a-z]" counted by a regex over the
+    //    single-space join — `[^ ]*[a-z][^ ]*` cannot span the
+    //    delimiter and matches each qualifying token exactly once
+    //    (tokens contain no whitespace by construction);
+    //  - required-stopword membership as 5 literal array_contains.
     df.withColumn("toks",
         graft.functions.WsTokens(col("text")))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("mean_tok_len",
-        round(expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+        round(length(concat_ws("", col("toks"))).cast("long")
           / col("n_toks"), 4))
       .withColumn("alpha_frac",
-        round(size(expr("filter(toks, x -> x rlike '[a-z]')"))
+        round(size(regexp_extract_all(concat_ws(" ", col("toks")),
+          lit("[^ ]*[a-z][^ ]*"), lit(0)))
           / col("n_toks"), 4))
       .withColumn("n_req_stop",
-        expr(s"size(filter(array($rq), w -> array_contains(toks, w)))"))
+        reqStop.map(w =>
+          when(array_contains(col("toks"), w), 1).otherwise(0))
+          .reduce(_ + _))
       .withColumn("pass",
         (col("n_toks").between(30, 100000) &&
           col("mean_tok_len").between(3, 10) &&
@@ -145,15 +159,22 @@ object TextQueries {
     // two profiles with a deterministic tie rule.
     "x1_langid" -> ((s, d) => {
       val toks = graft.functions.WsTokens(col("text"))
-      val en = enStop.map(w => s"'$w'").mkString(", ")
-      val da = dataStop.map(w => s"'$w'").mkString(", ")
+      // lambda-free stopword counting (round-8 codegen audit): the
+      // filter+array_contains fold was CodegenFallback. Count
+      // whole-token stoplist matches over the space-padded join with
+      // non-consuming lookarounds — adjacent stopwords both match
+      // ("the a": the trailing space a consuming pattern would eat is
+      // only LOOKED at), and tokens contain no whitespace, so a match
+      // is exactly one qualifying token.
+      def hits(words: Seq[String]): org.apache.spark.sql.Column =
+        regexp_count(
+          concat(lit(" "), concat_ws(" ", col("toks")), lit(" ")),
+          lit(s"(?<= )(?:${words.mkString("|")})(?= )")).cast("int")
       documents(s, d)
         .withColumn("toks", toks)
         .withColumn("n_toks", size(col("toks")))
-        .withColumn("en_hits",
-          expr(s"size(filter(toks, x -> array_contains(array($en), x)))"))
-        .withColumn("data_hits",
-          expr(s"size(filter(toks, x -> array_contains(array($da), x)))"))
+        .withColumn("en_hits", hits(enStop))
+        .withColumn("data_hits", hits(dataStop))
         .select(col("doc_id"),
           round(col("en_hits") / col("n_toks"), 4).as("en_ratio"),
           round(col("data_hits") / col("n_toks"), 4).as("data_ratio"),
@@ -171,8 +192,10 @@ object TextQueries {
         .withColumn("n_toks", size(col("toks")))
         .withColumn("len_chars", length(col("text")))
         .withColumn("punct", regexp_count(col("text"), lit("[.!?,;:]")))
+        // sum of token lengths as length-of-join (lambda-free — the
+        // aggregate fold was CodegenFallback; see gopherFeatures)
         .withColumn("mean_tok_len",
-          round(expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+          round(length(concat_ws("", col("toks"))).cast("long")
             / col("n_toks"), 4))
         .withColumn("punct_ratio", round(col("punct") / col("len_chars"), 4))
         // Score in exact DECIMAL arithmetic (equivalent to
@@ -378,7 +401,10 @@ object TextQueries {
           size(col("fps")).cast("long").as("n_fp"),
           array_min(col("fps")).as("min_fp"),
           array_max(col("fps")).as("max_fp"),
-          expr("aggregate(fps, 0L, (acc, x) -> acc + x)").as("sum_fp"))
+          // native fold: the aggregate-lambda version was
+          // CodegenFallback and dragged the whole projection (incl.
+          // the winnowing kernel) interpreted — round-8 audit
+          graft.functions.LongArraySum(col("fps")).as("sum_fp"))
         .orderBy("doc_id")),
 
     // X10 — Gopher-style document filter rules (Rae et al. 2021 §A1.1):

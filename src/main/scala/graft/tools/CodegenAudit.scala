@@ -40,9 +40,13 @@ object CodegenAudit {
       Hit("Filter", exprSize(f.condition), f.condition.sql.take(80)) +:
         f.children.flatMap(walk(_, inCodegen = false))
     case other =>
-      // leaving a codegen span happens via InputAdapter; any other
-      // child of a non-codegen node is also non-codegen
-      other.children.flatMap(walk(_, inCodegen = false))
+      // membership in a span only changes at its boundaries:
+      // WholeStageCodegenExec enters, InputAdapter leaves. Every
+      // other node PROPAGATES the flag — the round-7 version reset
+      // it to false here, which marked anything below a
+      // Project/Filter/Join inside a span as interpreted (≈70
+      // queries of false positives masking the ~6 real hits).
+      other.children.flatMap(walk(_, inCodegen))
   }
 
   def main(args: Array[String]): Unit = {

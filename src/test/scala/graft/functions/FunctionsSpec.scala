@@ -19,6 +19,81 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("LongArraySum / LongArrayJoin equal their builtin-lambda twins") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq(1L, 2L, 3L),
+      Seq(-5L, 0L, 1L << 60, 7L),
+      Seq(42L),
+      Seq.empty[Long])
+    val df = rows.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "a")
+    val got = df.select(col("id"),
+      LongArraySum(col("a")).as("s"),
+      LongArrayJoin(col("a"), "_").as("j")).orderBy("id").collect()
+    val want = df.select(col("id"),
+      expr("aggregate(a, 0L, (acc, x) -> acc + x)").as("s"),
+      expr("array_join(transform(a, x -> CAST(x AS STRING)), '_')").as("j"))
+      .orderBy("id").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // null array propagates like the builtins
+    val nul = df.sparkSession.sql(
+      "SELECT CAST(NULL AS ARRAY<BIGINT>) AS a")
+    assert(nul.select(LongArraySum(col("a")),
+      LongArrayJoin(col("a"), "_")).head.toSeq == Seq(null, null))
+  }
+
+  test("SortedTokenDigest equals the composed-builtins chain") {
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), WsTokens(col("text")).as("toks"))
+    // degenerate arrays: empty, single, duplicates, unicode,
+    // binary-order-sensitive pairs ("Z" < "a" in UTF8 order)
+    val extra = spark.sql(
+      """SELECT CAST(array() AS ARRAY<STRING>) AS toks
+        |UNION ALL SELECT array('one')
+        |UNION ALL SELECT array('b', 'a', 'b', 'a')
+        |UNION ALL SELECT array('Z', 'a', '0', 'é', '日')
+        |UNION ALL SELECT array('aa', 'a', 'a a')""".stripMargin)
+    Seq(df.select(col("toks")), extra).foreach { t =>
+      val got = t.select(SortedTokenDigest(col("toks"))).collect()
+        .map(_.getString(0)).toSeq
+      val want = t.select(
+        md5(array_join(array_sort(array_distinct(col("toks"))), " ")
+          .cast("binary"))).collect().map(_.getString(0)).toSeq
+      assert(got == want)
+    }
+  }
+
+  test("WordPixelsDhash equals the composed-builtins chain") {
+    import spark.implicits._
+    // corpus rows + degenerate/unicode shapes: empty, single word,
+    // >65 words (truncation), consecutive/trailing spaces (empty
+    // tokens), multi-byte first chars, supplementary plane
+    val extra = Seq("", "word", ("w " * 80).trim, "a  b ", " lead",
+      "日本語 テキスト です", "héllo wörld", "𝄞clef note")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").as[String].collect().toSeq ++ extra
+    val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+    val builtin = df
+      .withColumn("p", expr(
+        "transform(slice(concat(split(text, ' '), " +
+          "array_repeat('', 65)), 1, 65), " +
+          "t -> IF(t = '', 0, " +
+          "(length(t) * 31 + ascii(substring(t, 1, 1))) % 256))"))
+      .select(col("id"),
+        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+          "IF(element_at(p, i + 1) < element_at(p, i + 2), " +
+          "shiftleft(1L, i), 0L))").as("lo"),
+        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+          "IF(element_at(p, i + 33) < element_at(p, i + 34), " +
+          "shiftleft(1L, i), 0L))").as("hi"))
+      .orderBy("id").collect().map(_.toSeq)
+    val native = df
+      .withColumn("ph", WordPixelsDhash(col("text")))
+      .select(col("id"), col("ph.lo"), col("ph.hi"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(native.toSeq == builtin.toSeq)
+  }
+
   test("ShingleHashes equals the composed-builtins pipeline on documents") {
     import graft.llm.DedupQueries
     val builtinExpr =
