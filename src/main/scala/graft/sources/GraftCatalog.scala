@@ -1206,8 +1206,40 @@ class GraftCatalogTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
 
+  /** Undersized-bucket advisory, surfaced through DESCRIBE EXTENDED /
+    * SHOW TBLPROPERTIES: when the snapshot row count (recorded
+    * per-file at write time — O(manifest), no data file opened) says
+    * the average bucket carries more than [[GraftCatalogTable.AdvisoryRowsPerBucket]]
+    * keys, every MERGE is rewriting ever-fatter buckets and the table
+    * wants `CALL <cat>.system.split(...)`. Day-1's nbuckets never
+    * fits year-2's data; this makes the drift visible where an
+    * operator already looks, with the exact factor to catch up.
+    */
+  private def bucketAdvisory: Map[String, String] = {
+    val counts = manifest.files.map(f =>
+      manifest.stats.get(f).flatMap(_.get(PoolJsonSink.RowsStatCol))
+        .collect { case PoolJsonSink.LongStat(n, _) => n })
+    (for {
+      n <- manifest.nBuckets
+      if counts.nonEmpty && counts.forall(_.isDefined)
+      rows = counts.flatten.sum
+      avg = rows / math.max(n, 1)
+      if avg > GraftCatalogTable.AdvisoryRowsPerBucket
+    } yield {
+      var factor = 2
+      while (avg / factor > GraftCatalogTable.AdvisoryRowsPerBucket &&
+        factor < (1 << 20)) factor *= 2
+      Map("advisory.buckets" ->
+        (s"avg ~$avg rows/bucket across $n buckets exceeds the " +
+          s"${GraftCatalogTable.AdvisoryRowsPerBucket}/bucket target; " +
+          s"run CALL <catalog>.system.split(tbl => '...', " +
+          s"factor => $factor)"))
+    }).getOrElse(Map.empty)
+  }
+
   override def properties(): java.util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> tableDir) ++
+      bucketAdvisory ++
       manifest.keyCol.map("key" -> _) ++
       manifest.nBuckets.map("nbuckets" -> _.toString) ++
       (if (manifest.statsCols.nonEmpty)
@@ -1443,4 +1475,13 @@ class GraftCatalogTable(
       }
     }
   }
+}
+
+object GraftCatalogTable {
+  /** The bucket-advisory band: ~1M keys/bucket is ~100 MB of parquet
+    * at typical row widths — the rewrite unit a keyed MERGE pays per
+    * touched bucket. Beyond it, splitting (bucket-local, no shuffle)
+    * is cheaper than letting every future merge rewrite fat buckets.
+    */
+  val AdvisoryRowsPerBucket: Long = 1000000L
 }

@@ -79,4 +79,23 @@ class DescribeShowSpec extends AnyFunSuite {
     assert(e.getMessage != null)
     spark.sql("DROP TABLE gshow.default.acct2")
   }
+
+  test("undersized-bucket advisory fires on a fat-bucket table only") {
+    // the small acct table (2 rows / 8 buckets) carries NO advisory
+    assert(!props.contains("advisory.buckets"))
+    // a table whose single bucket holds > AdvisoryRowsPerBucket keys
+    // surfaces the advisory with a catch-up factor through SHOW
+    // TBLPROPERTIES (and therefore DESCRIBE EXTENDED)
+    val n = GraftCatalogTable.AdvisoryRowsPerBucket + 1
+    spark.sql("CREATE TABLE gshow.default.fat (id BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('key'='id', 'nbuckets'='1')")
+    spark.sql(
+      s"INSERT INTO gshow.default.fat SELECT id, id * 2 FROM range($n)")
+    val p = spark.sql("SHOW TBLPROPERTIES gshow.default.fat")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p.contains("advisory.buckets"), p.keys.toSeq.sorted)
+    assert(p("advisory.buckets").contains("system.split"))
+    assert(p("advisory.buckets").contains("factor => 2"))
+    spark.sql("DROP TABLE gshow.default.fat")
+  }
 }
