@@ -626,70 +626,10 @@ object SimilarityQueries {
     // a cid gap cannot mis-rank.
     "n16_batch_adc" -> ((s, d) => {
       maybeWarnRecall(s, d)
-      val model = KMeans.fit(s, d)
-      val cb = PQ.fit(s, d)
-      val np = nprobe(s)
-      val t = base(s, d)
-      val isProbe = col("vec_id") % 50 === 0 &&
-        col("vec_id") < KnnProbeBudget
-      val cells = array(model.centroids.sortBy(_._1).map {
-        case (cid, ce) =>
-          struct((lit(0.0) - graft.functions.DotProduct(
-            col("qe"), typedlit(ce.toSeq))).as("nd"),
-            lit(cid).as("cid"))
-      }: _*)
-      val routed = t.where(isProbe)
-        .select(col("vec_id").as("probe_id"), col("e").as("qe"))
-        .withColumn("cell",
-          explode(slice(array_sort(cells), 1, np)))
-        .select(col("probe_id"), col("qe"),
-          col("cell.cid").as("cid"))
-        // the residual this cell's codebooks quantize: qe − μ_cell
-        .withColumn("rq",
-          PQ.residualCol(model, col("qe"), col("cid")))
-      // flat per-(probe, cell) LUT: book j's slot for code c sits at
-      // offsets(j) + c (1-based in element_at below); cids a Lloyd
-      // chain never produced get MaxValue and are never referenced
-      // (codes only hold existing cids)
-      val widths = (0 until PQ.M).map(j =>
-        cb.books(j).centroids.map(_._1).max.toInt + 1)
-      val offsets = widths.scanLeft(0)(_ + _)
-      val lutEntries: Seq[Column] = (0 until PQ.M).flatMap { j =>
-        val rqj = slice(col("rq"), j * PQ.SubDim + 1, PQ.SubDim)
-        val byCid = cb.books(j).centroids.toMap
-        (0 until widths(j)).map { c =>
-          byCid.get(c.toLong) match {
-            case Some(sce) =>
-              // identical float-op order as the oracle's
-              // `pp − 2·p·c + c·c` (and PQ.adcTable): left-fold dots,
-              // ((pp − 2·dot) + cc)
-              graft.functions.DotProduct(rqj, rqj) -
-                lit(2.0) * graft.functions.DotProduct(
-                  rqj, typedlit(sce.toSeq)) +
-                lit(dotSeq(sce, sce))
-            case None => lit(Double.MaxValue)
-          }
-        }
-      }
-      val probes = routed
-        .select(col("probe_id"), col("cid"),
-          array(lutEntries: _*).as("lut"))
-      val idx = s.read.parquet(trainedPqIndexDir(s, d))
-        .where(!isProbe)
-        .select(col("vec_id"), col("cid").cast("long").as("cid"),
-          col("codes"))
-      val scored = idx
-        .join(broadcast(probes), Seq("cid"))
-        .select(col("probe_id"), col("vec_id"),
-          round((0 until PQ.M).map(j =>
-            element_at(col("lut"),
-              element_at(col("codes"), j + 1).cast("int") +
-                lit(offsets(j) + 1)))
-            .reduce(_ + _), 6).as("ad2"))
       // smallest-ad2 top-10 through the same bounded aggregate as
       // n15 (score = −ad2: k best by score desc, ties to smaller id
       // ⇔ ad2 asc, vec_id asc)
-      scored
+      batchAdcScored(s, d)
         .groupBy("probe_id")
         .agg(graft.functions.NativeTopK
           .topNeighbors(10, lit(0.0) - col("ad2"), col("vec_id"))
@@ -699,8 +639,120 @@ object SimilarityQueries {
           col("col.id").as("vec_id"),
           (lit(0.0) - col("col.score")).as("ad2"))
         .orderBy("probe_id", "rk")
+    }),
+
+    // N17 — the COMPLETE batch production recipe, the composition the
+    // serving dials were measured for (pq.k × nprobe × rerank_c →
+    // recall 1.00 on the clustered probe corpus): n16's codes-only
+    // ADC pass shortlists top-C per probe (the bounded aggregate
+    // again — the exchange ships |probes|·C id rows), and ONLY the
+    // shortlisted vectors' floats are read back for the exact-cosine
+    // re-rank (a broadcast semi of |probes|·C ids into the float
+    // index scan — at 100 TB this is the only stage that touches an
+    // embedding, over ~C rows per probe). n14 is this plan for one
+    // driver-side probe; n17 serves the whole probe relation.
+    "n17_batch_rerank" -> ((s, d) => {
+      maybeWarnRecall(s, d)
+      val c = rerankC(s)
+      val t = base(s, d)
+      val isProbe = col("vec_id") % 50 === 0 &&
+        col("vec_id") < KnnProbeBudget
+      val shortlist = batchAdcScored(s, d)
+        .groupBy("probe_id")
+        .agg(graft.functions.NativeTopK
+          .topNeighbors(c, lit(0.0) - col("ad2"), col("vec_id"))
+          .as("top"))
+        .select(col("probe_id"), explode(col("top.id")).as("vec_id"))
+      val probes = t.where(isProbe)
+        .select(col("vec_id").as("probe_id"), col("e").as("qe"),
+          col("norm").as("qnorm"))
+      t.where(!isProbe)
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(dot("e", "qe") / (col("norm") * col("qnorm")), 6)
+            .as("cos"))
+        .groupBy("probe_id")
+        .agg(graft.functions.NativeTopK
+          .topNeighbors(10, col("cos"), col("vec_id")).as("top"))
+        .select(col("probe_id"), posexplode(col("top")))
+        .select(col("probe_id"), (col("pos") + 1).as("rk"),
+          col("col.id").as("vec_id"), col("col.score").as("cos"))
+        .orderBy("probe_id", "rk")
     })
   )
+
+  /** n16/n17's shared ADC pass: every probe routed map-side to its
+    * nprobe cells (n15's literal-centroid trick), its per-(probe,
+    * probed-cell) residual ADC LUT computed IN-PLAN (a bounded
+    * |probes|·nprobe relation of literal codebook arithmetic over the
+    * probe vector) and broadcast into the cell-id equi-join against
+    * the codes-only index — the corpus side reads (vec_id, codes,
+    * cid) and scores with M flat-array lookups + adds inside
+    * whole-stage codegen. Returns (probe_id, vec_id, ad2).
+    */
+  private def batchAdcScored(s: SparkSession, d: String): DataFrame = {
+    val model = KMeans.fit(s, d)
+    val cb = PQ.fit(s, d)
+    val np = nprobe(s)
+    val t = base(s, d)
+    val isProbe = col("vec_id") % 50 === 0 &&
+      col("vec_id") < KnnProbeBudget
+    val cells = array(model.centroids.sortBy(_._1).map {
+      case (cid, ce) =>
+        struct((lit(0.0) - graft.functions.DotProduct(
+          col("qe"), typedlit(ce.toSeq))).as("nd"),
+          lit(cid).as("cid"))
+    }: _*)
+    val routed = t.where(isProbe)
+      .select(col("vec_id").as("probe_id"), col("e").as("qe"))
+      .withColumn("cell",
+        explode(slice(array_sort(cells), 1, np)))
+      .select(col("probe_id"), col("qe"),
+        col("cell.cid").as("cid"))
+      // the residual this cell's codebooks quantize: qe − μ_cell
+      .withColumn("rq",
+        PQ.residualCol(model, col("qe"), col("cid")))
+    // flat per-(probe, cell) LUT: book j's slot for code c sits at
+    // offsets(j) + c (1-based in element_at below); cids a Lloyd
+    // chain never produced get MaxValue and are never referenced
+    // (codes only hold existing cids)
+    val widths = (0 until PQ.M).map(j =>
+      cb.books(j).centroids.map(_._1).max.toInt + 1)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val lutEntries: Seq[Column] = (0 until PQ.M).flatMap { j =>
+      val rqj = slice(col("rq"), j * PQ.SubDim + 1, PQ.SubDim)
+      val byCid = cb.books(j).centroids.toMap
+      (0 until widths(j)).map { c =>
+        byCid.get(c.toLong) match {
+          case Some(sce) =>
+            // identical float-op order as the oracle's
+            // `pp − 2·p·c + c·c` (and PQ.adcTable): left-fold dots,
+            // ((pp − 2·dot) + cc)
+            graft.functions.DotProduct(rqj, rqj) -
+              lit(2.0) * graft.functions.DotProduct(
+                rqj, typedlit(sce.toSeq)) +
+              lit(dotSeq(sce, sce))
+          case None => lit(Double.MaxValue)
+        }
+      }
+    }
+    val probes = routed
+      .select(col("probe_id"), col("cid"),
+        array(lutEntries: _*).as("lut"))
+    val idx = s.read.parquet(trainedPqIndexDir(s, d))
+      .where(!isProbe)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("codes"))
+    idx
+      .join(broadcast(probes), Seq("cid"))
+      .select(col("probe_id"), col("vec_id"),
+        round((0 until PQ.M).map(j =>
+          element_at(col("lut"),
+            element_at(col("codes"), j + 1).cast("int") +
+              lit(offsets(j) + 1)))
+          .reduce(_ + _), 6).as("ad2"))
+  }
 
   /** n14's ADC shortlist width: the standard FAISS serving dial — the
     * re-rank reads exactly this many true vectors per query. Session
@@ -1603,6 +1655,71 @@ object SimilarityQueries {
          |      ORDER BY ad2, vec_id) AS rk
          |  FROM sc)
          |SELECT probe_id, rk, vec_id, ad2 FROM ranked WHERE rk <= 10
+         |ORDER BY probe_id, rk""".stripMargin,
+    // n17: n16's ADC chain shortlists top-C per probe, the exact
+    // cosine re-ranks ONLY the shortlist (n14's recipe over a probe
+    // relation) — `sc` here is n16's scored CTE verbatim
+    "n17_batch_rerank" ->
+      s"""WITH t AS ($sqlBase),
+         |$sqlCoarse,
+         |$sqlPqChains,
+         |p AS (SELECT vec_id AS probe_id, e AS qe, norm AS qnorm
+         |      FROM t WHERE vec_id % 50 = 0 AND vec_id < $KnnProbeBudget),
+         |route AS (
+         |  SELECT probe_id, qe, cid FROM (
+         |    SELECT p.probe_id, p.qe, k.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY list_inner_product(k.ce, p.qe) DESC, k.cid)
+         |        AS crk
+         |    FROM p, c${KMeans.OracleRounds} k)
+         |  WHERE crk <= 2),
+         |brq AS MATERIALIZED (
+         |  SELECT r.probe_id, r.cid AS kcid,
+         |    list_transform(range(64), i -> r.qe[i + 1] - k.ce[i + 1])
+         |      AS rqe
+         |  FROM route r JOIN c${KMeans.OracleRounds} k ON k.cid = r.cid),
+         |${(0 until PQ.M).map { j =>
+            val a = j * PQ.SubDim + 1
+            val b = (j + 1) * PQ.SubDim
+            s"""bl$j AS MATERIALIZED (
+               |  SELECT brq.probe_id, brq.kcid, s.cid AS scid,
+               |    list_inner_product(rqe[$a:$b], rqe[$a:$b])
+               |      - 2 * list_inner_product(rqe[$a:$b], s.ce)
+               |      + list_inner_product(s.ce, s.ce) AS d2
+               |  FROM brq, c${PQ.OracleRounds}_s$j s)""".stripMargin
+          }.mkString(",\n")},
+         |sc AS (
+         |  SELECT rt.probe_id, t.vec_id,
+         |    round(${(0 until PQ.M)
+              .map(j => s"bl$j.d2").mkString(" + ")}, 6) AS ad2
+         |  FROM t JOIN af USING (vec_id)
+         |  ${(0 until PQ.M)
+              .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+         |  JOIN route rt ON af.cid = rt.cid
+         |  ${(0 until PQ.M).map(j =>
+              s"JOIN bl$j ON bl$j.probe_id = rt.probe_id" +
+                s" AND bl$j.kcid = af.cid" +
+                s" AND bl$j.scid = af_s$j.cid").mkString(" ")}
+         |  WHERE NOT (t.vec_id % 50 = 0 AND t.vec_id < $KnnProbeBudget)),
+         |shortlist AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY ad2, vec_id) AS rk
+         |    FROM sc)
+         |  WHERE rk <= $RerankC),
+         |rr AS (
+         |  SELECT sl.probe_id, t.vec_id,
+         |    round(list_inner_product(t.e, p.qe)
+         |      / (t.norm * p.qnorm), 6) AS cos
+         |  FROM shortlist sl JOIN t ON t.vec_id = sl.vec_id
+         |  JOIN p ON p.probe_id = sl.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM rr)
+         |SELECT probe_id, rk, vec_id, cos FROM ranked WHERE rk <= 10
          |ORDER BY probe_id, rk""".stripMargin
   )
 
