@@ -66,7 +66,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // the ≤|Q|-row per-term df table (|Q| = the literal query term
       // count) — bounded by contract at any corpus size, the
       // aggregate playing the role the limit plays elsewhere.
-      "x21_bm25")
+      "x21_bm25",
+      // n17's broadcast shortlist explodes the per-probe top-C array
+      // PRODUCED BY the bounded top-k aggregate directly below it —
+      // the aggregate caps the subtree at |probes|·C rows (C =
+      // rerank_c, default 50) at any corpus size, x21's pattern.
+      "n17_batch_rerank")
 
   /** The three bans, applied to one executed physical plan. */
   private def audit(name: String, plan: SparkPlan): Seq[String] = {
