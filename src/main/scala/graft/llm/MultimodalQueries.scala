@@ -164,6 +164,50 @@ object MultimodalQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // M6 — frame-containment retrieval: for a bounded PROBE set of
+    // media docs, find the corpus docs sharing the most sampled
+    // frames — the "which videos contain this clip" query every
+    // video-dedup pipeline serves, and the m-family's retrieval
+    // analog of n15 (probe relation in, per-probe top-k out). Frames
+    // are m3/m4's stride/pad contract digested to BIGINTs (x11's
+    // 8-byte-shuffle lesson; the oracle re-derives the same conv so
+    // digests match bit-exactly). Scale: probe frames are bounded
+    // (|probes|·frames/doc) and BROADCAST into the corpus frame
+    // stream — the corpus explodes map-side and nothing corpus-sized
+    // broadcasts; the (probe, doc) overlap counts partial-aggregate
+    // map-side; the per-probe top-5 is the bounded native aggregate,
+    // so the final exchange ships |probes|·5 rows.
+    "m6_frame_containment" -> ((s, d) => {
+      val frameExpr = expr(
+        """transform(sequence(0, CAST(greatest(length(text) - 1, 0) / 64 AS INT)),
+          |  i -> CAST(conv(substr(md5(rpad(substring(text, i * 64 + 1, 16), 16, '.')), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin)
+      val isProbe = col("doc_id") % 50 === 0 && col("doc_id") < 5000
+      val frames = documents(s, d)
+        .withColumn("fh", explode(frameExpr))
+        .select(col("doc_id"), col("fh"))
+      val probeFrames = frames.where(isProbe)
+        .select(col("doc_id").as("probe_id"), col("fh")).distinct()
+      val nProbe = probeFrames.groupBy("probe_id")
+        .agg(count(lit(1)).as("n_pf"))
+      val shared = frames.where(!isProbe).distinct()
+        .join(broadcast(probeFrames), Seq("fh"))
+        .groupBy("probe_id", "doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(nProbe), Seq("probe_id"))
+        .select(col("probe_id"), col("doc_id"),
+          round(col("n_shared") / col("n_pf"), 6).as("containment"))
+        .groupBy("probe_id")
+        .agg(graft.functions.NativeTopK
+          .topNeighbors(5, col("containment"), col("doc_id")).as("top"))
+        .select(col("probe_id"), posexplode(col("top")))
+        .select(col("probe_id"), (col("pos") + 1).as("rk"),
+          col("col.id").as("doc_id"),
+          col("col.score").as("containment"))
+        .orderBy("probe_id", "rk")
+    }),
+
     // M2 — partition-wise feature extraction through the stub decoder:
     // the mapPartitions batch shape of a media pipeline (real plumbing,
     // fake decode).
@@ -221,6 +265,38 @@ object MultimodalQueries {
         |  round(CAST(coalesce(s.n_dup_frames, 0) AS DOUBLE) / p.n_frames, 4)
         |    AS dup_frac
         |FROM per p LEFT JOIN sh s USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+    // m6: same frame digests (the conv-BIGINT form, bit-matching the
+    // Spark side), distinct per doc, overlap counts against the probe
+    // set, per-probe top-5 by (containment DESC, doc_id)
+    "m6_frame_containment" ->
+      """WITH fr AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(rpad(substr(text,
+        |      CAST(i * 64 + 1 AS INT), 16), 16, '.')), 1, 15) AS BIGINT)
+        |      AS fh
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(CAST(greatest(length(text) - 1, 0) // 64
+        |        AS BIGINT) + 1)) AS i
+        |    FROM documents)),
+        |pf AS (SELECT doc_id AS probe_id, fh FROM fr
+        |       WHERE doc_id % 50 = 0 AND doc_id < 5000),
+        |np AS (SELECT probe_id, count(*) AS n_pf FROM pf GROUP BY 1),
+        |sh AS (
+        |  SELECT pf.probe_id, fr.doc_id, count(*) AS n_shared
+        |  FROM fr JOIN pf USING (fh)
+        |  WHERE NOT (fr.doc_id % 50 = 0 AND fr.doc_id < 5000)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT sh.probe_id, sh.doc_id,
+        |    round(CAST(sh.n_shared AS DOUBLE) / np.n_pf, 6)
+        |      AS containment,
+        |    row_number() OVER (PARTITION BY sh.probe_id
+        |      ORDER BY round(CAST(sh.n_shared AS DOUBLE) / np.n_pf, 6)
+        |        DESC, sh.doc_id) AS rk
+        |  FROM sh JOIN np USING (probe_id))
+        |SELECT probe_id, rk, doc_id, containment FROM ranked
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     // m5: the same pixel → dHash → band-block → cap → verify chain.
     // (list_resize would be the natural padding but DuckDB v1.0.0
     // throws bad_array_new_length on it over this corpus — the
