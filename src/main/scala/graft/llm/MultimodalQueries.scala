@@ -182,7 +182,7 @@ object MultimodalQueries {
         """transform(sequence(0, CAST(greatest(length(text) - 1, 0) / 64 AS INT)),
           |  i -> CAST(conv(substr(md5(rpad(substring(text, i * 64 + 1, 16), 16, '.')), 1, 15), 16, 10) AS BIGINT))"""
           .stripMargin)
-      val isProbe = col("doc_id") % 50 === 0 && col("doc_id") < 5000
+      val isProbe = col("doc_id") % 10 === 0 && col("doc_id") < 5000
       val frames = documents(s, d)
         .withColumn("fh", explode(frameExpr))
         .select(col("doc_id"), col("fh"))
@@ -280,12 +280,12 @@ object MultimodalQueries {
         |        AS BIGINT) + 1)) AS i
         |    FROM documents)),
         |pf AS (SELECT doc_id AS probe_id, fh FROM fr
-        |       WHERE doc_id % 50 = 0 AND doc_id < 5000),
+        |       WHERE doc_id % 10 = 0 AND doc_id < 5000),
         |np AS (SELECT probe_id, count(*) AS n_pf FROM pf GROUP BY 1),
         |sh AS (
         |  SELECT pf.probe_id, fr.doc_id, count(*) AS n_shared
         |  FROM fr JOIN pf USING (fh)
-        |  WHERE NOT (fr.doc_id % 50 = 0 AND fr.doc_id < 5000)
+        |  WHERE NOT (fr.doc_id % 10 = 0 AND fr.doc_id < 5000)
         |  GROUP BY 1, 2),
         |ranked AS (
         |  SELECT sh.probe_id, sh.doc_id,
