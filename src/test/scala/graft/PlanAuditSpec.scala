@@ -71,7 +71,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // PRODUCED BY the bounded top-k aggregate directly below it —
       // the aggregate caps the subtree at |probes|·C rows (C =
       // rerank_c, default 50) at any corpus size, x21's pattern.
-      "n17_batch_rerank")
+      "n17_batch_rerank",
+      // m6's broadcast sides explode frames of the PROBE set only —
+      // bounded by the probe-budget predicate (doc_id % 10 = 0 AND
+      // doc_id < 5000 → ≤500 docs × ~len/64 frames at any corpus
+      // size), x8's benchmark-set-by-contract pattern; the corpus
+      // frame stream is the probe side of the join, never broadcast.
+      "m6_frame_containment")
 
   /** The three bans, applied to one executed physical plan. */
   private def audit(name: String, plan: SparkPlan): Seq[String] = {
