@@ -155,7 +155,10 @@ object Bench {
       // diffing stdout values knows it has exactly the top-K slowest.
       // "nq" carries the full count; the complete map lives durably
       // in BENCH_LOCAL.json.
-      val head = f"""{"metric":"total","unit":"sec","value":$total%.3f,"nq":${results.size},"sf":"$sfDir","queries":{"""
+      // nq pairs with "value": both describe the durable (merged)
+      // map, so a subset run's stdout can't read as "one query took
+      // the whole catalog total"
+      val head = f"""{"metric":"total","unit":"sec","value":$total%.3f,"nq":${durable.size},"sf":"$sfDir","queries":{"""
       val tail = "}}"
       val sb = new StringBuilder
       var full = false

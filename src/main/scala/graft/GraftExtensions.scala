@@ -71,7 +71,8 @@ object GraftExtensions {
       exprs => functions.LongArraySum(exprs.head)),
     entry("long_array_join", classOf[functions.LongArrayJoin],
       exprs => functions.LongArrayJoin(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) =>
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+            if s != null =>
           s.toString
         case other => sys.error(
           s"long_array_join separator must be a literal, got $other")

@@ -72,10 +72,11 @@ case class SortedTokenDigest(child: Expression) extends UnaryExpression {
       pos += t.numBytes()
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SortedTokenDigest.md5.get()
+    md.reset()
     val d = md.digest(joined)
     val hex = new Array[Byte](32)
-    val digits = "0123456789abcdef".getBytes
+    val digits = SortedTokenDigest.HexDigits
     i = 0
     while (i < 16) {
       hex(i * 2) = digits((d(i) >> 4) & 0xf)
@@ -99,6 +100,12 @@ case class SortedTokenDigest(child: Expression) extends UnaryExpression {
 }
 
 object SortedTokenDigest {
+  // per-row JCE provider lookups are a measurable fraction of this
+  // deliberately tight loop — one MessageDigest per task thread
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val HexDigits: Array[Byte] = "0123456789abcdef".getBytes
+
   def apply(a: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(SortedTokenDigest(
       org.apache.spark.sql.GraftColumnBridge.expression(a)))

@@ -91,25 +91,29 @@ object DedupQueries {
       .select(col("doc_id"), col("sig"))
 
   /** Candidate-id semi join sized for its strategy: BROADCAST when
-    * the distinct-id count is bounded (the design case — ids are 8 B,
-    * so even the gate's 10M ceiling is ~80 MB of broadcast), a
+    * the distinct-id count is bounded (the design case), a
     * SHUFFLE-HASH semi with the id set as the build side when a
     * near-duplicate-heavy corpus pushes the set past what one
-    * executor broadcast should carry. The gate costs one count over
-    * the localCheckpoint-backed pair relation (byte-tiny); an
-    * UNCONDITIONAL broadcast hint bypasses
-    * autoBroadcastJoinThreshold and would fail at Spark's hard
-    * broadcast limits on exactly the corpora where dedup matters
-    * most. (A bloom-filter semi is the next refinement if the
-    * fallback path ever dominates: same map-side pruning, no exact
-    * set.)
+    * executor broadcast should carry. An UNCONDITIONAL broadcast
+    * hint bypasses autoBroadcastJoinThreshold and would fail (or
+    * OOM the driver) at exactly the corpora where dedup matters
+    * most. The cap is sized for the materialized HashedRelation —
+    * an UnsafeRow per key plus map arrays, ~4-5× the raw 8 B/key —
+    * not the raw key bytes: 2M keys ≈ tens of MB resident, safe
+    * under default driver/executor memory. The candidate set is
+    * localCheckpoint-materialized first so the gate's count and the
+    * join consume ONE evaluation of the distinct, not two. (A
+    * bloom-filter semi is the next refinement if the fallback path
+    * ever dominates: same map-side pruning, no exact set.)
     */
-  private val CandBroadcastCap = 10L * 1000 * 1000
-  private def candSemi(base: DataFrame, candDocs: DataFrame): DataFrame =
-    if (candDocs.count() <= CandBroadcastCap)
-      base.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+  private val CandBroadcastCap = 2L * 1000 * 1000
+  private def candSemi(base: DataFrame, candDocs: DataFrame): DataFrame = {
+    val ids = candDocs.localCheckpoint()
+    if (ids.count() <= CandBroadcastCap)
+      base.join(broadcast(ids), Seq("doc_id"), "left_semi")
     else
-      base.join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      base.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+  }
 
   /** The composed-builtins signature pipeline (kept as the reference
     * formulation and for the equivalence spec).

@@ -114,7 +114,8 @@ object MultimodalQueries {
     // M5 — perceptual-hash near-dup: the image analog of the d7→d8
     // chain every multimodal corpus runs. The DECODE+RESIZE stage is
     // the charter's deterministic stub — a 65-"pixel" thumbnail
-    // derived one pixel per token ((length·31 + first-byte) mod 256),
+    // derived one pixel per token ((numChars·31 + first code point)
+    // mod 256 — code POINTS, matching the ascii/length builtins),
     // so a small local edit moves one pixel, exactly the regime
     // perceptual hashes are built for — and everything downstream is
     // the REAL pipeline: dHash (adjacent-pixel gradient bits, robust

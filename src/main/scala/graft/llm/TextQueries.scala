@@ -61,9 +61,13 @@ object TextQueries {
     //  - sum of token lengths ≡ length of the separator-less join
     //    (tokens are never null);
     //  - "tokens containing [a-z]" counted by a regex over the
-    //    single-space join — `[^ ]*[a-z][^ ]*` cannot span the
-    //    delimiter and matches each qualifying token exactly once
-    //    (tokens contain no whitespace by construction);
+    //    single-space join: each match consumes its leading boundary
+    //    and the whole token, so adjacent qualifying tokens each
+    //    count once and nothing spans the delimiter (tokens contain
+    //    no whitespace by construction). POSSESSIVE quantifiers +
+    //    the boundary anchor make matching LINEAR — a naive
+    //    `[^ ]*[a-z][^ ]*` backtracks O(L²) on a long token with no
+    //    lowercase letter (digit strings, hex blobs, all-caps runs);
     //  - required-stopword membership as 5 literal array_contains.
     df.withColumn("toks",
         graft.functions.WsTokens(col("text")))
@@ -72,8 +76,9 @@ object TextQueries {
         round(length(concat_ws("", col("toks"))).cast("long")
           / col("n_toks"), 4))
       .withColumn("alpha_frac",
-        round(size(regexp_extract_all(concat_ws(" ", col("toks")),
-          lit("[^ ]*[a-z][^ ]*"), lit(0)))
+        round(size(regexp_extract_all(
+          concat(lit(" "), concat_ws(" ", col("toks"))),
+          lit("(?:^| )[^ a-z]*+[a-z][^ ]*+"), lit(0)))
           / col("n_toks"), 4))
       .withColumn("n_req_stop",
         reqStop.map(w =>

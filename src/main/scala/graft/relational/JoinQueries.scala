@@ -621,7 +621,11 @@ object JoinQueries {
             line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND)
-        } catch { case _: Throwable => } // forensics must never fail the query
+        } catch { // forensics must never fail the query — but only
+          // recoverable errors are swallowed (an OOM or interrupt
+          // must still propagate)
+          case scala.util.control.NonFatal(_) =>
+        }
         s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
