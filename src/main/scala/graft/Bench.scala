@@ -162,7 +162,11 @@ object Bench {
       val tail = "}}"
       val sb = new StringBuilder
       var full = false
-      results.sortBy(-_._2).foreach { case (k, v) =>
+      // built from the MERGED durable map, not the subset-only results:
+      // on a SPARK_GRAFT_BENCH_ONLY run "value"/"nq" describe the
+      // merged map, so the top-K prefix must rank over the same map or
+      // the "exactly the top-K slowest" contract breaks for subset runs
+      durable.sortBy(-_._2).foreach { case (k, v) =>
         val entry = (if (sb.isEmpty) "" else ",") + "\"" + k + "\":" + f"$v%.3f"
         if (!full &&
             head.length + sb.length + entry.length + tail.length <= budget)

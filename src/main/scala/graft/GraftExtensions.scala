@@ -70,13 +70,19 @@ object GraftExtensions {
     entry("long_array_sum", classOf[functions.LongArraySum],
       exprs => functions.LongArraySum(exprs.head)),
     entry("long_array_join", classOf[functions.LongArrayJoin],
-      exprs => functions.LongArrayJoin(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
-            if s != null =>
-          s.toString
-        case other => sys.error(
-          s"long_array_join separator must be a literal, got $other")
-      })))
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"long_array_join expects 2 arguments (array<bigint>, " +
+            s"separator string literal), got ${exprs.length}")
+        functions.LongArrayJoin(exprs(0), exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              s: org.apache.spark.unsafe.types.UTF8String, _) if s != null =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            "long_array_join separator must be a STRING literal, " +
+              s"got $other")
+        })
+      }))
 
   /** Register into an ALREADY-RUNNING session (the extensions class
     * only applies to sessions built with `withExtensions` /

@@ -784,7 +784,13 @@ object SimilarityQueries {
   private[graft] def maybeWarnRecall(s: SparkSession, d: String): Boolean = {
     val dialed = s.conf.getOption("graft.ann.nprobe").isDefined ||
       s.conf.getOption("graft.pq.k").isDefined
-    val fire = !dialed && mergedClusterFraction(s, d) >= 0.5
+    // An ADVISORY must never fail the serving query it decorates: any
+    // recoverable error computing the shape stats (sidecar I/O, a
+    // half-written file from a crashed peer) skips the warning — the
+    // j5-forensics discipline. OOM/interrupt still propagate.
+    val fire = !dialed && (try mergedClusterFraction(s, d) >= 0.5
+      catch { case scala.util.control.NonFatal(e) =>
+        advisoryLog.warn(s"recall advisory skipped for $d: $e"); false })
     if (fire && recallWarned.add(d))
       advisoryLog.warn(
         s"ANN serving dials are at the conservative oracle-pinned " +
@@ -1013,7 +1019,16 @@ object SimilarityQueries {
       val tmp = java.io.File.createTempFile(f.getName, ".tmp", f.getParentFile)
       java.nio.file.Files.write(tmp.toPath,
         sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      tmp.renameTo(f); ()
+      // If the publish rename fails (concurrent creator won the race on
+      // a non-POSIX FS, or cross-device tmp), fall back to reading our
+      // own tmp copy — identical content, since the stats are a pure
+      // function of the trained index. Without this the read below
+      // would throw FileNotFound from inside n12/n14-n17 query
+      // CONSTRUCTION, failing a serving query for a purely advisory
+      // statistic.
+      if (!tmp.renameTo(f) && !f.isFile)
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val cents = model.centroids.map { case (cid, ce) =>
       (cid, ce, math.sqrt(dotSeq(ce, ce)))

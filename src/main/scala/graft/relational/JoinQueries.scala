@@ -608,8 +608,15 @@ object JoinQueries {
         s.sql(s"""INSERT INTO $tbl
           SELECT o_orderkey, o_orderpriority, o_totalprice * 2
           FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0""")
+        // The sum is carried in DECIMAL(18,2) (exact money arithmetic)
+        // but the FINAL column is DOUBLE: the verify comparator reads
+        // Spark's parquet via pandas (decimal128 -> Decimal objects)
+        // while DuckDB hands its result over as float64, so a decimal
+        // output column stringifies differently ('...0.00' vs '...0.0')
+        // on any row with trailing-zero cents. DOUBLE round-trips both
+        // paths identically — the j3/j4/j6 convention.
         val res = s.sql(s"""SELECT o_orderpriority, count(*) AS n,
-          CAST(sum(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+          CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
           FROM $tbl
           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
         val rows = res.collect() // bounded: |distinct priorities| = 5
@@ -762,7 +769,7 @@ object JoinQueries {
         |    CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS p
         |  FROM orders WHERE o_orderkey % 3 = 0)
         |SELECT o_orderpriority, count(*) AS n,
-        |  CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(p) AS DOUBLE) AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     "r1_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -267,7 +267,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
-    val props = properties.asScala
+    // advisory.* keys are COMPUTED properties (bucketAdvisory derives
+    // them from the manifest on every read) — a SHOW CREATE TABLE
+    // round-trip may carry one in, and it must be ignored, never
+    // persisted as if it were user intent
+    val props = properties.asScala.filterNot(_._1.startsWith("advisory."))
     // validate the transform SHAPE up front (even on the adopt-a-
     // LOCATION path): only bucket(n, key) is a graft layout
     bucketSpec(partitions, fullName(ident))
@@ -1229,11 +1233,16 @@ class GraftCatalogTable(
       var factor = 2
       while (avg / factor > GraftCatalogTable.AdvisoryRowsPerBucket &&
         factor < (1 << 20)) factor *= 2
+      // For an absurdly fat table the loop caps at 2^20 — say so
+      // rather than recommend the capped factor as if it sufficed
+      val capped = avg / factor > GraftCatalogTable.AdvisoryRowsPerBucket
       Map("advisory.buckets" ->
         (s"avg ~$avg rows/bucket across $n buckets exceeds the " +
           s"${GraftCatalogTable.AdvisoryRowsPerBucket}/bucket target; " +
           s"run CALL <catalog>.system.split(tbl => '...', " +
-          s"factor => $factor)"))
+          s"factor => $factor)" +
+          (if (capped) " (factor capped at 2^20 - still above target " +
+            "after the split; split again afterwards)" else "")))
     }).getOrElse(Map.empty)
   }
 

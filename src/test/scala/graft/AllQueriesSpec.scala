@@ -36,4 +36,35 @@ class AllQueriesSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** Output-type lint: the driver's comparator reads Spark parquet via
+    * pandas and the DuckDB oracle as a pandas df, then compares
+    * STRINGIFIED values. Types that coerce asymmetrically on that path
+    * (DECIMAL -> Decimal objects on the Spark side vs float64 on the
+    * DuckDB side; STRUCT/MAP -> unstringifiable objects) produce
+    * deterministic hash mismatches the arrow-based local mirror cannot
+    * see — j5's three-round red streak was exactly this. Every query's
+    * FINAL schema is therefore restricted to the types proven to
+    * round-trip the comparator identically on both sides.
+    */
+  test("every query's final schema round-trips the pandas comparator") {
+    import org.apache.spark.sql.types._
+    def primOk(t: DataType): Boolean = t match {
+      case StringType | LongType | IntegerType | DoubleType |
+           BooleanType | DateType | TimestampType => true
+      case _ => false
+    }
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(e, _) => primOk(e)
+      case other => primOk(other)
+    }
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema = fn(spark, sf0001).schema
+        schema.fields.filterNot(f => ok(f.dataType))
+          .map(f => s"$name.${f.name}: ${f.dataType.sql}")
+    }
+    assert(bad.isEmpty,
+      s"final columns with comparator-unsafe types: ${bad.mkString(", ")}")
+  }
 }

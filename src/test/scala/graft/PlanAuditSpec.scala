@@ -185,6 +185,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("j5's inner DDL/INSERT/aggregate plans pass the same audit") {
+    // j5 collects eagerly (its 5-row result must outlive the dropped
+    // table), so the RETURNED DataFrame is a LocalTableScan and the
+    // batch audit above sees nothing real. The actual plans — two
+    // INSERT merges and the grouped SELECT over the catalog table —
+    // execute DURING query construction, so capture them the way the
+    // streaming test does: through the SQL execution events they post.
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[SparkPlanInfo]()
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit =
+        event match {
+          case e: SparkListenerSQLExecutionStart =>
+            captured.add(e.sparkPlanInfo); ()
+          case e: SparkListenerSQLAdaptiveExecutionUpdate =>
+            captured.add(e.sparkPlanInfo); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try SparkEntry.queries("j5_sql_catalog")(spark, sf0001).count()
+    finally ()
+    // listener bus is async — wait for the event count to go stable
+    var last = -1
+    var stable = 0
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (stable < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val n = captured.size()
+      if (n == last) stable += 1 else { stable = 0; last = n }
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val infos = captured.asScala.toSeq
+    assert(infos.nonEmpty, "j5: no execution events captured")
+    val bad = infos.flatMap(i => auditInfo("j5_sql_catalog", i))
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("c3_quota_sample plans no window over an unbounded partition") {
     // the r2 scale-killer: row_number().over(partitionBy(source)) sorts
     // a whole source inside one task. The bounded top-k aggregator must

@@ -12,3 +12,8 @@ java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC
   -cp "$CP" graft.Verify "$SF" "$OUT" 2>/tmp/graft_verify_stderr.log \
   || { tail -30 /tmp/graft_verify_stderr.log; exit 1; }
 python3 /root/repo/tools/verify_local.py "$SF" "$OUT"
+# Second gate: the pandas-coercing comparator the driver actually uses.
+# verify_local.py compares via arrow (decimal-preserving) and passed j5
+# for three rounds while the driver failed it; the mimic reproduces the
+# driver's decimal->float64 stringification and exits 1 on any diff.
+python3 /root/repo/tools/verify_driver_mimic.py "$SF" "$OUT"
