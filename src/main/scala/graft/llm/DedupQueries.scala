@@ -444,12 +444,14 @@ object DedupQueries {
     // candidates verified with the banded Levenshtein kernel (the
     // composition d14's docs promise — d14 itself is the
     // block-capped exact baseline). Work is O(|candidates| · n·thr):
-    // the LSH stage prunes the pair space, the band prunes the DP,
-    // and the -1 sentinel (distance proven > max/5, computation
-    // abandoned early) is part of the cross-engine contract — the
-    // oracle reproduces it as a CASE over the full distance. On the
-    // testdata the candidates split ~23 true near-dups (sim ≥ 0.93)
-    // and 3 LSH false positives (sim ≈ 0.33) that verify kills.
+    // the LSH stage prunes the pair space, the signature-estimated
+    // similarity floor ([[D15AgreeFloor]]) prunes the candidates, and
+    // the band prunes the DP. The -1 sentinel (distance proven >
+    // max/5, computation abandoned early) remains part of the
+    // kernel's cross-engine contract — the oracle reproduces it as a
+    // CASE over the full distance (on the current testdata no
+    // floored candidate fails verify, so the sentinel rows live in
+    // d14's intermediate filter and the kernel specs).
     "d15_lsh_lev_verify" -> ((s, d) => {
       // same two structural moves as d8: the candidates materialize
       // ONCE (three consumers would otherwise re-inline the whole d7
@@ -457,6 +459,7 @@ object DedupQueries {
       // join (count-gated, see candSemi) so the corpus's text column
       // is never shuffled
       val cands = queries("d7_lsh_bucket_cap")(s, d)
+        .where(col("agreement") >= D15AgreeFloor)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
       val candDocs = cands.select(col("doc_a").as("doc_id"))
@@ -610,6 +613,22 @@ object DedupQueries {
     */
   private[llm] val MaxOverlapSources = 10
 
+  /** d15's estimate-then-verify floor: only candidates whose
+    * SIGNATURE-estimated jaccard (band agreement, already computed by
+    * d7) clears this run the O(n·thr) Levenshtein DP. This is the
+    * standard LSH discipline — the signature is an unbiased jaccard
+    * estimator, so a candidate estimated far below dup similarity is
+    * a band collision, not a near-dup. Measured on the testdata the
+    * populations are cleanly bimodal (spurious ≤ 0.44, true dups
+    * ≥ 0.81 at both SFs), and at the 16M-doc probe the sub-floor
+    * collision population is the super-linear component (the
+    * fixed-vocab generator's band-signature space saturates, so
+    * birthday collisions grow faster than the corpus) — the floor
+    * bounds the verify stage to the linearly-growing near-dup set by
+    * construction. Mirrored in the oracle.
+    */
+  private[llm] val D15AgreeFloor = 0.5
+
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -725,9 +744,14 @@ object DedupQueries {
          |  SELECT bucket FROM banded GROUP BY bucket HAVING count(*) <= $BucketCap),
          |capped AS (SELECT banded.* FROM banded JOIN narrow USING (bucket)),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM capped a JOIN capped b
-         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           a.sig AS sig_a, b.sig AS sig_b
+         |    FROM capped a JOIN capped b
+         |      ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |  WHERE len(list_filter(list_transform(range($K),
+         |      i -> sig_a[i + 1] = sig_b[i + 1]), v -> v))
+         |      / CAST($K AS DOUBLE) >= $D15AgreeFloor),
          |scored AS (
          |  SELECT doc_a, doc_b,
          |    levenshtein(ta.text, tb.text) AS full_lev,

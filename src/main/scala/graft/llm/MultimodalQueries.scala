@@ -209,6 +209,38 @@ object MultimodalQueries {
         .orderBy("probe_id", "rk")
     }),
 
+    // M7 — CROSS-MODAL retrieval: TEXT probes against the embeddings
+    // corpus through the trained IVF-PQ index — the CLIP-recipe join
+    // every multimodal curation pipeline runs (caption → nearest
+    // images, query → nearest clips). The text ENCODER is the
+    // charter's deterministic stub (m5's discipline — fake encode,
+    // real plumbing): the hashing-trick bag-of-words embedding
+    // (token → 28-bit md5 hash → mod-64 bucket → count histogram), a
+    // real featurization recipe whose production replacement is a
+    // model call with the same (doc → fixed-dim float vector)
+    // signature. Everything downstream is the REAL serving path:
+    // probes route map-side to their nprobe coarse cells (literal
+    // centroids), per-(probe, cell) residual ADC LUTs broadcast into
+    // the codes-only index scan (16 B/row — no float embedding is
+    // ever read), and the bounded native top-k ships |probes|·10
+    // rows. Scale: the probe set is budget-bounded (≤500 docs at any
+    // corpus size); the encoder's nested HOFs evaluate interpreted,
+    // which is irrelevant on a bounded relation — the corpus-sized
+    // side stays inside whole-stage codegen (n16's plan).
+    "m7_crossmodal_retrieval" -> ((s, d) => {
+      import graft.llm.Hashing
+      val isProbe = col("doc_id") % 10 === 0 && col("doc_id") < 5000
+      val hts = transform(graft.functions.WsTokens(col("text")),
+        t => Hashing.hash28(t) % 64)
+      val qe = transform(sequence(lit(0), lit(63)),
+        i => size(filter(hts, h => h === i)).cast("double"))
+      val probes = documents(s, d).where(isProbe)
+        .select(col("doc_id").as("probe_id"), qe.as("qe"))
+      SimilarityQueries.adcTop10(
+        SimilarityQueries.batchAdcScoredFor(s, d, probes,
+          excludeVecProbes = false))
+    }),
+
     // M2 — partition-wise feature extraction through the stub decoder:
     // the mapPartitions batch shape of a media pipeline (real plumbing,
     // fake decode).
@@ -341,6 +373,9 @@ object MultimodalQueries {
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // m7: n16's oracle chain with text-encoded probes — built in
+    // SimilarityQueries next to the ADC machinery it mirrors.
+    "m7_crossmodal_retrieval" -> SimilarityQueries.crossModalOracle,
     // ASCII text: bytes == chars, so the stubbed byte features are
     // recomputable from the text column.
     "m2_multimodal_features" ->

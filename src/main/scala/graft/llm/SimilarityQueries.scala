@@ -626,19 +626,7 @@ object SimilarityQueries {
     // a cid gap cannot mis-rank.
     "n16_batch_adc" -> ((s, d) => {
       maybeWarnRecall(s, d)
-      // smallest-ad2 top-10 through the same bounded aggregate as
-      // n15 (score = −ad2: k best by score desc, ties to smaller id
-      // ⇔ ad2 asc, vec_id asc)
-      batchAdcScored(s, d)
-        .groupBy("probe_id")
-        .agg(graft.functions.NativeTopK
-          .topNeighbors(10, lit(0.0) - col("ad2"), col("vec_id"))
-          .as("top"))
-        .select(col("probe_id"), posexplode(col("top")))
-        .select(col("probe_id"), (col("pos") + 1).as("rk"),
-          col("col.id").as("vec_id"),
-          (lit(0.0) - col("col.score")).as("ad2"))
-        .orderBy("probe_id", "rk")
+      adcTop10(batchAdcScored(s, d))
     }),
 
     // N17 — the COMPLETE batch production recipe, the composition the
@@ -682,6 +670,23 @@ object SimilarityQueries {
     })
   )
 
+  /** n16/m7's final stanza: smallest-ad2 top-10 per probe through the
+    * same bounded aggregate as n15 (score = −ad2: k best by score
+    * desc, ties to smaller id ⇔ ad2 asc, vec_id asc) — partial 10-row
+    * states combine map-side, the exchange ships |probes|·10 rows.
+    */
+  private[llm] def adcTop10(scored: DataFrame): DataFrame =
+    scored
+      .groupBy("probe_id")
+      .agg(graft.functions.NativeTopK
+        .topNeighbors(10, lit(0.0) - col("ad2"), col("vec_id"))
+        .as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).as("rk"),
+        col("col.id").as("vec_id"),
+        (lit(0.0) - col("col.score")).as("ad2"))
+      .orderBy("probe_id", "rk")
+
   /** n16/n17's shared ADC pass: every probe routed map-side to its
     * nprobe cells (n15's literal-centroid trick), its per-(probe,
     * probed-cell) residual ADC LUT computed IN-PLAN (a bounded
@@ -692,10 +697,25 @@ object SimilarityQueries {
     * whole-stage codegen. Returns (probe_id, vec_id, ad2).
     */
   private def batchAdcScored(s: SparkSession, d: String): DataFrame = {
+    val isProbe = col("vec_id") % 50 === 0 &&
+      col("vec_id") < KnnProbeBudget
+    batchAdcScoredFor(s, d,
+      base(s, d).where(isProbe)
+        .select(col("vec_id").as("probe_id"), col("e").as("qe")),
+      excludeVecProbes = true)
+  }
+
+  /** The ADC pass over an ARBITRARY bounded probe relation
+    * (probe_id, qe) — n16/n17 feed it the vec-probe subset of the
+    * corpus itself (excluding those rows from the scan); m7 feeds it
+    * text-encoded probes from the documents table (nothing excluded —
+    * text probes are not embeddings rows).
+    */
+  private[llm] def batchAdcScoredFor(s: SparkSession, d: String,
+      probeRel: DataFrame, excludeVecProbes: Boolean): DataFrame = {
     val model = KMeans.fit(s, d)
     val cb = PQ.fit(s, d)
     val np = nprobe(s)
-    val t = base(s, d)
     val isProbe = col("vec_id") % 50 === 0 &&
       col("vec_id") < KnnProbeBudget
     val cells = array(model.centroids.sortBy(_._1).map {
@@ -704,8 +724,7 @@ object SimilarityQueries {
           col("qe"), typedlit(ce.toSeq))).as("nd"),
           lit(cid).as("cid"))
     }: _*)
-    val routed = t.where(isProbe)
-      .select(col("vec_id").as("probe_id"), col("e").as("qe"))
+    val routed = probeRel
       .withColumn("cell",
         explode(slice(array_sort(cells), 1, np)))
       .select(col("probe_id"), col("qe"),
@@ -740,8 +759,8 @@ object SimilarityQueries {
     val probes = routed
       .select(col("probe_id"), col("cid"),
         array(lutEntries: _*).as("lut"))
-    val idx = s.read.parquet(trainedPqIndexDir(s, d))
-      .where(!isProbe)
+    val idx0 = s.read.parquet(trainedPqIndexDir(s, d))
+    val idx = (if (excludeVecProbes) idx0.where(!isProbe) else idx0)
       .select(col("vec_id"), col("cid").cast("long").as("cid"),
         col("codes"))
     idx
@@ -1737,6 +1756,68 @@ object SimilarityQueries {
          |SELECT probe_id, rk, vec_id, cos FROM ranked WHERE rk <= 10
          |ORDER BY probe_id, rk""".stripMargin
   )
+
+  /** m7's oracle (referenced from [[MultimodalQueries.oracle]]): n16's
+    * routing + residual-ADC chain with the probe CTE swapped for the
+    * hashing-trick text encoder over `documents` (token → 28-bit md5
+    * hash → mod-64 bucket → count histogram, the same cross-engine
+    * hash as d5/d11) and the corpus scan unexcluded — text probes are
+    * not embeddings rows, so every indexed vector is a candidate.
+    */
+  private[llm] lazy val crossModalOracle: String =
+    s"""WITH t AS ($sqlBase),
+       |$sqlCoarse,
+       |$sqlPqChains,
+       |p AS (
+       |  SELECT doc_id AS probe_id,
+       |    list_transform(range(64), i -> CAST(len(list_filter(
+       |      list_transform(list_filter(
+       |        regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+       |        tok -> CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) % 64),
+       |      h -> h = i)) AS DOUBLE)) AS qe
+       |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000),
+       |route AS (
+       |  SELECT probe_id, qe, cid FROM (
+       |    SELECT p.probe_id, p.qe, k.cid,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY list_inner_product(k.ce, p.qe) DESC, k.cid)
+       |        AS crk
+       |    FROM p, c${KMeans.OracleRounds} k)
+       |  WHERE crk <= 2),
+       |brq AS MATERIALIZED (
+       |  SELECT r.probe_id, r.cid AS kcid,
+       |    list_transform(range(64), i -> r.qe[i + 1] - k.ce[i + 1])
+       |      AS rqe
+       |  FROM route r JOIN c${KMeans.OracleRounds} k ON k.cid = r.cid),
+       |${(0 until PQ.M).map { j =>
+          val a = j * PQ.SubDim + 1
+          val b = (j + 1) * PQ.SubDim
+          s"""bl$j AS MATERIALIZED (
+             |  SELECT brq.probe_id, brq.kcid, s.cid AS scid,
+             |    list_inner_product(rqe[$a:$b], rqe[$a:$b])
+             |      - 2 * list_inner_product(rqe[$a:$b], s.ce)
+             |      + list_inner_product(s.ce, s.ce) AS d2
+             |  FROM brq, c${PQ.OracleRounds}_s$j s)""".stripMargin
+        }.mkString(",\n")},
+       |sc AS (
+       |  SELECT rt.probe_id, t.vec_id,
+       |    round(${(0 until PQ.M)
+            .map(j => s"bl$j.d2").mkString(" + ")}, 6) AS ad2
+       |  FROM t JOIN af USING (vec_id)
+       |  ${(0 until PQ.M)
+            .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+       |  JOIN route rt ON af.cid = rt.cid
+       |  ${(0 until PQ.M).map(j =>
+            s"JOIN bl$j ON bl$j.probe_id = rt.probe_id" +
+              s" AND bl$j.kcid = af.cid" +
+              s" AND bl$j.scid = af_s$j.cid").mkString(" ")}),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, ad2,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY ad2, vec_id) AS rk
+       |  FROM sc)
+       |SELECT probe_id, rk, vec_id, ad2 FROM ranked WHERE rk <= 10
+       |ORDER BY probe_id, rk""".stripMargin
 
   /** One Lloyd assignment CTE against centroid set `prev` (dist² =
     * ee − 2·e·c + c·c, ties to the smaller cid via row_number).

@@ -14,11 +14,12 @@ import graft.pol.{ChangeFeed, PoolJsonSink}
   * The claim under test: per-batch cost tracks the DELTA, and the v2
   * reader pays no driver-side planning tax per batch.
   *
-  * `ChangesProbe <nRows>`
+  * `ChangesProbe <nRows> [nBuckets]`
   */
 object ChangesProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(4000000)
+    val nBuckets = if (args.length > 1) args(1).toInt else 64
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -33,13 +34,13 @@ object ChangesProbe {
       spark.range(n.toLong)
         .select(col("id").as("k"),
           md5(col("id").cast("string")).as("payload")),
-      col("k"), nBuckets = 64)
+      col("k"), nBuckets = nBuckets)
     println(f"stage $n rows: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     val delta = n / 1000
     PoolJsonSink.upsertPartitioned(spark, dir,
       spark.range(delta.toLong)
         .select((col("id") * 1000L).as("k"), lit("v2").as("payload")),
-      col("k"), nBuckets = 64)
+      col("k"), nBuckets = nBuckets)
     val head = PoolJsonSink.readManifest(dir).get.version
 
     spark.conf.set("spark.sql.catalog.gpr", "graft.sources.GraftCatalog")

@@ -5,24 +5,28 @@ import org.apache.spark.sql.functions._
 
 import graft.pol.PoolJsonSink
 
-/** MergeProbe <nKeys> <workDir> — the evidence behind t6's scale
-  * claim: delta-driven MERGE maintenance must cost O(delta + touched
-  * buckets), never O(table).
+/** MergeProbe <nKeys> <workDir> [nBuckets] — the evidence behind t6's
+  * scale claim: delta-driven MERGE maintenance must cost O(delta +
+  * touched buckets), never O(table).
   *
-  * Seeds a manifest table with nKeys per-user aggregate rows (256
-  * buckets), then times (a) a fixed 10-key delta through
-  * `PoolJsonSink.mergeDelta` (min of 3) and (b) the naive combine the
-  * round-3 t6 did — read the WHOLE table, union the delta,
-  * re-aggregate every key, rewrite everything (1 rep; it only gets
-  * slower). Run at 1e5 / 1e6 / 1e7 keys: the mergeDelta time tracks
-  * the ~10 touched buckets (table_bytes / 256 each) while the naive
-  * time tracks the table — the ratio is the scaling argument recorded
-  * in SCALING.md.
+  * Seeds a manifest table with nKeys per-user aggregate rows
+  * (default 256 buckets — under the 1M-rows/bucket advisory target up
+  * to 256M keys; pass nBuckets to probe other layouts), then times
+  * (a) a fixed 10-key delta through `PoolJsonSink.mergeDelta` (min of
+  * 3), (b) full-table compaction to 1 file/bucket (the maintenance
+  * job a merged table runs), and (c) the naive combine the round-3 t6
+  * did — read the WHOLE table, union the delta, re-aggregate every
+  * key, rewrite everything (1 rep; it only gets slower). Run at
+  * 1e5 / 1e6 / 1e7 / 1.6e7 keys: the mergeDelta time tracks the ~10
+  * touched buckets (table_bytes / nBuckets each) while the naive time
+  * tracks the table — the ratio is the scaling argument recorded in
+  * SCALING.md.
   */
 object MergeProbe {
   def main(args: Array[String]): Unit = {
     val nKeys = args(0).toLong
     val work = args(1)
+    val nBuckets = if (args.length > 2) args(2).toInt else 256
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,24 +60,27 @@ object MergeProbe {
       col("id").cast("decimal(38,2)").as("sum_value_dec"))
     val (_, tSeed) = timed {
       PoolJsonSink.upsertPartitioned(spark, dir, base, col("user_id"),
-        nBuckets = 256)
+        nBuckets = nBuckets)
     }
     // a maintained table is compacted (one file per bucket) — without
     // this the probe times 32-files-per-bucket open overhead, not the
-    // merge
-    PoolJsonSink.compactPartitions(spark, dir, maxFilesPerPartition = 1)
+    // merge. Timed: compaction is itself a maintenance cost claim
+    // (one full read + one full write, parallel across buckets).
+    val (_, tCompact) = timed {
+      PoolJsonSink.compactPartitions(spark, dir, maxFilesPerPartition = 1)
+    }
     PoolJsonSink.vacuum(dir)
 
     // warm the code paths once on a throwaway table
     val warm = s"$work/tbl_warm"
     PoolJsonSink.upsertPartitioned(spark, warm,
-      base.limit(1000), col("user_id"), nBuckets = 256)
+      base.limit(1000), col("user_id"), nBuckets = nBuckets)
     PoolJsonSink.mergeDelta(spark, warm, delta(0), col("user_id"),
-      nBuckets = 256)(combine)
+      nBuckets = nBuckets)(combine)
 
     val tMerge = (1 to 3).map { i =>
       timed(PoolJsonSink.mergeDelta(spark, dir, delta(i * 17L),
-        col("user_id"), nBuckets = 256)(combine))._2
+        col("user_id"), nBuckets = nBuckets)(combine))._2
     }.min
 
     // the round-3 shape: full-table read + full re-agg + full rewrite
@@ -83,10 +90,11 @@ object MergeProbe {
         PoolJsonSink.readTable(spark, dir)
           .drop("__pt").unionByName(delta(999)))
       PoolJsonSink.upsertPartitioned(spark, naiveDir, full,
-        col("user_id"), nBuckets = 256)
+        col("user_id"), nBuckets = nBuckets)
     }
 
-    println(f"""{"nKeys":$nKeys,"seed_s":$tSeed%.2f,""" +
+    println(f"""{"nKeys":$nKeys,"nBuckets":$nBuckets,"seed_s":$tSeed%.2f,""" +
+      f""""compact_s":$tCompact%.2f,""" +
       f""""merge_delta_s":$tMerge%.3f,"naive_full_s":$tNaive%.2f}""")
     spark.stop()
   }

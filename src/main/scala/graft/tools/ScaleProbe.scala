@@ -39,15 +39,19 @@ object ScaleProbe {
 
   /** Generate the deterministic corpus (documents + embeddings) into
     * `dir` — shared by the measured run and the warm-up mini-corpus.
+    * Returns true if it actually generated (vs found an existing
+    * corpus): a corpus written THIS invocation reads back cold, and
+    * growth tables must never mix cold and warm rows (measured: d7
+    * 155 s in the generation batch vs ~101 s warm at 16M).
     */
-  private def generate(spark: SparkSession, nDocs: Long, dir: String): Unit = {
+  private def generate(spark: SparkSession, nDocs: Long, dir: String): Boolean = {
     import spark.implicits._
     // generation is deterministic per (nDocs), so an existing corpus
     // of the same size is bit-identical — skip the rewrite. Keeping
     // file mtimes stable is also what lets the KMeans/PQ model
     // registry (fingerprint-keyed) serve across probe invocations.
     val marker = new java.io.File(dir, s"_GEN_$nDocs")
-    if (marker.isFile) return
+    if (marker.isFile) return false
     val docs = spark.range(nDocs).map { jid =>
       val id: Long = jid
       // a planted near-dup every 50 docs: doc 50k+1 = doc 50k with one
@@ -83,7 +87,8 @@ object ScaleProbe {
         types(((st >>> 3) % types.length).toInt.abs), value, """{"k": 1}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    marker.createNewFile(); ()
+    marker.createNewFile()
+    true
   }
 
   def main(args: Array[String]): Unit = {
@@ -111,7 +116,21 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // --- corpus generation (distributed, deterministic per doc_id) ---
-    generate(spark, nDocs, workDir)
+    // REFUSE to report numbers from the batch that generated the
+    // corpus: freshly-written files read back cold, and the growth
+    // rows those reads produce are not comparable with warm ones
+    // (SCALING.md's lesson #2: d7 155 s cold vs ~101 s warm at 16M).
+    // Generation is persisted and marker-gated, so the re-run costs
+    // only the measurement itself. SPARK_GRAFT_COLD_OK=1 overrides
+    // for deliberate cold-read studies.
+    if (generate(spark, nDocs, workDir) &&
+        !sys.env.get("SPARK_GRAFT_COLD_OK").contains("1")) {
+      println(s"corpus generated into $workDir — re-run the same " +
+        "command for warm measurements (this batch would read cold; " +
+        "set SPARK_GRAFT_COLD_OK=1 to measure cold reads on purpose)")
+      spark.stop()
+      sys.exit(2)
+    }
 
     // --- timings: warm once on a mini-corpus derived from workDir
     // (self-contained — no dependence on this box's testdata layout),
@@ -125,6 +144,20 @@ object ScaleProbe {
         case e: Throwable =>
           System.err.println(s"[warmup] $q failed: ${e.getMessage}")
       }
+    }
+    // The mini-corpus warmup compiles the query shapes but does NOT
+    // amortize the one-off at-scale JIT/compilation tax the FIRST
+    // at-scale execution pays (SCALING.md's lesson #1, measured
+    // 25-45 s by A/B-ing the batch order at 16M). Discard one
+    // at-scale execution of the first query before the measured loop
+    // so every reported row is steady-state.
+    locally {
+      val t0 = System.nanoTime()
+      try graft.Bench.force(graft.SparkEntry.queries(names.head)(spark, workDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[jit-warm] ${names.head} failed: ${e.getMessage}")
+      }
+      println(f"[jit-warm] ${names.head} ${(System.nanoTime() - t0) / 1e9}%.2f s (discarded)")
     }
     val results = names.map { q =>
       def once(): Double = {
