@@ -92,27 +92,50 @@ object DedupQueries {
 
   /** Candidate-id semi join sized for its strategy: BROADCAST when
     * the distinct-id count is bounded (the design case), a
-    * SHUFFLE-HASH semi with the id set as the build side when a
-    * near-duplicate-heavy corpus pushes the set past what one
-    * executor broadcast should carry. An UNCONDITIONAL broadcast
-    * hint bypasses autoBroadcastJoinThreshold and would fail (or
-    * OOM the driver) at exactly the corpora where dedup matters
-    * most. The cap is sized for the materialized HashedRelation —
-    * an UnsafeRow per key plus map arrays, ~4-5× the raw 8 B/key —
-    * not the raw key bytes: 2M keys ≈ tens of MB resident, safe
-    * under default driver/executor memory. The candidate set is
-    * localCheckpoint-materialized first so the gate's count and the
-    * join consume ONE evaluation of the distinct, not two. (A
-    * bloom-filter semi is the next refinement if the fallback path
-    * ever dominates: same map-side pruning, no exact set.)
+    * BLOOM-PREFILTERED shuffle semi when a near-duplicate-heavy
+    * corpus pushes the set past what one executor broadcast should
+    * carry. An UNCONDITIONAL broadcast hint bypasses
+    * autoBroadcastJoinThreshold and would fail (or OOM the driver) at
+    * exactly the corpora where dedup matters most. The cap is sized
+    * for the materialized HashedRelation — an UnsafeRow per key plus
+    * map arrays, ~4-5× the raw 8 B/key — not the raw key bytes: 2M
+    * keys ≈ tens of MB resident, safe under default driver/executor
+    * memory. The candidate set is localCheckpoint-materialized first
+    * so the gate's count and the join consume ONE evaluation of the
+    * distinct, not two.
+    *
+    * The over-cap path earned its bloom stage at the 16M-doc probe:
+    * the bare shuffle-hash fallback ships the CORPUS's wide side
+    * (sorted shingle arrays, ~KB/row) into the semi's exchange —
+    * measured d8 204-248 s vs ~121 s when the semi was an
+    * (unsafely) unconditional broadcast. The id set now folds into a
+    * bloom sketch (~1.4 MB per 1M keys at 3% fpp, a driver-held
+    * constant like Spark's own runtime filters) that prunes MAP-SIDE
+    * ON THE SCAN inside whole-stage codegen; only the surviving
+    * ~candidate-sized sliver (+ fpp) pays the exact semi's shuffle,
+    * so the contract stays exact while the wide relation entering
+    * the exchange shrinks from corpus-sized to candidate-sized.
     */
   private val CandBroadcastCap = 2L * 1000 * 1000
+  /** Session-conf override of [[CandBroadcastCap]] — exists so a spec
+    * (and an operator tuning for a smaller driver) can drive the
+    * bloom fallback without a >2M-candidate corpus. */
+  private def candBroadcastCap(s: SparkSession): Long =
+    s.conf.getOption("graft.dedup.cand_broadcast_cap")
+      .map(_.toLong).getOrElse(CandBroadcastCap)
   private def candSemi(base: DataFrame, candDocs: DataFrame): DataFrame = {
     val ids = candDocs.localCheckpoint()
-    if (ids.count() <= CandBroadcastCap)
+    val n = ids.count()
+    if (n <= candBroadcastCap(base.sparkSession))
       base.join(broadcast(ids), Seq("doc_id"), "left_semi")
-    else
-      base.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    else {
+      val sketch = ids
+        .agg(graft.functions.BloomSketch.build(col("doc_id"), n).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      base
+        .where(graft.functions.BloomSketch.mightContain(sketch, col("doc_id")))
+        .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    }
   }
 
   /** The composed-builtins signature pipeline (kept as the reference

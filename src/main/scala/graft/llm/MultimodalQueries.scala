@@ -229,6 +229,10 @@ object MultimodalQueries {
     // side stays inside whole-stage codegen (n16's plan).
     "m7_crossmodal_retrieval" -> ((s, d) => {
       import graft.llm.Hashing
+      // same serving-time advisory as n16/n17: cross-modal retrieval
+      // runs the identical approximate path, so default dials over a
+      // merged-cell index deserve the same loud warning
+      SimilarityQueries.maybeWarnRecall(s, d)
       val isProbe = col("doc_id") % 10 === 0 && col("doc_id") < 5000
       val hts = transform(graft.functions.WsTokens(col("text")),
         t => Hashing.hash28(t) % 64)
