@@ -238,11 +238,48 @@ object MultimodalQueries {
         t => Hashing.hash28(t) % 64)
       val qe = transform(sequence(lit(0), lit(63)),
         i => size(filter(hts, h => h === i)).cast("double"))
+      // the m8 barrier (see below): one encoder evaluation for the
+      // ≤500 probes, shared by every reference the routing/LUT
+      // projections make to qe
       val probes = documents(s, d).where(isProbe)
         .select(col("doc_id").as("probe_id"), qe.as("qe"))
+        .localCheckpoint()
       SimilarityQueries.adcTop10(
         SimilarityQueries.batchAdcScoredFor(s, d, probes,
           excludeVecProbes = false))
+    }),
+
+    // M8 — the COMPLETE cross-modal recipe (n17's composition over
+    // text probes): m7's codes-only ADC pass shortlists top-C vectors
+    // per text probe, and ONLY the |probes|·C shortlisted floats are
+    // read back for the exact-cosine re-rank — at 100 TB the float
+    // index is touched at shortlist scale, never corpus scale. Probes
+    // with a zero encoder vector are dropped on both sides (no cosine
+    // exists for them); everything else is m7's plumbing.
+    "m8_crossmodal_rerank" -> ((s, d) => {
+      import graft.llm.Hashing
+      SimilarityQueries.maybeWarnRecall(s, d)
+      val isProbe = col("doc_id") % 10 === 0 && col("doc_id") < 5000
+      val hts = transform(graft.functions.WsTokens(col("text")),
+        t => Hashing.hash28(t) % 64)
+      val qe = transform(sequence(lit(0), lit(63)),
+        i => size(filter(hts, h => h === i)).cast("double"))
+      // materialize the ≤500 encoded probes BEFORE deriving qnorm:
+      // left inline, CombineFilters merges `qnorm > 0` (whose
+      // interpreted encoder tree re-evaluates per conjunct check)
+      // into the same Filter as the budget predicate, and every row
+      // the row-group pruning admits pays the encoder — measured
+      // 47.8 s for the probe stage at the 4M corpus vs sub-second
+      // checkpointed. The barrier also means the shortlist and
+      // re-rank consumers share ONE encoder evaluation.
+      val encoded = documents(s, d).where(isProbe)
+        .select(col("doc_id").as("probe_id"), qe.as("qe"))
+        .localCheckpoint()
+      val probes = encoded
+        .withColumn("qnorm",
+          sqrt(graft.functions.DotProduct(col("qe"), col("qe"))))
+        .where(col("qnorm") > 0)
+      SimilarityQueries.crossModalRerankTop10(s, d, probes)
     }),
 
     // M2 — partition-wise feature extraction through the stub decoder:
@@ -377,9 +414,10 @@ object MultimodalQueries {
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
          |ORDER BY doc_a, doc_b""".stripMargin
     },
-    // m7: n16's oracle chain with text-encoded probes — built in
-    // SimilarityQueries next to the ADC machinery it mirrors.
+    // m7/m8: n16/n17's oracle chains with text-encoded probes — built
+    // in SimilarityQueries next to the ADC machinery they mirror.
     "m7_crossmodal_retrieval" -> SimilarityQueries.crossModalOracle,
+    "m8_crossmodal_rerank" -> SimilarityQueries.crossModalRerankOracle,
     // ASCII text: bytes == chars, so the stubbed byte features are
     // recomputable from the text column.
     "m2_multimodal_features" ->

