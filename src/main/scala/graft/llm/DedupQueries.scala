@@ -129,9 +129,21 @@ object DedupQueries {
     if (n <= candBroadcastCap(base.sparkSession))
       base.join(broadcast(ids), Seq("doc_id"), "left_semi")
     else {
-      val sketch = ids
-        .agg(graft.functions.BloomSketch.build(col("doc_id"), n).as("bf"))
-        .head.getAs[Array[Byte]](0)
+      // BloomSketch.build raises the session's runtime-bloom size
+      // confs to fit n keys; the sketch materializes EAGERLY here
+      // (.head), so snapshot and restore them — left raised, every
+      // later unrelated join in the session would size its own
+      // injected runtime filters at candidate scale.
+      val conf = base.sparkSession.conf
+      val confKeys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      val saved = confKeys.map(k => k -> conf.get(k))
+      val sketch =
+        try ids
+          .agg(graft.functions.BloomSketch.build(col("doc_id"), n).as("bf"))
+          .head.getAs[Array[Byte]](0)
+        finally saved.foreach { case (k, v) => conf.set(k, v) }
       base
         .where(graft.functions.BloomSketch.mightContain(sketch, col("doc_id")))
         .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")

@@ -228,25 +228,13 @@ object MultimodalQueries {
     // which is irrelevant on a bounded relation — the corpus-sized
     // side stays inside whole-stage codegen (n16's plan).
     "m7_crossmodal_retrieval" -> ((s, d) => {
-      import graft.llm.Hashing
       // same serving-time advisory as n16/n17: cross-modal retrieval
       // runs the identical approximate path, so default dials over a
       // merged-cell index deserve the same loud warning
       SimilarityQueries.maybeWarnRecall(s, d)
-      val isProbe = col("doc_id") % 10 === 0 && col("doc_id") < 5000
-      val hts = transform(graft.functions.WsTokens(col("text")),
-        t => Hashing.hash28(t) % 64)
-      val qe = transform(sequence(lit(0), lit(63)),
-        i => size(filter(hts, h => h === i)).cast("double"))
-      // the m8 barrier (see below): one encoder evaluation for the
-      // ≤500 probes, shared by every reference the routing/LUT
-      // projections make to qe
-      val probes = documents(s, d).where(isProbe)
-        .select(col("doc_id").as("probe_id"), qe.as("qe"))
-        .localCheckpoint()
       SimilarityQueries.adcTop10(
-        SimilarityQueries.batchAdcScoredFor(s, d, probes,
-          excludeVecProbes = false))
+        SimilarityQueries.batchAdcScoredFor(s, d,
+          encodedTextProbes(s, d), excludeVecProbes = false))
     }),
 
     // M8 — the COMPLETE cross-modal recipe (n17's composition over
@@ -257,25 +245,11 @@ object MultimodalQueries {
     // with a zero encoder vector are dropped on both sides (no cosine
     // exists for them); everything else is m7's plumbing.
     "m8_crossmodal_rerank" -> ((s, d) => {
-      import graft.llm.Hashing
       SimilarityQueries.maybeWarnRecall(s, d)
-      val isProbe = col("doc_id") % 10 === 0 && col("doc_id") < 5000
-      val hts = transform(graft.functions.WsTokens(col("text")),
-        t => Hashing.hash28(t) % 64)
-      val qe = transform(sequence(lit(0), lit(63)),
-        i => size(filter(hts, h => h === i)).cast("double"))
-      // materialize the ≤500 encoded probes BEFORE deriving qnorm:
-      // left inline, CombineFilters merges `qnorm > 0` (whose
-      // interpreted encoder tree re-evaluates per conjunct check)
-      // into the same Filter as the budget predicate, and every row
-      // the row-group pruning admits pays the encoder — measured
-      // 47.8 s for the probe stage at the 4M corpus vs sub-second
-      // checkpointed. The barrier also means the shortlist and
-      // re-rank consumers share ONE encoder evaluation.
-      val encoded = documents(s, d).where(isProbe)
-        .select(col("doc_id").as("probe_id"), qe.as("qe"))
-        .localCheckpoint()
-      val probes = encoded
+      // qnorm derives from the MATERIALIZED qe arrays (see
+      // encodedTextProbes); probes with a zero encoder vector are
+      // dropped on both sides — no cosine exists for them
+      val probes = encodedTextProbes(s, d)
         .withColumn("qnorm",
           sqrt(graft.functions.DotProduct(col("qe"), col("qe"))))
         .where(col("qnorm") > 0)
@@ -298,6 +272,32 @@ object MultimodalQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** m7/m8's deterministic stub text encoder, materialized: the
+    * budget-gated documents (≤500 at any corpus size) become
+    * hashing-trick bag-of-words embeddings — token → 28-bit md5 hash
+    * (the d5/d11 cross-engine hash) → mod-64 bucket → count
+    * histogram as DOUBLEs. The localCheckpoint barrier is
+    * load-bearing twice over: (1) the encoder's interpreted HOF tree
+    * evaluates ONCE per probe instead of once per downstream
+    * reference, and (2) no later conjunct (m8's qnorm filter) can be
+    * merged by CombineFilters into the budget filter, where it would
+    * run per row-group-admitted row — measured 47.8-86.7 s for 500
+    * probes at the 4M corpus in exactly that trap (SCALING.md round
+    * 9). Shared by m7, m8, and M8Probe so the recipe cannot
+    * desynchronize; the oracles replay it in SQL.
+    */
+  private[graft] def encodedTextProbes(
+      s: SparkSession, d: String): DataFrame = {
+    val isProbe = col("doc_id") % 10 === 0 && col("doc_id") < 5000
+    val hts = transform(graft.functions.WsTokens(col("text")),
+      t => Hashing.hash28(t) % 64)
+    val qe = transform(sequence(lit(0), lit(63)),
+      i => size(filter(hts, h => h === i)).cast("double"))
+    documents(s, d).where(isProbe)
+      .select(col("doc_id").as("probe_id"), qe.as("qe"))
+      .localCheckpoint()
+  }
 
   val oracle: Map[String, String] = Map(
     "m1_multimodal_meta" ->

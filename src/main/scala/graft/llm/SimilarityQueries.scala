@@ -1024,7 +1024,14 @@ object SimilarityQueries {
       val tmp = java.io.File.createTempFile(f.getName, ".tmp", f.getParentFile)
       java.nio.file.Files.write(tmp.toPath,
         sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      tmp.renameTo(f); ()
+      // same failed-publish fallback as clusterShapeStats: a lost
+      // rename race (non-POSIX FS, cross-device tmp) must not make
+      // the read below throw from inside n13 query construction —
+      // the content is a pure function of the trained index, so our
+      // own copy is identical to whatever the winner published.
+      if (!tmp.renameTo(f) && !f.isFile)
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val src = scala.io.Source.fromFile(f, "UTF-8")
     try src.getLines().filter(_.nonEmpty).map { l =>
@@ -1791,25 +1798,38 @@ object SimilarityQueries {
          |ORDER BY probe_id, rk""".stripMargin
   )
 
-  /** m7's oracle (referenced from [[MultimodalQueries.oracle]]): n16's
-    * routing + residual-ADC chain with the probe CTE swapped for the
-    * hashing-trick text encoder over `documents` (token → 28-bit md5
-    * hash → mod-64 bucket → count histogram, the same cross-engine
-    * hash as d5/d11) and the corpus scan unexcluded — text probes are
-    * not embeddings rows, so every indexed vector is a candidate.
+  /** The shared cross-modal oracle scaffold (referenced from
+    * [[MultimodalQueries.oracle]]): the hashing-trick text encoder
+    * over `documents` (token → 28-bit md5 hash → mod-64 bucket →
+    * count histogram, the same cross-engine hash as d5/d11) feeding
+    * n16's routing + residual-ADC chain with the corpus scan
+    * UNexcluded — text probes are not embeddings rows, so every
+    * indexed vector is a candidate. `withQnorm` adds the norm column
+    * + zero-vector filter the m8 re-rank needs (a text doc with no
+    * tokens has no cosine). Ends at the `sc` CTE (probe_id, vec_id,
+    * ad2); each oracle appends its own ranking tail.
     */
-  private[llm] lazy val crossModalOracle: String =
+  private def crossModalCtes(withQnorm: Boolean): String = {
+    val encoder =
+      s"""SELECT doc_id AS probe_id,
+         |  list_transform(range(64), i -> CAST(len(list_filter(
+         |    list_transform(list_filter(
+         |      regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+         |      tok -> CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) % 64),
+         |    h -> h = i)) AS DOUBLE)) AS qe
+         |FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000"""
+        .stripMargin
+    val p =
+      if (withQnorm)
+        s"""p AS (
+           |  SELECT probe_id, qe, sqrt(list_inner_product(qe, qe)) AS qnorm
+           |  FROM ($encoder)
+           |  WHERE list_inner_product(qe, qe) > 0)""".stripMargin
+      else s"p AS (\n$encoder)"
     s"""WITH t AS ($sqlBase),
        |$sqlCoarse,
        |$sqlPqChains,
-       |p AS (
-       |  SELECT doc_id AS probe_id,
-       |    list_transform(range(64), i -> CAST(len(list_filter(
-       |      list_transform(list_filter(
-       |        regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
-       |        tok -> CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) % 64),
-       |      h -> h = i)) AS DOUBLE)) AS qe
-       |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000),
+       |$p,
        |route AS (
        |  SELECT probe_id, qe, cid FROM (
        |    SELECT p.probe_id, p.qe, k.cid,
@@ -1844,7 +1864,13 @@ object SimilarityQueries {
        |  ${(0 until PQ.M).map(j =>
             s"JOIN bl$j ON bl$j.probe_id = rt.probe_id" +
               s" AND bl$j.kcid = af.cid" +
-              s" AND bl$j.scid = af_s$j.cid").mkString(" ")}),
+              s" AND bl$j.scid = af_s$j.cid").mkString(" ")})"""
+      .stripMargin
+  }
+
+  /** m7's oracle: the shared chain ranked by (ad2, vec_id), top-10. */
+  private[llm] lazy val crossModalOracle: String =
+    s"""${crossModalCtes(withQnorm = false)},
        |ranked AS (
        |  SELECT probe_id, vec_id, ad2,
        |    row_number() OVER (PARTITION BY probe_id
@@ -1853,62 +1879,12 @@ object SimilarityQueries {
        |SELECT probe_id, rk, vec_id, ad2 FROM ranked WHERE rk <= 10
        |ORDER BY probe_id, rk""".stripMargin
 
-  /** m8's oracle: [[crossModalOracle]]'s chain shortlisting top-C per
-    * probe, then the exact-cosine re-rank over ONLY the shortlist
-    * (n17's recipe with text probes and no corpus exclusion). The
-    * probe CTE carries qnorm and drops zero vectors — a text doc with
-    * no tokens has no cosine.
+  /** m8's oracle: the shared chain shortlisting top-C per probe, then
+    * the exact-cosine re-rank over ONLY the shortlist (n17's recipe
+    * with text probes and no corpus exclusion).
     */
   private[llm] lazy val crossModalRerankOracle: String =
-    s"""WITH t AS ($sqlBase),
-       |$sqlCoarse,
-       |$sqlPqChains,
-       |p AS (
-       |  SELECT probe_id, qe, sqrt(list_inner_product(qe, qe)) AS qnorm
-       |  FROM (
-       |    SELECT doc_id AS probe_id,
-       |      list_transform(range(64), i -> CAST(len(list_filter(
-       |        list_transform(list_filter(
-       |          regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
-       |          tok -> CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) % 64),
-       |        h -> h = i)) AS DOUBLE)) AS qe
-       |    FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000)
-       |  WHERE list_inner_product(qe, qe) > 0),
-       |route AS (
-       |  SELECT probe_id, qe, cid FROM (
-       |    SELECT p.probe_id, p.qe, k.cid,
-       |      row_number() OVER (PARTITION BY p.probe_id
-       |        ORDER BY list_inner_product(k.ce, p.qe) DESC, k.cid)
-       |        AS crk
-       |    FROM p, c${KMeans.OracleRounds} k)
-       |  WHERE crk <= 2),
-       |brq AS MATERIALIZED (
-       |  SELECT r.probe_id, r.cid AS kcid,
-       |    list_transform(range(64), i -> r.qe[i + 1] - k.ce[i + 1])
-       |      AS rqe
-       |  FROM route r JOIN c${KMeans.OracleRounds} k ON k.cid = r.cid),
-       |${(0 until PQ.M).map { j =>
-          val a = j * PQ.SubDim + 1
-          val b = (j + 1) * PQ.SubDim
-          s"""bl$j AS MATERIALIZED (
-             |  SELECT brq.probe_id, brq.kcid, s.cid AS scid,
-             |    list_inner_product(rqe[$a:$b], rqe[$a:$b])
-             |      - 2 * list_inner_product(rqe[$a:$b], s.ce)
-             |      + list_inner_product(s.ce, s.ce) AS d2
-             |  FROM brq, c${PQ.OracleRounds}_s$j s)""".stripMargin
-        }.mkString(",\n")},
-       |sc AS (
-       |  SELECT rt.probe_id, t.vec_id,
-       |    round(${(0 until PQ.M)
-            .map(j => s"bl$j.d2").mkString(" + ")}, 6) AS ad2
-       |  FROM t JOIN af USING (vec_id)
-       |  ${(0 until PQ.M)
-            .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
-       |  JOIN route rt ON af.cid = rt.cid
-       |  ${(0 until PQ.M).map(j =>
-            s"JOIN bl$j ON bl$j.probe_id = rt.probe_id" +
-              s" AND bl$j.kcid = af.cid" +
-              s" AND bl$j.scid = af_s$j.cid").mkString(" ")}),
+    s"""${crossModalCtes(withQnorm = true)},
        |shortlist AS (
        |  SELECT probe_id, vec_id FROM (
        |    SELECT probe_id, vec_id,

@@ -33,20 +33,13 @@ object M8Probe {
       graft.Bench.force(graft.SparkEntry.queries("n16_batch_adc")(spark, d))
     }
 
-    import graft.llm.{Hashing, SimilarityQueries}
-    val isProbe = col("doc_id") % 10 === 0 && col("doc_id") < 5000
-    val hts = transform(graft.functions.WsTokens(col("text")),
-      tok => Hashing.hash28(tok) % 64)
-    val qe = transform(sequence(lit(0), lit(63)),
-      i => size(filter(hts, h => h === i)).cast("double"))
-    // checkpointed construction, mirroring the catalog query — the
-    // UNBARRIERED form (qnorm filter inline) measured 47.8-86.7 s
-    // here: CombineFilters merges the interpreted-encoder conjunct
-    // into the budget filter and every row-group-admitted row pays it
-    val encoded = graft.Tables.documents(spark, d).where(isProbe)
-      .select(col("doc_id").as("probe_id"), qe.as("qe"))
-      .localCheckpoint()
-    val probes = encoded
+    import graft.llm.{MultimodalQueries, SimilarityQueries}
+    // the catalog's shared encoder (checkpointed) — the UNBARRIERED
+    // form (qnorm filter inline over the raw encoder expression)
+    // measured 47.8-86.7 s here: CombineFilters merges the
+    // interpreted-encoder conjunct into the budget filter and every
+    // row-group-admitted row pays it
+    val probes = MultimodalQueries.encodedTextProbes(spark, d)
       .withColumn("qnorm",
         sqrt(graft.functions.DotProduct(col("qe"), col("qe"))))
       .where(col("qnorm") > 0)

@@ -217,18 +217,22 @@ class PlanAuditSpec extends AnyFunSuite {
         }
     }
     spark.sparkContext.addSparkListener(listener)
-    try SparkEntry.queries("j5_sql_catalog")(spark, sf0001).count()
-    finally ()
-    // listener bus is async — wait for the event count to go stable
-    var last = -1
-    var stable = 0
-    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-    while (stable < 3 && System.nanoTime() < deadline) {
-      Thread.sleep(100)
-      val n = captured.size()
-      if (n == last) stable += 1 else { stable = 0; last = n }
-    }
-    spark.sparkContext.removeSparkListener(listener)
+    try {
+      SparkEntry.queries("j5_sql_catalog")(spark, sf0001).count()
+      // listener bus is async — wait for the event count to go stable
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = captured.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally
+      // in the finally so a throwing query cannot leak the listener
+      // onto the shared session (it would accumulate every later
+      // suite's plan events unboundedly)
+      spark.sparkContext.removeSparkListener(listener)
     import scala.jdk.CollectionConverters._
     val infos = captured.asScala.toSeq
     assert(infos.nonEmpty, "j5: no execution events captured")

@@ -21,6 +21,7 @@ class CrossModalSpec extends AnyFunSuite {
     graft.SparkEntry.queries("m7_crossmodal_retrieval")(spark, sf0001)
 
   test("m7 corpus side reads codes only; no text file in the serving plan") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = exec().queryExecution.executedPlan
@@ -44,7 +45,7 @@ class CrossModalSpec extends AnyFunSuite {
       assert(docs.isEmpty,
         "serving plan must read the materialized probe relation, " +
           "not the documents files")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("m7 probe relation is budget-bounded with the predicate pushed") {

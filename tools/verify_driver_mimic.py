@@ -41,7 +41,13 @@ def main():
         if only and name not in only:
             continue
         files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
-        if not files or name not in oracles:
+        if not files:
+            # a result dir with no parquet is a FAILED/partial write,
+            # not an oracle-less query — a gate must not pass it
+            print(f"ERR  {name}: result dir has no parquet files")
+            n_fail += 1
+            continue
+        if name not in oracles:
             n_skip += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
