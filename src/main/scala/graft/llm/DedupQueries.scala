@@ -662,7 +662,7 @@ object DedupQueries {
     * bounds the verify stage to the linearly-growing near-dup set by
     * construction. Mirrored in the oracle.
     */
-  private[llm] val D15AgreeFloor = 0.5
+  private[graft] val D15AgreeFloor = 0.5
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Candidate-census for d15's floor at probe scale:
+  * `D15CountProbe <corpusDir>` prints d7's total candidate pairs,
+  * the sub-floor (killed) and kept splits, and how many kept pairs
+  * are the generator's PLANTED near-dups (doc_b = doc_a+1,
+  * doc_a % 50 == 0) — the ground truth for whether the kept set
+  * tracks the linearly-growing dup population or inherits the
+  * collision curve.
+  */
+object D15CountProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val floor = graft.llm.DedupQueries.D15AgreeFloor
+    val cands = graft.SparkEntry.queries("d7_lsh_bucket_cap")(spark, d)
+      .select(col("doc_a"), col("doc_b"), col("agreement"))
+      .localCheckpoint()
+    val planted = col("doc_b") === col("doc_a") + 1 &&
+      col("doc_a") % 50 === 0
+    val stats = cands.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("agreement") >= floor, 1L).otherwise(0L)).as("kept"),
+      sum(when(col("agreement") >= floor && planted, 1L).otherwise(0L))
+        .as("kept_planted"),
+      sum(when(planted, 1L).otherwise(0L)).as("planted_total")
+    ).head()
+    println(s"""{"dir":"$d","floor":$floor,""" +
+      s""""total_pairs":${stats.getLong(0)},"kept":${stats.getLong(1)},""" +
+      s""""kept_planted":${stats.getLong(2)},""" +
+      s""""planted_candidates":${stats.getLong(3)}}""")
+    spark.stop()
+  }
+}
