@@ -104,8 +104,18 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value"
       } catch { case _: Throwable => Map.empty }
 
+    // Every raw sample is kept per query (first pass + drift reruns)
+    // and emitted as "bands":{q:[min,max,n]} in the durable JSON: the
+    // streaming family drifts ±0.7 s round-to-round on this microVM
+    // and each round's regression analysis re-litigated whether a
+    // delta was noise — the bands make the noise band DATA in the
+    // artifact itself (round-9 verdict task 7).
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+    def record(name: String, v: Double): Double = {
+      samples(name) = v :: samples.getOrElse(name, Nil); v
+    }
     val firstPass = selected.map { case (name, fn) =>
-      name -> (1 to runs).map(_ => timeOnce(name, fn)).min
+      name -> (1 to runs).map(_ => record(name, timeOnce(name, fn))).min
     }
     val drifted = firstPass.collect {
       case (name, v) if prev.get(name).exists(p => v > 1.3 * p && v - p > 0.3) =>
@@ -115,7 +125,8 @@ object Bench {
       if (!drifted(name)) name -> v
       else {
         val fn = SparkEntry.queries(name)
-        name -> math.min(v, (1 to runs).map(_ => timeOnce(name, fn)).min)
+        name -> math.min(v,
+          (1 to runs).map(_ => record(name, timeOnce(name, fn))).min)
       }
     }
     // A SPARK_GRAFT_BENCH_ONLY subset run (quiet-box re-measurement)
@@ -136,8 +147,17 @@ object Bench {
     val firstpassJson = drifted.toSeq.sorted
       .map(n => "\"" + n + "\":" + f"${firstPassByName(n)}%.3f")
       .mkString("{", ",", "}")
+    // Per-query variance bands over every sample this run took
+    // ([min, max, n] — n = runs, plus another `runs` for drift
+    // reruns). Placed AFTER "reran" so the next run's prev-parse
+    // (which scans only the leading "queries" map) never sees them.
+    val bandsJson = results.collect {
+      case (name, _) if samples.getOrElse(name, Nil).nonEmpty =>
+        val ss = samples(name)
+        "\"" + name + "\":[" + f"${ss.min}%.3f,${ss.max}%.3f,${ss.size}]"
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","unit":"sec","queries":$qs,"reran":$rerans,"firstpass":$firstpassJson,"value":$total%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","unit":"sec","queries":$qs,"reran":$rerans,"firstpass":$firstpassJson,"bands":$bandsJson,"value":$total%.3f,"sf":"$sfDir"}"""
     // The STDOUT line must stay under the driver's ~2,000-char tail
     // window or it arrives truncated mid-`queries` and fails to parse
     // (rounds 2-6: the 149-query line is ~3.8 kB — no print position

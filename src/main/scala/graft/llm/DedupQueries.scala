@@ -30,6 +30,20 @@ object DedupQueries {
   private val BucketCap = 2 // d7 hot-bucket cap (binds on the testdata)
   private val coeffs = minhashCoeffs(K)
 
+  /** Effective hot-bucket cap for this session: conf
+    * `graft.dedup.bucket_cap`, default [[BucketCap]]. The dial exists
+    * because the cap is the dedup family's RECALL lever — the
+    * D15CountProbe census measured planted-dup recall falling
+    * 44% → 26% on the 4M→16M step at the default as saturating
+    * buckets shed — and production re-dials it with corpus density
+    * ([[lshOccupancy]] computes the recommendation). Verification
+    * assumes the DEFAULT (the DuckDB oracles bake BucketCap in), the
+    * same contract as the ANN family's nprobe/pq.k dials.
+    */
+  private[graft] def bucketCap(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.bucket_cap").map(_.toInt)
+      .getOrElse(BucketCap)
+
   /** Spark-side SQL expr for the distinct 8-char shingle hash array. */
   private val shingleHashesExpr =
     """array_distinct(transform(
@@ -117,6 +131,9 @@ object DedupQueries {
     * the exchange shrinks from corpus-sized to candidate-sized.
     */
   private val CandBroadcastCap = 2L * 1000 * 1000
+  /** Guards the session-global bloom-conf set→build→restore window in
+    * [[candSemi]] against concurrent interleaving (ADVICE round 9). */
+  private val bloomConfLock = new Object
   /** Session-conf override of [[CandBroadcastCap]] — exists so a spec
     * (and an operator tuning for a smaller driver) can drive the
     * bloom fallback without a >2M-candidate corpus. */
@@ -133,17 +150,26 @@ object DedupQueries {
       // confs to fit n keys; the sketch materializes EAGERLY here
       // (.head), so snapshot and restore them — left raised, every
       // later unrelated join in the session would size its own
-      // injected runtime filters at candidate scale.
+      // injected runtime filters at candidate scale. The whole
+      // set→build→restore window holds [[bloomConfLock]]: two
+      // concurrent candSemi builds (or a concurrent BloomSketch user
+      // honoring the same lock) would otherwise interleave set/restore
+      // and run with a clobbered cap. Snapshot-by-get does turn a
+      // previously-UNSET key into an explicitly-set default on
+      // restore — benign (the restored value is exactly the default
+      // the optimizer would resolve), and RuntimeConfig cannot
+      // distinguish the two states without internals.
       val conf = base.sparkSession.conf
       val confKeys = Seq(
         "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
         "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
-      val saved = confKeys.map(k => k -> conf.get(k))
-      val sketch =
+      val sketch = bloomConfLock.synchronized {
+        val saved = confKeys.map(k => k -> conf.get(k))
         try ids
           .agg(graft.functions.BloomSketch.build(col("doc_id"), n).as("bf"))
           .head.getAs[Array[Byte]](0)
         finally saved.foreach { case (k, v) => conf.set(k, v) }
+      }
       base
         .where(graft.functions.BloomSketch.mightContain(sketch, col("doc_id")))
         .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
@@ -307,11 +333,16 @@ object DedupQueries {
     // here so the path binds on the 500-doc testdata; production sets
     // it orders of magnitude higher.
     "d7_lsh_bucket_cap" -> ((s, d) => {
+      // same serving-time discipline as the ANN family's
+      // maybeWarnRecall: default dials over a saturated corpus lose
+      // recall SILENTLY (the cap sheds exactly the buckets where the
+      // dups are) — warn once per corpus, naming the computed re-dial
+      maybeWarnDedupRecall(s, d)
       val banded = sigs(s, d)
         .withColumn("bucket", explode(expr(bucketsExpr)))
       val narrow = banded.groupBy("bucket")
         .agg(count(lit(1)).as("w"))
-        .where(col("w") <= BucketCap)
+        .where(col("w") <= bucketCap(s))
         .select("bucket")
       // shuffle-hash hints throughout: the bucket-id relation scales
       // with |docs|·bands/width and the banded relation with
@@ -639,6 +670,61 @@ object DedupQueries {
             .when(col("doc_id") > col("first_doc"), "batch")
             .otherwise("new").as("status"))
         .orderBy("doc_id")
+    }),
+
+    // D16 — DEDUP RECALL EVAL: the d-family analog of n8_ann_recall.
+    // Ground truth = EXACT banded-Levenshtein near-dups (d14/d15's
+    // dup predicate, lev·5 ≤ max len) mined UNBLOCKED for a bounded
+    // deterministic probe sample (doc_id % 5 under [[D16ProbeBudget]]
+    // — ≤400 probes at any corpus size, the n5/n8 budget discipline);
+    // the approximate side is the production d15 chain's is_dup set.
+    // One output row: |truth|, |truth ∩ found|, recall. This is the
+    // recurring index-quality job a production dedup deployment runs
+    // as the corpus grows — recall dropping means the bucket cap /
+    // bands need re-dialing (the advisory on d7 names the computed
+    // re-dial; this query MEASURES what the advisory warns about).
+    // Scale: the probe side is budget-bounded and broadcasts; the
+    // corpus streams against it through a LENGTH-BUCKET equi join
+    // (multiplicative 1.25 buckets — the dup predicate bounds the
+    // length ratio at 1.25, so every true mate is within ±1 bucket;
+    // coverage is engine-internal, the oracle never buckets), the
+    // cheap integer length-band conjunct prunes inside the join, and
+    // only band survivors pay the early-exit banded DP. The observe()
+    // barrier is d14's: without it PushDownPredicates folds the lev
+    // filter into the join condition and the DP runs per RAW pair.
+    "d16_dedup_recall" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .withColumn("bk", floor(log(1.25,
+          greatest(col("n"), lit(1)).cast("double"))).cast("int"))
+      val isProbe = col("doc_id") % 5 === 0 &&
+        col("doc_id") < D16ProbeBudget
+      val probes = docs.where(isProbe)
+        .select(col("doc_id").as("pid"), col("text").as("pt"),
+          col("n").as("pn"),
+          explode(array(col("bk") - 1, col("bk"), col("bk") + 1))
+            .as("pbk"))
+      val truth = docs.join(broadcast(probes),
+          col("bk") === col("pbk") && col("doc_id") =!= col("pid") &&
+            abs(col("n") - col("pn")) * 5 <= greatest(col("n"), col("pn")))
+        .select(
+          least(col("doc_id"), col("pid")).as("doc_a"),
+          greatest(col("doc_id"), col("pid")).as("doc_b"),
+          greatest(col("n"), col("pn")).as("m"),
+          graft.functions.BandedLevenshtein(col("text"), col("pt"),
+            (greatest(col("n"), col("pn")) / 5).cast("int")).as("lev"))
+        .observe("d16_band_pairs", count(lit(1)).as("pairs"))
+        .filter(col("lev") >= 0 && col("lev") * 5 <= col("m"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
+      val found = queries("d15_lsh_lev_verify")(s, d)
+        .where(col("is_dup"))
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      truth.join(found, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"),
+          round(coalesce(sum(col("hit")), lit(0L)) / count(lit(1)), 4)
+            .as("recall"))
     })
   )
 
@@ -661,8 +747,203 @@ object DedupQueries {
     * birthday collisions grow faster than the corpus) — the floor
     * bounds the verify stage to the linearly-growing near-dup set by
     * construction. Mirrored in the oracle.
+    *
+    * Contract cost, quantified (ADVICE round 9): a TRUE near-dup can
+    * estimate below the floor and be dropped before verify. With K=16
+    * independent permutations, agreement ~ Binomial(16, j)/16 for
+    * true jaccard j, so the miss probability P(agreement < 8/16) is
+    * 1.5e-3 at j=0.8, 2.6e-2 at j=0.7, 0.14 at j=0.6 — negligible at
+    * dup-threshold similarity, material only for pairs already near
+    * the decision boundary. The oracle mirrors the floor, so this is
+    * part of d15's PINNED semantics, not a hidden divergence.
     */
   private[graft] val D15AgreeFloor = 0.5
+
+  /** d16's probe budget (n5's discipline applied to recall eval):
+    * ground-truth pairs are mined for probe docs only — doc_id % 5
+    * bounded by this budget, ≤400 probes at any corpus size — so the
+    * exact banded-Levenshtein sweep is O(|probes| · length-band
+    * mates), never O(corpus²). Every testdata doc_id is under it.
+    */
+  private[graft] val D16ProbeBudget = 2000L
+
+  /** Shed-row mass the recommended cap may leave behind (1% — the
+    * testdata's own shed band at the default cap, i.e. "healthy"). */
+  private[graft] val OccShedTarget = 0.01
+
+  /** Advisory threshold: fire when the DEFAULT cap sheds at least
+    * this fraction of banded rows. Testdata sheds 0.8–1.4% at the
+    * default cap (healthy blocking — a few boilerplate buckets); the
+    * saturated fixed-vocab probe corpora shed far more, and the
+    * D15CountProbe census ties that shed to planted-dup recall
+    * falling 44% → 26% on the 4M→16M step. 10% is a 7× margin over
+    * the healthy band (DedupRecallAdvisorySpec pins both sides).
+    */
+  private[graft] val DedupShedWarnFraction = 0.10
+
+  /** LSH band-bucket occupancy census — the measured basis for the
+    * dedup recall advisory and the COMPUTED cap re-dial (round-9
+    * verdict items 1–2). `capRec` is the smallest hot-bucket cap that
+    * keeps ≥ 99% of banded rows in un-shed buckets ([[OccShedTarget]])
+    * — computed from the rows-weighted width histogram the way the
+    * catalog's undersized-bucket advisory computes its split factor,
+    * instead of telling the operator to go measure.
+    */
+  private[graft] case class LshOccupancy(
+      totalRows: Long, sheddedRows: Long, nBuckets: Long,
+      nOverCap: Long, maxWidth: Long, capRec: Long) {
+    def shedFraction: Double =
+      if (totalRows == 0) 0.0 else sheddedRows.toDouble / totalRows
+  }
+
+  private val occCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LshOccupancy]()
+
+  /** Corpus fingerprint for the occupancy sidecar (the KMeans
+    * registry's (path, mtime, size) convention on documents.parquet —
+    * a regenerated corpus can never serve stale stats). */
+  private def docsKey(d: String): String = {
+    val src = new java.io.File(s"$d/documents.parquet")
+    val fp = s"$d:${src.lastModified}:${src.length}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+  }
+
+  /** One scan of the banded relation per corpus, reduced to the
+    * (width → bucket count) histogram — bounded by distinct widths,
+    * never by corpus rows — then persisted as a sidecar in tmpdir
+    * (atomic tmp+rename, the clusterShapeStats convention) so a
+    * serving process reads six numbers, never the corpus.
+    */
+  private[graft] def lshOccupancy(
+      s: SparkSession, d: String): LshOccupancy =
+    occCache.computeIfAbsent(docsKey(d), _ => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dedup_occ_${docsKey(d)}_cap$BucketCap.txt")
+      val loaded: Option[LshOccupancy] =
+        if (!f.isFile) None
+        else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().find(_.nonEmpty).map { l =>
+            val a = l.trim.split(' ').map(_.toLong)
+            LshOccupancy(a(0), a(1), a(2), a(3), a(4), a(5))
+          } finally src.close()
+        }
+      loaded.getOrElse {
+        val hist = sigs(s, d)
+          .withColumn("bucket", explode(expr(bucketsExpr)))
+          .groupBy("bucket").agg(count(lit(1)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("nb"))
+          .collect() // |distinct widths| rows — a statistic, not data
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1)
+        val total = hist.map { case (w, nb) => w * nb }.sum
+        val shed = hist.collect {
+          case (w, nb) if w > BucketCap => w * nb
+        }.sum
+        val keepFloor = math.ceil((1.0 - OccShedTarget) * total).toLong
+        var cum = 0L
+        val capRec = hist.iterator.map { case (w, nb) =>
+          cum += w * nb; (w, cum)
+        }.collectFirst { case (w, c) if c >= keepFloor => w }
+          .getOrElse(BucketCap.toLong).max(BucketCap.toLong)
+        val occ = LshOccupancy(total, shed, hist.map(_._2).sum,
+          hist.collect { case (w, nb) if w > BucketCap => nb }.sum,
+          if (hist.isEmpty) 0L else hist.map(_._1).max, capRec)
+        val line = s"${occ.totalRows} ${occ.sheddedRows} " +
+          s"${occ.nBuckets} ${occ.nOverCap} ${occ.maxWidth} ${occ.capRec}\n"
+        val tmp = java.io.File.createTempFile(
+          f.getName, ".tmp", f.getParentFile)
+        java.nio.file.Files.write(tmp.toPath,
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // pure function of the corpus: a lost publish race reads the
+        // same content either way; delete tmp when the winner stands
+        if (!tmp.renameTo(f)) {
+          if (!f.isFile)
+            java.nio.file.Files.move(tmp.toPath, f.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          else tmp.delete()
+        }
+        occ
+      }
+    })
+
+  private val dedupRecallWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val advisoryLog =
+    org.slf4j.LoggerFactory.getLogger("graft.dedup.advisory")
+
+  /** Dedup-family recall advisory (the d-analog of the ANN family's
+    * maybeWarnRecall): when the LSH chain is built AT DEFAULT DIALS
+    * over a corpus whose band buckets saturate — the default cap
+    * shedding ≥ [[DedupShedWarnFraction]] of banded rows — warn once
+    * per (corpus, process), naming the measured shed and the COMPUTED
+    * re-dial. The cap contract (bounded cost, recall traded) was
+    * documented but SILENT: an operator running d7→d8/d15 on a
+    * growing corpus lost half their near-dup yield (D15CountProbe:
+    * planted recall 44% → 26% on the 4M→16M step) with nothing in a
+    * log. Advisory-only: any recoverable stats failure skips the
+    * warning, never the query. Returns whether the condition holds.
+    */
+  private[graft] def maybeWarnDedupRecall(
+      s: SparkSession, d: String): Boolean = {
+    val dialed = s.conf.getOption("graft.dedup.bucket_cap").isDefined
+    val fire = !dialed &&
+      (try lshOccupancy(s, d).shedFraction >= DedupShedWarnFraction
+      catch { case scala.util.control.NonFatal(e) =>
+        advisoryLog.warn(s"dedup recall advisory skipped for $d: $e")
+        false })
+    if (fire && dedupRecallWarned.add(d)) {
+      val occ = lshOccupancy(s, d)
+      advisoryLog.warn(
+        f"LSH hot-bucket cap (default graft.dedup.bucket_cap=" +
+          f"$BucketCap) is shedding ${occ.shedFraction * 100}%.1f%% of " +
+          f"banded rows over $d (${occ.nOverCap} of ${occ.nBuckets} " +
+          f"buckets over-cap, widest ${occ.maxWidth}) - near-dup " +
+          "recall degrades silently in this regime (measured 44% -> " +
+          "26% planted recall on a 4x corpus step; SCALING.md). Set " +
+          f"graft.dedup.bucket_cap=${occ.capRec} to keep 99%% of " +
+          "banded rows, or raise rows-per-band to thin the buckets; " +
+          "verification oracles assume the default.")
+    }
+    fire
+  }
+
+  /** d15's oracle chain, shared: its own entry verbatim, and d16's
+    * `found` CTE (the recall eval replays the full production chain
+    * in SQL so engine and oracle measure the same approximate set).
+    */
+  private val d15OracleSql: String =
+    s"""WITH hashed AS (SELECT doc_id, $sqlShingleHashes AS hs FROM documents),
+       |sigs AS (SELECT doc_id, $sqlSig AS sig FROM hashed),
+       |banded AS (
+       |  SELECT doc_id, sig, unnest([${sqlBuckets.mkString(", ")}]) AS bucket
+       |  FROM sigs),
+       |narrow AS (
+       |  SELECT bucket FROM banded GROUP BY bucket HAVING count(*) <= $BucketCap),
+       |capped AS (SELECT banded.* FROM banded JOIN narrow USING (bucket)),
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           a.sig AS sig_a, b.sig AS sig_b
+       |    FROM capped a JOIN capped b
+       |      ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |  WHERE len(list_filter(list_transform(range($K),
+       |      i -> sig_a[i + 1] = sig_b[i + 1]), v -> v))
+       |      / CAST($K AS DOUBLE) >= $D15AgreeFloor),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    levenshtein(ta.text, tb.text) AS full_lev,
+       |    greatest(length(ta.text), length(tb.text)) AS m
+       |  FROM cand
+       |  JOIN documents ta ON ta.doc_id = doc_a
+       |  JOIN documents tb ON tb.doc_id = doc_b)
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN full_lev * 5 <= m THEN full_lev ELSE -1 END AS lev,
+       |  CASE WHEN full_lev * 5 <= m
+       |       THEN round(1.0 - CAST(full_lev AS DOUBLE) / m, 4) END AS sim,
+       |  full_lev * 5 <= m AS is_dup
+       |FROM scored ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -769,37 +1050,30 @@ object DedupQueries {
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "d15_lsh_lev_verify" ->
-      s"""WITH hashed AS (SELECT doc_id, $sqlShingleHashes AS hs FROM documents),
-         |sigs AS (SELECT doc_id, $sqlSig AS sig FROM hashed),
-         |banded AS (
-         |  SELECT doc_id, sig, unnest([${sqlBuckets.mkString(", ")}]) AS bucket
-         |  FROM sigs),
-         |narrow AS (
-         |  SELECT bucket FROM banded GROUP BY bucket HAVING count(*) <= $BucketCap),
-         |capped AS (SELECT banded.* FROM banded JOIN narrow USING (bucket)),
-         |cand AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |           a.sig AS sig_a, b.sig AS sig_b
-         |    FROM capped a JOIN capped b
-         |      ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-         |  WHERE len(list_filter(list_transform(range($K),
-         |      i -> sig_a[i + 1] = sig_b[i + 1]), v -> v))
-         |      / CAST($K AS DOUBLE) >= $D15AgreeFloor),
-         |scored AS (
-         |  SELECT doc_a, doc_b,
-         |    levenshtein(ta.text, tb.text) AS full_lev,
-         |    greatest(length(ta.text), length(tb.text)) AS m
-         |  FROM cand
-         |  JOIN documents ta ON ta.doc_id = doc_a
-         |  JOIN documents tb ON tb.doc_id = doc_b)
-         |SELECT doc_a, doc_b,
-         |  CASE WHEN full_lev * 5 <= m THEN full_lev ELSE -1 END AS lev,
-         |  CASE WHEN full_lev * 5 <= m
-         |       THEN round(1.0 - CAST(full_lev AS DOUBLE) / m, 4) END AS sim,
-         |  full_lev * 5 <= m AS is_dup
-         |FROM scored ORDER BY doc_a, doc_b""".stripMargin,
+    "d15_lsh_lev_verify" -> d15OracleSql,
+    "d16_dedup_recall" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |p AS (SELECT doc_id AS pid, text AS pt, n AS pn FROM d
+         |      WHERE doc_id % 5 = 0 AND doc_id < $D16ProbeBudget),
+         |truth AS (
+         |  SELECT DISTINCT least(d.doc_id, p.pid) AS doc_a,
+         |         greatest(d.doc_id, p.pid) AS doc_b
+         |  FROM d JOIN p ON d.doc_id <> p.pid
+         |    AND abs(d.n - p.pn) * 5 <= greatest(d.n, p.pn)
+         |  WHERE levenshtein(d.text, p.pt) * 5 <= greatest(d.n, p.pn)),
+         |found AS (
+         |  SELECT doc_a, doc_b
+         |  FROM (${d15OracleSql.replace("ORDER BY doc_a, doc_b", "")})
+         |  WHERE is_dup)
+         |SELECT count(*) AS n_true,
+         |  CAST(coalesce(sum(CASE WHEN f.doc_a IS NOT NULL
+         |                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_hit,
+         |  round(CAST(coalesce(sum(CASE WHEN f.doc_a IS NOT NULL
+         |                               THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         |        / count(*), 4) AS recall
+         |FROM truth t LEFT JOIN found f
+         |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin,
     "d14_edit_distance" ->
       s"""WITH narrow AS (
          |  SELECT source FROM documents GROUP BY source

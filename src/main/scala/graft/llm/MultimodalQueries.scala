@@ -227,6 +227,8 @@ object MultimodalQueries {
     // corpus size); the encoder's nested HOFs evaluate interpreted,
     // which is irrelevant on a bounded relation — the corpus-sized
     // side stays inside whole-stage codegen (n16's plan).
+    // Verification assumes DEFAULT serving dials (graft.ann.nprobe=2,
+    // graft.pq.k=8) — the oracle bakes them in, like the n-queries.
     "m7_crossmodal_retrieval" -> ((s, d) => {
       // same serving-time advisory as n16/n17: cross-modal retrieval
       // runs the identical approximate path, so default dials over a
@@ -244,6 +246,8 @@ object MultimodalQueries {
     // index is touched at shortlist scale, never corpus scale. Probes
     // with a zero encoder vector are dropped on both sides (no cosine
     // exists for them); everything else is m7's plumbing.
+    // Verification assumes DEFAULT serving dials (graft.ann.nprobe=2,
+    // graft.pq.k=8, graft.ann.rerank_c=50) — the oracle bakes them in.
     "m8_crossmodal_rerank" -> ((s, d) => {
       SimilarityQueries.maybeWarnRecall(s, d)
       // qnorm derives from the MATERIALIZED qe arrays (see

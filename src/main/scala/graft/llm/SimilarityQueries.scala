@@ -1028,10 +1028,15 @@ object SimilarityQueries {
       // rename race (non-POSIX FS, cross-device tmp) must not make
       // the read below throw from inside n13 query construction —
       // the content is a pure function of the trained index, so our
-      // own copy is identical to whatever the winner published.
-      if (!tmp.renameTo(f) && !f.isFile)
-        java.nio.file.Files.move(tmp.toPath, f.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // own copy is identical to whatever the winner published. When
+      // the winner's copy is used, delete our tmp — otherwise every
+      // lost race leaves a *.tmp behind in the index directory.
+      if (!tmp.renameTo(f)) {
+        if (!f.isFile)
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else tmp.delete()
+      }
     }
     val src = scala.io.Source.fromFile(f, "UTF-8")
     try src.getLines().filter(_.nonEmpty).map { l =>
@@ -1080,15 +1085,18 @@ object SimilarityQueries {
       java.nio.file.Files.write(tmp.toPath,
         sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // If the publish rename fails (concurrent creator won the race on
-      // a non-POSIX FS, or cross-device tmp), fall back to reading our
-      // own tmp copy — identical content, since the stats are a pure
-      // function of the trained index. Without this the read below
-      // would throw FileNotFound from inside n12/n14-n17 query
+      // a non-POSIX FS, or cross-device tmp), publish our tmp copy only
+      // when no winner exists — identical content, since the stats are
+      // a pure function of the trained index. Without this the read
+      // below would throw FileNotFound from inside n12/n14-n17 query
       // CONSTRUCTION, failing a serving query for a purely advisory
-      // statistic.
-      if (!tmp.renameTo(f) && !f.isFile)
-        java.nio.file.Files.move(tmp.toPath, f.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // statistic. A lost race deletes the tmp (no *.tmp litter).
+      if (!tmp.renameTo(f)) {
+        if (!f.isFile)
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else tmp.delete()
+      }
     }
     val cents = model.centroids.map { case (cid, ce) =>
       (cid, ce, math.sqrt(dotSeq(ce, ce)))

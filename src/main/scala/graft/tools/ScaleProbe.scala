@@ -147,26 +147,27 @@ object ScaleProbe {
     }
     // The mini-corpus warmup compiles the query shapes but does NOT
     // amortize the one-off at-scale JIT/compilation tax the FIRST
-    // at-scale execution pays (SCALING.md's lesson #1, measured
-    // 25-45 s by A/B-ing the batch order at 16M). Discard one
-    // at-scale execution of the first query before the measured loop
-    // so every reported row is steady-state.
-    locally {
-      val t0 = System.nanoTime()
-      try graft.Bench.force(graft.SparkEntry.queries(names.head)(spark, workDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[jit-warm] ${names.head} failed: ${e.getMessage}")
-      }
-      println(f"[jit-warm] ${names.head} ${(System.nanoTime() - t0) / 1e9}%.2f s (discarded)")
-    }
+    // at-scale execution of EACH query pays (SCALING.md's lesson #1,
+    // measured 25-45 s by A/B-ing the batch order at 16M; round 9's
+    // single global discard still left residual first-sample tax on
+    // queries with disjoint codegen stages — m7's 22.7 s first batch
+    // vs 14.7 s steady). So: PER QUERY, one discarded at-scale
+    // execution (printed, so residual tax stays visible), then the
+    // reported number is the min of two steady-state runs.
     val results = names.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         graft.Bench.force(graft.SparkEntry.queries(q)(spark, workDir))
         (System.nanoTime() - t0) / 1e9
       }
+      val discarded =
+        try once()
+        catch { case e: Throwable =>
+          System.err.println(s"[jit-warm] $q failed: ${e.getMessage}")
+          Double.NaN
+        }
       val t = math.min(once(), once())
-      println(f"$q%-26s $t%8.2f s")
+      println(f"$q%-26s $t%8.2f s   (first sample $discarded%.2f s, discarded)")
       q -> t
     }
     println(f"TOTAL ${results.map(_._2).sum}%.2f s over $nDocs docs")

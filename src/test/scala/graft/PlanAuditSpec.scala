@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
-import org.apache.spark.sql.execution.{BaseLimitExec, SparkPlan, SparkPlanInfo, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{BaseLimitExec, SparkPlan, SparkPlanInfo, TakeOrderedAndProjectExec, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.ui.{SparkListenerSQLAdaptiveExecutionUpdate, SparkListenerSQLExecutionStart}
 
@@ -89,7 +89,47 @@ class PlanAuditSpec extends AnyFunSuite {
       // doc_id < 5000 → ≤500 docs × ~len/64 frames at any corpus
       // size), x8's benchmark-set-by-contract pattern; the corpus
       // frame stream is the probe side of the join, never broadcast.
-      "m6_frame_containment")
+      "m6_frame_containment",
+      // d16's broadcast side explodes each PROBE doc to its 3
+      // adjacent length buckets — ×3 over the budget-bounded probe
+      // sample (doc_id % 5 under D16ProbeBudget → ≤400 docs at any
+      // corpus size), m6's pattern; the corpus is the streamed side.
+      "d16_dedup_recall")
+
+  /** Rule 4 — the m8 filter-merge trap, generalized (round-9 verdict
+    * item 3): a Filter whose condition contains a higher-order
+    * function sitting DIRECTLY on a file scan means CombineFilters /
+    * PushDownPredicates merged an expensive interpreted derived-column
+    * conjunct into the scan-adjacent filter, where it re-evaluates per
+    * row-group-admitted CORPUS row — measured 47.8–86.7 s for a
+    * 500-row probe relation at the 4M probe (SCALING.md round 9).
+    * Legal shapes compute HOF features in projections (map-stage
+    * work, visible in the codegen audit) or materialize the derived
+    * column behind a localCheckpoint barrier before filtering on it —
+    * which is exactly what m7/m8 do, so the catalog is expected clean
+    * with NO allowlist. The de-barriered-twin test below pins that
+    * the rule actually catches the original trap.
+    */
+  private def hofFilterOnScan(name: String, plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.HigherOrderFunction])
+            && scanBelow(f.child) =>
+        s"$name: interpreted-HOF filter conjunct directly above a file scan"
+    }
+
+  @annotation.tailrec
+  private def scanBelow(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+    case _: org.apache.spark.sql.execution.ProjectExec |
+        _: org.apache.spark.sql.execution.FilterExec |
+        _: org.apache.spark.sql.execution.InputAdapter |
+        _: WholeStageCodegenExec |
+        _: org.apache.spark.sql.execution.ColumnarToRowExec =>
+      scanBelow(p.children.head)
+    case _ => false
+  }
 
   /** The three bans, applied to one executed physical plan. */
   private def audit(name: String, plan: SparkPlan): Seq[String] = {
@@ -114,7 +154,7 @@ class PlanAuditSpec extends AnyFunSuite {
               case t: TakeOrderedAndProjectExec => t
             }.isEmpty => s"$name: broadcast over un-limited explode"
       }
-    cartesian ++ bnlj ++ explodeBroadcast
+    cartesian ++ bnlj ++ explodeBroadcast ++ hofFilterOnScan(name, plan)
   }
 
   /** The same three bans on a SparkPlanInfo event tree. */
@@ -238,6 +278,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(infos.nonEmpty, "j5: no execution events captured")
     val bad = infos.flatMap(i => auditInfo("j5_sql_catalog", i))
     assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("the m8 filter-merge trap is caught (de-barriered encoder twin)") {
+    // The original 47.8–86.7 s trap, reconstructed: m7/m8's stub text
+    // encoder WITHOUT the localCheckpoint barrier, with m8's qnorm
+    // filter on top. PushDownPredicates substitutes the interpreted
+    // encoder tree into the conjunct and CombineFilters merges it into
+    // the scan-adjacent filter — rule 4 must flag it, proving the
+    // audit would catch a future query regressing into this shape.
+    // (The REAL m7/m8 checkpoint the probe relation, so the catalog
+    // audit above stays clean with no allowlist.)
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hts = transform(graft.functions.WsTokens(col("text")),
+        t => graft.llm.Hashing.hash28(t) % 64)
+      val qe = transform(sequence(lit(0), lit(63)),
+        i => size(filter(hts, h => h === i)).cast("double"))
+      val debarriered = graft.Tables.documents(spark, sf0001)
+        .where(col("doc_id") % 10 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("probe_id"), qe.as("qe")) // no barrier
+        .withColumn("qnorm",
+          sqrt(graft.functions.DotProduct(col("qe"), col("qe"))))
+        .where(col("qnorm") > 0)
+      val flagged = hofFilterOnScan("debarriered_m7_twin",
+        debarriered.queryExecution.executedPlan)
+      assert(flagged.nonEmpty,
+        "rule 4 must flag the de-barriered encoder filter; if this " +
+          "starts passing, the optimizer stopped merging the conjunct " +
+          "and the rule (or the barrier) needs re-examination")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("c3_quota_sample plans no window over an unbounded partition") {
