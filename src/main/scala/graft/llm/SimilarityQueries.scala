@@ -675,7 +675,7 @@ object SimilarityQueries {
     * desc, ties to smaller id ⇔ ad2 asc, vec_id asc) — partial 10-row
     * states combine map-side, the exchange ships |probes|·10 rows.
     */
-  private[llm] def adcTop10(scored: DataFrame): DataFrame =
+  private[graft] def adcTop10(scored: DataFrame): DataFrame =
     scored
       .groupBy("probe_id")
       .agg(graft.functions.NativeTopK
@@ -1877,7 +1877,7 @@ object SimilarityQueries {
   }
 
   /** m7's oracle: the shared chain ranked by (ad2, vec_id), top-10. */
-  private[llm] lazy val crossModalOracle: String =
+  private[graft] lazy val crossModalOracle: String =
     s"""${crossModalCtes(withQnorm = false)},
        |ranked AS (
        |  SELECT probe_id, vec_id, ad2,

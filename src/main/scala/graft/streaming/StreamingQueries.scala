@@ -532,6 +532,58 @@ object StreamingQueries {
         .select(col("grp"), col("n_users"), col("n_events"),
           col("sum_val").cast("double").as("sum_val"))
         .orderBy("grp")
+    }),
+
+    // T13 — STREAMING cross-modal serving: the m-family's t-analog,
+    // closing serve-side streaming the way t9 closed ingest dedup. A
+    // PROBE STREAM (the encoded text probes staged as 4 chunk files,
+    // maxFilesPerTrigger=1 → 4 genuine micro-batches) serves through
+    // the TRAINED IVF-PQ index via foreachBatch: each batch routes
+    // its own probes to their nprobe cells, broadcasts its bounded
+    // per-(probe, cell) residual ADC LUTs into the codes-only index
+    // scan (m7's exact serving plan — no documents scan, ReadSchema
+    // (vec_id, codes), DPP on cid), and overwrites its own partition
+    // of a log-structured result (t9's idempotence convention under
+    // foreachBatch's at-least-once redelivery). Per-batch cost tracks
+    // PROBE-BATCH size — the index side reads only the cells this
+    // batch's probes route to — which is the whole point: a live
+    // query stream against a 100 TB index serves each arrival batch
+    // at bounded cost, no global state, no re-aggregation. Per-probe
+    // top-k is independent across probes and each probe lands in
+    // exactly one batch (hash staging), so the streamed union must
+    // equal batch m7 — which is what the shared oracle pins.
+    // Verification assumes default dials (nprobe=2, pq.k=8), like m7.
+    "t13_stream_crossmodal_serving" -> ((s, d) => {
+      graft.llm.SimilarityQueries.maybeWarnRecall(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_t13_stage_").toString
+      val log = java.nio.file.Files
+        .createTempDirectory("graft_t13_log_").toString + "/served"
+      graft.llm.MultimodalQueries.encodedTextProbes(s, d)
+        .repartition(4, col("probe_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      runToCompletion(s)(
+        stream.writeStream
+          .outputMode("append")
+          .queryName("graft_t13_serving")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // one evaluation of the (bounded) probe batch: the ADC
+            // pass references qe ~10× (routing + per-cell LUTs)
+            val probes = batch.select("probe_id", "qe").localCheckpoint()
+            graft.llm.SimilarityQueries.adcTop10(
+              graft.llm.SimilarityQueries.batchAdcScoredFor(
+                s, d, probes, excludeVecProbes = false))
+              .write.mode("overwrite")
+              .parquet(s"$log/batch=$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()))
+      s.read.parquet(s"$log/batch=*")
+        .select("probe_id", "rk", "vec_id", "ad2")
+        .orderBy("probe_id", "rk")
     })
   )
 
@@ -689,6 +741,11 @@ object StreamingQueries {
     // contract through the v2 name-based source
     "t12_stream_changes_by_name" -> t10OracleSql,
     "t10_stream_change_feed" -> t10OracleSql,
+    // the streamed cross-modal top-k must equal batch m7 over the
+    // union of probe batches — per-probe results are independent and
+    // hash staging puts each probe in exactly one batch
+    "t13_stream_crossmodal_serving" ->
+      graft.llm.SimilarityQueries.crossModalOracle,
     // the streamed retraction MV must equal the direct aggregate of
     // the table's final version, computed from first principles
     "t11_stream_incremental_mv" ->

@@ -30,7 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val streaming = Set("t1_stream_agg", "t2_stream_window",
     "t4_stream_stream_join", "t5_stream_dedup", "t6_stream_upsert",
     "t7_stream_quality_gate", "t8_stream_session_window",
-    "t9_stream_ingest_dedup")
+    "t9_stream_ingest_dedup", "t13_stream_crossmodal_serving")
   // n1/n2/n6 broadcast a single probe row (n6 over the pruned
   // partitioned index); r14 a single scalar row; n5 broadcasts the
   // probe SET — small by contract (the batch being deduped/
@@ -94,7 +94,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // adjacent length buckets — ×3 over the budget-bounded probe
       // sample (doc_id % 5 under D16ProbeBudget → ≤400 docs at any
       // corpus size), m6's pattern; the corpus is the streamed side.
-      "d16_dedup_recall")
+      "d16_dedup_recall",
+      // t13 is m7's serving plan per micro-batch: the broadcast side
+      // is ONE PROBE BATCH (≤500 rows total across all batches,
+      // checkpointed) exploded ×nprobe over literal centroids — m7's
+      // allowlist argument, at per-batch granularity.
+      "t13_stream_crossmodal_serving")
 
   /** Rule 4 — the m8 filter-merge trap, generalized (round-9 verdict
     * item 3): a Filter whose condition contains a higher-order

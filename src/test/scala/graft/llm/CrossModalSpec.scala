@@ -86,4 +86,20 @@ class CrossModalSpec extends AnyFunSuite {
     // every gated doc encodes to a probe: %10 under the budget
     assert(byProbe.keySet.forall(p => p % 10 == 0 && p < 5000))
   }
+
+  test("t13 streamed serving equals batch m7 row-for-row") {
+    // per-probe top-k is independent and hash staging puts each probe
+    // in exactly one micro-batch, so the streamed union must be
+    // IDENTICAL to one-shot batch serving — the t-family's core
+    // micro-batch-order-invariance contract, pinned engine-side
+    // (the shared DuckDB oracle pins it against first principles)
+    val streamed = graft.SparkEntry
+      .queries("t13_stream_crossmodal_serving")(spark, sf0001)
+      .selectExpr("probe_id", "rk", "vec_id", "ad2").collect().toSeq
+    val batch = graft.SparkEntry
+      .queries("m7_crossmodal_retrieval")(spark, sf0001)
+      .selectExpr("probe_id", "rk", "vec_id", "ad2").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
