@@ -629,6 +629,53 @@ object SimilarityQueries {
       adcTop10(batchAdcScored(s, d))
     }),
 
+    // N18 — INCREMENTAL IVF-PQ INDEX MAINTENANCE off delta batches:
+    // the consumer the n-family never had for the table platform's
+    // delta machinery (round-9 verdict item 4). A daily crawl append
+    // must NOT force a full re-encode of a 100 TB index — new vectors
+    // encode with the FROZEN models (coarse + codebooks, loaded from
+    // the fingerprint-keyed registry, never retrained here) in one
+    // map-only projection and MERGE into a keyed manifest table
+    // (mergeDelta: O(delta + touched buckets), the t6/MergeProbe
+    // contract); deletes TOMBSTONE through the manifest's delete arm
+    // (only the buckets the doomed keys hash into are rewritten).
+    // Staged here as base (vec_id%10 < 8) + two insert batches (=8,
+    // =9) + a delete wave (vec_id%13 = 0); the oracle pins the
+    // maintenance invariant — the table after k delta batches and the
+    // tombstones is IDENTICAL to a full rebuild under the frozen
+    // model minus deleted keys (n9's unrolled encode chains + the
+    // delete filter). Each insert batch also feeds the STALENESS
+    // advisory: frozen-model reconstruction error of the delta vs the
+    // corpus baseline — the signal that the frozen model has drifted
+    // from the incoming distribution and a retrain+rebuild is due.
+    // Verification assumes default dials (graft.pq.k=8), like n9.
+    "n18_index_maintenance" -> ((s, d) => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_n18_").toString + "/idx"
+      val t = embeddings(s, d)
+        .select(col("vec_id"), vecd(col("embedding")).as("e"))
+      val codeCols = (0 until PQ.M).map(j => col(s"code$j"))
+      val combine = (df: DataFrame) => df.groupBy("vec_id")
+        .agg(max(struct(col("cid") +: codeCols: _*)).as("__v"))
+        .select(col("vec_id") +: (col("__v.cid").as("cid") +:
+          (0 until PQ.M).map(j => col(s"__v.code$j").as(s"code$j"))): _*)
+      graft.pol.PoolJsonSink.mergeDelta(s, table,
+        pqEncode(s, d, t.where(col("vec_id") % 10 < 8)),
+        col("vec_id"), nBuckets = 16)(combine)
+      Seq(8, 9).foreach { b =>
+        val delta = t.where(col("vec_id") % 10 === b)
+        maybeWarnIndexStaleness(s, d, delta)
+        graft.pol.PoolJsonSink.mergeDelta(s, table,
+          pqEncode(s, d, delta), col("vec_id"), nBuckets = 16)(combine)
+      }
+      graft.pol.PoolJsonSink.deletePartitioned(s, table,
+        t.where(col("vec_id") % 13 === 0).select("vec_id"),
+        col("vec_id"), nBuckets = 16)
+      graft.pol.PoolJsonSink.readTable(s, table)
+        .select(col("vec_id") +: col("cid") +: codeCols: _*)
+        .orderBy("vec_id")
+    }),
+
     // N17 — the COMPLETE batch production recipe, the composition the
     // serving dials were measured for (pq.k × nprobe × rerank_c →
     // recall 1.00 on the clustered probe corpus): n16's codes-only
@@ -852,6 +899,112 @@ object SimilarityQueries {
           "corpus shape the measured recall@10 at defaults is ~0. Set " +
           "graft.pq.k=64, graft.ann.nprobe=4, graft.ann.rerank_c=200 " +
           "(recall 1.00 on the hard probe corpus; see SCALING.md).")
+    fire
+  }
+
+  /** Frozen-model IVF-PQ encode of an arbitrary (vec_id, e) relation:
+    * coarse cell + M codebook codes in ONE map-only projection (the
+    * models enter as literals from the registry) — the per-delta-batch
+    * work unit of n18's incremental maintenance, and exactly the
+    * encode the full index build runs, so delta-encoded rows are
+    * bit-identical to rebuild-encoded ones by construction.
+    */
+  private[graft] def pqEncode(
+      s: SparkSession, d: String, rel: DataFrame): DataFrame = {
+    val model = KMeans.fit(s, d)
+    val cb = PQ.fit(s, d)
+    pqAssignments(rel, cb, model).select(
+      col("vec_id") +: col("__kcid").cast("long").as("cid") +:
+        (0 until PQ.M).map(j =>
+          col(s"m$j.cid").cast("long").as(s"code$j")): _*)
+  }
+
+  /** Mean frozen-model reconstruction error (Σ_j d²_j) over the full
+    * corpus — the staleness advisory's baseline, computed once per
+    * corpus and persisted as a registry-style sidecar (a property of
+    * (corpus, frozen model), not of any query).
+    */
+  private val baseErrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  private[graft] def pqBaseErr(s: SparkSession, d: String): Double =
+    baseErrCache.computeIfAbsent(KMeans.corpusKey(d), _ => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_pq_baseerr_${KMeans.corpusKey(d)}_k${PQ.kFor(s)}.txt")
+      val loaded: Option[Double] =
+        if (!f.isFile) None
+        else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().find(_.nonEmpty)
+            .map(java.lang.Double.parseDouble)
+          finally src.close()
+        }
+      loaded.getOrElse {
+        val v = meanErr(s, d,
+          embeddings(s, d).select(col("vec_id"),
+            vecd(col("embedding")).as("e")))
+        val tmp = java.io.File.createTempFile(
+          f.getName, ".tmp", f.getParentFile)
+        java.nio.file.Files.write(tmp.toPath,
+          (java.lang.Double.toString(v) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (!tmp.renameTo(f)) {
+          if (!f.isFile)
+            java.nio.file.Files.move(tmp.toPath, f.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          else tmp.delete()
+        }
+        v
+      }
+    })
+
+  private def meanErr(s: SparkSession, d: String, rel: DataFrame): Double = {
+    val model = KMeans.fit(s, d)
+    val cb = PQ.fit(s, d)
+    val errs = pqAssignments(rel, cb, model)
+      .agg(avg((0 until PQ.M).map(j => col(s"m$j.d2")).reduce(_ + _)))
+      .head
+    if (errs.isNullAt(0)) Double.NaN else errs.getDouble(0)
+  }
+
+  /** Delta reconstruction error must exceed the corpus baseline by
+    * this factor before the staleness advisory fires. In-distribution
+    * deltas sit at ~1.0 by construction; a drifted modality/domain
+    * shows up as residuals the frozen codebooks cannot represent
+    * (IndexMaintenanceSpec pins both sides on a shifted fixture).
+    */
+  private[graft] val StalenessRatio = 2.0
+
+  private val stalenessWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Index-staleness advisory for incremental maintenance: the frozen
+    * model serves delta encodes forever unless someone notices it no
+    * longer fits the incoming data. Fires (once per corpus, process)
+    * when a delta batch's mean frozen-model reconstruction error
+    * exceeds [[StalenessRatio]] × the corpus baseline — the cheap,
+    * always-available drift signal (computed from the same d² terms
+    * the encode already produces). Advisory-only: any recoverable
+    * failure skips the warning, never the merge.
+    */
+  private[graft] def maybeWarnIndexStaleness(
+      s: SparkSession, d: String, deltaRel: DataFrame): Boolean = {
+    val fire =
+      try {
+        val base = pqBaseErr(s, d)
+        val delta = meanErr(s, d, deltaRel)
+        !delta.isNaN && !base.isNaN && base > 0 &&
+          delta / base >= StalenessRatio
+      } catch { case scala.util.control.NonFatal(e) =>
+        advisoryLog.warn(s"staleness advisory skipped for $d: $e")
+        false }
+    if (fire && stalenessWarned.add(d))
+      advisoryLog.warn(
+        s"incremental index maintenance over $d: a delta batch's " +
+          s"frozen-model reconstruction error exceeds ${StalenessRatio}x " +
+          "the corpus baseline - the frozen IVF-PQ model has drifted " +
+          "from the incoming distribution. Schedule a retrain + full " +
+          "rebuild (the registry re-keys on corpus fingerprint); " +
+          "delta merges stay correct but ADC ranking quality degrades.")
     fire
   }
 
@@ -1555,6 +1708,22 @@ object SimilarityQueries {
               .map(j => s"af_s$j.d2").mkString(" + ")}, 6) AS err
          |FROM t ${(0 until PQ.M)
               .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+         |ORDER BY vec_id""".stripMargin,
+    // n18: the maintenance invariant — the incrementally-maintained
+    // table equals a full rebuild under the frozen model (n9's
+    // unrolled encode chains + coarse cid) minus the deleted keys
+    "n18_index_maintenance" ->
+      s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |$sqlCoarse,
+         |$sqlPqChains
+         |SELECT t.vec_id AS vec_id, CAST(af.cid AS BIGINT) AS cid,
+         |  ${(0 until PQ.M)
+              .map(j => s"CAST(af_s$j.cid AS BIGINT) AS code$j")
+              .mkString(",\n|  ")}
+         |FROM t JOIN af USING (vec_id) ${(0 until PQ.M)
+              .map(j => s"JOIN af_s$j USING (vec_id)").mkString(" ")}
+         |WHERE t.vec_id % 13 <> 0
          |ORDER BY vec_id""".stripMargin,
     "n10_pq_adc" ->
       s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
