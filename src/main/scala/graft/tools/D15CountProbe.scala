@@ -4,16 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Candidate-census for d15's floor at probe scale:
-  * `D15CountProbe <corpusDir>` prints d7's total candidate pairs,
-  * the sub-floor (killed) and kept splits, and how many kept pairs
-  * are the generator's PLANTED near-dups (doc_b = doc_a+1,
-  * doc_a % 50 == 0) — the ground truth for whether the kept set
-  * tracks the linearly-growing dup population or inherits the
-  * collision curve.
+  * `D15CountProbe <corpusDir> [bucketCap]` prints d7's total
+  * candidate pairs, the sub-floor (killed) and kept splits, and how
+  * many kept pairs are the generator's PLANTED near-dups (doc_b =
+  * doc_a+1, doc_a % 50 == 0) — the ground truth for whether the kept
+  * set tracks the linearly-growing dup population or inherits the
+  * collision curve. The optional second arg sets the
+  * `graft.dedup.bucket_cap` dial (and also prints the corpus's
+  * occupancy census + computed recommendation), so the round-10
+  * re-dial claim — planted recall restored at the recommended cap at
+  * bounded cost — is measurable from one command. The census itself
+  * is timed, so cost-at-the-dial comes for free.
   */
 object D15CountProbe {
   def main(args: Array[String]): Unit = {
     val d = args(0)
+    val capArg = args.lift(1).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,10 +29,19 @@ object D15CountProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    capArg.foreach(c => spark.conf.set("graft.dedup.bucket_cap", c))
+    val occ = graft.llm.DedupQueries.lshOccupancy(spark, d)
+    println(s"""{"occupancy":{"total_rows":${occ.totalRows},""" +
+      s""""shed_rows":${occ.sheddedRows},"n_buckets":${occ.nBuckets},""" +
+      s""""n_over_cap":${occ.nOverCap},"max_width":${occ.maxWidth},""" +
+      f""""shed_frac":${occ.shedFraction}%.4f,"cap_rec":${occ.capRec}},""" +
+      s""""dialed_cap":${capArg.getOrElse(2)}}""")
     val floor = graft.llm.DedupQueries.D15AgreeFloor
+    val t0 = System.nanoTime()
     val cands = graft.SparkEntry.queries("d7_lsh_bucket_cap")(spark, d)
       .select(col("doc_a"), col("doc_b"), col("agreement"))
       .localCheckpoint()
+    println(f"d7_candidates_s ${(System.nanoTime() - t0) / 1e9}%.2f")
     val planted = col("doc_b") === col("doc_a") + 1 &&
       col("doc_a") % 50 === 0
     val stats = cands.agg(
