@@ -176,6 +176,13 @@ object DedupQueries {
     }
   }
 
+  /** (doc_id, bs = the 4 band bucket ids as an ARRAY) — the banded
+    * relation before the explode; OccCurveProbe derives the recall/
+    * cost curve from it without running the pair join. */
+  private[graft] def sigsWithBuckets(
+      s: SparkSession, d: String): DataFrame =
+    sigs(s, d).withColumn("bs", expr(bucketsExpr)).select("doc_id", "bs")
+
   /** The composed-builtins signature pipeline (kept as the reference
     * formulation and for the equivalence spec).
     */

@@ -124,6 +124,18 @@ object N18Probe {
           t.where(col("vec_id") % 1000 === 999)),
         col("vec_id"), nBuckets)(combine)
     }
+    // a true trickle (~nVecs/100k keys): FEWER keys than buckets, so
+    // touched buckets ≪ table and the merge's O(delta + touched
+    // buckets) contract is visible — a delta that hashes into every
+    // bucket rewrites the whole table no matter how small it is,
+    // which is the "size nBuckets with the table" story MergeProbe
+    // measured (more buckets → thinner touched buckets → cheaper)
+    timed("delta_trickle") {
+      graft.pol.PoolJsonSink.mergeDelta(spark, table,
+        graft.llm.SimilarityQueries.pqEncode(spark, dir,
+          t.where(col("vec_id") % 100000 === 7)),
+        col("vec_id"), nBuckets)(combine)
+    }
     timed("delete_wave") {
       graft.pol.PoolJsonSink.deletePartitioned(spark, table,
         t.where(col("vec_id") % 13 === 0).select("vec_id"),
