@@ -774,9 +774,19 @@ object DedupQueries {
     */
   private[graft] val D16ProbeBudget = 2000L
 
-  /** Shed-row mass the recommended cap may leave behind (1% — the
-    * testdata's own shed band at the default cap, i.e. "healthy"). */
-  private[graft] val OccShedTarget = 0.01
+  /** The cap recommendation's cost envelope: the kept-bucket self-join
+    * may emit at most this many candidate pairs PER BANDED ROW (= 2 ×
+    * bands per doc) — pairs stay LINEAR in corpus size, the only
+    * envelope that survives scale-up. The envelope, not a row-mass
+    * target, is what picks the cap: OccCurveProbe measured on the 4M
+    * probe corpus that planted recall saturates far below the
+    * row-mass knee (cap 32 → recall 0.905 at 7.4 pairs/doc; the
+    * 99%-of-rows cap 7902 → recall 0.997 at 494 pairs/doc — a 66×
+    * cost for the last 9 points), so a rows-based rule is
+    * recall-correct but cost-blind on exactly the saturated corpora
+    * that need the advisory.
+    */
+  private[graft] val PairBudgetPerRow = 2L
 
   /** Advisory threshold: fire when the DEFAULT cap sheds at least
     * this fraction of banded rows. Testdata sheds 0.8–1.4% at the
@@ -790,11 +800,16 @@ object DedupQueries {
 
   /** LSH band-bucket occupancy census — the measured basis for the
     * dedup recall advisory and the COMPUTED cap re-dial (round-9
-    * verdict items 1–2). `capRec` is the smallest hot-bucket cap that
-    * keeps ≥ 99% of banded rows in un-shed buckets ([[OccShedTarget]])
-    * — computed from the rows-weighted width histogram the way the
-    * catalog's undersized-bucket advisory computes its split factor,
-    * instead of telling the operator to go measure.
+    * verdict items 1–2). `capRec` is the LARGEST hot-bucket cap whose
+    * kept buckets' self-join emits ≤ [[PairBudgetPerRow]] candidate
+    * pairs per banded row (Σ_{w≤cap} C(w,2)·n_b(w) ≤ 2·rows) —
+    * computed from the width histogram the way the catalog's
+    * undersized-bucket advisory computes its split factor, instead of
+    * telling the operator to go measure. capRec == the default means
+    * the shed mass sits in buckets too wide to admit at linear cost
+    * (near-identical boilerplate): the production answer there is an
+    * exact-dedup pre-pass (d1) or more rows per band, not a bigger
+    * cap — the advisory message carries both branches.
     */
   private[graft] case class LshOccupancy(
       totalRows: Long, sheddedRows: Long, nBuckets: Long,
@@ -825,8 +840,11 @@ object DedupQueries {
   private[graft] def lshOccupancy(
       s: SparkSession, d: String): LshOccupancy =
     occCache.computeIfAbsent(docsKey(d), _ => {
+      // v2: capRec moved from the rows-mass rule to the linear pair
+      // envelope — the version suffix retires sidecars computed under
+      // the old formula
       val f = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_dedup_occ_${docsKey(d)}_cap$BucketCap.txt")
+        s"graft_dedup_occ_${docsKey(d)}_cap${BucketCap}_v2.txt")
       val loaded: Option[LshOccupancy] =
         if (!f.isFile) None
         else {
@@ -848,12 +866,16 @@ object DedupQueries {
         val shed = hist.collect {
           case (w, nb) if w > BucketCap => w * nb
         }.sum
-        val keepFloor = math.ceil((1.0 - OccShedTarget) * total).toLong
-        var cum = 0L
-        val capRec = hist.iterator.map { case (w, nb) =>
-          cum += w * nb; (w, cum)
-        }.collectFirst { case (w, c) if c >= keepFloor => w }
-          .getOrElse(BucketCap.toLong).max(BucketCap.toLong)
+        // largest cap whose cumulative kept-bucket pair count stays
+        // inside the linear envelope (histogram ascends by width, so
+        // the cumulative pair sum is monotone)
+        val budget = PairBudgetPerRow * total
+        var cumPairs = 0L
+        var capRec = BucketCap.toLong
+        hist.foreach { case (w, nb) =>
+          cumPairs += w * (w - 1) / 2 * nb
+          if (cumPairs <= budget && w > capRec) capRec = w
+        }
         val occ = LshOccupancy(total, shed, hist.map(_._2).sum,
           hist.collect { case (w, nb) if w > BucketCap => nb }.sum,
           if (hist.isEmpty) 0L else hist.map(_._1).max, capRec)
@@ -902,16 +924,27 @@ object DedupQueries {
         false })
     if (fire && dedupRecallWarned.add(d)) {
       val occ = lshOccupancy(s, d)
+      val redial =
+        if (occ.capRec > BucketCap)
+          f"Set graft.dedup.bucket_cap=${occ.capRec} - the largest " +
+            f"cap whose kept buckets emit <= $PairBudgetPerRow " +
+            "candidate pairs per banded row (cost stays linear in " +
+            "corpus; the measured recall curve saturates near this " +
+            "point - SCALING.md round 10)."
+        else
+          "No cap inside the linear cost envelope recovers the shed " +
+            "mass (it sits in near-identical boilerplate buckets " +
+            "wider than the envelope admits): run an exact-dedup " +
+            "pre-pass (d1) before LSH, or raise rows-per-band to " +
+            "thin the buckets."
       advisoryLog.warn(
         f"LSH hot-bucket cap (default graft.dedup.bucket_cap=" +
           f"$BucketCap) is shedding ${occ.shedFraction * 100}%.1f%% of " +
           f"banded rows over $d (${occ.nOverCap} of ${occ.nBuckets} " +
           f"buckets over-cap, widest ${occ.maxWidth}) - near-dup " +
           "recall degrades silently in this regime (measured 44% -> " +
-          "26% planted recall on a 4x corpus step; SCALING.md). Set " +
-          f"graft.dedup.bucket_cap=${occ.capRec} to keep 99%% of " +
-          "banded rows, or raise rows-per-band to thin the buckets; " +
-          "verification oracles assume the default.")
+          "26% planted recall on a 4x corpus step; SCALING.md). " +
+          redial + " Verification oracles assume the default dials.")
     }
     fire
   }

@@ -16,40 +16,58 @@ import org.apache.spark.sql.functions._
 class DedupRecallAdvisorySpec extends AnyFunSuite {
   import graft.QueryHarness._
 
-  /** A saturated fixture: `nDup` byte-identical docs (every band
-    * signature equal → 4 buckets of width nDup, all over the default
-    * cap) plus `nDistinct` unique docs (width-1 buckets).
+  /** A saturated fixture: `nGroups` groups of `width` byte-identical
+    * docs (each group's 4 band buckets have exactly `width` rows —
+    * over the default cap) plus `nDistinct` unique docs (width-1
+    * buckets).
     */
-  private def saturatedCorpus(nDup: Int, nDistinct: Int): String = {
+  private def saturatedCorpus(
+      nGroups: Int, width: Int, nDistinct: Int): String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_dedup_adv_").toString
     import spark.implicits._
-    val dup = (0 until nDup).map(i =>
-      (i.toLong, "the same boilerplate page body repeated verbatim " +
-        "across the crawl wave with zero variation at all", "en",
-        "srcdup", 100L))
-    val uniq = (0 until nDistinct).map(i =>
-      (nDup + i.toLong, s"unique document number $i with its own " +
-        s"content hash${i * 7919} and token mix${i * 104729}", "en",
-        s"src$i", 90L))
+    val dup = (0 until nGroups * width).map { i =>
+      val g = i / width
+      // tokens carry g everywhere: groups share NO 8-char shingles,
+      // so each group's 4 band buckets hold exactly `width` rows
+      val text = (0 until 12).map(k => s"wave${g}tok${k}g$g").mkString(" ")
+      (i.toLong, text, "en", s"srcdup$g", 100L)
+    }
+    val uniq = (0 until nDistinct).map { i =>
+      val text = (0 until 12).map(k => s"uniq${i}tok${k}u$i").mkString(" ")
+      (nGroups * width + i.toLong, text, "en", s"src$i", 90L)
+    }
     (dup ++ uniq).toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
 
-  test("advisory fires on a saturated corpus at default dials") {
-    val dir = saturatedCorpus(nDup = 50, nDistinct = 10)
+  test("advisory fires on a saturated corpus and names a cost-aware re-dial") {
+    val dir = saturatedCorpus(nGroups = 30, width = 4, nDistinct = 10)
     assert(DedupQueries.maybeWarnDedupRecall(spark, dir),
-      "50 identical docs put >80% of banded rows over the default " +
-        "cap — the advisory condition must hold")
+      "width-4 duplicate groups put >70% of banded rows over the " +
+        "default cap — the advisory condition must hold")
     val occ = DedupQueries.lshOccupancy(spark, dir)
-    // 50 identical docs → 4 buckets of width 50 (200 rows shed) vs 10
-    // unique docs × 4 width-1 buckets (40 rows kept): shed ≈ 83%
+    // 30 groups × 4 docs × 4 bands = 480 shed rows vs 40 kept ones
+    assert(occ.shedFraction > 0.7, s"shed=${occ.shedFraction}")
+    // the computed re-dial: admitting the width-4 buckets costs
+    // 30 groups × 4 bands × C(4,2)=6 = 720 pairs ≤ 2 × 520 rows —
+    // inside the linear envelope, so the recommendation is cap=4
+    assert(occ.capRec == 4L, s"capRec=${occ.capRec}")
+    assert(occ.maxWidth == 4L)
+  }
+
+  test("cost guard: a degenerate boilerplate blob is NOT recommended a bigger cap") {
+    // 60 byte-identical docs: admitting their buckets would cost
+    // 4 × C(60,2) = 7,080 pairs over 280 banded rows — far past the
+    // linear envelope, so capRec stays at the default and the
+    // advisory's alternate branch (exact pre-pass / re-band) applies
+    val dir = saturatedCorpus(nGroups = 1, width = 60, nDistinct = 10)
+    assert(DedupQueries.maybeWarnDedupRecall(spark, dir))
+    val occ = DedupQueries.lshOccupancy(spark, dir)
     assert(occ.shedFraction > 0.8, s"shed=${occ.shedFraction}")
-    // the computed re-dial: 99% of rows need the width-50 buckets
-    assert(occ.capRec == 50L, s"capRec=${occ.capRec}")
-    assert(occ.maxWidth == 50L)
+    assert(occ.capRec == 2L, s"capRec=${occ.capRec}")
   }
 
   test("advisory is silent on healthy testdata at default dials") {
@@ -61,7 +79,7 @@ class DedupRecallAdvisorySpec extends AnyFunSuite {
   }
 
   test("advisory is silent when the operator has dialed the cap") {
-    val dir = saturatedCorpus(nDup = 50, nDistinct = 10)
+    val dir = saturatedCorpus(nGroups = 30, width = 4, nDistinct = 10)
     spark.conf.set("graft.dedup.bucket_cap", "64")
     try assert(!DedupQueries.maybeWarnDedupRecall(spark, dir),
       "a dialed session owns its recall/cost trade — no advisory")
@@ -69,18 +87,18 @@ class DedupRecallAdvisorySpec extends AnyFunSuite {
   }
 
   test("the bucket-cap dial actually changes d7's candidate set") {
-    val dir = saturatedCorpus(nDup = 8, nDistinct = 4)
+    val dir = saturatedCorpus(nGroups = 2, width = 4, nDistinct = 4)
     val atDefault = graft.SparkEntry
       .queries("d7_lsh_bucket_cap")(spark, dir).count()
-    // default cap 2 sheds the width-8 duplicate buckets entirely
+    // default cap 2 sheds the width-4 duplicate buckets entirely
     assert(atDefault == 0L, s"default-cap pairs=$atDefault")
-    spark.conf.set("graft.dedup.bucket_cap", "64")
+    spark.conf.set("graft.dedup.bucket_cap", "4")
     try {
       val dialed = graft.SparkEntry
         .queries("d7_lsh_bucket_cap")(spark, dir).count()
-      // at the recommended-style re-dial the 8 identical docs yield
-      // their C(8,2)=28 candidate pairs — the recall the default shed
-      assert(dialed == 28L, s"dialed pairs=$dialed")
+      // at the computed re-dial the 2 groups yield their
+      // 2 × C(4,2) = 12 candidate pairs — the recall the default shed
+      assert(dialed == 12L, s"dialed pairs=$dialed")
     } finally spark.conf.unset("graft.dedup.bucket_cap")
   }
 
