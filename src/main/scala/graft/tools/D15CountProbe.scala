@@ -37,11 +37,20 @@ object D15CountProbe {
       f""""shed_frac":${occ.shedFraction}%.4f,"cap_rec":${occ.capRec}},""" +
       s""""dialed_cap":${capArg.getOrElse(2)}}""")
     val floor = graft.llm.DedupQueries.D15AgreeFloor
-    val t0 = System.nanoTime()
+    // steady-state d7 timing (the ScaleProbe methodology): discard
+    // the first at-scale execution (JIT tax, ~90 s at 16M), report
+    // the min of two steady runs, then materialize for the census
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      graft.Bench.force(
+        graft.SparkEntry.queries("d7_lsh_bucket_cap")(spark, d))
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"d7_first_sample_s ${once()}%.2f (discarded)")
+    println(f"d7_steady_s ${math.min(once(), once())}%.2f")
     val cands = graft.SparkEntry.queries("d7_lsh_bucket_cap")(spark, d)
       .select(col("doc_a"), col("doc_b"), col("agreement"))
       .localCheckpoint()
-    println(f"d7_candidates_s ${(System.nanoTime() - t0) / 1e9}%.2f")
     val planted = col("doc_b") === col("doc_a") + 1 &&
       col("doc_a") % 50 === 0
     val stats = cands.agg(
