@@ -72,21 +72,38 @@ object DedupQueries {
     s"[${mins.mkString(", ")}]"
   }
 
-  /** Band bucket ids: 60-bit BIGINT digests of each band's 4 sigs.
+  /** Band bucket ids: 60-bit BIGINT digests of each band's sigs.
     * A fixed-width integer, not the md5 hex string — the banded
     * relation (|docs| x bands rows) shuffles through one group-by and
     * two joins, so key width is its whole cost (the x11 lesson). LSH
     * blocking tolerates digest truncation: a 60-bit collision only
     * creates a spurious candidate pair, which d8's exact verify
     * kills — unlike d1's exact digest, which stays full-width.
+    *
+    * Parametrized by ROWS PER BAND `r` (bands = K/r): raising r
+    * squares down the per-band collision probability (a band matches
+    * iff all r mins agree), which is the production response to a
+    * corpus whose band-signature space saturates — the saturated 4M
+    * probe's widest bucket fell 61,017 → narrow at r=8 while
+    * near-identical dups (agreement ~0.95) still share a band with
+    * high probability. Session dial `graft.dedup.rows_per_band`
+    * (divisor of K, default 4 — the oracle-pinned banding).
     */
-  private val bucketsExpr = {
-    val bs = (0 until Bands).map { b =>
-      val parts = (0 until K / Bands).map(r => s"sig[${b * 4 + r}]")
+  private def bucketsExprFor(r: Int): String = {
+    require(K % r == 0, s"rows_per_band must divide $K")
+    val bs = (0 until K / r).map { b =>
+      val parts = (0 until r).map(i => s"sig[${b * r + i}]")
       s"CAST(conv(substr(md5(concat_ws('_', ${parts.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)"
     }
     s"array(${bs.mkString(", ")})"
   }
+  private val bucketsExpr = bucketsExprFor(K / Bands)
+
+  /** Effective rows-per-band for this session (see [[bucketsExprFor]]);
+    * verification assumes the default, like the cap dial. */
+  private[graft] def rowsPerBand(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.rows_per_band").map(_.toInt)
+      .getOrElse(K / Bands)
 
   private val sqlBuckets = (0 until Bands).map { b =>
     val parts = (0 until K / Bands).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)")
@@ -176,12 +193,14 @@ object DedupQueries {
     }
   }
 
-  /** (doc_id, bs = the 4 band bucket ids as an ARRAY) — the banded
+  /** (doc_id, bs = the band bucket ids as an ARRAY) — the banded
     * relation before the explode; OccCurveProbe derives the recall/
-    * cost curve from it without running the pair join. */
+    * cost curve from it (at any rows-per-band) without the pair join. */
   private[graft] def sigsWithBuckets(
-      s: SparkSession, d: String): DataFrame =
-    sigs(s, d).withColumn("bs", expr(bucketsExpr)).select("doc_id", "bs")
+      s: SparkSession, d: String,
+      r: Int = K / Bands): DataFrame =
+    sigs(s, d).withColumn("bs", expr(bucketsExprFor(r)))
+      .select("doc_id", "bs")
 
   /** The composed-builtins signature pipeline (kept as the reference
     * formulation and for the equivalence spec).
@@ -346,7 +365,7 @@ object DedupQueries {
       // dups are) — warn once per corpus, naming the computed re-dial
       maybeWarnDedupRecall(s, d)
       val banded = sigs(s, d)
-        .withColumn("bucket", explode(expr(bucketsExpr)))
+        .withColumn("bucket", explode(expr(bucketsExprFor(rowsPerBand(s)))))
       val narrow = banded.groupBy("bucket")
         .agg(count(lit(1)).as("w"))
         .where(col("w") <= bucketCap(s))
@@ -916,7 +935,8 @@ object DedupQueries {
     */
   private[graft] def maybeWarnDedupRecall(
       s: SparkSession, d: String): Boolean = {
-    val dialed = s.conf.getOption("graft.dedup.bucket_cap").isDefined
+    val dialed = s.conf.getOption("graft.dedup.bucket_cap").isDefined ||
+      s.conf.getOption("graft.dedup.rows_per_band").isDefined
     val fire = !dialed &&
       (try lshOccupancy(s, d).shedFraction >= DedupShedWarnFraction
       catch { case scala.util.control.NonFatal(e) =>
@@ -935,8 +955,9 @@ object DedupQueries {
           "No cap inside the linear cost envelope recovers the shed " +
             "mass (it sits in near-identical boilerplate buckets " +
             "wider than the envelope admits): run an exact-dedup " +
-            "pre-pass (d1) before LSH, or raise rows-per-band to " +
-            "thin the buckets."
+            "pre-pass (d1) before LSH, or set " +
+            "graft.dedup.rows_per_band=8 to square down the band " +
+            "collision rate and thin the buckets."
       advisoryLog.warn(
         f"LSH hot-bucket cap (default graft.dedup.bucket_cap=" +
           f"$BucketCap) is shedding ${occ.shedFraction * 100}%.1f%% of " +

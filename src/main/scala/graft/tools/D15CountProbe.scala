@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 object D15CountProbe {
   def main(args: Array[String]): Unit = {
     val d = args(0)
-    val capArg = args.lift(1).map(_.toInt)
+    val capArg = args.lift(1).filterNot(_.startsWith("r=")).map(_.toInt)
+    val rArg = args.find(_.startsWith("r=")).map(_.stripPrefix("r=").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +31,7 @@ object D15CountProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     capArg.foreach(c => spark.conf.set("graft.dedup.bucket_cap", c))
+    rArg.foreach(r => spark.conf.set("graft.dedup.rows_per_band", r))
     val occ = graft.llm.DedupQueries.lshOccupancy(spark, d)
     println(s"""{"occupancy":{"total_rows":${occ.totalRows},""" +
       s""""shed_rows":${occ.sheddedRows},"n_buckets":${occ.nBuckets},""" +

@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
 object OccCurveProbe {
   def main(args: Array[String]): Unit = {
     val d = args(0)
+    // optional banding first arg as r=<rowsPerBand> (default 4)
+    val rArg = args.lift(1).filter(_.startsWith("r="))
+      .map(_.stripPrefix("r=").toInt)
+    val capArgs = args.drop(1).filterNot(_.startsWith("r="))
     val caps: Seq[Long] =
-      if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
+      if (capArgs.nonEmpty) capArgs.toSeq.map(_.toLong)
       else Seq(2L, 8L, 32L, 128L, 512L, 2048L, 8192L, 32768L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -33,7 +37,8 @@ object OccCurveProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val bs = graft.llm.DedupQueries.sigsWithBuckets(spark, d)
+    val bs = graft.llm.DedupQueries
+      .sigsWithBuckets(spark, d, rArg.getOrElse(4))
       .localCheckpoint()
     val widths = bs.select(explode(col("bs")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("w"))
@@ -55,7 +60,8 @@ object OccCurveProbe {
     val planted = bs.where(col("doc_id") % 50 === 0).count()
       .min(bs.where(col("doc_id") % 50 === 1).count())
 
-    println(s"corpus=$d planted_pairs=$planted " +
+    println(s"corpus=$d rows_per_band=${rArg.getOrElse(4)} " +
+      s"planted_pairs=$planted " +
       s"pairs_sharing_any_bucket=${minw.length} total_banded_rows=$total")
     caps.foreach { c =>
       val keptRows = hist.collect { case (w, nb) if w <= c => w * nb }.sum

@@ -102,6 +102,33 @@ class DedupRecallAdvisorySpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.bucket_cap")
   }
 
+  test("the rows-per-band dial re-bands and keeps identical-doc groups intact") {
+    // r=8 → 2 bands of 8 rows
+    val bs = DedupQueries.sigsWithBuckets(spark, sf0001, r = 8)
+      .select(size(col("bs"))).head().getInt(0)
+    assert(bs == 2)
+    // identical docs share every minhash, so they bucket together
+    // under ANY banding: the group fixture still yields its pairs
+    val dir = saturatedCorpus(nGroups = 2, width = 4, nDistinct = 4)
+    spark.conf.set("graft.dedup.rows_per_band", "8")
+    spark.conf.set("graft.dedup.bucket_cap", "4")
+    try {
+      val pairs = graft.SparkEntry
+        .queries("d7_lsh_bucket_cap")(spark, dir).count()
+      assert(pairs == 12L, s"re-banded pairs=$pairs")
+    } finally {
+      spark.conf.unset("graft.dedup.rows_per_band")
+      spark.conf.unset("graft.dedup.bucket_cap")
+    }
+  }
+
+  test("advisory is silent when the operator has re-banded") {
+    val dir = saturatedCorpus(nGroups = 30, width = 4, nDistinct = 10)
+    spark.conf.set("graft.dedup.rows_per_band", "8")
+    try assert(!DedupQueries.maybeWarnDedupRecall(spark, dir))
+    finally spark.conf.unset("graft.dedup.rows_per_band")
+  }
+
   test("occupancy sidecar round-trips and caches") {
     val occ1 = DedupQueries.lshOccupancy(spark, sf0001)
     val occ2 = DedupQueries.lshOccupancy(spark, sf0001)
