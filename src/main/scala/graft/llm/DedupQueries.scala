@@ -946,11 +946,15 @@ object DedupQueries {
       val occ = lshOccupancy(s, d)
       val redial =
         if (occ.capRec > BucketCap)
-          f"Set graft.dedup.bucket_cap=${occ.capRec} - the largest " +
-            f"cap whose kept buckets emit <= $PairBudgetPerRow " +
-            "candidate pairs per banded row (cost stays linear in " +
-            "corpus; the measured recall curve saturates near this " +
-            "point - SCALING.md round 10)."
+          "Two measured levers (SCALING.md round 10): set " +
+            "graft.dedup.rows_per_band=8 to square down the band " +
+            "collision rate - on the saturated 16M probe corpus this " +
+            "alone took planted recall 26% -> 82% at unchanged d7 " +
+            "cost (ceiling ~0.84 for 2 bands of 8) - and/or set " +
+            f"graft.dedup.bucket_cap=${occ.capRec}, the largest cap " +
+            f"whose kept buckets emit <= $PairBudgetPerRow candidate " +
+            "pairs per banded row (recall 79% at 16M, at a " +
+            "pair-exchange cost)."
         else
           "No cap inside the linear cost envelope recovers the shed " +
             "mass (it sits in near-identical boilerplate buckets " +
