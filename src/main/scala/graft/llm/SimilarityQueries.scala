@@ -650,8 +650,7 @@ object SimilarityQueries {
     // from the incoming distribution and a retrain+rebuild is due.
     // Verification assumes default dials (graft.pq.k=8), like n9.
     "n18_index_maintenance" -> ((s, d) => {
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_n18_").toString + "/idx"
+      val table = graft.util.TempDirs.scratch("graft_n18_") + "/idx"
       val t = embeddings(s, d)
         .select(col("vec_id"), vecd(col("embedding")).as("e"))
       val codeCols = (0 until PQ.M).map(j => col(s"code$j"))
@@ -927,7 +926,11 @@ object SimilarityQueries {
   private val baseErrCache =
     new java.util.concurrent.ConcurrentHashMap[String, Double]()
   private[graft] def pqBaseErr(s: SparkSession, d: String): Double =
-    baseErrCache.computeIfAbsent(KMeans.corpusKey(d), _ => {
+    // key carries pq.k like the sidecar filename does (ADVICE round
+    // 10): a session dialing graft.pq.k must not read a baseline
+    // computed under a different codebook size
+    baseErrCache.computeIfAbsent(
+      s"${KMeans.corpusKey(d)}_k${PQ.kFor(s)}", _ => {
       val f = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_pq_baseerr_${KMeans.corpusKey(d)}_k${PQ.kFor(s)}.txt")
       val loaded: Option[Double] =

@@ -188,8 +188,7 @@ object ParseQueries {
     // scan; PERMISSIVE keeps a bad line a ROW, not a job failure —
     // at 100 TB a fail-fast parse on web-crawl jsonl is a non-starter.
     "s3_jsonl_ingest" -> ((s, d) => {
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_s3_").toString + "/docs"
+      val stage = graft.util.TempDirs.scratch("graft_s3_") + "/docs"
       documents(s, d)
         .select(to_json(struct(col("doc_id"), col("source"),
           col("n_chars"))).as("line"), col("doc_id"))

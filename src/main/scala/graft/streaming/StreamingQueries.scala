@@ -225,10 +225,8 @@ object StreamingQueries {
     // Every 2nd batch compacts fat buckets so the table doesn't
     // accrete one file per bucket per batch (small-files problem).
     "t6_stream_upsert" -> ((s, d) => {
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_t6_stage_").toString
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_t6_table_").toString + "/tbl"
+      val stage = graft.util.TempDirs.scratch("graft_t6_stage_")
+      val table = graft.util.TempDirs.scratch("graft_t6_table_") + "/tbl"
       graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"),
           expr("ts_ns div 1000").as("us"))
@@ -289,10 +287,8 @@ object StreamingQueries {
     // scan work — no state store at all. The finished sink aggregates
     // per source; the oracle pins it against the one-shot batch gate.
     "t7_stream_quality_gate" -> ((s, d) => {
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_t7_stage_").toString
-      val sink = java.nio.file.Files
-        .createTempDirectory("graft_t7_sink_").toString + "/gated"
+      val stage = graft.util.TempDirs.scratch("graft_t7_stage_")
+      val sink = graft.util.TempDirs.scratch("graft_t7_sink_") + "/gated"
       // stage 32 files, trigger 8 per batch: still 4 genuine
       // micro-batches, but each batch's scan parallelism is
       // files-per-trigger × parquet splits instead of ONE file's
@@ -351,10 +347,8 @@ object StreamingQueries {
     // the per-batch mergeDelta shape; a dedup log doesn't need it).
     "t9_stream_ingest_dedup" -> ((s, d) => {
       val snap = graft.llm.HistorySnapshot.forCorpus(s, d)
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_t9_stage_").toString
-      val log = java.nio.file.Files
-        .createTempDirectory("graft_t9_log_").toString + "/accepted"
+      val stage = graft.util.TempDirs.scratch("graft_t9_stage_")
+      val log = graft.util.TempDirs.scratch("graft_t9_log_") + "/accepted"
       graft.Tables.documents(s, d)
         .withColumn("bucket", graft.llm.HistorySnapshot.splitBucketExpr)
         .where(col("bucket") >= 90).drop("bucket")
@@ -490,8 +484,7 @@ object StreamingQueries {
       // source history shared with j3/j4/t10 (read-only); the MV
       // table this stream MAINTAINS is per-run scratch
       val table = graft.relational.JoinQueries.stagedChangeTable(s, d)
-      val mv = java.nio.file.Files
-        .createTempDirectory("graft_t11_").toString + "/mv"
+      val mv = graft.util.TempDirs.scratch("graft_t11_") + "/mv"
       runToCompletion(s)(
         s.readStream.format("graft")
           .option("changeKey", "user_id")
@@ -555,10 +548,8 @@ object StreamingQueries {
     // Verification assumes default dials (nprobe=2, pq.k=8), like m7.
     "t13_stream_crossmodal_serving" -> ((s, d) => {
       graft.llm.SimilarityQueries.maybeWarnRecall(s, d)
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_t13_stage_").toString
-      val log = java.nio.file.Files
-        .createTempDirectory("graft_t13_log_").toString + "/served"
+      val stage = graft.util.TempDirs.scratch("graft_t13_stage_")
+      val log = graft.util.TempDirs.scratch("graft_t13_log_") + "/served"
       graft.llm.MultimodalQueries.encodedTextProbes(s, d)
         .repartition(4, col("probe_id"))
         .write.mode("overwrite").parquet(stage)

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
 object D15CountProbe {
   def main(args: Array[String]): Unit = {
     val d = args(0)
-    val capArg = args.lift(1).filterNot(_.startsWith("r=")).map(_.toInt)
+    // the cap is positional-after-flags: `<dir> r=8 32` dials both
+    // (args.lift(1) alone silently dropped the cap there — ADVICE r10)
+    val capArg =
+      args.drop(1).filterNot(_.startsWith("r=")).headOption.map(_.toInt)
     val rArg = args.find(_.startsWith("r=")).map(_.stripPrefix("r=").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -37,7 +40,7 @@ object D15CountProbe {
       s""""shed_rows":${occ.sheddedRows},"n_buckets":${occ.nBuckets},""" +
       s""""n_over_cap":${occ.nOverCap},"max_width":${occ.maxWidth},""" +
       f""""shed_frac":${occ.shedFraction}%.4f,"cap_rec":${occ.capRec}},""" +
-      s""""dialed_cap":${capArg.getOrElse(2)}}""")
+      s""""dialed_cap":${graft.llm.DedupQueries.bucketCap(spark)}}""")
     val floor = graft.llm.DedupQueries.D15AgreeFloor
     // steady-state d7 timing (the ScaleProbe methodology): discard
     // the first at-scale execution (JIT tax, ~90 s at 16M), report

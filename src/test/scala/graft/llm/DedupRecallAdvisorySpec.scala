@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * near-dup recall 44% → 26% on a 4× corpus step. The advisory makes
   * the silent regime loud — it must fire on a saturated corpus at
   * default dials, stay silent on healthy testdata, stay silent when
-  * the operator has already dialed, and NAME a computed re-dial
-  * (smallest cap keeping ≥99% of banded rows) rather than telling the
-  * operator to go measure.
+  * the operator has already dialed, and NAME a computed re-dial —
+  * the LARGEST cap whose kept buckets emit ≤ PairBudgetPerRow
+  * candidate pairs per banded row (the linear pair envelope; the
+  * earlier ≥99%-of-rows-mass rule was retired as cost-blind by
+  * OccCurveProbe's measurements) — rather than telling the operator
+  * to go measure.
   */
 class DedupRecallAdvisorySpec extends AnyFunSuite {
   import graft.QueryHarness._
