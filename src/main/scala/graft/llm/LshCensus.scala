@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The LSH bucket-occupancy census, generalized over ANY (bucket)
+  * relation (round-10 verdict item 3): d7's minhash band buckets, d9's
+  * hyperplane buckets and m5's Hamming-band buckets all carry the same
+  * hot-bucket-cap contract — bounded pair cost, recall traded — and
+  * the same silent-collapse regime when a corpus saturates the bucket
+  * space. One scan of the family's banded relation reduces to the
+  * (width → bucket count) histogram — bounded by distinct widths,
+  * never corpus rows — from which each family's advisory reads the
+  * shed fraction and the COMPUTED re-dial: `capRec` is the LARGEST
+  * cap whose kept buckets' self-join emits ≤ pairBudgetPerRow
+  * candidate pairs per banded row (Σ_{w≤cap} C(w,2)·n_b(w) ≤
+  * budget·rows) — pairs stay LINEAR in corpus size, the only envelope
+  * that survives scale-up (OccCurveProbe measured the retired
+  * rows-mass rule recall-correct but cost-blind: 66× the pairs for
+  * the last 9 recall points on the saturated 4M corpus).
+  *
+  * Results persist as fingerprint-keyed sidecars in tmpdir (atomic
+  * tmp+rename, the clusterShapeStats convention) so a serving process
+  * reads six numbers, never the corpus.
+  */
+object LshCensus {
+
+  case class Occupancy(
+      totalRows: Long, sheddedRows: Long, nBuckets: Long,
+      nOverCap: Long, maxWidth: Long, capRec: Long) {
+    def shedFraction: Double =
+      if (totalRows == 0) 0.0 else sheddedRows.toDouble / totalRows
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Occupancy]()
+
+  /** Corpus fingerprint for sidecar keys: (path, mtime, size) of the
+    * named table file under `d` — a regenerated corpus can never
+    * serve stale stats (the KMeans registry convention).
+    */
+  private[llm] def fileKey(d: String, table: String): String = {
+    val src = new java.io.File(s"$d/$table")
+    val fp = s"$d:${src.lastModified}:${src.length}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+  }
+
+  /** Census for one (family, corpus, default-cap) regime. `sidecar`
+    * names the cached result and must carry the corpus fingerprint
+    * and every input the histogram depends on (cap, banding version);
+    * `bucketRel` (evaluated only on cache+sidecar miss) is the
+    * family's banded relation — one row per (row, bucket), a single
+    * `bucket` column.
+    */
+  def occupancy(
+      sidecar: String, cap: Long, pairBudgetPerRow: Long)(
+      bucketRel: => DataFrame): Occupancy =
+    cache.computeIfAbsent(sidecar, _ => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_occ_$sidecar.txt")
+      val loaded: Option[Occupancy] =
+        if (!f.isFile) None
+        else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().find(_.nonEmpty).map { l =>
+            val a = l.trim.split(' ').map(_.toLong)
+            Occupancy(a(0), a(1), a(2), a(3), a(4), a(5))
+          } finally src.close()
+        }
+      loaded.getOrElse {
+        val hist = bucketRel
+          .groupBy("bucket").agg(count(lit(1)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("nb"))
+          .collect() // |distinct widths| rows — a statistic, not data
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1)
+        val total = hist.map { case (w, nb) => w * nb }.sum
+        val shed = hist.collect {
+          case (w, nb) if w > cap => w * nb
+        }.sum
+        // largest cap whose cumulative kept-bucket pair count stays
+        // inside the linear envelope (histogram ascends by width, so
+        // the cumulative pair sum is monotone)
+        val budget = pairBudgetPerRow * total
+        var cumPairs = 0L
+        var capRec = cap
+        hist.foreach { case (w, nb) =>
+          cumPairs += w * (w - 1) / 2 * nb
+          if (cumPairs <= budget && w > capRec) capRec = w
+        }
+        val occ = Occupancy(total, shed, hist.map(_._2).sum,
+          hist.collect { case (w, nb) if w > cap => nb }.sum,
+          if (hist.isEmpty) 0L else hist.map(_._1).max, capRec)
+        val line = s"${occ.totalRows} ${occ.sheddedRows} " +
+          s"${occ.nBuckets} ${occ.nOverCap} ${occ.maxWidth} ${occ.capRec}\n"
+        val tmp = java.io.File.createTempFile(
+          f.getName, ".tmp", f.getParentFile)
+        java.nio.file.Files.write(tmp.toPath,
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // pure function of the corpus: a lost publish race reads the
+        // same content either way; delete tmp when the winner stands
+        if (!tmp.renameTo(f)) {
+          if (!f.isFile)
+            java.nio.file.Files.move(tmp.toPath, f.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          else tmp.delete()
+        }
+        occ
+      }
+    })
+}

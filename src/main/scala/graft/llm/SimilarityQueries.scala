@@ -90,8 +90,14 @@ object SimilarityQueries {
     // hot-bucket guard, mirrored in the oracle) — the 400k-vector
     // probe proved the uncapped plan cannot survive a corpus whose
     // density outgrows the plane count; see [[embeddingLshPairs]].
-    "d9_embedding_neardup_lsh" -> ((s, d) =>
-      embeddingLshPairs(s, d, planes = 6, tables = 4, cap = D9BucketCap)),
+    "d9_embedding_neardup_lsh" -> ((s, d) => {
+      // same serving-time discipline as d7's maybeWarnDedupRecall:
+      // the cap sheds recall SILENTLY when hyperplane buckets
+      // saturate — warn once per corpus, naming the family's re-dial
+      maybeWarnEmbeddingRecall(s, d)
+      embeddingLshPairs(s, d, planes = embPlanes(s),
+        tables = embTables(s), cap = D9BucketCap)
+    }),
 
     // N1 — brute-force cosine top-10 for a probe vector (vec_id 0):
     // one scan + TakeOrderedAndProject, the exact baseline every ANN
@@ -637,20 +643,26 @@ object SimilarityQueries {
     // the fingerprint-keyed registry, never retrained here) in one
     // map-only projection and MERGE into a keyed manifest table
     // (mergeDelta: O(delta + touched buckets), the t6/MergeProbe
-    // contract); deletes TOMBSTONE through the manifest's delete arm
-    // (only the buckets the doomed keys hash into are rewritten).
+    // contract), with t6's inline compaction every 2nd delta bounding
+    // per-bucket file counts; deletes DEFER through a tombstone log
+    // ([[graft.pol.TombstoneLog]]: O(delta) appends, data buckets
+    // rewrite only past a dirt threshold, reads merge the pending
+    // log — the deletion-vector trade, because an eager delete wave
+    // whose keys spray across the key space rewrites every bucket).
     // Staged here as base (vec_id%10 < 8) + two insert batches (=8,
     // =9) + a delete wave (vec_id%13 = 0); the oracle pins the
-    // maintenance invariant — the table after k delta batches and the
-    // tombstones is IDENTICAL to a full rebuild under the frozen
-    // model minus deleted keys (n9's unrolled encode chains + the
-    // delete filter). Each insert batch also feeds the STALENESS
+    // maintenance invariant — the composed read after k delta batches
+    // and the tombstones is IDENTICAL to a full rebuild under the
+    // frozen model minus deleted keys (n9's unrolled encode chains +
+    // the delete filter). Each insert batch also feeds the STALENESS
     // advisory: frozen-model reconstruction error of the delta vs the
     // corpus baseline — the signal that the frozen model has drifted
     // from the incoming distribution and a retrain+rebuild is due.
     // Verification assumes default dials (graft.pq.k=8), like n9.
     "n18_index_maintenance" -> ((s, d) => {
-      val table = graft.util.TempDirs.scratch("graft_n18_") + "/idx"
+      val root = graft.util.TempDirs.scratch("graft_n18_")
+      val table = root + "/idx"
+      val tomb = root + "/tomb"
       val t = embeddings(s, d)
         .select(col("vec_id"), vecd(col("embedding")).as("e"))
       val codeCols = (0 until PQ.M).map(j => col(s"code$j"))
@@ -661,16 +673,32 @@ object SimilarityQueries {
       graft.pol.PoolJsonSink.mergeDelta(s, table,
         pqEncode(s, d, t.where(col("vec_id") % 10 < 8)),
         col("vec_id"), nBuckets = 16)(combine)
-      Seq(8, 9).foreach { b =>
+      Seq(8, 9).zipWithIndex.foreach { case (b, i) =>
         val delta = t.where(col("vec_id") % 10 === b)
         maybeWarnIndexStaleness(s, d, delta)
         graft.pol.PoolJsonSink.mergeDelta(s, table,
           pqEncode(s, d, delta), col("vec_id"), nBuckets = 16)(combine)
+        // t6's inline-maintenance discipline (round-10 verdict item
+        // 4): every merge adds ≥1 file per touched bucket, so a long
+        // delta trickle accumulates the small-files problem unbounded
+        // — compact every 2nd delta, bounding per-bucket file counts
+        if ((i + 1) % 2 == 0) {
+          graft.pol.PoolJsonSink.compactPartitions(
+            s, table, maxFilesPerPartition = 2)
+          graft.pol.PoolJsonSink.vacuum(table)
+        }
       }
-      graft.pol.PoolJsonSink.deletePartitioned(s, table,
-        t.where(col("vec_id") % 13 === 0).select("vec_id"),
-        col("vec_id"), nBuckets = 16)
-      graft.pol.PoolJsonSink.readTable(s, table)
+      // the delete wave DEFERS through the tombstone log (O(delta) —
+      // the eager arm hashed vec_id%13 into every bucket: a full
+      // table rewrite per wave, N18Probe round 10): only buckets
+      // accumulating ≥ 4 tombstones rewrite now, the rest stay
+      // deferred and the composed read hides them. Same final
+      // relation either way — the oracle (rebuild minus deletes)
+      // pins that equivalence.
+      val doomed = t.where(col("vec_id") % 13 === 0).select("vec_id")
+      graft.pol.TombstoneLog.append(s, tomb, doomed)
+      graft.pol.TombstoneLog.applyTo(s, table, tomb, dirtPerBucket = 4L)
+      graft.pol.TombstoneLog.readMinus(s, table, tomb, "vec_id")
         .select(col("vec_id") +: col("cid") +: codeCols: _*)
         .orderBy("vec_id")
     }),
@@ -1008,6 +1036,61 @@ object SimilarityQueries {
           "from the incoming distribution. Schedule a retrain + full " +
           "rebuild (the registry re-keys on corpus fingerprint); " +
           "delta merges stay correct but ADC ranking quality degrades.")
+    fire
+  }
+
+  private val embRecallWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** d9's occupancy census at DEFAULT dials (planes=6, tables=4) —
+    * [[LshCensus]] over the hyperplane bucket relation, fingerprinted
+    * on embeddings.parquet. One corpus scan on first ask, a sidecar
+    * read after.
+    */
+  private[graft] def embOccupancy(
+      s: SparkSession, d: String): LshCensus.Occupancy =
+    LshCensus.occupancy(
+      s"emb_${KMeans.corpusKey(d)}_cap${D9BucketCap}_p6t4_v1",
+      D9BucketCap, DedupQueries.PairBudgetPerRow)(
+      embBucketRel(s, d, 6, 4).select("bucket"))
+
+  /** d9's recall advisory (round-10 verdict item 3: the d-family's
+    * escape from the silent-collapse regime, applied to the
+    * hyperplane family): when the DEFAULT dials over a densifying
+    * corpus put ≥ the warn fraction of banded rows in over-cap
+    * buckets, the cap sheds exactly the dense regions near-dups live
+    * in — warn once per (corpus, process), naming the family's
+    * re-dials. Advisory-only; failures skip the warning, never the
+    * query.
+    */
+  private[graft] def maybeWarnEmbeddingRecall(
+      s: SparkSession, d: String): Boolean = {
+    val dialed = s.conf.getOption("graft.emb.planes").isDefined ||
+      s.conf.getOption("graft.emb.tables").isDefined
+    val fire = !dialed &&
+      (try embOccupancy(s, d).shedFraction >=
+        DedupQueries.DedupShedWarnFraction
+      catch { case scala.util.control.NonFatal(e) =>
+        advisoryLog.warn(s"embedding recall advisory skipped for $d: $e")
+        false })
+    if (fire && embRecallWarned.add(d)) {
+      val occ = embOccupancy(s, d)
+      advisoryLog.warn(
+        f"hyperplane-LSH bucket cap (default $D9BucketCap) is " +
+          f"shedding ${occ.shedFraction * 100}%.1f%% of banded rows " +
+          f"over $d (${occ.nOverCap} of ${occ.nBuckets} buckets " +
+          f"over-cap, widest ${occ.maxWidth}) - embedding near-dup " +
+          "recall degrades silently in this regime. Re-dials: raise " +
+          "graft.emb.planes (bucket width ~ n/2^planes per table - " +
+          "the response to a DENSIFYING corpus) and/or " +
+          "graft.emb.tables (recall: a pair is missed only if every " +
+          "table splits it, at one more banded pass per table)." +
+          (if (occ.capRec > D9BucketCap)
+            f" This corpus's census also admits bucket_cap=" +
+              f"${occ.capRec} inside the linear pair envelope."
+          else "") +
+          " Verification oracles assume the default dials.")
+    }
     fire
   }
 
@@ -1496,9 +1579,13 @@ object SimilarityQueries {
     * cannot see past the explode and would broadcast it (the d4 bug
     * class).
     */
-  private[graft] def embeddingLshPairs(
+  /** d9's banded relation: one row per (vector, hash table) with the
+    * hyperplane bucket id — shared by the pair miner and the
+    * occupancy census (which needs ONLY the bucket column).
+    */
+  private[graft] def embBucketRel(
       s: SparkSession, d: String,
-      planes: Int, tables: Int, cap: Long): DataFrame = {
+      planes: Int, tables: Int): DataFrame = {
     val t = base(s, d)
     val tableBuckets = (0 until tables).map { tab =>
       (0 until planes).map { j =>
@@ -1507,8 +1594,24 @@ object SimilarityQueries {
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _) + lit((1L << planes) * tab)
     }
-    val bk = t.withColumn("bucket",
-      explode(array(tableBuckets: _*)))
+    t.withColumn("bucket", explode(array(tableBuckets: _*)))
+  }
+
+  /** d9's plane/table dials (`graft.emb.planes` / `graft.emb.tables`,
+    * defaults 6/4): planes bound bucket WIDTH (~n/2^planes per table —
+    * the production response to a densifying corpus is more planes),
+    * tables buy RECALL (a pair is missed only if every table splits
+    * it). Verification assumes the defaults, like the d-family dials.
+    */
+  private[graft] def embPlanes(s: SparkSession): Int =
+    s.conf.getOption("graft.emb.planes").map(_.toInt).getOrElse(6)
+  private[graft] def embTables(s: SparkSession): Int =
+    s.conf.getOption("graft.emb.tables").map(_.toInt).getOrElse(4)
+
+  private[graft] def embeddingLshPairs(
+      s: SparkSession, d: String,
+      planes: Int, tables: Int, cap: Long): DataFrame = {
+    val bk = embBucketRel(s, d, planes, tables)
     val narrow = bk.groupBy("bucket")
       .agg(count(lit(1)).as("w"))
       .where(col("w") <= cap)

@@ -1,0 +1,104 @@
+package graft.pol
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deferred (log-structured) deletes for manifest tables — the
+  * production answer to round-10 verdict item 4: an eager
+  * [[PoolJsonSink.deletePartitioned]] rewrites EVERY bucket a doomed
+  * key hashes into, and a trickle of deletes whose keys spray across
+  * the key space (n18's `vec_id % 13` wave, a GDPR erasure feed, a
+  * crawl retraction) degenerates to a full-table rewrite per wave
+  * (N18Probe measured 15.7 s ≈ the 13.7 s full rebuild at probe
+  * scale). Here deletes APPEND to a tombstone side-table in O(delta)
+  * — a manifest table itself, so commits are the same CAS and the
+  * log is bucket-pruned — and data buckets rewrite LAZILY, only once
+  * enough tombstones accumulate against them ([[applyTo]]'s dirt
+  * threshold). Reads anti-join the pending tombstones
+  * ([[readMinus]]), whose size the threshold bounds at
+  * `dirtPerBucket · nBuckets`, so the read-side merge stays a
+  * broadcast at production dials. This is Delta/Iceberg's
+  * deletion-vector trade built from the platform's own primitives —
+  * no table-format change, every reader of the BASE table keeps its
+  * exact semantics (the tombstone merge is the composed read's
+  * contract, like a Delta DV-aware scan).
+  */
+object TombstoneLog {
+
+  /** Record doomed keys (one-column DataFrame) in the log: MERGE by
+    * key, so re-deleting a key is idempotent. O(delta + touched log
+    * buckets) — never touches the data table.
+    */
+  def append(
+      spark: SparkSession, tombDir: String, keys: DataFrame,
+      nBuckets: Int = 16): Seq[Long] = {
+    val k = keys.columns.head
+    PoolJsonSink.mergeDelta(spark, tombDir, keys.distinct(),
+      col(k), nBuckets)(_.dropDuplicates(k))
+  }
+
+  /** Pending tombstone keys (the key column only — the table's
+    * internal `__pt` placement column stays internal). */
+  def pending(spark: SparkSession, tombDir: String): DataFrame = {
+    val t = PoolJsonSink.readTable(spark, tombDir)
+    if (t.columns.contains("__pt")) t.drop("__pt") else t
+  }
+
+  /** Apply accumulated tombstones to every DATA bucket holding at
+    * least `dirtPerBucket` of them: those buckets rewrite through the
+    * normal delete arm (bucket-pruned, CAS-committed), and the
+    * applied keys clear from the log; under-threshold buckets keep
+    * deferring (reads hide them via [[readMinus]]). Returns the data
+    * bucket ids rewritten. The per-bucket census is one aggregate
+    * over the (small) log, collected at ≤ nBuckets rows.
+    */
+  def applyTo(
+      spark: SparkSession, tableDir: String, tombDir: String,
+      dirtPerBucket: Long): Seq[Long] = {
+    val m = PoolJsonSink.readManifest(tableDir).getOrElse(return Nil)
+    val n = m.nBuckets.getOrElse(
+      sys.error(s"no bucket count recorded: $tableDir"))
+    val tombs = pending(spark, tombDir)
+    val k = tombs.columns.head
+    val dirty = tombs
+      .groupBy(PoolJsonSink.bucketExpr(col(k), n).as("__b"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= dirtPerBucket)
+      .select("__b").collect().map(_.getLong(0)).toSeq
+    if (dirty.isEmpty) Nil
+    else {
+      val applyKeys = tombs
+        .where(PoolJsonSink.bucketExpr(col(k), n).isin(dirty: _*))
+        .localCheckpoint() // one evaluation feeds both deletes
+      val rewritten = PoolJsonSink.deletePartitioned(
+        spark, tableDir, applyKeys, col(k), n)
+      PoolJsonSink.deletePartitioned(
+        spark, tombDir, applyKeys, col(k))
+      rewritten
+    }
+  }
+
+  /** The composed read: base table minus pending tombstones. The
+    * anti side is bounded by the dirt threshold × nBuckets (anything
+    * bigger has been applied), so it broadcasts below the count gate
+    * — the same sizing discipline as the dedup family's candSemi —
+    * and shuffle-hash pins above it (never broadcast an unbounded
+    * relation on size-estimator faith).
+    */
+  private val TombBroadcastCap = 2L * 1000 * 1000
+  def readMinus(
+      spark: SparkSession, tableDir: String, tombDir: String,
+      keyName: String): DataFrame = {
+    val base = PoolJsonSink.readTable(spark, tableDir)
+    if (PoolJsonSink.readManifest(tombDir).isEmpty) base
+    else {
+      val p = pending(spark, tombDir)
+      val tombs = p.select(col(p.columns.head).as(keyName))
+        .localCheckpoint()
+      if (tombs.count() <= TombBroadcastCap)
+        base.join(broadcast(tombs), Seq(keyName), "left_anti")
+      else
+        base.join(tombs.hint("shuffle_hash"), Seq(keyName), "left_anti")
+    }
+  }
+}

@@ -12,9 +12,18 @@ import org.apache.spark.sql.functions._
   *   seed        — base encode (vec_id%10 < 8) merged into the table
   *   delta_10pct — one insert batch (vec_id%10 = 8), ~10% of corpus
   *   delta_small — a trickle batch (vec_id%1000 = 999), ~0.1%
-  *   delete      — tombstone wave (vec_id%13 = 0)
+  *   compact     — inline small-files maintenance (the recipe's
+  *                 every-2nd-delta discipline; bounds files/bucket)
+  *   delete_defer— tombstone wave (vec_id%13 = 0) APPENDED to the
+  *                 log in O(delta) — the round-10 eager wave hashed
+  *                 into every bucket (= full table rewrite)
+  *   delete_apply— lazy rewrite of only the dirt-threshold buckets
+  *   read_merged — composed read (base anti-join pending tombstones)
+  *   delete_eager— the old all-buckets arm, kept for the comparison
   *   rebuild     — full pqEncode + one-shot write (the thing
   *                 incremental maintenance avoids)
+  * After every stage the manifest's max files/bucket prints — the
+  * bounded-small-files evidence the compaction discipline claims.
   * Methodology follows ScaleProbe's enforced lessons: a generation
   * batch refuses to measure (exit 2), and each stage's first sample
   * is discarded (min of two steady-state runs reported). Model
@@ -79,13 +88,22 @@ object N18Probe {
       .select(col("vec_id") +: (col("__v.cid").as("cid") +:
         (0 until M).map(j => col(s"__v.code$j").as(s"code$j"))): _*)
 
+    var table = ""
+    def filesPerBucket(): String =
+      graft.pol.PoolJsonSink.readManifest(table) match {
+        case Some(m) if m.buckets.nonEmpty =>
+          val sizes = m.buckets.values.map(_.size)
+          s"files/bucket max=${sizes.max} buckets=${m.buckets.size}"
+        case _ => ""
+      }
     def timed(name: String)(body: => Unit): Unit = {
       // stage semantics are stateful (each merge advances the table),
       // so per-stage min-of-N is not replayable: discard a throwaway
       // table's first run instead via the jit warm below
       val s0 = System.nanoTime()
       body
-      println(f"$name%-14s ${(System.nanoTime() - s0) / 1e9}%8.2f s")
+      println(f"$name%-14s ${(System.nanoTime() - s0) / 1e9}%8.2f s  " +
+        filesPerBucket())
     }
 
     // one discarded maintenance cycle on a tiny slice: compiles every
@@ -104,8 +122,10 @@ object N18Probe {
       println(f"[jit-warm] cycle ${(System.nanoTime() - w0) / 1e9}%.2f s (discarded)")
     }
 
-    val table = java.nio.file.Files
-      .createTempDirectory("graft_n18p_").toString + "/idx"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_n18p_").toString
+    table = root + "/idx"
+    val tomb = root + "/tomb"
     timed("seed_80pct") {
       graft.pol.PoolJsonSink.mergeDelta(spark, table,
         graft.llm.SimilarityQueries.pqEncode(spark, dir,
@@ -136,10 +156,32 @@ object N18Probe {
           t.where(col("vec_id") % 100000 === 7)),
         col("vec_id"), nBuckets)(combine)
     }
-    timed("delete_wave") {
+    timed("compact") {
+      graft.pol.PoolJsonSink.compactPartitions(spark, table,
+        maxFilesPerPartition = 2)
+      graft.pol.PoolJsonSink.vacuum(table)
+    }
+    val doomed = t.where(col("vec_id") % 13 === 0).select("vec_id")
+    timed("delete_defer") {
+      graft.pol.TombstoneLog.append(spark, tomb, doomed, nBuckets)
+    }
+    // threshold sized so a SPRAYED wave (~7.7% of keys, uniform over
+    // buckets) leaves most buckets under it: 2x the expected
+    // tombstones per bucket
+    val dirt = math.max(2L, 2L * nVecs / 13 / nBuckets)
+    var applied: Seq[Long] = Nil
+    timed("delete_apply") {
+      applied = graft.pol.TombstoneLog.applyTo(spark, table, tomb, dirt)
+    }
+    println(s"delete_apply rewrote ${applied.size} of $nBuckets " +
+      s"buckets (dirt threshold $dirt)")
+    timed("read_merged") {
+      graft.pol.TombstoneLog.readMinus(spark, table, tomb, "vec_id")
+        .agg(count(org.apache.spark.sql.functions.lit(1))).head()
+    }
+    timed("delete_eager") {
       graft.pol.PoolJsonSink.deletePartitioned(spark, table,
-        t.where(col("vec_id") % 13 === 0).select("vec_id"),
-        col("vec_id"), nBuckets)
+        doomed, col("vec_id"), nBuckets)
     }
     timed("rebuild_full") {
       val out = java.nio.file.Files
@@ -147,7 +189,8 @@ object N18Probe {
       graft.llm.SimilarityQueries.pqEncode(spark, dir, t)
         .write.mode("overwrite").parquet(out)
     }
-    val rows = graft.pol.PoolJsonSink.readTable(spark, table).count()
+    val rows = graft.pol.TombstoneLog
+      .readMinus(spark, table, tomb, "vec_id").count()
     println(s"maintained table rows: $rows over $nVecs vectors")
     spark.stop()
   }

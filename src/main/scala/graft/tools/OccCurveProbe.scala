@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
 object OccCurveProbe {
   def main(args: Array[String]): Unit = {
     val d = args(0)
-    // optional banding first arg as r=<rowsPerBand> (default 4)
-    val rArg = args.lift(1).filter(_.startsWith("r="))
+    // flags anywhere after the dir: r=<rowsPerBand> (default 4),
+    // k=<numPerms> (default 16 — round-11's third lever)
+    val rArg = args.find(_.startsWith("r="))
       .map(_.stripPrefix("r=").toInt)
-    val capArgs = args.drop(1).filterNot(_.startsWith("r="))
+    val kArg = args.find(_.startsWith("k="))
+      .map(_.stripPrefix("k=").toInt)
+    val capArgs = args.drop(1)
+      .filterNot(a => a.startsWith("r=") || a.startsWith("k="))
     val caps: Seq[Long] =
       if (capArgs.nonEmpty) capArgs.toSeq.map(_.toLong)
       else Seq(2L, 8L, 32L, 128L, 512L, 2048L, 8192L, 32768L)
@@ -36,6 +40,7 @@ object OccCurveProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    kArg.foreach(k => spark.conf.set("graft.dedup.num_perms", k))
 
     val bs = graft.llm.DedupQueries
       .sigsWithBuckets(spark, d, rArg.getOrElse(4))
@@ -61,6 +66,7 @@ object OccCurveProbe {
       .min(bs.where(col("doc_id") % 50 === 1).count())
 
     println(s"corpus=$d rows_per_band=${rArg.getOrElse(4)} " +
+      s"num_perms=${kArg.getOrElse(16)} " +
       s"planted_pairs=$planted " +
       s"pairs_sharing_any_bucket=${minw.length} total_banded_rows=$total")
     caps.foreach { c =>

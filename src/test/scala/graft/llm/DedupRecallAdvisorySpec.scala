@@ -125,6 +125,36 @@ class DedupRecallAdvisorySpec extends AnyFunSuite {
     }
   }
 
+  test("the num_perms dial widens signatures and adds bands") {
+    spark.conf.set("graft.dedup.num_perms", "32")
+    try {
+      // d2's signature string carries 32 '_'-joined minima
+      val sig = graft.SparkEntry.queries("d2_minhash_signatures")(
+        spark, sf0001).head().getAs[String]("sig")
+      assert(sig.split('_').length == 32)
+      // default 4 rows/band over 32 perms = 8 bands
+      val bs = DedupQueries.sigsWithBuckets(spark, sf0001)
+        .select(size(col("bs"))).head().getInt(0)
+      assert(bs == 8)
+      // identical docs share every minhash under any K: the group
+      // fixture still yields its pairs through d7 at the dialed cap
+      val dir = saturatedCorpus(nGroups = 2, width = 4, nDistinct = 4)
+      spark.conf.set("graft.dedup.bucket_cap", "4")
+      try {
+        val pairs = graft.SparkEntry
+          .queries("d7_lsh_bucket_cap")(spark, dir).count()
+        assert(pairs == 12L, s"K=32 pairs=$pairs")
+      } finally spark.conf.unset("graft.dedup.bucket_cap")
+    } finally spark.conf.unset("graft.dedup.num_perms")
+  }
+
+  test("advisory is silent when the operator has raised num_perms") {
+    val dir = saturatedCorpus(nGroups = 30, width = 4, nDistinct = 10)
+    spark.conf.set("graft.dedup.num_perms", "32")
+    try assert(!DedupQueries.maybeWarnDedupRecall(spark, dir))
+    finally spark.conf.unset("graft.dedup.num_perms")
+  }
+
   test("advisory is silent when the operator has re-banded") {
     val dir = saturatedCorpus(nGroups = 30, width = 4, nDistinct = 10)
     spark.conf.set("graft.dedup.rows_per_band", "8")
