@@ -21,13 +21,21 @@ object D15CountProbe {
     val d = args(0)
     // the cap is positional-after-flags: `<dir> r=8 32` dials both
     // (args.lift(1) alone silently dropped the cap there — ADVICE r10)
-    val capArg =
-      args.drop(1).filterNot(_.startsWith("r=")).headOption.map(_.toInt)
+    val capArg = args.drop(1)
+      .filterNot(a => a.startsWith("r=") || a.startsWith("k="))
+      .headOption.map(_.toInt)
     val rArg = args.find(_.startsWith("r=")).map(_.stripPrefix("r=").toInt)
+    val kArg = args.find(_.startsWith("k=")).map(_.stripPrefix("k=").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions sized with the data, not the cores: at
+    // num_perms=32 the 16M banded relation is 64M rows of 32-long
+    // sigs and a 32-partition shuffle-hash build no longer fits task
+    // memory (measured: "Can't acquire 536870912 bytes" at 16M) —
+    // exactly the charter's partitions-scale-with-SF rule
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -35,6 +43,7 @@ object D15CountProbe {
     spark.sparkContext.setLogLevel("WARN")
     capArg.foreach(c => spark.conf.set("graft.dedup.bucket_cap", c))
     rArg.foreach(r => spark.conf.set("graft.dedup.rows_per_band", r))
+    kArg.foreach(k => spark.conf.set("graft.dedup.num_perms", k))
     val occ = graft.llm.DedupQueries.lshOccupancy(spark, d)
     println(s"""{"occupancy":{"total_rows":${occ.totalRows},""" +
       s""""shed_rows":${occ.sheddedRows},"n_buckets":${occ.nBuckets},""" +

@@ -162,8 +162,13 @@ object N18Probe {
       graft.pol.PoolJsonSink.vacuum(table)
     }
     val doomed = t.where(col("vec_id") % 13 === 0).select("vec_id")
+    // the LOG keeps its own small bucket count (the recipe's default):
+    // it is tombstone-sized, and inheriting the data table's nBuckets
+    // made the first append stage nBuckets tiny files — measured
+    // 23.5 s at 1024 buckets vs the eager delete's 14.6 s, i.e. the
+    // defer LOST until the log stopped copying the data table's shape
     timed("delete_defer") {
-      graft.pol.TombstoneLog.append(spark, tomb, doomed, nBuckets)
+      graft.pol.TombstoneLog.append(spark, tomb, doomed)
     }
     // threshold sized so a SPRAYED wave (~7.7% of keys, uniform over
     // buckets) leaves most buckets under it: 2x the expected
