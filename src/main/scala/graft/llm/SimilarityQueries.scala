@@ -690,14 +690,22 @@ object SimilarityQueries {
       }
       // the delete wave DEFERS through the tombstone log (O(delta) —
       // the eager arm hashed vec_id%13 into every bucket: a full
-      // table rewrite per wave, N18Probe round 10): only buckets
-      // accumulating ≥ 4 tombstones rewrite now, the rest stay
-      // deferred and the composed read hides them. Same final
-      // relation either way — the oracle (rebuild minus deletes)
-      // pins that equivalence.
+      // table rewrite per wave, N18Probe round 10). The dirt
+      // threshold is sized to the wave (2× the expected tombstones
+      // per bucket, the N18Probe formula): a uniformly-sprayed wave
+      // stays fully deferred — the production default, apply being a
+      // maintenance-window op — and the composed read hides the
+      // pending set. A threshold under the per-bucket mean would
+      // quietly re-create the eager all-bucket rewrite PLUS log
+      // overhead (the first catalog run measured exactly that:
+      // 6.6 s vs 4.0 s round-10). Same final relation either way —
+      // the oracle (rebuild minus deletes) pins that equivalence,
+      // and TombstoneLogSpec pins the apply arm.
       val doomed = t.where(col("vec_id") % 13 === 0).select("vec_id")
+        .localCheckpoint()
       graft.pol.TombstoneLog.append(s, tomb, doomed)
-      graft.pol.TombstoneLog.applyTo(s, table, tomb, dirtPerBucket = 4L)
+      val dirt = math.max(2L, 2L * doomed.count() / 16)
+      graft.pol.TombstoneLog.applyTo(s, table, tomb, dirtPerBucket = dirt)
       graft.pol.TombstoneLog.readMinus(s, table, tomb, "vec_id")
         .select(col("vec_id") +: col("cid") +: codeCols: _*)
         .orderBy("vec_id")
