@@ -165,9 +165,6 @@ object DedupQueries {
     * the exchange shrinks from corpus-sized to candidate-sized.
     */
   private val CandBroadcastCap = 2L * 1000 * 1000
-  /** Guards the session-global bloom-conf set→build→restore window in
-    * [[candSemi]] against concurrent interleaving (ADVICE round 9). */
-  private val bloomConfLock = new Object
   /** Session-conf override of [[CandBroadcastCap]] — exists so a spec
     * (and an operator tuning for a smaller driver) can drive the
     * bloom fallback without a >2M-candidate corpus. */
@@ -180,30 +177,28 @@ object DedupQueries {
     if (n <= candBroadcastCap(base.sparkSession))
       base.join(broadcast(ids), Seq("doc_id"), "left_semi")
     else {
-      // BloomSketch.build raises the session's runtime-bloom size
-      // confs to fit n keys; the sketch materializes EAGERLY here
-      // (.head), so snapshot and restore them — left raised, every
-      // later unrelated join in the session would size its own
-      // injected runtime filters at candidate scale. The whole
-      // set→build→restore window holds [[bloomConfLock]]: two
-      // concurrent candSemi builds (or a concurrent BloomSketch user
-      // honoring the same lock) would otherwise interleave set/restore
-      // and run with a clobbered cap. Snapshot-by-get does turn a
-      // previously-UNSET key into an explicitly-set default on
-      // restore — benign (the restored value is exactly the default
-      // the optimizer would resolve), and RuntimeConfig cannot
-      // distinguish the two states without internals.
-      val conf = base.sparkSession.conf
-      val confKeys = Seq(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
-      val sketch = bloomConfLock.synchronized {
-        val saved = confKeys.map(k => k -> conf.get(k))
-        try ids
+      // BloomSketch.build raises the ACTIVE session's runtime-bloom
+      // size confs to fit n keys. Rounds 9–10 snapshot-and-restored
+      // the shared session's confs under a lock, which was still
+      // racy against PARALLEL catalog queries planning joins inside
+      // the raised window (carried ADVICE caution). Now the sketch
+      // builds and materializes on a throwaway `newSession()` —
+      // same SparkContext and cached blocks (the checkpointed ids
+      // RDD re-binds directly), ISOLATED RuntimeConfig — so no
+      // shared state is ever written and nothing needs restoring.
+      val spark = base.sparkSession
+      val sess2 = spark.newSession()
+      val ids2 = sess2.createDataFrame(ids.rdd, ids.schema)
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.setActiveSession(sess2)
+      val sketch =
+        try ids2
           .agg(graft.functions.BloomSketch.build(col("doc_id"), n).as("bf"))
           .head.getAs[Array[Byte]](0)
-        finally saved.foreach { case (k, v) => conf.set(k, v) }
-      }
+        finally prevActive match {
+          case Some(p) => SparkSession.setActiveSession(p)
+          case None => SparkSession.clearActiveSession()
+        }
       base
         .where(graft.functions.BloomSketch.mightContain(sketch, col("doc_id")))
         .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
@@ -775,8 +770,13 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def d15Scored(s: SparkSession, d: String): DataFrame =
     d15Cache.computeIfAbsent(
+      // cand_broadcast_cap is a pure STRATEGY dial (CandSemiFallbackSpec
+      // pins value-equality across it) but it keys the cache anyway so
+      // the spec's dialed run exercises the real bloom path instead of
+      // reading the default-dial memo
       s"${s.sparkContext.applicationId}:${docsKey(d)}" +
-        s":c${bucketCap(s)}:r${rowsPerBand(s)}:k${numPerms(s)}", _ => {
+        s":c${bucketCap(s)}:r${rowsPerBand(s)}:k${numPerms(s)}" +
+        s":cb${candBroadcastCap(s)}", _ => {
       // same two structural moves as d8: the candidates materialize
       // ONCE (three consumers would otherwise re-inline the whole d7
       // subplan), and the candidate-id set BROADCASTS into the semi
@@ -954,9 +954,9 @@ object DedupQueries {
             "(this corpus's census; costs a pair exchange). For " +
             "calibration, measured ON THE 16M FIXED-VOCAB PROBE " +
             "CORPUS ONLY (SCALING.md rounds 10-11): re-banding took " +
-            "planted recall 26% -> 82%, the cap route 79%, " +
-            "re-banding + num_perms=32 higher still - your corpus's " +
-            "numbers will differ with its bucket shape."
+            "planted recall 26% -> 82%, the cap route 79%, and " +
+            "re-banding + num_perms=32 96% at ~2x d7 cost - your " +
+            "corpus's numbers will differ with its bucket shape."
         else
           "No cap inside the linear cost envelope recovers the shed " +
             "mass (it sits in near-identical boilerplate buckets " +

@@ -55,6 +55,7 @@ object TombstoneLog {
   def applyTo(
       spark: SparkSession, tableDir: String, tombDir: String,
       dirtPerBucket: Long): Seq[Long] = {
+    if (PoolJsonSink.readManifest(tombDir).isEmpty) return Nil // no log yet
     val m = PoolJsonSink.readManifest(tableDir).getOrElse(return Nil)
     val n = m.nBuckets.getOrElse(
       sys.error(s"no bucket count recorded: $tableDir"))
