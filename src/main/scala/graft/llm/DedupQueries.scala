@@ -230,6 +230,69 @@ object DedupQueries {
     */
   private[llm] val BlockCap = 1000
 
+  /** Session dial over [[BlockCap]] (`graft.dedup.block_cap`) — the
+    * exact pairwise family's width lever, added with its advisory
+    * (round 11): the cap silently DROPS every doc of an over-wide
+    * source from d4/d13/d14's output, which is correct cost
+    * discipline (the per-block self-join is quadratic) but the same
+    * silent-recall regime d7/d9/m5 escaped this round. Verification
+    * assumes the default.
+    */
+  private[llm] def blockCap(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.block_cap").map(_.toInt)
+      .getOrElse(BlockCap)
+
+  private val blockCapWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Source-block occupancy census at the default cap — [[LshCensus]]
+    * with the SOURCE as the bucket: one tiny aggregate (|sources|
+    * rows), sidecar-cached like every census.
+    */
+  private[graft] def blockOccupancy(
+      s: SparkSession, d: String): LshCensus.Occupancy =
+    LshCensus.occupancy(
+      s"block_${docsKey(d)}_cap${BlockCap}_v1",
+      BlockCap, PairBudgetPerRow)(
+      documents(s, d).select(col("source").as("bucket")))
+
+  /** Block-cap recall advisory (the d7/d9/m5 contract for the exact
+    * pairwise family): fires once per (corpus, process) when the
+    * default [[BlockCap]] excludes ≥ the warn fraction of documents
+    * from d4/d13/d14's exact baselines — a corpus dominated by one
+    * crawl would silently return near-empty "exact ground truth".
+    * Advisory-only; failures skip the warning, never the query.
+    */
+  private[graft] def maybeWarnBlockCap(
+      s: SparkSession, d: String): Boolean = {
+    val dialed = s.conf.getOption("graft.dedup.block_cap").isDefined
+    val fire = !dialed &&
+      (try blockOccupancy(s, d).shedFraction >= DedupShedWarnFraction
+      catch { case scala.util.control.NonFatal(e) =>
+        advisoryLog.warn(s"block-cap advisory skipped for $d: $e")
+        false })
+    if (fire && blockCapWarned.add(d)) {
+      val occ = blockOccupancy(s, d)
+      advisoryLog.warn(
+        f"source-block cap (default graft.dedup.block_cap=$BlockCap) " +
+          f"is excluding ${occ.shedFraction * 100}%.1f%% of documents " +
+          f"from the exact pairwise baselines (d4/d13/d14) over $d " +
+          f"(${occ.nOverCap} of ${occ.nBuckets} sources over-cap, " +
+          f"widest ${occ.maxWidth}) - their pairs are silently absent " +
+          "from the output. Re-dials: " +
+          (if (occ.capRec > BlockCap)
+            f"graft.dedup.block_cap=${occ.capRec} stays inside the " +
+              "linear pair envelope on this corpus's census; "
+          else
+            "no cap inside the linear pair envelope admits the wide " +
+              "sources (their self-join is genuinely quadratic); ") +
+          "for unbounded corpora the scale path is the capped-LSH " +
+          "chain (d7 -> d8/d15), which these exact baselines " +
+          "calibrate. Verification oracles assume the default.")
+    }
+    fire
+  }
+
   /** Shared scaffold for the exact pairwise shingle-overlap family
     * (d4 resemblance, d13 containment): block-capped self-join on
     * shingle hashes → (doc_a, doc_b, shared, na, nb). The metric on
@@ -478,14 +541,20 @@ object DedupQueries {
     // skewed corpus. The scale path for unbounded corpora stays
     // d7 (capped LSH) → d8 (exact verify on candidates); d4's role is
     // the oracle-checkable exact ground truth on bounded blocks.
-    "d4_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d, BlockCap)),
+    "d4_ngram_jaccard" -> ((s, d) => {
+      maybeWarnBlockCap(s, d)
+      ngramJaccard(s, d, blockCap(s))
+    }),
 
     // D13 — containment dedup: the production policy for "this doc is
     // a verbatim SUBSET of that one" (boilerplate wrappers, quoted
     // articles, page templates). Same block-capped pair scaffold as
     // d4; at scale the production path is the same d7 LSH candidate
     // generation with this metric in the verify stage.
-    "d13_containment" -> ((s, d) => ngramContainment(s, d, BlockCap)),
+    "d13_containment" -> ((s, d) => {
+      maybeWarnBlockCap(s, d)
+      ngramContainment(s, d, blockCap(s))
+    }),
 
     // D14 — edit-distance near-dup: exact normalized Levenshtein
     // similarity 1 - lev/max(len), floor 0.8, over the same
@@ -501,11 +570,12 @@ object DedupQueries {
     // (like d8); d14's role is the oracle-checkable exact ground truth
     // on bounded blocks.
     "d14_edit_distance" -> ((s, d) => {
+      maybeWarnBlockCap(s, d)
       val docs = documents(s, d)
         .select(col("doc_id"), col("text"), col("source"),
           length(col("text")).as("n"))
       val narrow = docs.groupBy("source").count()
-        .filter(col("count") <= BlockCap).select("source")
+        .filter(col("count") <= blockCap(s)).select("source")
       val dd = docs.join(broadcast(narrow), Seq("source"))
       // Fan the probe side out to the full parallelism with an
       // EXPLICIT partition count: the pair stage below is

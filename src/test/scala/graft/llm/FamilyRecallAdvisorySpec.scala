@@ -143,4 +143,58 @@ class FamilyRecallAdvisorySpec extends AnyFunSuite {
     assert(rel2.groupBy("doc_id").count()
       .select(max("count")).as[Long].head() == 2L)
   }
+
+  /** One source holding `wide` docs (over the default BlockCap) plus
+    * `nDistinct` one-doc sources.
+    */
+  private def wideSourceCorpus(wide: Int, nDistinct: Int): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_block_adv_").toString
+    import spark.implicits._
+    val big = (0 until wide).map { i =>
+      (i.toLong, s"crawl doc $i with words $i", "en", "megacrawl", 30L)
+    }
+    val uniq = (0 until nDistinct).map { i =>
+      (wide + i.toLong, s"unique doc $i", "en", s"src$i", 20L)
+    }
+    (big ++ uniq).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("block-cap advisory fires when one source dwarfs the default cap") {
+    val dir = wideSourceCorpus(wide = 1100, nDistinct = 50)
+    assert(DedupQueries.maybeWarnBlockCap(spark, dir))
+    val occ = DedupQueries.blockOccupancy(spark, dir)
+    assert(occ.shedFraction > 0.9, s"shed=${occ.shedFraction}")
+    assert(occ.maxWidth == 1100L)
+  }
+
+  test("block-cap advisory is silent on testdata (sources ≤ 250 docs)") {
+    assert(!DedupQueries.maybeWarnBlockCap(spark, sf0001))
+    assert(!DedupQueries.maybeWarnBlockCap(spark, sf001))
+    assert(DedupQueries.blockOccupancy(spark, sf001).shedFraction == 0.0)
+  }
+
+  test("block-cap advisory is silent when the operator has dialed") {
+    val dir = wideSourceCorpus(wide = 1100, nDistinct = 50)
+    spark.conf.set("graft.dedup.block_cap", "2000")
+    try assert(!DedupQueries.maybeWarnBlockCap(spark, dir))
+    finally spark.conf.unset("graft.dedup.block_cap")
+  }
+
+  test("the block-cap dial actually binds d4's block admission") {
+    // block_cap=1 excludes every multi-doc testdata source: the exact
+    // baseline must go empty, and restore at defaults
+    val atDefault = graft.SparkEntry
+      .queries("d4_ngram_jaccard")(spark, sf0001).count()
+    spark.conf.set("graft.dedup.block_cap", "1")
+    try {
+      val dialed = graft.SparkEntry
+        .queries("d4_ngram_jaccard")(spark, sf0001).count()
+      assert(dialed == 0L, s"cap=1 rows=$dialed")
+    } finally spark.conf.unset("graft.dedup.block_cap")
+    assert(atDefault > 0L, "testdata must have in-cap near-dup pairs")
+  }
 }
