@@ -69,6 +69,10 @@ object GraftExtensions {
       exprs => functions.WsTokens(exprs.head, lowered = true)),
     entry("long_array_sum", classOf[functions.LongArraySum],
       exprs => functions.LongArraySum(exprs.head)),
+    entry("char_hist", classOf[functions.CharHistExpr],
+      exprs => functions.CharHistExpr(exprs.head)),
+    entry("int_array_l1", classOf[functions.IntArrayL1],
+      exprs => functions.IntArrayL1(exprs(0), exprs(1))),
     entry("long_array_join", classOf[functions.LongArrayJoin],
       exprs => {
         if (exprs.length != 2) throw new IllegalArgumentException(

@@ -137,12 +137,15 @@ class FunctionsSpec extends AnyFunSuite {
         |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
         |  size(winnow_fingerprint('abcdefghijklmnop')) AS nfp,
         |  pol_line_parse('5 TB1 3').game_win AS win,
-        |  pol_line_parse('5 TB1 3').type_code AS tc""".stripMargin)
+        |  pol_line_parse('5 TB1 3').type_code AS tc,
+        |  int_array_l1(char_hist('abc'), char_hist('abd')) AS l1""".stripMargin)
       .collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) >= 1)
     assert(r.getLong(2) == 8L)
     assert(r.getString(3) == "TB1")
+    // one substitution: histogram L1 = 2 (c −1, d +1)
+    assert(r.getInt(4) == 2)
   }
 
   test("shingle_hashes registered for SQL via GraftExtensions.register") {
