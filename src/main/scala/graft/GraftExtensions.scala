@@ -51,6 +51,17 @@ object GraftExtensions {
       b: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), b)
 
+  /** Arity-checked builder: a wrong-arity SQL call gets the
+    * descriptive IllegalArgumentException (the long_array_join
+    * contract), not an IndexOutOfBoundsException from exprs(i). */
+  private def arity(name: String, n: Int, sig: String)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments ($sig), got ${exprs.length}")
+      b(exprs)
+    }
+
   /** Every graft native expression, SQL-callable. */
   val functionEntries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     minhashSignature,
@@ -58,13 +69,17 @@ object GraftExtensions {
     entry("winnow_fingerprint", classOf[functions.WinnowFingerprint],
       exprs => functions.WinnowFingerprint(exprs.head, 8, 4)),
     entry("dot_product", classOf[functions.DotProduct],
-      exprs => functions.DotProduct(exprs(0), exprs(1))),
+      arity("dot_product", 2, "array<double>, array<double>")(
+        exprs => functions.DotProduct(exprs(0), exprs(1)))),
     entry("pol_line_parse", classOf[functions.PolLineParse],
       exprs => functions.PolLineParse(exprs.head)),
     entry("levenshtein_within", classOf[functions.LevenshteinWithin],
-      exprs => functions.LevenshteinWithin(exprs(0), exprs(1), exprs(2))),
+      arity("levenshtein_within", 3, "string, string, int threshold")(
+        exprs => functions.LevenshteinWithin(exprs(0), exprs(1), exprs(2)))),
     entry("sorted_intersect_count", classOf[functions.SortedIntersectCount],
-      exprs => functions.SortedIntersectCount(exprs(0), exprs(1))),
+      arity("sorted_intersect_count", 2,
+        "array<bigint> sorted, array<bigint> sorted")(
+        exprs => functions.SortedIntersectCount(exprs(0), exprs(1)))),
     entry("ws_tokens", classOf[functions.WsTokens],
       exprs => functions.WsTokens(exprs.head, lowered = true)),
     entry("long_array_sum", classOf[functions.LongArraySum],
@@ -72,7 +87,8 @@ object GraftExtensions {
     entry("char_hist", classOf[functions.CharHistExpr],
       exprs => functions.CharHistExpr(exprs.head)),
     entry("int_array_l1", classOf[functions.IntArrayL1],
-      exprs => functions.IntArrayL1(exprs(0), exprs(1))),
+      arity("int_array_l1", 2, "array<int>, array<int>")(
+        exprs => functions.IntArrayL1(exprs(0), exprs(1)))),
     entry("long_array_join", classOf[functions.LongArrayJoin],
       exprs => {
         if (exprs.length != 2) throw new IllegalArgumentException(

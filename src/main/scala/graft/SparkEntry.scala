@@ -31,6 +31,7 @@ object SparkEntry {
       llm.SimilarityQueries.queries ++
       llm.TextQueries.queries ++
       llm.MultimodalQueries.queries ++
+      llm.Advisories.queries ++
       streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       llm.SimilarityQueries.oracle ++
       llm.TextQueries.oracle ++
       llm.MultimodalQueries.oracle ++
+      llm.Advisories.oracle ++
       streaming.StreamingQueries.oracle
 }

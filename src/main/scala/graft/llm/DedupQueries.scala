@@ -44,6 +44,49 @@ object DedupQueries {
     s.conf.getOption("graft.dedup.bucket_cap").map(_.toInt)
       .getOrElse(BucketCap)
 
+  /** One-touch preset over the measured recall ladder (round-11
+    * verdict item 2): `graft.dedup.profile=recall` bundles the point
+    * SCALING.md measured as dominant on saturated corpora —
+    * num_perms=32 at rows_per_band=8 (engine-validated 0.966/0.960
+    * planted recall at 4M/16M, ~2× d7 cost, candidates still linear)
+    * — because the two dials are only sound TOGETHER: k=32 at the
+    * default r=4 measured WORSE than defaults (0.44 vs the 0.44–0.68
+    * band). A session that sets the profile AND a conflicting
+    * explicit dial is a misconfiguration this preset exists to close,
+    * so it fails loudly instead of silently picking one.
+    * Verification assumes no profile, like every other dial.
+    */
+  private[graft] val RecallProfilePerms = 32
+  private[graft] val RecallProfileRowsPerBand = 8
+  private def profileOf(s: SparkSession): Option[String] =
+    s.conf.getOption("graft.dedup.profile").map {
+      case p @ "recall" => p
+      case other => throw new IllegalArgumentException(
+        s"unknown graft.dedup.profile '$other' (supported: recall)")
+    }
+
+  /** Resolve one chain dial against the active profile: explicit conf
+    * wins when no profile is set; under a profile the preset value
+    * applies and a CONFLICTING explicit conf throws (a half-dialed
+    * recall config measured worse than defaults — SCALING.md r11). */
+  private def profiledDial(
+      s: SparkSession, conf: String, default: Int, preset: Int): Int = {
+    val explicit = s.conf.getOption(conf).map(_.toInt)
+    profileOf(s) match {
+      case Some(p) =>
+        explicit match {
+          case Some(v) if v != preset =>
+            throw new IllegalArgumentException(
+              s"graft.dedup.profile=$p pins $conf=$preset but the " +
+                s"session sets $conf=$v - unset one (the dials are " +
+                "only sound together; the half-configured state " +
+                "measured worse than defaults, SCALING.md round 11)")
+          case _ => preset
+        }
+      case None => explicit.getOrElse(default)
+    }
+  }
+
   /** The THIRD dedup recall lever (round-10 verdict item 2): the
     * permutation count K. `graft.dedup.rows_per_band` squares down
     * per-band collision probability but CAPS recall at the
@@ -57,8 +100,7 @@ object DedupQueries {
     * two dials.
     */
   private[graft] def numPerms(s: SparkSession): Int =
-    s.conf.getOption("graft.dedup.num_perms").map(_.toInt)
-      .getOrElse(K)
+    profiledDial(s, "graft.dedup.num_perms", K, RecallProfilePerms)
 
   /** Spark-side SQL expr for the distinct 8-char shingle hash array. */
   private val shingleHashesExpr =
@@ -118,8 +160,28 @@ object DedupQueries {
   /** Effective rows-per-band for this session (see [[bucketsExprFor]]);
     * verification assumes the default, like the cap dial. */
   private[graft] def rowsPerBand(s: SparkSession): Int =
-    s.conf.getOption("graft.dedup.rows_per_band").map(_.toInt)
-      .getOrElse(K / Bands)
+    profiledDial(s, "graft.dedup.rows_per_band", K / Bands,
+      RecallProfileRowsPerBand)
+
+  /** Every session dial the d7→d15 chain reads, as (tag, value) —
+    * the SINGLE source the queries' dial reads and the d15 memo key
+    * both derive from (ADVICE round 11: a dial added to the chain but
+    * not the hand-maintained key string would silently serve
+    * stale-dial memos). Adding a chain dial means adding it HERE;
+    * the memo key then picks it up by construction. The profile
+    * resolves through numPerms/rowsPerBand, so a profiled session
+    * keys identically to the equivalent explicit dials — which is
+    * correct, because the pair sets are identical by construction
+    * (ProfilePresetSpec pins it).
+    */
+  private[graft] def chainDials(s: SparkSession): Seq[(String, String)] =
+    Seq(
+      "c" -> bucketCap(s).toString,
+      "r" -> rowsPerBand(s).toString,
+      "k" -> numPerms(s).toString,
+      "cb" -> candBroadcastCap(s).toString)
+  private def chainDialKey(s: SparkSession): String =
+    chainDials(s).map { case (t, v) => s"$t$v" }.mkString(":")
 
   private val sqlBuckets = (0 until Bands).map { b =>
     val parts = (0 until K / Bands).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)")
@@ -205,6 +267,72 @@ object DedupQueries {
     }
   }
 
+  /** Memoized corpus row count — one count-only parquet scan per
+    * (corpus, process), the input [[bandedPartitions]] sizes from.
+    * Keyed on the corpus fingerprint so a regenerated corpus never
+    * serves a stale count (the sidecar convention, minus the sidecar:
+    * a count is cheaper to recompute than to round-trip).
+    */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def docCount(s: SparkSession, d: String): Long =
+    docCountCache.computeIfAbsent(docsKey(d),
+      _ => java.lang.Long.valueOf(documents(s, d).count()))
+
+  /** Partitions-scale-with-data, IN the engine (round-11 verdict item
+    * 1). The banded relation's exchanges — band explode → cap
+    * group-by → pair self-join — carry |docs|·bands rows of
+    * numPerms-long signatures, so their bytes are computable BEFORE
+    * any shuffle runs, while `spark.sql.shuffle.partitions` is
+    * whatever the session happens to carry. The 16M-doc k=32 probe
+    * OOM'd its shuffle-hash build exactly here (SCALING.md round 11:
+    * "Can't acquire 536870912 bytes" — 64M banded rows of 32-long
+    * sigs across 32 fixed partitions is a >1 GB per-task build), and
+    * that run was following the advisory's OWN recommended dial. The
+    * fix was previously an env var on the probe; this puts the rule
+    * where production d3/d7/d15 plan: partitions = max(session
+    * default, estimated banded bytes / files.maxPartitionBytes) —
+    * the scan-side sizing discipline applied to the shuffle, with
+    * the build-side HashedRelation's ~2× UnsafeRow blow-up priced in.
+    * Pure function of (rows, perms, session confs) so the sizing is
+    * spec-pinnable without a 16M corpus.
+    */
+  private[graft] def bandedPartitionsFor(
+      bandedRows: Long, perms: Int, defaultParts: Int,
+      targetBytes: Long): Int = {
+    // UnsafeRow per banded row: doc_id + bucket (8 B each), the
+    // perms-long sig array (8 B/element + ~32 B array header), ×2 for
+    // the shuffle-hash build's resident map overhead
+    val bytesPerRow = 8L + 8L + 8L * perms + 32L
+    val want =
+      bandedRows * bytesPerRow * 2L / math.max(targetBytes, 1L) + 1L
+    math.max(defaultParts.toLong, want).min(Int.MaxValue.toLong).toInt
+  }
+  private[graft] def bandedPartitions(s: SparkSession, d: String): Int =
+    bandedPartitionsFor(
+      docCount(s, d) * (numPerms(s) / rowsPerBand(s)).toLong,
+      numPerms(s),
+      s.sessionState.conf.numShufflePartitions,
+      s.sessionState.conf.filesMaxPartitionBytes)
+
+  /** Apply the sizing ONLY when the estimate exceeds the session
+    * default: an explicit repartition pins its partition count (AQE
+    * cannot coalesce a REPARTITION_BY_NUM), so forcing it when the
+    * default already fits would just forbid AQE's small-corpus
+    * coalescing — measured +0.2 s per banded query at sf0.1 for zero
+    * benefit. Under-default estimates keep the round-11 plan shape
+    * bit-for-bit; over-default estimates (the 16M k=32 OOM regime)
+    * get the explicit hash(bucket, N) exchange the whole chain then
+    * reuses.
+    */
+  private def sizeBanded(
+      s: SparkSession, d: String)(df: DataFrame): DataFrame = {
+    val want = bandedPartitions(s, d)
+    if (want > s.sessionState.conf.numShufflePartitions)
+      df.repartition(want, col("bucket"))
+    else df
+  }
+
   /** (doc_id, bs = the band bucket ids as an ARRAY) — the banded
     * relation before the explode; OccCurveProbe derives the recall/
     * cost curve from it (at any rows-per-band) without the pair join. */
@@ -271,6 +399,14 @@ object DedupQueries {
       catch { case scala.util.control.NonFatal(e) =>
         advisoryLog.warn(s"block-cap advisory skipped for $d: $e")
         false })
+    if (fire) {
+      val occ = blockOccupancy(s, d)
+      Advisories.record("dedup_block_cap", d, occ.shedFraction,
+        if (occ.capRec > BlockCap)
+          s"graft.dedup.block_cap=${occ.capRec} (linear pair envelope)"
+        else "no in-envelope cap admits the wide sources; use the " +
+          "capped-LSH chain (d7 -> d8/d15)")
+    }
     if (fire && blockCapWarned.add(d)) {
       val occ = blockOccupancy(s, d)
       advisoryLog.warn(
@@ -399,9 +535,14 @@ object DedupQueries {
     // D3 — LSH candidate pairs: docs sharing any of 4 band buckets,
     // with signature agreement as the similarity estimate.
     "d3_minhash_lsh_pairs" -> ((s, d) => {
-      val banded = sigs(s, d)
+      // data-sized exchange on the chain's join key (see
+      // bandedPartitions/sizeBanded): when the banded bytes outgrow
+      // the session default, the group-by and both self-join sides
+      // reuse one explicit hash(bucket, N) partitioning sized so the
+      // wide signature relation's per-task build fits memory
+      val banded = sizeBanded(s, d)(sigs(s, d)
         .withColumn("bucket",
-          explode(expr(bucketsExprFor(K / Bands, numPerms(s)))))
+          explode(expr(bucketsExprFor(K / Bands, numPerms(s))))))
       // shuffle-hash hints: size estimation cannot see the band
       // explode's blow-up and would broadcast the full banded relation
       // — a plan that cannot survive scale-up (same reasoning as d4)
@@ -440,8 +581,13 @@ object DedupQueries {
       // recall SILENTLY (the cap sheds exactly the buckets where the
       // dups are) — warn once per corpus, naming the computed re-dial
       maybeWarnDedupRecall(s, d)
-      val banded = sigs(s, d)
-        .withColumn("bucket", explode(expr(bucketsExprFor(rowsPerBand(s), numPerms(s)))))
+      // same data-sized exchange as d3: when engaged, one explicit
+      // hash(bucket, N) shuffle of the wide banded relation feeds the
+      // cap group-by, the cap join, and the pair self-join (all
+      // keyed on bucket)
+      val banded = sizeBanded(s, d)(sigs(s, d)
+        .withColumn("bucket",
+          explode(expr(bucketsExprFor(rowsPerBand(s), numPerms(s))))))
       val narrow = banded.groupBy("bucket")
         .agg(count(lit(1)).as("w"))
         .where(col("w") <= bucketCap(s))
@@ -780,40 +926,12 @@ object DedupQueries {
     // barrier is d14's: without it PushDownPredicates folds the lev
     // filter into the join condition and the DP runs per RAW pair.
     "d16_dedup_recall" -> ((s, d) => {
-      val docs = documents(s, d)
-        .select(col("doc_id"), col("text"), length(col("text")).as("n"),
-          graft.functions.CharHist(col("text")).as("ch"))
-        .withColumn("bk", floor(log(1.25,
-          greatest(col("n"), lit(1)).cast("double"))).cast("int"))
-      val isProbe = col("doc_id") % 5 === 0 &&
-        col("doc_id") < D16ProbeBudget
-      val probes = docs.where(isProbe)
-        .select(col("doc_id").as("pid"), col("text").as("pt"),
-          col("n").as("pn"), col("ch").as("pch"),
-          explode(array(col("bk") - 1, col("bk"), col("bk") + 1))
-            .as("pbk"))
-      // d14's explicit fan-out, which d16 was missing (the round-10
-      // 30.9 s: a small corpus is ONE parquet file = ONE scan task,
-      // so the whole DP population ran on a single core; explicit
-      // numPartitions so AQE cannot coalesce a byte-tiny exchange
-      // under a CPU-bound stage)
-      val fan = s.sparkContext.defaultParallelism
-      val truth = docs.repartition(fan, col("doc_id"))
-        .join(broadcast(probes),
-          col("bk") === col("pbk") && col("doc_id") =!= col("pid") &&
-            abs(col("n") - col("pn")) * 5 <= greatest(col("n"), col("pn")) &&
-            graft.functions.IntArrayL1(col("ch"), col("pch")) * 5 <=
-              lit(2) * greatest(col("n"), col("pn")))
-        .select(
-          least(col("doc_id"), col("pid")).as("doc_a"),
-          greatest(col("doc_id"), col("pid")).as("doc_b"),
-          greatest(col("n"), col("pn")).as("m"),
-          graft.functions.BandedLevenshtein(col("text"), col("pt"),
-            (greatest(col("n"), col("pn")) / 5).cast("int")).as("lev"))
-        .observe("d16_band_pairs", count(lit(1)).as("pairs"))
-        .filter(col("lev") >= 0 && col("lev") * 5 <= col("m"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates("doc_a", "doc_b")
+      // truth = a pure function of (corpus, probe budget), mined once
+      // and sidecar-persisted (round-11 verdict item 6) — repeat
+      // bench/CI runs load a few hundred id pairs instead of
+      // re-running the banded-DP sweep; see [[d16Truth]]
+      import s.implicits._
+      val truth = d16Truth(s, d).toDF("doc_a", "doc_b")
       val found = d15Scored(s, d)
         .where(col("is_dup"))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
@@ -824,6 +942,96 @@ object DedupQueries {
             .as("recall"))
     })
   )
+
+  /** d16's exact ground-truth mining — the distributed banded-DP
+    * sweep (the expensive part; runs on the one cold ask per corpus).
+    */
+  private def d16MinedTruth(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"),
+        graft.functions.CharHist(col("text")).as("ch"))
+      .withColumn("bk", floor(log(1.25,
+        greatest(col("n"), lit(1)).cast("double"))).cast("int"))
+    val isProbe = col("doc_id") % 5 === 0 &&
+      col("doc_id") < D16ProbeBudget
+    val probes = docs.where(isProbe)
+      .select(col("doc_id").as("pid"), col("text").as("pt"),
+        col("n").as("pn"), col("ch").as("pch"),
+        explode(array(col("bk") - 1, col("bk"), col("bk") + 1))
+          .as("pbk"))
+    // d14's explicit fan-out, which d16 was missing (the round-10
+    // 30.9 s: a small corpus is ONE parquet file = ONE scan task,
+    // so the whole DP population ran on a single core; explicit
+    // numPartitions so AQE cannot coalesce a byte-tiny exchange
+    // under a CPU-bound stage)
+    val fan = s.sparkContext.defaultParallelism
+    docs.repartition(fan, col("doc_id"))
+      .join(broadcast(probes),
+        col("bk") === col("pbk") && col("doc_id") =!= col("pid") &&
+          abs(col("n") - col("pn")) * 5 <= greatest(col("n"), col("pn")) &&
+          graft.functions.IntArrayL1(col("ch"), col("pch")) * 5 <=
+            lit(2) * greatest(col("n"), col("pn")))
+      .select(
+        least(col("doc_id"), col("pid")).as("doc_a"),
+        greatest(col("doc_id"), col("pid")).as("doc_b"),
+        greatest(col("n"), col("pn")).as("m"),
+        graft.functions.BandedLevenshtein(col("text"), col("pt"),
+          (greatest(col("n"), col("pn")) / 5).cast("int")).as("lev"))
+      .observe("d16_band_pairs", count(lit(1)).as("pairs"))
+      .filter(col("lev") >= 0 && col("lev") * 5 <= col("m"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** d16's truth-set sidecar (round-11 verdict item 6): the truth
+    * pair set is IMMUTABLE given (corpus fingerprint, probe budget) —
+    * it depends on no session dial (the approximate side does; truth
+    * is the unblocked exact sweep) — so it persists fingerprint-keyed
+    * in tmpdir like lshOccupancy, and repeat bench/CI runs read a
+    * probe-budget-bounded pair list (≤400 probes × their length-band
+    * mates) instead of re-mining. The collect, the sidecar, and the
+    * local relation it reloads into are all statistic-sized; the
+    * mining itself stays fully distributed on the cold run. Pairs
+    * sort before publish so the sidecar bytes are deterministic.
+    */
+  private val d16TruthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+  private[graft] def d16Truth(
+      s: SparkSession, d: String): Seq[(Long, Long)] =
+    d16TruthCache.computeIfAbsent(
+      s"d16truth_${docsKey(d)}_b${D16ProbeBudget}_v1", key => {
+        val f = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_$key.txt")
+        val loaded: Option[Seq[(Long, Long)]] =
+          if (!f.isFile) None
+          else {
+            val src = scala.io.Source.fromFile(f, "UTF-8")
+            try Some(src.getLines().filter(_.nonEmpty).map { l =>
+              val a = l.trim.split(' ')
+              (a(0).toLong, a(1).toLong)
+            }.toVector)
+            finally src.close()
+          }
+        loaded.getOrElse {
+          val pairs = d16MinedTruth(s, d).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toVector.sorted
+          val lines = pairs
+            .map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n")
+          val tmp = java.io.File.createTempFile(
+            f.getName, ".tmp", f.getParentFile)
+          java.nio.file.Files.write(tmp.toPath,
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // pure function of the corpus: a lost publish race reads
+          // the same content either way (the LshCensus convention)
+          if (!tmp.renameTo(f)) {
+            if (!f.isFile)
+              java.nio.file.Files.move(tmp.toPath, f.toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            else tmp.delete()
+          }
+          pairs
+        }
+      })
 
   /** One d15 evaluation per (app, corpus, dials) — round-10 verdict
     * item 5: d16 replays the full production chain as its approximate
@@ -840,13 +1048,15 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def d15Scored(s: SparkSession, d: String): DataFrame =
     d15Cache.computeIfAbsent(
+      // the dial list comes from chainDials — the one place a chain
+      // dial is declared — so a dial can never be added to the chain
+      // without also keying this memo (ADVICE round 11).
       // cand_broadcast_cap is a pure STRATEGY dial (CandSemiFallbackSpec
       // pins value-equality across it) but it keys the cache anyway so
       // the spec's dialed run exercises the real bloom path instead of
       // reading the default-dial memo
-      s"${s.sparkContext.applicationId}:${docsKey(d)}" +
-        s":c${bucketCap(s)}:r${rowsPerBand(s)}:k${numPerms(s)}" +
-        s":cb${candBroadcastCap(s)}", _ => {
+      s"${s.sparkContext.applicationId}:${docsKey(d)}:${chainDialKey(s)}",
+      _ => {
       // same two structural moves as d8: the candidates materialize
       // ONCE (three consumers would otherwise re-inline the whole d7
       // subplan), and the candidate-id set BROADCASTS into the semi
@@ -1003,17 +1213,33 @@ object DedupQueries {
       s: SparkSession, d: String): Boolean = {
     val dialed = s.conf.getOption("graft.dedup.bucket_cap").isDefined ||
       s.conf.getOption("graft.dedup.rows_per_band").isDefined ||
-      s.conf.getOption("graft.dedup.num_perms").isDefined
+      s.conf.getOption("graft.dedup.num_perms").isDefined ||
+      s.conf.getOption("graft.dedup.profile").isDefined
     val fire = !dialed &&
       (try lshOccupancy(s, d).shedFraction >= DedupShedWarnFraction
       catch { case scala.util.control.NonFatal(e) =>
         advisoryLog.warn(s"dedup recall advisory skipped for $d: $e")
         false })
+    if (fire) {
+      val occ = lshOccupancy(s, d)
+      Advisories.record("dedup_lsh_cap", d, occ.shedFraction,
+        "graft.dedup.profile=recall" +
+          (if (occ.capRec > BucketCap)
+            s"; or graft.dedup.bucket_cap=${occ.capRec} (linear pair " +
+              "envelope)"
+          else "; or a d1 exact pre-pass (shed mass is boilerplate " +
+            "wider than the envelope admits)"))
+    }
     if (fire && dedupRecallWarned.add(d)) {
       val occ = lshOccupancy(s, d)
       val redial =
         if (occ.capRec > BucketCap)
-          "Three levers: set graft.dedup.rows_per_band=8 to square " +
+          "One-touch: set graft.dedup.profile=recall - it bundles " +
+            "the measured-dominant point (num_perms=32 at " +
+            "rows_per_band=8) and rejects conflicting dials (the " +
+            "half-configured state measured WORSE than defaults). " +
+            "The three individual levers: set " +
+            "graft.dedup.rows_per_band=8 to square " +
             "down the band collision rate at unchanged d7 cost " +
             "(ceiling = the bands that remain); raise " +
             "graft.dedup.num_perms (e.g. 32) to ADD bands, lifting " +
@@ -1025,17 +1251,17 @@ object DedupQueries {
             "calibration, measured ON THE 16M FIXED-VOCAB PROBE " +
             "CORPUS ONLY (SCALING.md rounds 10-11): re-banding took " +
             "planted recall 26% -> 82%, the cap route 79%, and " +
-            "re-banding + num_perms=32 96% at ~2x d7 cost - your " +
+            "the profile=recall point 96% at ~2x d7 cost - your " +
             "corpus's numbers will differ with its bucket shape."
         else
           "No cap inside the linear cost envelope recovers the shed " +
             "mass (it sits in near-identical boilerplate buckets " +
             "wider than the envelope admits): run an exact-dedup " +
             "pre-pass (d1) before LSH, or set " +
-            "graft.dedup.rows_per_band=8 to square down the band " +
-            "collision rate and thin the buckets (raise " +
-            "graft.dedup.num_perms to recover the ceiling the " +
-            "re-banding costs)."
+            "graft.dedup.profile=recall (= rows_per_band=8 to square " +
+            "down the band collision rate and thin the buckets, plus " +
+            "num_perms=32 to recover the ceiling the re-banding " +
+            "costs; the measured point, SCALING.md round 11)."
       advisoryLog.warn(
         f"LSH hot-bucket cap (default graft.dedup.bucket_cap=" +
           f"$BucketCap) is shedding ${occ.shedFraction * 100}%.1f%% of " +

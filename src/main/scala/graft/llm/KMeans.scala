@@ -134,17 +134,16 @@ object KMeans {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Model]()
 
-  /** Corpus cache key: path + the embeddings file's (mtime, size)
-    * fingerprint, so a REGENERATED corpus (the round-5 testdata
-    * migration made this a real event) can never serve a stale
-    * trained model or index.
+  /** Corpus cache key: the embeddings table's recursive fingerprint
+    * (via [[LshCensus.fileKey]] — file count, total bytes, max mtime
+    * over the table path), so a REGENERATED corpus (the round-5
+    * testdata migration made this a real event) — including an
+    * in-place part-file rewrite of a DIRECTORY table, which the old
+    * single-file (mtime, length) pair missed — can never serve a
+    * stale trained model or index.
     */
-  private[llm] def corpusKey(d: String): String = {
-    val src = new java.io.File(s"$d/embeddings.parquet")
-    val fp = s"$d:${src.lastModified}:${src.length}"
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-  }
+  private[llm] def corpusKey(d: String): String =
+    LshCensus.fileKey(d, "embeddings.parquet")
 
   /** The model REGISTRY: trained models persist as bit-exact text
     * (Double.toString/parseDouble round-trips exactly in Java) keyed

@@ -35,13 +35,29 @@ object LshCensus {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Occupancy]()
 
-  /** Corpus fingerprint for sidecar keys: (path, mtime, size) of the
-    * named table file under `d` — a regenerated corpus can never
-    * serve stale stats (the KMeans registry convention).
+  /** Corpus fingerprint for sidecar keys. A production parquet table
+    * is a DIRECTORY of part files — `File.length()` on a directory is
+    * filesystem noise and its mtime only moves when a direct child is
+    * added/removed, so the round-11 single-file fingerprint
+    * (mtime+length of `$d/$table`) could serve a STALE census sidecar
+    * after an in-place part-file rewrite (round-11 verdict item 4 —
+    * the exact regime the census exists to prevent). The fingerprint
+    * is now recursive over the table path: (file count, total bytes,
+    * max mtime) across every regular file under it — any member-file
+    * change (append, rewrite, regeneration) re-keys every sidecar.
+    * Single testdata files degrade to the old (mtime, length) pair.
     */
   private[llm] def fileKey(d: String, table: String): String = {
-    val src = new java.io.File(s"$d/$table")
-    val fp = s"$d:${src.lastModified}:${src.length}"
+    def walk(f: java.io.File): (Long, Long, Long) =
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        kids.foldLeft((0L, 0L, 0L)) { case ((c, b, m), k) =>
+          val (kc, kb, km) = walk(k)
+          (c + kc, b + kb, math.max(m, km))
+        }
+      } else (1L, f.length, f.lastModified)
+    val (count, bytes, mtime) = walk(new java.io.File(s"$d/$table"))
+    val fp = s"$d:$table:$count:$bytes:$mtime"
     java.security.MessageDigest.getInstance("MD5")
       .digest(fp.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
   }

@@ -362,6 +362,14 @@ object MultimodalQueries {
       catch { case scala.util.control.NonFatal(e) =>
         advisoryLog.warn(s"phash recall advisory skipped for $d: $e")
         false })
+    if (fire) {
+      val occ = phashOccupancy(s, d)
+      Advisories.record("phash_band_cap", d, occ.shedFraction,
+        (if (occ.capRec > 16L)
+          s"graft.phash.bucket_cap=${occ.capRec} (linear pair envelope)"
+        else "exact dedup pre-pass (m4/d1) first") +
+          "; or graft.phash.bands=2")
+    }
     if (fire && phashRecallWarned.add(d)) {
       val occ = phashOccupancy(s, d)
       advisoryLog.warn(

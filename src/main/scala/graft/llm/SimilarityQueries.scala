@@ -690,22 +690,22 @@ object SimilarityQueries {
       }
       // the delete wave DEFERS through the tombstone log (O(delta) —
       // the eager arm hashed vec_id%13 into every bucket: a full
-      // table rewrite per wave, N18Probe round 10). The dirt
-      // threshold is sized to the wave (2× the expected tombstones
-      // per bucket, the N18Probe formula): a uniformly-sprayed wave
-      // stays fully deferred — the production default, apply being a
-      // maintenance-window op — and the composed read hides the
-      // pending set. A threshold under the per-bucket mean would
-      // quietly re-create the eager all-bucket rewrite PLUS log
-      // overhead (the first catalog run measured exactly that:
-      // 6.6 s vs 4.0 s round-10). Same final relation either way —
-      // the oracle (rebuild minus deletes) pins that equivalence,
-      // and TombstoneLogSpec pins the apply arm.
+      // table rewrite per wave, N18Probe round 10). autoApply owns
+      // the dirt threshold (2× the expected tombstones per bucket,
+      // derived from the log + table manifests — round-11 verdict
+      // item 5 moved the formula INTO the primitive): a
+      // uniformly-sprayed wave stays fully deferred — the production
+      // default, apply being a maintenance-window op — and the
+      // composed read hides the pending set. A threshold under the
+      // per-bucket mean would quietly re-create the eager all-bucket
+      // rewrite PLUS log overhead (the first catalog run measured
+      // exactly that: 6.6 s vs 4.0 s round-10). Same final relation
+      // either way — the oracle (rebuild minus deletes) pins that
+      // equivalence, and TombstoneLogSpec pins the apply arm.
       val doomed = t.where(col("vec_id") % 13 === 0).select("vec_id")
         .localCheckpoint()
       graft.pol.TombstoneLog.append(s, tomb, doomed)
-      val dirt = math.max(2L, 2L * doomed.count() / 16)
-      graft.pol.TombstoneLog.applyTo(s, table, tomb, dirtPerBucket = dirt)
+      graft.pol.TombstoneLog.autoApply(s, table, tomb)
       graft.pol.TombstoneLog.readMinus(s, table, tomb, "vec_id")
         .select(col("vec_id") +: col("cid") +: codeCols: _*)
         .orderBy("vec_id")
@@ -923,9 +923,14 @@ object SimilarityQueries {
     // recoverable error computing the shape stats (sidecar I/O, a
     // half-written file from a crashed peer) skips the warning — the
     // j5-forensics discipline. OOM/interrupt still propagate.
-    val fire = !dialed && (try mergedClusterFraction(s, d) >= 0.5
+    val frac = if (dialed) 0.0 else (try mergedClusterFraction(s, d)
       catch { case scala.util.control.NonFatal(e) =>
-        advisoryLog.warn(s"recall advisory skipped for $d: $e"); false })
+        advisoryLog.warn(s"recall advisory skipped for $d: $e"); 0.0 })
+    val fire = !dialed && frac >= 0.5
+    if (fire)
+      Advisories.record("ann_serving_dials", d, frac,
+        "graft.pq.k=64, graft.ann.nprobe=4, graft.ann.rerank_c=200 " +
+          "(recall 1.00 on the hard probe corpus)")
     if (fire && recallWarned.add(d))
       advisoryLog.warn(
         s"ANN serving dials are at the conservative oracle-pinned " +
@@ -1027,15 +1032,20 @@ object SimilarityQueries {
     */
   private[graft] def maybeWarnIndexStaleness(
       s: SparkSession, d: String, deltaRel: DataFrame): Boolean = {
-    val fire =
+    val ratio =
       try {
         val base = pqBaseErr(s, d)
         val delta = meanErr(s, d, deltaRel)
-        !delta.isNaN && !base.isNaN && base > 0 &&
-          delta / base >= StalenessRatio
+        if (!delta.isNaN && !base.isNaN && base > 0) delta / base
+        else 0.0
       } catch { case scala.util.control.NonFatal(e) =>
         advisoryLog.warn(s"staleness advisory skipped for $d: $e")
-        false }
+        0.0 }
+    val fire = ratio >= StalenessRatio
+    if (fire)
+      Advisories.record("index_staleness", d, ratio,
+        "retrain + full index rebuild (the registry re-keys on " +
+          "corpus fingerprint)")
     if (fire && stalenessWarned.add(d))
       advisoryLog.warn(
         s"incremental index maintenance over $d: a delta batch's " +
@@ -1081,6 +1091,14 @@ object SimilarityQueries {
       catch { case scala.util.control.NonFatal(e) =>
         advisoryLog.warn(s"embedding recall advisory skipped for $d: $e")
         false })
+    if (fire) {
+      val occ = embOccupancy(s, d)
+      Advisories.record("emb_lsh_cap", d, occ.shedFraction,
+        "raise graft.emb.planes and/or graft.emb.tables" +
+          (if (occ.capRec > D9BucketCap)
+            s"; census also admits bucket_cap=${occ.capRec}"
+          else ""))
+    }
     if (fire && embRecallWarned.add(d)) {
       val occ = embOccupancy(s, d)
       advisoryLog.warn(

@@ -22,10 +22,13 @@ object D15CountProbe {
     // the cap is positional-after-flags: `<dir> r=8 32` dials both
     // (args.lift(1) alone silently dropped the cap there — ADVICE r10)
     val capArg = args.drop(1)
-      .filterNot(a => a.startsWith("r=") || a.startsWith("k="))
+      .filterNot(a => a.startsWith("r=") || a.startsWith("k=") ||
+        a.startsWith("profile="))
       .headOption.map(_.toInt)
     val rArg = args.find(_.startsWith("r=")).map(_.stripPrefix("r=").toInt)
     val kArg = args.find(_.startsWith("k=")).map(_.stripPrefix("k=").toInt)
+    val profArg = args.find(_.startsWith("profile="))
+      .map(_.stripPrefix("profile="))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle partitions sized with the data, not the cores: at
     // num_perms=32 the 16M banded relation is 64M rows of 32-long
@@ -44,6 +47,10 @@ object D15CountProbe {
     capArg.foreach(c => spark.conf.set("graft.dedup.bucket_cap", c))
     rArg.foreach(r => spark.conf.set("graft.dedup.rows_per_band", r))
     kArg.foreach(k => spark.conf.set("graft.dedup.num_perms", k))
+    // `profile=recall` measures the one-touch preset (round-12):
+    // must reproduce the k=32 r=8 row exactly (ProfilePresetSpec
+    // pins bit-equality; this measures it at probe scale)
+    profArg.foreach(p => spark.conf.set("graft.dedup.profile", p))
     val occ = graft.llm.DedupQueries.lshOccupancy(spark, d)
     println(s"""{"occupancy":{"total_rows":${occ.totalRows},""" +
       s""""shed_rows":${occ.sheddedRows},"n_buckets":${occ.nBuckets},""" +

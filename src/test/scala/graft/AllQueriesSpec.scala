@@ -26,7 +26,11 @@ class AllQueriesSpec extends AnyFunSuite {
 
   test("every query runs at sf0.001 (rows may be 0 only for pair-miners)") {
     val mayBeEmpty = Set("d3_minhash_lsh_pairs", "d4_ngram_jaccard",
-      "d6_embedding_neardup", "r8_except", "n3_ann_lsh")
+      "d6_embedding_neardup", "r8_except", "n3_ann_lsh",
+      // r26 is EMPTY BY CONTRACT on healthy default-dial testdata —
+      // no advisory condition holds there (AdvisorySurfaceSpec pins
+      // the non-empty side on saturated fixtures)
+      "r26_advisories")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n > 0 || mayBeEmpty(name), s"$name empty at sf0.001")

@@ -40,8 +40,12 @@ class CharHistBoundSpec extends AnyFunSuite {
       .withColumn("l1", IntArrayL1(CharHist(col("a")), CharHist(col("b"))))
       // unbanded true distance: thr = max length admits every value
       .withColumn("lev", levenshtein(col("a"), col("b")))
+    // violation ⇔ l1 > 2·lev (integer form of ceil(l1/2) > lev —
+    // Spark's `/` is double division, which would assert the STRICTER
+    // 2·lev > l1 and flag sound boundary pairs where l1 == 2·lev,
+    // e.g. pure substitutions)
     val bad = df
-      .where((col("l1") + 1) / 2 > col("lev"))
+      .where(col("l1") > col("lev") * 2)
       .collect()
     assert(bad.isEmpty, s"bound violated: ${bad.take(5).mkString("; ")}")
   }

@@ -63,6 +63,61 @@ class TombstoneLogSpec extends AnyFunSuite {
     assert(got.count() == 400 - b0.size - 1)
   }
 
+  test("autoApply: a uniform wave stays fully deferred") {
+    // exactly 2 dooms per bucket (pending=16, n=8): the derived
+    // threshold max(2, 2·16/8)=4 sits at 2× the per-bucket mean, so
+    // NO bucket crosses it — the round-11 trap (threshold under the
+    // mean ⇒ eager rewrite plus log overhead) is structurally closed
+    val (table, tomb) = freshTable(400, 8)
+    val n = PoolJsonSink.readManifest(table).get.nBuckets.get
+    val buckets: Map[Long, Long] = spark.range(400)
+      .select(col("id"), PoolJsonSink.bucketExpr(col("id"), n).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val doomed = (0L until n.toLong).flatMap(b =>
+      (0L until 400L).filter(buckets(_) == b).take(2))
+    assert(doomed.size == 2 * n)
+    TombstoneLog.append(spark, tomb, doomed.toDF("k"))
+    val v0 = PoolJsonSink.readManifest(table).get.version
+    assert(TombstoneLog.autoApply(spark, table, tomb).isEmpty)
+    assert(PoolJsonSink.readManifest(table).get.version == v0)
+    // reads still hide the whole pending set
+    assert(TombstoneLog.readMinus(spark, table, tomb, "k")
+      .count() == 400 - doomed.size)
+  }
+
+  test("autoApply: a skewed wave rewrites its hot buckets only, then vacuums the log") {
+    val (table, tomb) = freshTable(400, 8)
+    val n = PoolJsonSink.readManifest(table).get.nBuckets.get
+    val buckets: Map[Long, Long] = spark.range(400)
+      .select(col("id"), PoolJsonSink.bucketExpr(col("id"), n).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // 10 dooms into bucket 0, one elsewhere: pending=11 ⇒ derived
+    // threshold max(2, 2·11/8)=2 — bucket 0 crosses, the lone key's
+    // bucket does not
+    val b0 = (0L until 400L).filter(buckets(_) == 0L).take(10)
+    val other = (0L until 400L).find(buckets(_) != 0L).get
+    TombstoneLog.append(spark, tomb, (b0 :+ other).toDF("k"))
+    val rewritten = TombstoneLog.autoApply(spark, table, tomb)
+    assert(rewritten == Seq(0L), s"rewritten=$rewritten")
+    assert(TombstoneLog.pending(spark, tomb)
+      .as[Long].collect().toSet == Set(other))
+    // applied log versions were vacuumed on the same schedule
+    assert(PoolJsonSink.listVersions(tomb).size == 1)
+    assert(TombstoneLog.readMinus(spark, table, tomb, "k")
+      .count() == 400 - b0.size - 1)
+  }
+
+  test("pendingCount memoizes per log version and tracks appends") {
+    val (_, tomb) = freshTable(100, 8)
+    assert(TombstoneLog.pendingCount(spark, tomb) == 0L) // no log yet
+    TombstoneLog.append(spark, tomb, Seq(1L, 2L, 3L).toDF("k"))
+    assert(TombstoneLog.pendingCount(spark, tomb) == 3L)
+    assert(TombstoneLog.pendingCount(spark, tomb) == 3L) // memo hit
+    // a new append bumps the log's manifest version ⇒ fresh count
+    TombstoneLog.append(spark, tomb, Seq(3L, 9L).toDF("k"))
+    assert(TombstoneLog.pendingCount(spark, tomb) == 4L)
+  }
+
   test("deferred chain ≡ eager deletePartitioned") {
     val (table, tomb) = freshTable(300, 8)
     val (table2, _) = freshTable(300, 8)
