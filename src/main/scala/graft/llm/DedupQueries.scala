@@ -252,6 +252,14 @@ object DedupQueries {
       val sess2 = spark.newSession()
       val ids2 = sess2.createDataFrame(ids.rdd, ids.schema)
       val prevActive = SparkSession.getActiveSession
+      // CAUTION (round-11 verdict, residual): setActiveSession is a
+      // THREAD-LOCAL write, so this swap is invisible to other
+      // threads — safe because the sketch build below is synchronous
+      // and the window is restored in `finally`. If catalog queries
+      // ever plan concurrently ON THIS THREAD (callbacks, a shared
+      // executor), the same argument that moved the conf writes onto
+      // sess2 applies here: hand the build its session explicitly
+      // instead of via the active-session global.
       SparkSession.setActiveSession(sess2)
       val sketch =
         try ids2
