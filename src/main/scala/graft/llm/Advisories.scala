@@ -56,6 +56,11 @@ object Advisories {
     fired.values.toArray(Array.empty[Advisory])
       .filter(_.corpus == corpus).sortBy(_.family).toSeq
 
+  /** Everything recorded this process, in firing order — the
+    * `<catalog>.system.advisories` SQL face reads this. */
+  def all: Seq[Advisory] =
+    fired.values.toArray(Array.empty[Advisory]).sortBy(_.ordinal).toSeq
+
   /** Spec hook: forget everything recorded (process-scoped state). */
   private[graft] def clear(): Unit = { fired.clear(); counter.set(0L) }
 

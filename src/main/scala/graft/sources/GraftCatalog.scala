@@ -217,6 +217,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             PoolJsonSink.branchDir(pdir, bname), None)
       }
     }
+    // `<cat>.system.advisories` — SHOW ADVISORIES as a queryable
+    // table (round-11 verdict item 3's catalog face): every advisory
+    // the engine fired this process (family, corpus, measured signal,
+    // computed re-dial, firing ordinal), so an orchestrator reads
+    // re-dials with a WHERE clause instead of grepping executor logs.
+    // Registry-backed (no corpus scan); r26_advisories is the same
+    // relation per-corpus with the census families re-evaluated.
+    if (!exists(ident) && ident.name == "advisories" &&
+        ident.namespace.sameElements(Array("system")))
+      return new GraftAdvisoriesTable(s"$catalogName.system.advisories")
     if (!exists(ident)) throw new NoSuchTableException(ident)
     new GraftCatalogTable(fullName(ident), dataDir(ident).toString, None)
   }
@@ -1100,6 +1110,48 @@ private[sources] class GraftTagsTable(ident: String, tableDir: String)
       override def description(): String = s"$ident (manifest-only)"
       override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
         df.queryExecution.executedPlan.executeCollect()
+    }
+}
+
+/** `<cat>.system.advisories` — the engine's fired advisories as a
+  * queryable SYSTEM table: one row per (family, corpus) whose
+  * condition held this process, with the measured signal and the
+  * COMPUTED re-dial ([[graft.llm.Advisories]] records them at each
+  * fire site). Registry-backed — rows() never scans a corpus — so
+  * the operational question "which of my corpora are silently
+  * shedding recall, and what do I set" is one SQL query instead of
+  * an executor-log grep.
+  */
+private[sources] class GraftAdvisoriesTable(ident: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val advSchema = StructType(Seq(
+    StructField("family", StringType, nullable = false),
+    StructField("corpus", StringType, nullable = false),
+    StructField("signal", DoubleType, nullable = false),
+    StructField("redial", StringType, nullable = false),
+    StructField("ordinal", LongType, nullable = false)))
+
+  override def name(): String = ident
+  override def schema(): StructType = advSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = advSchema
+      override def description(): String = s"$ident (registry-only)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        def str(s: String) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        graft.llm.Advisories.all.map { a =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            str(a.family), str(a.corpus), a.signal, str(a.redial),
+            a.ordinal)
+        }.toArray
+      }
     }
 }
 

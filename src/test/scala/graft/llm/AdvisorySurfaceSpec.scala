@@ -93,6 +93,37 @@ class AdvisorySurfaceSpec extends AnyFunSuite {
       .size == first.size)
   }
 
+  test("SHOW ADVISORIES via SQL: <cat>.system.advisories serves the registry") {
+    val dir = saturatedCorpus("sql")
+    // fire the dedup advisory for this corpus
+    assert(DedupQueries.maybeWarnDedupRecall(spark, dir))
+    val cat = "gadv_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_adv_wh_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val rows = spark.sql(
+        s"""SELECT family, signal, redial FROM $cat.system.advisories
+           |WHERE corpus = '$dir' ORDER BY family""".stripMargin)
+        .collect()
+      assert(rows.exists(_.getString(0) == "dedup_lsh_cap"),
+        s"rows=${rows.mkString(";")}")
+      val r = rows.find(_.getString(0) == "dedup_lsh_cap").get
+      assert(r.getDouble(1) > 0.7)
+      assert(r.getString(2).contains("graft.dedup.profile=recall"))
+      // filtered to a healthy corpus: empty through plain SQL too
+      assert(spark.sql(
+        s"""SELECT * FROM $cat.system.advisories
+           |WHERE corpus = '$sf001'""".stripMargin).isEmpty)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("advisories for one corpus never leak into another's relation") {
     val dir = saturatedCorpus("leak")
     assert(graft.SparkEntry.queries("r26_advisories")(spark, dir)
