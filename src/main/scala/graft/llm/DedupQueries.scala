@@ -305,17 +305,28 @@ object DedupQueries {
     * Pure function of (rows, perms, session confs) so the sizing is
     * spec-pinnable without a 16M corpus.
     */
-  private[graft] def bandedPartitionsFor(
-      bandedRows: Long, perms: Int, defaultParts: Int,
+  /** The generic sizing rule [[bandedPartitionsFor]] instantiates:
+    * partitions = max(default, rows × bytes/row × 2 / target) — the
+    * ×2 prices the shuffle-hash build's resident HashedRelation over
+    * the raw UnsafeRow bytes. Shared by every corpus-scale
+    * shuffle-hash build in the family (banded signatures AND the
+    * exploded shingle relations — the same OOM class on a different
+    * axis).
+    */
+  private[graft] def exchangePartitionsFor(
+      rows: Long, bytesPerRow: Long, defaultParts: Int,
       targetBytes: Long): Int = {
-    // UnsafeRow per banded row: doc_id + bucket (8 B each), the
-    // perms-long sig array (8 B/element + ~32 B array header), ×2 for
-    // the shuffle-hash build's resident map overhead
-    val bytesPerRow = 8L + 8L + 8L * perms + 32L
-    val want =
-      bandedRows * bytesPerRow * 2L / math.max(targetBytes, 1L) + 1L
+    val want = rows * bytesPerRow * 2L / math.max(targetBytes, 1L) + 1L
     math.max(defaultParts.toLong, want).min(Int.MaxValue.toLong).toInt
   }
+
+  private[graft] def bandedPartitionsFor(
+      bandedRows: Long, perms: Int, defaultParts: Int,
+      targetBytes: Long): Int =
+    // UnsafeRow per banded row: doc_id + bucket (8 B each), the
+    // perms-long sig array (8 B/element + ~32 B array header)
+    exchangePartitionsFor(bandedRows, 8L + 8L + 8L * perms + 32L,
+      defaultParts, targetBytes)
   private[graft] def bandedPartitions(s: SparkSession, d: String): Int =
     bandedPartitionsFor(
       docCount(s, d) * (numPerms(s) / rowsPerBand(s)).toLong,
@@ -338,6 +349,45 @@ object DedupQueries {
     val want = bandedPartitions(s, d)
     if (want > s.sessionState.conf.numShufflePartitions)
       df.repartition(want, col("bucket"))
+    else df
+  }
+
+  /** Memoized Σ n_chars over the corpus — one single-int-column scan
+    * per (corpus, process). Each character position yields at most
+    * one 8-char shingle, so this UPPER-BOUNDS the exploded shingle
+    * relation's rows (array_distinct only shrinks it) — the input
+    * the shingle-side exchange sizing works from, the way docCount
+    * feeds the banded side.
+    */
+  private val charCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def charCount(s: SparkSession, d: String): Long =
+    charCountCache.computeIfAbsent(docsKey(d), _ =>
+      java.lang.Long.valueOf(
+        documents(s, d)
+          .agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)))
+
+  /** The banded-exchange discipline applied to the exploded SHINGLE
+    * relations — d10's cross-source self-join and d4/d13's
+    * block-scaffold self-join build corpus-scale (…, shingle-hash)
+    * relations under shuffle-hash hints, the identical fixed-
+    * partition OOM class as the k=32 banded build, just on the
+    * shingle axis (16M docs ≈ 10⁹ shingle rows ≈ 50 GB through
+    * whatever partition count the session carries). Sized from the
+    * Σ n_chars upper bound × ~56 B/row (ids + source string + hash +
+    * UnsafeRow overhead); engaged, like sizeBanded, only past the
+    * session default, keyed on the relation's join key columns so
+    * the downstream joins reuse the exchange.
+    */
+  private def sizeShingles(
+      s: SparkSession, d: String, keys: Seq[String])(
+      df: DataFrame): DataFrame = {
+    val want = exchangePartitionsFor(
+      charCount(s, d), 56L,
+      s.sessionState.conf.numShufflePartitions,
+      s.sessionState.conf.filesMaxPartitionBytes)
+    if (want > s.sessionState.conf.numShufflePartitions)
+      df.repartition(want, keys.map(col): _*)
     else df
   }
 
@@ -469,8 +519,12 @@ object DedupQueries {
         graft.functions.ShingleHashes(col("text")).as("hs"))
     // per-doc set size straight from the array — no explode/shuffle
     val sizes = capped.select(col("doc_id"), size(col("hs")).as("n"))
-    val sh = capped
-      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+    // data-sized exchange on the self-join's keys (sizeShingles):
+    // when the exploded relation outgrows the session default, both
+    // join sides reuse one explicit hash(source, h, N) partitioning
+    // whose per-task build fits memory
+    val sh = sizeShingles(s, d, Seq("source", "h"))(capped
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("h")))
     // shuffle-hash hint: size estimation cannot see the explode
     // blow-up and would broadcast the full shingle relation — a plan
     // that cannot survive scale-up
@@ -837,8 +891,13 @@ object DedupQueries {
         .agg(count(lit(1)).as("nsrc"))
         .where(col("nsrc").between(2, MaxOverlapSources))
         .select("h")
-      val dsc = ds.join(eligible.hint("shuffle_hash"), Seq("h"),
-        "left_semi")
+      // data-sized exchange on the pair join's key (sizeShingles —
+      // the (source, shingle) relation is corpus-scale and its
+      // self-join build is the d-family's other fixed-partition OOM
+      // class); engaged only past the session default, reused by
+      // both self-join sides
+      val dsc = sizeShingles(s, d, Seq("h"))(
+        ds.join(eligible.hint("shuffle_hash"), Seq("h"), "left_semi"))
       dsc.as("a").hint("shuffle_hash")
         .join(dsc.as("b").hint("shuffle_hash"),
           col("a.h") === col("b.h") && col("a.source") < col("b.source"))

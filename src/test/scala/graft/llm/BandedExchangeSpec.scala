@@ -61,6 +61,42 @@ class BandedExchangeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
 
+  test("the shingle-side exchanges (d4/d10) size the same way") {
+    // 16M docs × ~60 chars ≈ 1e9 shingle rows × 56 B × 2 ≈ 104 GB →
+    // hundreds of partitions at the 128 MB target
+    val p = DedupQueries.exchangePartitionsFor(
+      1000L * 1000 * 1000, 56L, 32, 128L * 1024 * 1024)
+    assert(p > 500 && p < 2000, s"p=$p")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try {
+      // sf0.001 Σ n_chars ≈ 190k → 190k×56×2/8192 ≈ 2.6k partitions
+      val cc = DedupQueries.charCount(spark, sf0001)
+      assert(cc > 0L)
+      val want = DedupQueries.exchangePartitionsFor(cc, 56L,
+        spark.sessionState.conf.numShufflePartitions, 8192L)
+      assert(want > spark.sessionState.conf.numShufflePartitions)
+      for (q <- Seq("d4_ngram_jaccard", "d10_cross_source_overlap")) {
+        val counts = graft.SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.analyzed.collect {
+            case r: RepartitionByExpression => r.optNumPartitions
+          }.flatten
+        assert(counts.contains(want),
+          s"$q repartitions=$counts, engine computed $want")
+      }
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("the sized shingle exchange is value-invariant (d4/d10 rows identical)") {
+    val base = Seq("d4_ngram_jaccard", "d10_cross_source_overlap")
+      .map(q => graft.SparkEntry.queries(q)(spark, sf0001).collect().toSeq)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try {
+      val fanned = Seq("d4_ngram_jaccard", "d10_cross_source_overlap")
+        .map(q => graft.SparkEntry.queries(q)(spark, sf0001).collect().toSeq)
+      assert(fanned == base)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("the sized exchange is value-invariant (d7 rows identical)") {
     val atDefault = graft.SparkEntry
       .queries("d7_lsh_bucket_cap")(spark, sf0001).collect().toSeq
