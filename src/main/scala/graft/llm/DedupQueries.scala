@@ -463,7 +463,8 @@ object DedupQueries {
         if (occ.capRec > BlockCap)
           s"graft.dedup.block_cap=${occ.capRec} (linear pair envelope)"
         else "no in-envelope cap admits the wide sources; use the " +
-          "capped-LSH chain (d7 -> d8/d15)")
+          "capped-LSH chain (d7 -> d8/d15)",
+        fingerprint = docsKey(d))
     }
     if (fire && blockCapWarned.add(d)) {
       val occ = blockOccupancy(s, d)
@@ -1295,7 +1296,8 @@ object DedupQueries {
             s"; or graft.dedup.bucket_cap=${occ.capRec} (linear pair " +
               "envelope)"
           else "; or a d1 exact pre-pass (shed mass is boilerplate " +
-            "wider than the envelope admits)"))
+            "wider than the envelope admits)"),
+        fingerprint = docsKey(d))
     }
     if (fire && dedupRecallWarned.add(d)) {
       val occ = lshOccupancy(s, d)

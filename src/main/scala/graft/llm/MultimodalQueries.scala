@@ -368,7 +368,8 @@ object MultimodalQueries {
         (if (occ.capRec > 16L)
           s"graft.phash.bucket_cap=${occ.capRec} (linear pair envelope)"
         else "exact dedup pre-pass (m4/d1) first") +
-          "; or graft.phash.bands=2")
+          "; or graft.phash.bands=2",
+        fingerprint = LshCensus.fileKey(d, "documents.parquet"))
     }
     if (fire && phashRecallWarned.add(d)) {
       val occ = phashOccupancy(s, d)

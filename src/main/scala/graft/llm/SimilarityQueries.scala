@@ -930,7 +930,8 @@ object SimilarityQueries {
     if (fire)
       Advisories.record("ann_serving_dials", d, frac,
         "graft.pq.k=64, graft.ann.nprobe=4, graft.ann.rerank_c=200 " +
-          "(recall 1.00 on the hard probe corpus)")
+          "(recall 1.00 on the hard probe corpus)",
+        fingerprint = KMeans.corpusKey(d))
     if (fire && recallWarned.add(d))
       advisoryLog.warn(
         s"ANN serving dials are at the conservative oracle-pinned " +
@@ -1045,7 +1046,7 @@ object SimilarityQueries {
     if (fire)
       Advisories.record("index_staleness", d, ratio,
         "retrain + full index rebuild (the registry re-keys on " +
-          "corpus fingerprint)")
+          "corpus fingerprint)", fingerprint = KMeans.corpusKey(d))
     if (fire && stalenessWarned.add(d))
       advisoryLog.warn(
         s"incremental index maintenance over $d: a delta batch's " +
@@ -1097,7 +1098,7 @@ object SimilarityQueries {
         "raise graft.emb.planes and/or graft.emb.tables" +
           (if (occ.capRec > D9BucketCap)
             s"; census also admits bucket_cap=${occ.capRec}"
-          else ""))
+          else ""), fingerprint = KMeans.corpusKey(d))
     }
     if (fire && embRecallWarned.add(d)) {
       val occ = embOccupancy(s, d)

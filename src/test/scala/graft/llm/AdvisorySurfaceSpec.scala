@@ -131,4 +131,26 @@ class AdvisorySurfaceSpec extends AnyFunSuite {
     assert(graft.SparkEntry.queries("r26_advisories")(spark, sf001)
       .count() == 0L)
   }
+
+  test("fired advisories survive a process restart and retire with the corpus") {
+    val dir = saturatedCorpus("dur")
+    assert(DedupQueries.maybeWarnDedupRecall(spark, dir))
+    assert(Advisories.forCorpus(dir).exists(_.family == "dedup_lsh_cap"))
+    // simulate a fresh process: wipe the in-memory registry; the next
+    // read reloads the durable log (the staleness advisory's whole
+    // point — its firing run and the operator's SELECT are different
+    // processes)
+    Advisories.clear()
+    assert(Advisories.forCorpus(dir).exists(_.family == "dedup_lsh_cap"),
+      "durable log must reload the firing")
+    // regenerate the corpus (any member-file change): the stored
+    // fingerprint no longer matches, so the persisted advisory
+    // RETIRES instead of lying about a corpus it never measured
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/documents.parquet/extra.marker"),
+      "regen".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Advisories.clear()
+    assert(!Advisories.forCorpus(dir).exists(_.family == "dedup_lsh_cap"),
+      "a regenerated corpus must not serve a stale advisory")
+  }
 }
