@@ -518,28 +518,33 @@ object DedupQueries {
     val capped = docs.join(broadcast(narrow), "source")
       .select(col("doc_id"), col("source"),
         graft.functions.ShingleHashes(col("text")).as("hs"))
-    // per-doc set size straight from the array — no explode/shuffle
-    val sizes = capped.select(col("doc_id"), size(col("hs")).as("n"))
+    // Per-doc set size RIDES THROUGH the explode next to each shingle
+    // row (one int wider per exploded row) and surfaces from the pair
+    // aggregate as a grouping column — n is functionally dependent on
+    // the doc id, so the groups are unchanged. The previous shape
+    // joined a separate `sizes` projection back in twice (na, nb),
+    // and each broadcast build re-ran the corpus scan + ShingleHashes
+    // kernel from scratch: the kernel evaluated over the corpus 3x
+    // and the plan carried two extra joins (measured 2.5 s -> 1.5 s
+    // at sf0.1 for d4). At 100 TB the removed joins also retire a
+    // |docs|-row broadcast that could not survive a big corpus.
     // data-sized exchange on the self-join's keys (sizeShingles):
     // when the exploded relation outgrows the session default, both
     // join sides reuse one explicit hash(source, h, N) partitioning
     // whose per-task build fits memory
     val sh = sizeShingles(s, d, Seq("source", "h"))(capped
-      .select(col("doc_id"), col("source"), explode(col("hs")).as("h")))
+      .select(col("doc_id"), col("source"), size(col("hs")).as("n"),
+        explode(col("hs")).as("h")))
     // shuffle-hash hint: size estimation cannot see the explode
     // blow-up and would broadcast the full shingle relation — a plan
     // that cannot survive scale-up
-    val shared = sh.as("a").hint("shuffle_hash")
+    sh.as("a").hint("shuffle_hash")
       .join(sh.as("b").hint("shuffle_hash"),
         col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
   }
 
   /** The d4 plan with an explicit block cap (see the catalog entry). */
@@ -716,10 +721,18 @@ object DedupQueries {
       // set is |candidate docs| × 8 B (1 MB at 4M). The filter then
       // runs map-side ON THE SCAN, and the shingle projection above
       // it hashes only surviving docs.
+      // Materialized ONCE (localCheckpoint): the pair relation joins
+      // this twice — keyed doc_a and doc_b, DIFFERENT partitionings,
+      // so exchange reuse can never kick in and each side would
+      // re-run the corpus scan + ShingleHashes + semi from scratch
+      // (measured 1.2 s → 0.9 s at sf0.1). The relation is bounded
+      // by |candidate docs| rows — the same size class the broadcast
+      // gate above already admits.
       val hs = candSemi(documents(s, d)
         .select(col("doc_id"),
           sort_array(graft.functions.ShingleHashes(col("text"))).as("hs")),
         candDocs)
+        .localCheckpoint()
       // NO d14-style fan-out here: with the merge-scan kernel the
       // per-pair intersection is no longer the stage's CPU, and a
       // repartition after the joins re-ships 600k ~3KB rows (both

@@ -397,12 +397,35 @@ object MultimodalQueries {
   private[graft] def encodedTextProbes(
       s: SparkSession, d: String): DataFrame = {
     val isProbe = col("doc_id") % 10 === 0 && col("doc_id") < 5000
-    val hts = transform(graft.functions.WsTokens(col("text")),
-      t => Hashing.hash28(t) % 64)
-    val qe = transform(sequence(lit(0), lit(63)),
-      i => size(filter(hts, h => h === i)).cast("double"))
-    documents(s, d).where(isProbe)
-      .select(col("doc_id").as("probe_id"), qe.as("qe"))
+    // Histogram by AGGREGATION, not by 64 filter() passes: the
+    // original `transform(sequence(0,63), i -> size(filter(hts, …)))`
+    // inlined the token-hash subtree into every lambda, so the
+    // interpreted HOF stack re-tokenized + re-md5'd each probe 64×
+    // (measured 1.5–3.4 s of m7/m8/t13's cost at sf0.1 — M8Probe).
+    // Here each token hashes ONCE (codegen'd md5), a (probe, bucket)
+    // count aggregates map-side, and the 64-wide qe array rebuilds
+    // from the counts map in a final bounded projection (≤500 probe
+    // rows — the only interpreted HOFs left run there). explode_outer
+    // + the null-filtered collect keep zero-token probes as all-zero
+    // vectors, exactly the filter() semantics. Values are integer
+    // counts cast to double — bit-identical to the oracle's unrolled
+    // form.
+    val counts = documents(s, d).where(isProbe)
+      .select(col("doc_id").as("probe_id"),
+        explode_outer(graft.functions.WsTokens(col("text"))).as("tok"))
+      .select(col("probe_id"),
+        when(col("tok").isNotNull, Hashing.hash28(col("tok")) % 64)
+          .as("b"))
+      .groupBy("probe_id", "b")
+      .agg(count(col("b")).as("c"))
+    counts.groupBy("probe_id")
+      .agg(map_from_entries(
+        expr("collect_list(CASE WHEN b IS NOT NULL " +
+          "THEN struct(b, c) END)")).as("m"))
+      .select(col("probe_id"),
+        expr("transform(sequence(0, 63), " +
+          "i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)), 0) " +
+          "AS DOUBLE))").as("qe"))
       .localCheckpoint()
   }
 

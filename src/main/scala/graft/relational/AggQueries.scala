@@ -194,11 +194,24 @@ object AggQueries {
     // driver-gated: HLL++ distinct vs the exact count, surfaced as a
     // within-5% boolean (HLL merge is order-independent, so the flag
     // is deterministic under any partitioning; rsd 2%).
+    //
+    // Shape: distinct FIRST, then count + sketch over the distinct
+    // relation. Mixing countDistinct with approx_count_distinct in one
+    // agg makes Spark's distinct-aggregate rewrite carry the partial
+    // HLL buffer — 408 LONG columns at rsd 2% — on EVERY
+    // (flag, partkey) group row through the distinct exchange
+    // (~3.3 KB/row where the key is 16 B; measured 1.7 s vs o4's
+    // 0.5 s on the same scan). HLL registers are max-over-hashes, so
+    // the sketch over deduplicated keys is bit-identical, count over
+    // the distinct rows equals countDistinct (both skip nulls), and
+    // the buffer now exists only in the 3-group second aggregate.
     "o5_approx_within_tol" -> ((s, d) =>
       lineitem(s, d)
+        .select($("l_returnflag"), $("l_partkey"))
+        .distinct()
         .groupBy("l_returnflag")
         .agg(
-          countDistinct($("l_partkey")).as("n_exact"),
+          count($("l_partkey")).as("n_exact"),
           approx_count_distinct($("l_partkey"), 0.02).as("__approx"))
         .select(col("l_returnflag"), col("n_exact"),
           (abs(col("__approx") - col("n_exact")) <= col("n_exact") * 0.05)

@@ -39,10 +39,15 @@ object M8Probe {
     // measured 47.8-86.7 s here: CombineFilters merges the
     // interpreted-encoder conjunct into the budget filter and every
     // row-group-admitted row pays it
-    val probes = MultimodalQueries.encodedTextProbes(spark, d)
-      .withColumn("qnorm",
-        sqrt(graft.functions.DotProduct(col("qe"), col("qe"))))
-      .where(col("qnorm") > 0)
+    // the encoder's localCheckpoint materializes EAGERLY at
+    // construction — time the construction call itself, not just the
+    // checkpoint re-read
+    val probes = t("probe encode (construct+ckpt)") {
+      MultimodalQueries.encodedTextProbes(spark, d)
+        .withColumn("qnorm",
+          sqrt(graft.functions.DotProduct(col("qe"), col("qe"))))
+        .where(col("qnorm") > 0)
+    }
     t("probe encode (force)") { graft.Bench.force(probes) }
 
     val scored = SimilarityQueries.batchAdcScoredFor(spark, d,
