@@ -465,28 +465,37 @@ object TextQueries {
         .withColumn("toks",
           graft.functions.WsTokens(col("text")))
         .where(size(col("toks")) >= 3)
+      // Per-doc span count rides through the explode (the x8/d4
+      // movement): every doc with ≥3 tokens has ≥1 span, so no row is
+      // ever lost and one doc-keyed aggregate yields (n_spans,
+      // n_shared) together. The previous shape evaluated the span
+      // explode TWICE (the dup aggregate and the semi probe carry
+      // different row shapes, so no exchange is reusable), tokenized
+      // the corpus a THIRD time for the sizes side, and paid a
+      // doc-keyed count join. The dup-span set joins as a LEFT marker
+      // instead of a semi — dup emits each hash once, so count(hit)
+      // equals the old semi count — still shuffle-hash, never
+      // broadcast (corpus-scale set).
       val spans = docs
-        .select(col("doc_id"), explode(
+        .select(col("doc_id"),
+          (expr("CAST((size(toks) - 3) / 2 AS INT)") + 1).cast("long")
+            .as("n_spans"),
+          explode(
           expr("""transform(sequence(0, CAST((size(toks) - 3) / 2 AS INT)),
                  |  i -> CAST(conv(substr(md5(array_join(slice(toks, i * 2 + 1, 3), ' ')), 1, 15), 16, 10) AS BIGINT))"""
             .stripMargin)).as("h"))
       val dup = spans.groupBy("h")
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .where(col("mn") =!= col("mx"))
-        .select("h")
-      val shared = spans
+        .select(col("h"), lit(1).as("hit"))
+      spans
         .hint("shuffle_hash")
-        .join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      docs
-        .select(col("doc_id"),
-          (expr("CAST((size(toks) - 3) / 2 AS INT)") + 1).cast("long")
-            .as("n_spans"))
-        .hint("shuffle_hash")
-        .join(shared.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(dup.hint("shuffle_hash"), Seq("h"), "left")
+        .groupBy("doc_id", "n_spans")
+        .agg(count(col("hit")).as("n_shared"))
         .select(col("doc_id"), col("n_spans"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          round(coalesce(col("n_shared"), lit(0L)) / col("n_spans"), 4)
+          col("n_shared"),
+          round(col("n_shared") / col("n_spans"), 4)
             .as("shared_frac"))
         .orderBy("doc_id")
     }),

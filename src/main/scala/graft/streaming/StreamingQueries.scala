@@ -38,7 +38,15 @@ object StreamingQueries {
       Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt_"))
     else None
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // graft.stream.state_partitions dials the per-stream state/
+      // shuffle partition count (default 8 — the measured local
+      // sweet spot; production sizes it to expected state rows ×
+      // bytes / target partition size, the bandedPartitions
+      // discipline applied to streams). The count pins into the
+      // checkpoint at first run, so a fresh bench stream is free to
+      // choose it.
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("graft.stream.state_partitions").getOrElse("8"))
       val w = build
       val q = ckpt.fold(w)(p => w.option("checkpointLocation", p.toString))
         .start()

@@ -21,6 +21,11 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v,k2=v2" — session confs for dial sweeps
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     names.foreach { q =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
