@@ -14,8 +14,51 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Process-scoped memo of INFERRED SCHEMAS (metadata only — every
+    * query still scans the parquet data on every run; nothing about
+    * results is cached). Schema inference on construction costs
+    * ~70–90 ms per `spark.read.parquet` call on this box vs ~7 ms
+    * with a supplied schema (ReadOverheadProbe), and the catalog
+    * constructs its input relations hundreds of times per run — at
+    * 100 TB the equivalent is a metastore-declared schema instead of
+    * per-query footer inference. Keyed on the same recursive
+    * (file count, total bytes, max mtime) fingerprint as
+    * LshCensus.fileKey, so a regenerated table re-infers instead of
+    * serving a stale schema.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def fingerprint(path: String): String = {
+    def walk(f: java.io.File): (Long, Long, Long) =
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        kids.foldLeft((0L, 0L, 0L)) { case ((c, b, m), k) =>
+          val (kc, kb, km) = walk(k)
+          (c + kc, b + kb, math.max(m, km))
+        }
+      } else (1L, f.length, f.lastModified)
+    val (c, b, m) = walk(new java.io.File(path))
+    s"$c:$b:$m"
+  }
+
+  /** The memoized inferred schema of `$dir/$name.parquet`. NOTE for
+    * the events table: inference under a session that set
+    * `spark.sql.legacy.parquet.nanosAsLong` yields LONG for a
+    * TIMESTAMP(NANOS) column; every events reader sets that conf
+    * before loading (Tables.events, the streaming entry points), so
+    * the memoized schema and the scan-time conf always agree.
+    */
+  def schemaOf(spark: SparkSession, dir: String, name: String)
+      : org.apache.spark.sql.types.StructType = {
+    val path = s"$dir/$name.parquet"
+    schemaCache.computeIfAbsent(s"$path@${fingerprint(path)}",
+      _ => spark.read.parquet(path).schema)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.schema(schemaOf(spark, dir, name))
+      .parquet(s"$dir/$name.parquet")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

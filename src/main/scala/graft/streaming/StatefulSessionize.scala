@@ -52,7 +52,7 @@ object StatefulSessionize {
   def runOverEvents(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.Tables.schemaOf(spark, dir, "events")
     val stream = graft.Tables.normalizeEventTs(
         spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")

@@ -65,7 +65,7 @@ object StreamingQueries {
       s: SparkSession, d: String)(
       agg: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val schema = graft.Tables.schemaOf(s, d, "events")
     val stream = graft.Tables.normalizeEventTs(
       s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -108,7 +108,7 @@ object StreamingQueries {
     // which the oracle pins.
     "t4_stream_stream_join" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = graft.Tables.schemaOf(s, d, "events")
       def side(): DataFrame = graft.Tables.normalizeEventTs(
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
@@ -147,7 +147,7 @@ object StreamingQueries {
     // call for dropDuplicatesWithinWatermark to age state out.
     "t5_stream_dedup" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = graft.Tables.schemaOf(s, d, "events")
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
