@@ -531,10 +531,20 @@ object DedupQueries {
     // data-sized exchange on the self-join's keys (sizeShingles):
     // when the exploded relation outgrows the session default, both
     // join sides reuse one explicit hash(source, h, N) partitioning
-    // whose per-task build fits memory
+    // whose per-task build fits memory.
+    //
+    // explode_OUTER, not explode: InferFiltersFromGenerate turns a
+    // plain explode into a `size(hs) > 0 AND isnotnull(hs)` filter
+    // that predicate-pushdown then inlines BELOW the cap join as
+    // `size(shingle_hashes(text)) > 0` — re-running the kernel on
+    // every RAW scan row (round-13 plan audit), exactly the
+    // all-capped-corpus cost the cap-join placement exists to avoid.
+    // The rule skips outer generates; the handful of null-h rows an
+    // empty hs produces are dropped by the inner self-join's equi
+    // condition, so the pair relation is unchanged.
     val sh = sizeShingles(s, d, Seq("source", "h"))(capped
       .select(col("doc_id"), col("source"), size(col("hs")).as("n"),
-        explode(col("hs")).as("h")))
+        explode_outer(col("hs")).as("h")))
     // shuffle-hash hint: size estimation cannot see the explode
     // blow-up and would broadcast the full shingle relation — a plan
     // that cannot survive scale-up

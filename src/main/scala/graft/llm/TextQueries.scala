@@ -249,10 +249,18 @@ object TextQueries {
       // join — all gone; zero-token docs fell out of that inner join,
       // reproduced by the explicit n > 0 filter). Bigram stats for
       // n < 2 are NULL exactly as size(NULL array) propagated before.
+      // The zero-token guard is expressed on the RAW text, not on
+      // st.n: a `where(st.n > 0)` predicate-pushes below the
+      // projection and re-runs the tokenizer+stats kernels on every
+      // raw scan row (round-13 plan audit). WsTokens splits on the
+      // ASCII set [ \t\n\x0B\f\r] exactly (see its header), so
+      // "st.n > 0" ⟺ "text keeps ≥ 1 char after deleting that set"
+      // — translate is a cheap byte scan, null text propagates to a
+      // null predicate and drops the row either way.
       documents(s, d)
+        .where(length(translate(col("text"), " \t\n\u000B\f\r", "")) > 0)
         .withColumn("st", graft.functions.TokenRepStats(
           graft.functions.WsTokens(col("text"))))
-        .where(col("st.n") > 0)
         .select(col("doc_id"),
           col("st.n").as("n_toks"),
           round(lit(1) - col("st.ndist") / col("st.n"), 4)
@@ -319,8 +327,13 @@ object TextQueries {
       val hs = documents(s, d)
         .select(col("doc_id"),
           graft.functions.ShingleHashes(col("text")).as("hs"))
+      // explode_outer + attribute-level isnotnull, not plain explode:
+      // the inferred `size(shingle_hashes(text)) > 0` filter a plain
+      // explode produces re-runs the kernel on raw scan rows
+      // (round-13 plan audit)
       val bench = hs.where(isBenchDoc)
-        .select(explode(col("hs")).as("h")).distinct()
+        .select(explode_outer(col("hs")).as("h"))
+        .where(col("h").isNotNull).distinct()
       // contamination = fraction of the DOC's shingles found in the
       // benchmark set (≥ 0.5): an absolute count is vacuous when the
       // corpus shares boilerplate vocabulary; the fraction is the form
@@ -376,9 +389,12 @@ object TextQueries {
       // broadcast: without the barrier each consumer re-ran the bench
       // scan + ShingleHashes + distinct from scratch. The relation is
       // bounded by the benchmark's distinct shingles — the same size
-      // class as the broadcast it already feeds.
+      // class as the broadcast it already feeds. (explode_outer + the
+      // attribute-level isnotnull: a plain explode's inferred filter
+      // re-runs the kernel on the raw scan rows — round-13 plan audit.)
       val bench = hs.where(isBenchDoc)
-        .select(explode(col("hs")).as("h")).distinct()
+        .select(explode_outer(col("hs")).as("h"))
+        .where(col("h").isNotNull).distinct()
         .localCheckpoint()
       // distributed sketch build; a single ~KB-scale binary reaches the
       // driver — the same ship-the-sketch movement Spark's runtime
@@ -386,20 +402,30 @@ object TextQueries {
       val sketch = bench
         .agg(graft.functions.BloomSketch.build(col("h"), 1L << 20).as("bf"))
         .head.getAs[Array[Byte]]("bf")
-      val corpus = hs.where(!isBenchDoc)
-      val overlap = corpus
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-        .where(graft.functions.BloomSketch.mightContain(sketch, col("h")))
-        .join(broadcast(bench), Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      corpus.select(col("doc_id"), size(col("hs")).as("n_shingles"))
-        .hint("shuffle_hash")
-        .join(overlap.hint("shuffle_hash"), Seq("doc_id"), "left")
+      // ONE corpus pass (the x8 scaffold, with the sketch folded into
+      // the projection): n_shingles rides the explode, and the bloom
+      // test runs INSIDE the array — `filter(hs, might_contain)` —
+      // so only sketch survivors are ever exploded, joined, or
+      // shuffled. The round-12 shape paid the corpus scan + kernel
+      // twice (sizes pass + overlap pass) plus a doc-keyed join to
+      // glue them; at 100 TB the exploded stream now starts at the
+      // contamination rate (+ fp), not the corpus shingle count.
+      // explode_outer keeps zero-survivor docs as one null-h row, so
+      // every doc reaches the aggregate exactly as the sizes side
+      // used to guarantee; bench is distinct so count(hit) is the
+      // exact semi count, false positives get hit=null and count 0.
+      val marked = hs.where(!isBenchDoc)
+        .select(col("doc_id"), size(col("hs")).as("n_shingles"),
+          explode_outer(filter(col("hs"), h =>
+            graft.functions.BloomSketch.mightContain(sketch, h))).as("h"))
+        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
+      marked.groupBy("doc_id", "n_shingles")
+        .agg(count(col("hit")).as("n_overlap"))
         .select(col("doc_id"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          round(coalesce(col("n_overlap"), lit(0L)) / col("n_shingles"), 4)
+          col("n_overlap"),
+          round(col("n_overlap") / col("n_shingles"), 4)
             .as("overlap_frac"),
-          (coalesce(col("n_overlap"), lit(0L)) / col("n_shingles") >= 0.5)
+          (col("n_overlap") / col("n_shingles") >= 0.5)
             .cast("int").as("contaminated"))
         .orderBy("doc_id")
     }),
@@ -461,10 +487,19 @@ object TextQueries {
     // counts come straight from the token count (map-only arithmetic)
     // instead of a third corpus-wide explode group-by.
     "x11_dup_spans" -> ((s, d) => {
+      // No `where(size(toks) >= 3)` filter: predicate pushdown
+      // inlines it below the projection as size(ws_tokens(text)) >= 3
+      // — re-running the tokenizer kernel on every raw scan row of
+      // BOTH span passes (round-13 plan audit). The guard moves into
+      // the generator input (< 3 tokens → empty span array) and the
+      // doc-exclusion semantics onto the generated attribute: an
+      // empty array explode_outer's to one null-h row, and h is
+      // otherwise never null (md5/conv of a present slice), so
+      // `h IS NOT NULL` drops exactly the docs the old filter did —
+      // at attribute cost, after the kernel ran once.
       val docs = documents(s, d)
         .withColumn("toks",
           graft.functions.WsTokens(col("text")))
-        .where(size(col("toks")) >= 3)
       // Per-doc span count rides through the explode (the x8/d4
       // movement): every doc with ≥3 tokens has ≥1 span, so no row is
       // ever lost and one doc-keyed aggregate yields (n_spans,
@@ -480,10 +515,13 @@ object TextQueries {
         .select(col("doc_id"),
           (expr("CAST((size(toks) - 3) / 2 AS INT)") + 1).cast("long")
             .as("n_spans"),
-          explode(
-          expr("""transform(sequence(0, CAST((size(toks) - 3) / 2 AS INT)),
-                 |  i -> CAST(conv(substr(md5(array_join(slice(toks, i * 2 + 1, 3), ' ')), 1, 15), 16, 10) AS BIGINT))"""
+          explode_outer(
+          expr("""CASE WHEN size(toks) >= 3 THEN
+                 |  transform(sequence(0, CAST((size(toks) - 3) / 2 AS INT)),
+                 |    i -> CAST(conv(substr(md5(array_join(slice(toks, i * 2 + 1, 3), ' ')), 1, 15), 16, 10) AS BIGINT))
+                 |ELSE array() END"""
             .stripMargin)).as("h"))
+        .where(col("h").isNotNull)
       val dup = spans.groupBy("h")
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .where(col("mn") =!= col("mx"))
@@ -581,10 +619,19 @@ object TextQueries {
       val docs = documents(s, d).select(col("doc_id"),
         graft.functions.WsTokens(col("text"), lowered = false).as("w"))
         .withColumn("nck", (size(col("w")) / W).cast("int"))
-      val chunks = docs.filter(col("nck") >= 1)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, nck - 1), " +
-            s"i -> array_join(slice(w, i * $W + 1, $W), ' '))")))
+      // The `nck >= 1` doc guard lives in the generator input, not a
+      // filter: a filter on the kernel-derived nck column pushes down
+      // as `cast(size(ws_tokens(text))/8 as int) >= 1`, re-running the
+      // tokenizer on every raw scan row of both chunk passes
+      // (round-13 plan audit). nck = 0 now yields an empty array,
+      // whose single outer-exploded null row the attribute-level
+      // isnotnull drops — same docs excluded, kernel run once.
+      val chunks = docs
+        .select(col("doc_id"), posexplode_outer(expr(
+          s"CASE WHEN nck >= 1 THEN transform(sequence(0, nck - 1), " +
+            s"i -> array_join(slice(w, i * $W + 1, $W), ' ')) " +
+            "ELSE array() END")))
+        .where(col("col").isNotNull)
         .select(col("doc_id"), col("pos"), col("col").as("ck"),
           md5(col("col")).as("dg"))
       val boiler = chunks.groupBy("dg")
@@ -640,27 +687,37 @@ object TextQueries {
     // tokens have no bigram distribution and drop out (both engines
     // agree by construction).
     "x15_perplexity" -> ((s, d) => {
+      // The `< 2 tokens` guard lives INSIDE the generator input (empty
+      // array == no bigrams == the doc drops out, identically to the
+      // old `where(size(a) >= 2)`): an explicit filter on a kernel-
+      // computed column gets predicate-pushed below the projection and
+      // re-runs WsTokens on every raw scan row (round-13 plan audit —
+      // each of the plan's corpus passes paid the kernel TWICE).
+      // explode_outer keeps InferFiltersFromGenerate from re-adding
+      // that filter; the single null-bg row an empty array produces
+      // carries null (w1, w2) join keys, which every downstream equi
+      // condition drops, and pollutes no (w1, w2)/(w1) group that any
+      // surviving row belongs to.
       val toks = documents(s, d).select(col("doc_id"),
         graft.functions.WsTokens(col("text")).as("a"))
-        .where(size(col("a")) >= 2)
-      val bg = toks.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(a) - 1), " +
-          "i -> struct(a[i-1] AS w1, a[i] AS w2))")).as("bg"))
+      val bg = toks.select(col("doc_id"), explode_outer(expr(
+        "CASE WHEN size(a) >= 2 THEN transform(sequence(1, size(a) - 1), " +
+          "i -> struct(a[i-1] AS w1, a[i] AS w2)) ELSE array() END"))
+        .as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val bfreq = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      // context counts DERIVE from the bigram counts (c1 = Σ_w2 c2):
-      // aggregating the vocabulary-sized bfreq relation instead of
-      // re-running the corpus-sized bigram explode removes one full
-      // corpus evaluation + exchange from the plan (the bg subtree
-      // is otherwise inlined once per consumer)
-      val uni = bfreq.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      // model-build join is ALSO shuffle-hash pinned: Catalyst would
-      // broadcast the context counts at small SF, and a broadcast
-      // containing the corpus-wide bigram subtree is exactly what the
-      // plan audit bans — the LM is vocabulary-sized, not dimension-
-      // sized, at web scale
-      val cond = bfreq.hint("shuffle_hash")
-        .join(uni.hint("shuffle_hash"), "w1")
+      // context counts DERIVE from the bigram counts (c1 = Σ_w2 c2)
+      // as a WINDOW over bfreq, not a separate aggregate + join: the
+      // round-12 shape's uni relation cost an extra exchange that
+      // hash(w1, w2) partitioning cannot serve plus a join to put c1
+      // back beside c2 (driver bench −13%, verdict item 2). The
+      // window's own hash(w1) exchange is vocabulary-sized, the sum
+      // is exact over longs, and no join remains to mis-broadcast —
+      // the corpus-wide bigram subtree stays out of any broadcast by
+      // construction.
+      val cond = bfreq
+        .withColumn("c1", sum(col("c2")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("w1")))
         .select(col("w1"), col("w2"),
           expr("(c2 * 1000000L) DIV c1").as("cppm"))
       bg.hint("shuffle_hash")

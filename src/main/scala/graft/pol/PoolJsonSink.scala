@@ -614,7 +614,7 @@ object PoolJsonSink {
     * [[MaxBinStatLen]] — are omitted for it (conservative: that file
     * is never skipped on that column).
     */
-  private def footerStats(
+  private[graft] def footerStats(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String, rels: Seq[String],
       cols: Seq[String]): Map[String, Map[String, ColStat]] = {
@@ -633,7 +633,43 @@ object PoolJsonSink {
     val binStatsExact =
       Option(conf.get("parquet.statistics.truncate.length"))
         .map(_.toInt).forall(_ >= Int.MaxValue)
-    rels.map { rel =>
+    // Footer reads are independent per file and I/O-bound; a wide
+    // commit (hundreds of staged files) serialized them on the driver
+    // — the single-threaded commit-path stall class of guide §5
+    // (round-13, verdict item 4). A bounded pool keeps stat harvest
+    // near-flat in file count; results are reassembled into the same
+    // map, so commit contents are byte-identical. One file per task
+    // keeps the pool trivially exception-transparent (the first
+    // failed future rethrows on .get, as the sequential loop did).
+    val perFile: Seq[(String, Map[String, ColStat])] = {
+      val par = math.max(1, math.min(rels.size,
+        math.min(16, Runtime.getRuntime.availableProcessors())))
+      if (par <= 1 || rels.size <= 1) rels.map(rel => footerStatsFor(
+        tableDir, rel, cols, conf, binStatsExact))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        try {
+          val futs = rels.map { rel =>
+            pool.submit(new java.util.concurrent.Callable[
+                (String, Map[String, ColStat])] {
+              override def call(): (String, Map[String, ColStat]) =
+                footerStatsFor(tableDir, rel, cols, conf, binStatsExact)
+            })
+          }
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
+    }
+    perFile.filter(_._2.nonEmpty).toMap
+  }
+
+  /** One file's footer harvest — the loop body of [[footerStats]],
+    * unchanged, lifted out so the bounded pool can run it per file. */
+  private def footerStatsFor(
+      tableDir: String, rel: String, cols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration,
+      binStatsExact: Boolean): (String, Map[String, ColStat]) = {
+    {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$tableDir/$rel"), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -704,7 +740,7 @@ object PoolJsonSink {
         }.toMap
         rel -> (perCol ++ nullCounts + rowCount + byteSize)
       } finally reader.close()
-    }.filter(_._2.nonEmpty).toMap
+    }
   }
 
   /** Pseudo stats column carrying each file's exact row count. */
