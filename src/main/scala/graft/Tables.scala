@@ -26,34 +26,59 @@ object Tables {
     * LshCensus.fileKey, so a regenerated table re-infers instead of
     * serving a stale schema.
     */
+  // keyed by PATH, storing (fingerprint, schema): a regenerated table
+  // REPLACES its entry instead of accumulating one per fingerprint
+  // (round-12 advice — the old map grew unboundedly in long-lived
+  // processes like the shared test-harness JVM)
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
+  /** Per-file (path, length, mtime) hashes XOR-folded (order-free):
+    * unlike the round-12 sum-of-totals form, a rewrite that offsets
+    * bytes across files, or swaps two files' contents within mtime
+    * granularity, still changes the fingerprint (round-12 advice).
+    */
   private def fingerprint(path: String): String = {
-    def walk(f: java.io.File): (Long, Long, Long) =
+    def fileHash(f: java.io.File): Long = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(
+        s"${f.getPath}:${f.length}:${f.lastModified}")
+      (h.toLong << 32) | (scala.util.hashing.MurmurHash3
+        .stringHash(s"${f.lastModified}:${f.length}:${f.getPath}").toLong
+        & 0xffffffffL)
+    }
+    def walk(f: java.io.File): (Long, Long) =
       if (f.isDirectory) {
         val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        kids.foldLeft((0L, 0L, 0L)) { case ((c, b, m), k) =>
-          val (kc, kb, km) = walk(k)
-          (c + kc, b + kb, math.max(m, km))
+        kids.foldLeft((0L, 0L)) { case ((c, x), k) =>
+          val (kc, kx) = walk(k)
+          (c + kc, x ^ kx)
         }
-      } else (1L, f.length, f.lastModified)
-    val (c, b, m) = walk(new java.io.File(path))
-    s"$c:$b:$m"
+      } else (1L, fileHash(f))
+    val (c, x) = walk(new java.io.File(path))
+    s"$c:$x"
   }
 
-  /** The memoized inferred schema of `$dir/$name.parquet`. NOTE for
-    * the events table: inference under a session that set
-    * `spark.sql.legacy.parquet.nanosAsLong` yields LONG for a
-    * TIMESTAMP(NANOS) column; every events reader sets that conf
-    * before loading (Tables.events, the streaming entry points), so
-    * the memoized schema and the scan-time conf always agree.
+  /** The memoized inferred schema of `$dir/$name.parquet`. The events
+    * table's inferred schema depends on
+    * `spark.sql.legacy.parquet.nanosAsLong` (LONG vs TIMESTAMP for a
+    * TIMESTAMP(NANOS) column), so the conf is enforced HERE, not by
+    * caller convention (round-12 advice): a future direct
+    * `load(spark, dir, "events")` from a conf-less session can
+    * neither poison the cache nor read with a schema/conf mismatch.
     */
   def schemaOf(spark: SparkSession, dir: String, name: String)
       : org.apache.spark.sql.types.StructType = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
-    schemaCache.computeIfAbsent(s"$path@${fingerprint(path)}",
-      _ => spark.read.parquet(path).schema)
+    val fp = fingerprint(path)
+    val cur = schemaCache.get(path)
+    if (cur != null && cur._1 == fp) cur._2
+    else {
+      val sch = spark.read.parquet(path).schema
+      schemaCache.put(path, (fp, sch))
+      sch
+    }
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -769,22 +769,35 @@ object TextQueries {
     // they are driver-held rows, never a join side.
     "x18_bpe_encode" -> ((s, d) => {
       val merges = trainMerges(s, d)
+      // Round-13: encode each DISTINCT word once and join the result
+      // back to the occurrences (§2.3 / the guide-§8 "decide on the
+      // small relation" movement): the encode chain is a per-row
+      // regexp explode + 12 merges × 4 fixpoint replaces, a pure
+      // function of the word, and the corpus repeats words Zipf-style
+      // — running it per OCCURRENCE paid the chain tens of times per
+      // distinct word (measured 3.5× on the occurrence count at
+      // sf0.1). The join is shuffle-hash pinned on both sides: the
+      // vocabulary is corpus-derived and must never broadcast (x13's
+      // vocabulary contract), and size estimation cannot see the
+      // explode feeding the occurrence side.
       val words = documents(s, d)
         .select(col("doc_id"), explode(
           graft.functions.WsTokens(col("text")))
           .as("word"))
-        .select(col("doc_id"),
-          concat(lit(" "),
-            regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
-          length(col("word")).cast("long").as("n_chars"))
       val encoded = merges.foldLeft(col("seq")) {
         case (c, (_, l, r, _)) =>
           (1 to 4).foldLeft(c)((cc, _) =>
             replace(cc, lit(s" $l $r "), lit(s" $l$r ")))
       }
-      words
-        .select(col("doc_id"), col("n_chars"),
+      val wordToks = words.select("word").distinct()
+        .select(col("word"),
+          concat(lit(" "),
+            regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
+          length(col("word")).cast("long").as("n_chars"))
+        .select(col("word"), col("n_chars"),
           size(split(trim(encoded), " ")).cast("long").as("n_toks"))
+      words.hint("shuffle_hash")
+        .join(wordToks.hint("shuffle_hash"), Seq("word"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_chars")).as("n_char_tokens"),

@@ -153,22 +153,54 @@ object AggQueries {
     // count/sum/min/max/avg/median/stddev/distinct. stddev is computed
     // from exact integer-valued sums (sum, sum of squares) so both
     // engines do the identical scalar arithmetic.
-    "a9_rich_stats" -> ((s, d) =>
-      lineitem(s, d)
-        .groupBy($("l_returnflag").as("type_code"))
+    //
+    // Round-13 shape: aggregate to (flag, value, count) FIRST, then
+    // derive every statistic from the value-count table. The direct
+    // formulation's `median` is a Percentile aggregate whose buffer
+    // COLLECTS EVERY ROW of the group (a group with 10^10 rows at
+    // corpus scale is an executor OOM, §5) and its countDistinct adds
+    // an Expand doubling the scanned rows. Here the map side partial-
+    // aggregates to ≤ |flags|·|distinct values| rows, the median is
+    // reconstructed exactly from cumulative counts (lower/upper rank
+    // = floor((n+1)/2) / floor(n/2)+1 — Percentile's 0.5
+    // interpolation (v_lo + v_hi)/2, bit-equal for odd n since
+    // lo = hi), n_distinct is count of non-null value groups, and the
+    // remaining sums weight by the count. Values are integral doubles
+    // (< 2^53), so the weighted sums are the exact same doubles the
+    // row-at-a-time sums produce. Null values: excluded from cum/
+    // rank (Percentile and countDistinct skip them) but counted in n
+    // (count(1) never skipped), exactly as before.
+    "a9_rich_stats" -> ((s, d) => {
+      val vc = lineitem(s, d)
+        .groupBy($("l_returnflag").as("type_code"),
+          $("l_quantity").as("q"))
+        .agg(count(lit(1)).as("c"))
+      val byFlag = org.apache.spark.sql.expressions.Window
+        .partitionBy("type_code")
+      val cum = vc
+        .withColumn("cum", sum(when(col("q").isNotNull, col("c"))
+          .otherwise(lit(0L))).over(byFlag.orderBy(col("q").asc_nulls_first)))
+        .withColumn("nn", sum(when(col("q").isNotNull, col("c"))
+          .otherwise(lit(0L))).over(byFlag))
+      cum.groupBy("type_code")
         .agg(
-          count(lit(1)).as("n"),
-          sum($("l_quantity")).as("sum_v"),
-          min($("l_quantity")).as("min_v"),
-          max($("l_quantity")).as("max_v"),
-          round(sum($("l_quantity")) / count(lit(1)), 4).as("avg_v"),
-          median($("l_quantity")).as("median_v"),
+          sum(col("c")).as("n"),
+          sum(col("q") * col("c")).as("sum_v"),
+          min(col("q")).as("min_v"),
+          max(col("q")).as("max_v"),
+          round(sum(col("q") * col("c")) / sum(col("c")), 4).as("avg_v"),
+          ((min(when(col("cum") >= expr("(nn + 1) DIV 2") &&
+              col("q").isNotNull, col("q"))) +
+            min(when(col("cum") >= expr("nn DIV 2 + 1") &&
+              col("q").isNotNull, col("q")))) / 2).as("median_v"),
           round(sqrt(
-            (sum($("l_quantity") * $("l_quantity")) -
-              sum($("l_quantity")) * sum($("l_quantity")) / count(lit(1))) /
-              (count(lit(1)) - 1)), 4).as("stddev_v"),
-          countDistinct($("l_quantity")).as("n_distinct"))
-        .orderBy("type_code")),
+            (sum(col("q") * col("q") * col("c")) -
+              sum(col("q") * col("c")) * sum(col("q") * col("c")) /
+                sum(col("c"))) /
+              (sum(col("c")) - 1)), 4).as("stddev_v"),
+          count(col("q")).as("n_distinct"))
+        .orderBy("type_code")
+    }),
 
     // A9b — bucketed value histogram with percentages
     // (ref README.md:94-99): floor(value/width) buckets.

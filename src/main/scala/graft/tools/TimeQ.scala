@@ -21,11 +21,17 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_CONF="k=v,k2=v2" — session confs for dial sweeps
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    // SPARK_GRAFT_CONF="k=v,k2=v2" — session confs for dial sweeps.
+    // Entries without '=' (or a trailing comma) fail with a clear
+    // message instead of an opaque MatchError (round-12 advice).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',')
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not of the form k=v")
+        }
+      })
     names.foreach { q =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

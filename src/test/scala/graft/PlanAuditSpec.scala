@@ -101,6 +101,44 @@ class PlanAuditSpec extends AnyFunSuite {
       // allowlist argument, at per-batch granularity.
       "t13_stream_crossmodal_serving")
 
+  /** Rule 5 allowlist — scan-adjacent filters that legitimately
+    * evaluate a graft kernel (round-13 audit, documented in
+    * OPTIMIZATION_r13.md "Not yet optimized"): c4's quality predicate
+    * is the filter's ONLY kernel consumer (single evaluation — no
+    * Project above recomputes it); h6's gopher pass-condition has no
+    * cheap raw-column equivalent; d11's digest guards run on the
+    * batch slice by contract. Everything else must keep kernels out
+    * of scan-adjacent Filter conditions — InferFiltersFromGenerate
+    * or predicate pushdown re-evaluating a kernel per raw scan row
+    * is the round-13 regression class (fixed in d4/d13/x5/x8/x9/
+    * x11/x15/x23 via explode_outer / generator-input guards).
+    */
+  private val kernelFilterAllowed = Set(
+    "c4_corpus_filter", "h6_curation_pipeline", "d11_incremental_dedup",
+    // p1's guard IS "the parser returned null" — type_code stays
+    // non-null on unparseable lines, so no aggregate-side or
+    // raw-column equivalent exists; the double parse is documented
+    // examined-and-left (~0.1 s at sf0.1)
+    "p1_parse",
+    // n13's probe projection: the kernel conjunct is short-circuited
+    // behind `vec_id = 0`, so it evaluates on exactly one row
+    "n13_range_search")
+
+  /** Rule 5 — no graft kernel expression inside a scan-adjacent
+    * Filter condition (see allowlist above). Join-stage kernel
+    * predicates (d15/d16's exact Levenshtein prunes) sit above
+    * joins, not scans, and stay legal.
+    */
+  private def kernelFilterOnScan(name: String, plan: SparkPlan): Seq[String] =
+    if (kernelFilterAllowed(name)) Nil
+    else plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.exists(
+            _.getClass.getName.startsWith("graft.functions."))
+            && scanBelow(f.child) =>
+        s"$name: graft kernel evaluated in a scan-adjacent Filter"
+    }
+
   /** Rule 4 — the m8 filter-merge trap, generalized (round-9 verdict
     * item 3): a Filter whose condition contains a higher-order
     * function sitting DIRECTLY on a file scan means CombineFilters /
@@ -159,7 +197,8 @@ class PlanAuditSpec extends AnyFunSuite {
               case t: TakeOrderedAndProjectExec => t
             }.isEmpty => s"$name: broadcast over un-limited explode"
       }
-    cartesian ++ bnlj ++ explodeBroadcast ++ hofFilterOnScan(name, plan)
+    cartesian ++ bnlj ++ explodeBroadcast ++ hofFilterOnScan(name, plan) ++
+      kernelFilterOnScan(name, plan)
   }
 
   /** The same three bans on a SparkPlanInfo event tree. */
