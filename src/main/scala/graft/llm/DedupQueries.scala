@@ -537,11 +537,15 @@ object DedupQueries {
     // plain explode into a `size(hs) > 0 AND isnotnull(hs)` filter
     // that predicate-pushdown then inlines BELOW the cap join as
     // `size(shingle_hashes(text)) > 0` — re-running the kernel on
-    // every RAW scan row (round-13 plan audit), exactly the
-    // all-capped-corpus cost the cap-join placement exists to avoid.
-    // The rule skips outer generates; the handful of null-h rows an
-    // empty hs produces are dropped by the inner self-join's equi
-    // condition, so the pair relation is unchanged.
+    // every RAW scan row (round-13 plan audit) whenever at least one
+    // source survives the cap. (In the ALL-capped regime AQE's
+    // empty-broadcast propagation elides the whole subtree, filter
+    // included — measured flat old-vs-new on a 1M-doc fully-capped
+    // probe corpus — so the r12 cap-placement property was only
+    // broken for mixed corpora, which the bench SFs are.) The rule
+    // skips outer generates; the handful of null-h rows an empty hs
+    // produces are dropped by the inner self-join's equi condition,
+    // so the pair relation is unchanged.
     val sh = sizeShingles(s, d, Seq("source", "h"))(capped
       .select(col("doc_id"), col("source"), size(col("hs")).as("n"),
         explode_outer(col("hs")).as("h")))
