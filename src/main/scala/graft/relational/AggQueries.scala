@@ -184,7 +184,10 @@ object AggQueries {
           .otherwise(lit(0L))).over(byFlag))
       cum.groupBy("type_code")
         .agg(
-          sum(col("c")).as("n"),
+          // coalesce only for schema parity with count(1)'s
+          // nullable=false — groups are non-empty, the value is
+          // always the sum
+          coalesce(sum(col("c")), lit(0L)).as("n"),
           sum(col("q") * col("c")).as("sum_v"),
           min(col("q")).as("min_v"),
           max(col("q")).as("max_v"),
